@@ -1,23 +1,49 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+/** Per-round benchmark: runs the headline queries at SPARK_GRAFT_SF_DIR and
+  * prints one JSON line. Results are fully materialized through the noop
+  * DataSourceV2 sink so Catalyst cannot prune work the way `.count()` lets
+  * it (VERDICT r1 "Bench fidelity" item). */
 object Bench {
+  /** Headline set: the heavier shapes — wide join+agg, window, LSH dedup,
+    * ANN, sessionization — plus the scan-heavy Q1 aggregate. */
+  val headline: Seq[String] = Seq(
+    "q01_agg_pushdown", "q12_join_multi", "q20_interval_join",
+    "q24_window_lag", "ev01_sessionize",
+    "d01_exact_dedup", "d02_minhash_lsh", "d03_simhash",
+    "e01_knn_bruteforce", "e02_ann_ivf")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+    val results = headline.flatMap { name =>
+      SparkEntry.queries.get(name).map { fn =>
+        // Warm the JVM/page cache once so numbers measure the engine, not
+        // first-touch classloading; then time a full materialization.
+        try {
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          val t0 = System.nanoTime()
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          name -> (System.nanoTime() - t0) / 1e9
+        } catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          name -> -1.0
+        }
+      }
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.map(_._2).filter(_ >= 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -1,13 +1,665 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.{TextFunctions => TF, TrinoFunctions => TR, VectorFunctions => VF}
+import graft.operators.{Dedup, Similarity}
+
+/** Driver contract — one `queries` entry per implemented operator from
+  * SURVEY.md §2, with DuckDB-equivalent `oracleSql` for the correctness gate.
+  *
+  * Conventions shared by every query (for deterministic cross-engine compare):
+  *  - every output is totally ordered by a unique key combination;
+  *  - no raw timestamp outputs — dates, epoch seconds/micros (bigint) or
+  *    strings only, so writer-timezone conventions cannot skew the compare;
+  *  - double aggregates accumulate through fixed-scale decimals (exact,
+  *    order-independent) before widening back to double;
+  *  - ratios of integers are reported as floor-scaled integers (`x*1e6 div y`)
+  *    rather than rounded doubles (no rounding-mode coupling).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  import Tables.t
+
+  /** Flagship: multi-way join + exact aggregation (SURVEY §2.5 Q12/Q14). */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("q12_join_multi")(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---- aggregation / scan layer ------------------------------------
+    // TPC-H-Q1-shaped agg; reference pattern: EAV pivot + grouped measures
+    // (stg_opralogweb__mcr_equipment_downtime.sql:50-90).
+    "q01_agg_pushdown" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .where(col("l_shipdate") <= lit("2001-09-01").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          TR.sumExact(col("l_quantity")).as("sum_qty"),
+          TR.sumExact(col("l_extendedprice")).as("sum_base_price"),
+          TR.sumExact(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("sum_disc_price"),
+          count(lit(1)).as("count_order"))
+        .withColumn("avg_qty", col("sum_qty") / col("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
+    // Q1+Q2+Q3: trim / normalize_whitespace / category key
+    // (macros/normalize_whitespace.sql:6-8, create_equipment_category_key.sql:2-4).
+    "q02_string_funcs" -> ((s, dir) => {
+      t(s, dir, "part").select(
+        col("p_partkey"),
+        trim(col("p_name")).as("name_trim"),
+        TR.normalizeWhitespace(col("p_name")).as("name_norm"),
+        TR.categoryKey(col("p_type")).as("type_key"))
+        .orderBy("p_partkey")
+    }),
+
+    // Q4+Q5: parse "date time" in Europe/London -> UTC
+    // (macros/parse_utc_timestamp.sql:7-15). Noon avoids DST ambiguity.
+    "q04_parse_utc_timestamp" -> ((s, dir) => {
+      t(s, dir, "orders").select(
+        col("o_orderkey"),
+        TR.parseUtcTimestamp(date_format(col("o_orderdate"), "yyyy-MM-dd"),
+          lit("12:00:00"), "Europe/London").cast("long").as("utc_epoch"))
+        .orderBy("o_orderkey")
+    }),
+
+    // Q6+Q10+Q11: ts->date cast + ISO literal date filter
+    // (base_opralogweb__entries.sql:15; stg_opralogweb__mcr_equipment_downtime.sql:40).
+    "q06_cast_ts_date" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .where(col("l_shipdate") >= to_date(lit("1995-01-01")))
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_shipdate").cast("date").as("ship_date"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    // Q7: char-flag CASE -> boolean (base_opralogweb__entries.sql:17-20).
+    "q07_char_flag_case" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          TR.charFlag(col("l_returnflag")).as("is_returned"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    // Q8: prefix substring + Trino negative-start substring (last 8 chars)
+    // (stg_accelerator_sharepoint__equipment_downtime_data_11_08_24.sql:15,17).
+    "q08_substring_neg" -> ((s, dir) => {
+      t(s, dir, "part").where(length(col("p_name")) >= 8)
+        .select(col("p_partkey"),
+          substring(col("p_name"), 1, 10).as("prefix10"),
+          TR.lastChars(col("p_name"), 8).as("last8"))
+        .orderBy("p_partkey")
+    }),
+
+    // Q9: 2->4-digit year expansion via like/concat (same file :32-35).
+    "q09_year_expand" -> ((s, dir) => {
+      t(s, dir, "orders").select(col("o_orderkey"),
+        TR.expandTwoDigitYear(
+          substring(col("o_orderdate").cast("date").cast("string"), 3, 2)).as("year4"))
+        .orderBy("o_orderkey")
+    }),
+
+    // Q12: multi-way inner + left-outer join chain over the star schema
+    // (stg_opralogweb__mcr_equipment_downtime.sql:29-35).
+    "q12_join_multi" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").where(col("l_quantity") > 5)
+      val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer")
+      val n = t(s, dir, "nation")
+      val r = t(s, dir, "region")
+      val sup = t(s, dir, "supplier")
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(n, col("c_nationkey") === col("n_nationkey"))
+        .join(r, col("n_regionkey") === col("r_regionkey"))
+        .join(sup, col("l_suppkey") === col("s_suppkey"), "left_outer")
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(count(lit(1)).as("cnt"),
+          TR.sumExact(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+        .withColumn("avg_revenue", col("revenue") / col("cnt"))
+        .orderBy("r_name", "n_name")
+    }),
+
+    // Q13: compound filter with IN-list, IS NOT NULL, column-column compare
+    // (stg_opralogweb__mcr_equipment_downtime.sql:37-47).
+    "q13_filter_in" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .where(col("o_orderstatus").isin("O", "F") &&
+          col("o_totalprice").isNotNull &&
+          col("o_custkey") < col("o_orderkey") &&
+          col("o_orderdate") >= lit("1995-01-01").cast("timestamp"))
+        .select("o_orderkey", "o_custkey", "o_orderstatus")
+        .orderBy("o_orderkey")
+    }),
+
+    // Q14+Q15: EAV pivot via min(CASE tag WHEN ...) + post-agg HAVING filter
+    // (stg_opralogweb__mcr_equipment_downtime.sql:50-94).
+    "q14_eav_pivot" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .groupBy(col("user_id"))
+        .agg(
+          min(when(col("event_type") === "click", col("value"))).as("click_min"),
+          min(when(col("event_type") === "view", col("value"))).as("view_min"),
+          min(when(col("event_type") === "purchase", col("value"))).as("purchase_min"))
+        .where(col("click_min").isNotNull && col("view_min").isNotNull)
+        .orderBy("user_id")
+    }),
+
+    // Q16: parent/child id join (stg_statusdisplay__cycles.sql:20-32).
+    "q16_parent_child_join" -> ((s, dir) => {
+      t(s, dir, "orders").join(t(s, dir, "lineitem"),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_orderkey"), col("l_linenumber"),
+          col("o_orderstatus"), col("l_quantity"))
+        .orderBy("o_orderkey", "l_linenumber")
+    }),
+
+    // Q17: GROUP BY all-columns dedup (marts/accelerator/cycles.sql:15-26).
+    "q17_groupby_dedup" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .select(col("l_returnflag"), col("l_linestatus"),
+          col("l_shipdate").cast("date").as("ship_date"))
+        .distinct()
+        .orderBy("l_returnflag", "l_linestatus", "ship_date")
+    }),
+
+    // Q18: any_value-style dedup by computed key, made deterministic with min
+    // (stg_accelerator_sharepoint__edr_equipment_mapping.sql:7-18).
+    "q18_any_value_dedup" -> ((s, dir) => {
+      t(s, dir, "part")
+        .groupBy(TR.categoryKey(col("p_type")).as("type_key"))
+        .agg(min(col("p_brand")).as("any_brand"), count(lit(1)).as("cnt"))
+        .orderBy("type_key")
+    }),
+
+    // Q19+Q22: NULL-cast column padding + UNION (distinct!)
+    // (mcr_equipment_downtime_records.sql:25,57-62).
+    "q19_union_pad" -> ((s, dir) => {
+      val a = t(s, dir, "customer").select(col("c_name").as("name"),
+        col("c_acctbal").as("acctbal"), col("c_mktsegment").as("mktsegment"))
+      val b = t(s, dir, "supplier").select(col("s_name").as("name"),
+        col("s_acctbal").as("acctbal"), lit(null).cast("string").as("mktsegment"))
+      a.union(b).distinct().orderBy("name", "acctbal")
+    }),
+
+    // Q20: interval (range) join against a tiny derived periods table ->
+    // broadcast nested-loop (mcr_equipment_downtime_records.sql:52-53).
+    "q20_interval_join" -> ((s, dir) => {
+      val periods = t(s, dir, "orders")
+        .select(date_trunc("quarter", col("o_orderdate")).cast("date").as("q_start"))
+        .distinct()
+        .withColumn("q_end", add_months(col("q_start"), 3))
+      val li = t(s, dir, "lineitem")
+        .select(col("l_shipdate").cast("date").as("ship_date"))
+      li.join(broadcast(periods),
+          col("ship_date") >= col("q_start") && col("ship_date") < col("q_end"))
+        .groupBy("q_start").agg(count(lit(1)).as("cnt"))
+        .orderBy("q_start")
+    }),
+
+    // Q21: uncorrelated scalar subquery in WHERE, kept in-plan via Spark SQL
+    // (mcr_equipment_downtime_records.sql:54).
+    "q21_scalar_subquery" -> ((s, dir) => {
+      t(s, dir, "orders").createOrReplaceTempView("graft_orders_q21")
+      s.sql("""SELECT o_orderkey, CAST(o_orderdate AS DATE) AS order_date
+               FROM graft_orders_q21
+               WHERE o_orderdate > (SELECT MAX(o_orderdate) - INTERVAL 90 DAYS
+                                    FROM graft_orders_q21)
+               ORDER BY o_orderkey""")
+    }),
+
+    // Q23: interval arithmetic ts + n * INTERVAL 1 MINUTE
+    // (mcr_equipment_downtime_records.sql:75).
+    "q23_interval_arith" -> ((s, dir) => {
+      t(s, dir, "orders").select(col("o_orderkey"),
+        (unix_timestamp(col("o_orderdate")) +
+          expr("CAST(FLOOR(o_totalprice) AS BIGINT) % 120") * 60L).as("deadline_epoch"))
+        .orderBy("o_orderkey")
+    }),
+
+    // Q24: window lag + Trino-truncating date_diff minutes
+    // (mcr_equipment_downtime_records.sql:96-99).
+    "q24_window_lag" -> ((s, dir) => {
+      val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))
+      t(s, dir, "orders")
+        .withColumn("prev_date", lag(col("o_orderdate"), 1).over(w))
+        .select(col("o_orderkey"),
+          TR.dateDiffMinutesTrunc(col("prev_date"), col("o_orderdate")).as("mins_since_prev"))
+        .orderBy("o_orderkey")
+    }),
+
+    // Q25: left join on a normalized computed key
+    // (mcr_equipment_downtime_records.sql:107-126).
+    "q25_join_normalized_key" -> ((s, dir) => {
+      val p = t(s, dir, "part")
+      val mapping = p.groupBy(TR.categoryKey(col("p_type")).as("type_key"))
+        .agg(min(col("p_brand")).as("category_brand"))
+      p.join(mapping, TR.categoryKey(p("p_type")) === mapping("type_key"), "left_outer")
+        .select(col("p_partkey"), col("type_key"), col("category_brand"))
+        .orderBy("p_partkey")
+    }),
+
+    // Q26: ORDER BY as write sort + LIMIT over a unique key
+    // (mcr_equipment_downtime_records.sql:129-130).
+    "q26_orderby_limit" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .select(col("l_shipdate").cast("date").as("ship_date"),
+          col("l_orderkey"), col("l_linenumber"))
+        .orderBy("ship_date", "l_orderkey", "l_linenumber")
+        .limit(100)
+    }),
+
+    // Q27: DISTINCT + filter view
+    // (mcr_equipment_downtime_uncategorized_equipment.sql:8-16).
+    "q27_distinct_filter" -> ((s, dir) => {
+      t(s, dir, "orders").where(col("o_orderstatus") === "O")
+        .select("o_orderpriority").distinct().orderBy("o_orderpriority")
+    }),
+
+    // ---- source-layer semantics over the synthetic tables -------------
+    // S2: watermark predicate pushdown (sources/sqldatabase/__init__.py:178-181).
+    "s02_watermark_filter" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .where(col("l_shipdate") > lit("2000-06-30").cast("timestamp"))
+        .groupBy(col("l_shipdate").cast("date").as("ship_date"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy("ship_date")
+    }),
+
+    // S6: dependent-table semi-join extract (opralogweb.py:124-150).
+    "s06_semi_join_extract" -> ((s, dir) => {
+      val keys = t(s, dir, "orders").where(col("o_orderstatus") === "F")
+        .select("o_orderkey")
+      t(s, dir, "lineitem")
+        .join(keys, col("l_orderkey") === col("o_orderkey"), "left_semi")
+        .select("l_orderkey", "l_linenumber")
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    // S9+R4: destination-state scan, max-watermark compute
+    // (runner.py:125-133; electricity_sharepoint.py:254-275).
+    "s09_state_max_scan" -> ((s, dir) => {
+      t(s, dir, "orders").where(col("o_orderstatus") === "O")
+        .agg(max(col("o_orderdate")).cast("date").as("wm_date"),
+          max(unix_timestamp(col("o_orderdate"))).as("wm_epoch"),
+          count(lit(1)).as("cnt"))
+    }),
+
+    // ---- event-stream batch analytics ---------------------------------
+    // Sessionization: lag + running window sum (Q24 family at event scale).
+    "ev01_sessionize" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val w = Window.partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))
+      ev.withColumn("prev_us", lag(col("ts_us"), 1).over(w))
+        .withColumn("new_sess",
+          when(col("prev_us").isNull || col("ts_us") - col("prev_us") > 1800L * 1000000L, 1L)
+            .otherwise(0L))
+        .withColumn("sess_id", sum(col("new_sess")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy("user_id")
+        .agg(max(col("sess_id")).as("n_sessions"), count(lit(1)).as("n_events"))
+        .orderBy("user_id")
+    }),
+
+    // JSON property extraction from the events props column (regex-based so
+    // the oracle needs no JSON extension).
+    "ev02_json_props" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .select(col("event_id"),
+          regexp_extract(col("props"), "\"k\":\\s*(\\d+)", 1).cast("int").as("k_val"))
+        .orderBy("event_id")
+    }),
+
+    // ---- training-data pipeline: dedup --------------------------------
+    "d01_exact_dedup" -> ((s, dir) =>
+      Dedup.exactDedup(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("keep_id")),
+
+    "d02_minhash_lsh" -> ((s, dir) =>
+      Dedup.minhashNearDupPairs(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_a", "doc_b")),
+
+    "d03_simhash" -> ((s, dir) =>
+      Dedup.simhashFingerprints(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")),
+
+    // ---- training-data pipeline: text analysis ------------------------
+    "d04_text_stats" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      d.select(col("doc_id"),
+          length(col("text")).cast("long").as("n_chars2"),
+          TF.tokenCount(col("text")).as("n_tokens"),
+          TF.stopwordCount(col("text")).as("n_stopwords"),
+          TF.regexTokenCount(col("text")).cast("long").as("n_regex_tokens"))
+        .withColumn("stopword_ratio_e6",
+          expr("CAST((n_stopwords * 1000000) div n_tokens AS BIGINT)"))
+        .orderBy("doc_id")
+    }),
+
+    "d05_lang_id" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          TF.langIdHeuristic(col("text")).as("lang_pred"))
+        .orderBy("doc_id")),
+
+    "d06_fingerprint" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .groupBy(TF.fingerprint(col("text")).as("fingerprint"))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("cnt"))
+        .orderBy("keep_id")),
+
+    // ---- training-data pipeline: similarity search --------------------
+    "e01_knn_bruteforce" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.knnBruteForce(emb, emb.where(col("vec_id") < 10), 5)
+        .orderBy("query_id", "rank")
+    }),
+
+    "e02_ann_ivf" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.knnIvf(emb, emb.where(col("vec_id") < 10), "label", 5)
+        .orderBy("query_id", "rank")
+    }),
+
+    "e03_centroids" -> ((s, dir) =>
+      Similarity.centroids(t(s, dir, "embeddings"), "label")
+        .orderBy("cell", "dim"))
+  )
+
+  // ------------------------------------------------------------------
+  // DuckDB oracle SQL — identical semantics, dialect-translated.
+  // ------------------------------------------------------------------
+
+  private val P = TF.HashMod
+  private def bandsValues: String =
+    TF.MinhashA.zip(TF.MinhashB).zipWithIndex
+      .map { case ((a, b), j) => s"($j,$a,$b)" }.mkString(",")
+
+  /** DuckDB list expression: portable polynomial hash of string expr `e`. */
+  private def duckHash(e: String): String =
+    s"list_reduce([ascii($e[k]) for k in range(1, length($e)+1)], " +
+      s"(a,c) -> (CAST(a AS BIGINT)*31+c) % $P)"
+
+  private def simhashOracle: String = {
+    val bitSums = (0 until 20).map(j =>
+      s"SUM(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS b$j").mkString(", ")
+    val fp = (0 until 20).map(j =>
+      s"(CASE WHEN b$j > 0 THEN ${1L << j} ELSE 0 END)").mkString(" + ")
+    s"""WITH tok AS (
+          SELECT doc_id, unnest([x for x in string_split(text, ' ') if length(x) > 0]) AS t
+          FROM documents),
+        th AS (SELECT doc_id, ${duckHash("t")} AS h FROM tok),
+        bits AS (SELECT doc_id, $bitSums FROM th GROUP BY doc_id)
+        SELECT doc_id, $fp AS simhash FROM bits ORDER BY doc_id"""
+  }
+
+  private def minhashOracle: String =
+    s"""WITH sh AS (
+          SELECT doc_id,
+                 list_distinct([substring(text, i, 3)
+                                for i in range(1, greatest(length(text)-2, 0)+1)]) AS s
+          FROM documents),
+        h AS (SELECT doc_id, s, [${duckHash("g")} for g in s] AS hs FROM sh),
+        b AS (SELECT doc_id, hs, bands.j, bands.a, bands.b
+              FROM h, (VALUES $bandsValues) bands(j, a, b)),
+        mh AS (SELECT doc_id, j, list_min([(a*x+b) % $P for x in hs]) AS v FROM b),
+        cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+                 FROM mh x JOIN mh y ON x.j = y.j AND x.v = y.v AND x.doc_id < y.doc_id),
+        ver AS (SELECT doc_a, doc_b,
+                       len(list_intersect(sa.s, sb.s)) AS i,
+                       len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s)) AS u
+                FROM cand JOIN sh sa ON sa.doc_id = doc_a JOIN sh sb ON sb.doc_id = doc_b)
+        SELECT doc_a, doc_b, CAST((i * 1000000) // u AS BIGINT) AS jaccard_e6
+        FROM ver WHERE i * 5 >= u * 4 ORDER BY doc_a, doc_b"""
+
+  /** Sequential double dot product / norms — DuckDB list_reduce mirrors
+    * Spark's left-fold exactly. */
+  private def duckDot(a: String, b: String): String =
+    s"list_reduce([CAST(x[1] AS DOUBLE)*CAST(x[2] AS DOUBLE) for x in list_zip($a,$b)], (p,q) -> p+q)"
+  private def duckCos(a: String, b: String): String =
+    s"ROUND(${duckDot(a, b)} / (sqrt(${duckDot(a, a)}) * sqrt(${duckDot(b, b)})), 6)"
+
+  private def knnOracle(cellFilter: String): String =
+    s"""WITH q AS (SELECT vec_id AS query_id, label AS q_label, embedding AS q_emb
+                   FROM embeddings WHERE vec_id < 10),
+        scored AS (
+          SELECT q.query_id, e.vec_id AS neighbor_id,
+                 ${duckCos("q.q_emb", "e.embedding")} AS score
+          FROM q JOIN embeddings e ON e.vec_id <> q.query_id $cellFilter),
+        ranked AS (SELECT query_id, neighbor_id, score,
+                          ROW_NUMBER() OVER (PARTITION BY query_id
+                                             ORDER BY score DESC, neighbor_id ASC) AS rank
+                   FROM scored)
+        SELECT query_id, rank, neighbor_id, score
+        FROM ranked WHERE rank <= 5 ORDER BY query_id, rank"""
+
+  def oracleSql: Map[String, String] = Map(
+    "q01_agg_pushdown" ->
+      """SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(27,4))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(27,4))) AS DOUBLE) AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(27,4))) AS DOUBLE) AS sum_disc_price,
+           COUNT(*) AS count_order,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(27,4))) AS DOUBLE) / COUNT(*) AS avg_qty
+         FROM lineitem WHERE l_shipdate <= TIMESTAMP '2001-09-01'
+         GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""",
+
+    "q02_string_funcs" ->
+      """SELECT p_partkey, trim(p_name) AS name_trim,
+           regexp_replace(trim(p_name), '\s+', ' ', 'g') AS name_norm,
+           lower(regexp_replace(trim(p_type), '\s+', ' ', 'g')) AS type_key
+         FROM part ORDER BY p_partkey""",
+
+    "q04_parse_utc_timestamp" ->
+      """SELECT o_orderkey,
+           CAST(epoch(timezone('Europe/London',
+             strptime(strftime(o_orderdate, '%Y-%m-%d') || ' 12:00:00',
+                      '%Y-%m-%d %H:%M:%S'))) AS BIGINT) AS utc_epoch
+         FROM orders ORDER BY o_orderkey""",
+
+    "q06_cast_ts_date" ->
+      """SELECT l_orderkey, l_linenumber, CAST(l_shipdate AS DATE) AS ship_date
+         FROM lineitem WHERE l_shipdate >= DATE '1995-01-01'
+         ORDER BY l_orderkey, l_linenumber""",
+
+    "q07_char_flag_case" ->
+      """SELECT l_orderkey, l_linenumber,
+           CASE WHEN l_returnflag = 'Y' THEN TRUE ELSE FALSE END AS is_returned
+         FROM lineitem ORDER BY l_orderkey, l_linenumber""",
+
+    "q08_substring_neg" ->
+      """SELECT p_partkey, substring(p_name, 1, 10) AS prefix10,
+           substring(p_name, -8, 8) AS last8
+         FROM part WHERE length(p_name) >= 8 ORDER BY p_partkey""",
+
+    "q09_year_expand" ->
+      """SELECT o_orderkey,
+           CASE WHEN substring(CAST(CAST(o_orderdate AS DATE) AS VARCHAR), 3, 2) LIKE '9%'
+                THEN '19' || substring(CAST(CAST(o_orderdate AS DATE) AS VARCHAR), 3, 2)
+                ELSE '20' || substring(CAST(CAST(o_orderdate AS DATE) AS VARCHAR), 3, 2)
+           END AS year4
+         FROM orders ORDER BY o_orderkey""",
+
+    "q12_join_multi" ->
+      """SELECT r_name, n_name, COUNT(*) AS cnt,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(27,4))) AS DOUBLE) AS revenue,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(27,4))) AS DOUBLE) / COUNT(*) AS avg_revenue
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         LEFT JOIN supplier ON l_suppkey = s_suppkey
+         WHERE l_quantity > 5
+         GROUP BY r_name, n_name ORDER BY r_name, n_name""",
+
+    "q13_filter_in" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus FROM orders
+         WHERE o_orderstatus IN ('O','F') AND o_totalprice IS NOT NULL
+           AND o_custkey < o_orderkey AND o_orderdate >= TIMESTAMP '1995-01-01'
+         ORDER BY o_orderkey""",
+
+    "q14_eav_pivot" ->
+      """SELECT user_id,
+           MIN(CASE WHEN event_type = 'click' THEN value END) AS click_min,
+           MIN(CASE WHEN event_type = 'view' THEN value END) AS view_min,
+           MIN(CASE WHEN event_type = 'purchase' THEN value END) AS purchase_min
+         FROM events GROUP BY user_id
+         HAVING click_min IS NOT NULL AND view_min IS NOT NULL
+         ORDER BY user_id""",
+
+    "q16_parent_child_join" ->
+      """SELECT o_orderkey, l_linenumber, o_orderstatus, l_quantity
+         FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+         ORDER BY o_orderkey, l_linenumber""",
+
+    "q17_groupby_dedup" ->
+      """SELECT DISTINCT l_returnflag, l_linestatus, CAST(l_shipdate AS DATE) AS ship_date
+         FROM lineitem ORDER BY l_returnflag, l_linestatus, ship_date""",
+
+    "q18_any_value_dedup" ->
+      """SELECT lower(regexp_replace(trim(p_type), '\s+', ' ', 'g')) AS type_key,
+           MIN(p_brand) AS any_brand, COUNT(*) AS cnt
+         FROM part GROUP BY 1 ORDER BY type_key""",
+
+    "q19_union_pad" ->
+      """SELECT name, acctbal, mktsegment FROM (
+           SELECT c_name AS name, c_acctbal AS acctbal, c_mktsegment AS mktsegment FROM customer
+           UNION
+           SELECT s_name, s_acctbal, CAST(NULL AS VARCHAR) FROM supplier)
+         ORDER BY name, acctbal""",
+
+    "q20_interval_join" ->
+      """WITH periods AS (
+           SELECT DISTINCT CAST(date_trunc('quarter', o_orderdate) AS DATE) AS q_start
+           FROM orders),
+         p2 AS (SELECT q_start, q_start + INTERVAL 3 MONTH AS q_end FROM periods)
+         SELECT q_start, COUNT(*) AS cnt
+         FROM (SELECT CAST(l_shipdate AS DATE) AS ship_date FROM lineitem) li
+         JOIN p2 ON li.ship_date >= p2.q_start AND li.ship_date < p2.q_end
+         GROUP BY q_start ORDER BY q_start""",
+
+    "q21_scalar_subquery" ->
+      """SELECT o_orderkey, CAST(o_orderdate AS DATE) AS order_date FROM orders
+         WHERE o_orderdate > (SELECT MAX(o_orderdate) - INTERVAL 90 DAY FROM orders)
+         ORDER BY o_orderkey""",
+
+    "q23_interval_arith" ->
+      """SELECT o_orderkey,
+           CAST(epoch(o_orderdate) AS BIGINT)
+             + (CAST(FLOOR(o_totalprice) AS BIGINT) % 120) * 60 AS deadline_epoch
+         FROM orders ORDER BY o_orderkey""",
+
+    "q24_window_lag" ->
+      """WITH w AS (
+           SELECT o_orderkey, o_orderdate,
+                  LAG(o_orderdate, 1) OVER (PARTITION BY o_custkey
+                                            ORDER BY o_orderdate, o_orderkey) AS prev_date
+           FROM orders)
+         SELECT o_orderkey,
+           CASE WHEN prev_date IS NULL THEN NULL
+                ELSE CAST(FLOOR((epoch(o_orderdate) - epoch(prev_date)) / 60) AS BIGINT)
+           END AS mins_since_prev
+         FROM w ORDER BY o_orderkey""",
+
+    "q25_join_normalized_key" ->
+      """WITH mapping AS (
+           SELECT lower(regexp_replace(trim(p_type), '\s+', ' ', 'g')) AS type_key,
+                  MIN(p_brand) AS category_brand
+           FROM part GROUP BY 1)
+         SELECT p_partkey, type_key, category_brand
+         FROM part LEFT JOIN mapping
+           ON lower(regexp_replace(trim(p_type), '\s+', ' ', 'g')) = mapping.type_key
+         ORDER BY p_partkey""",
+
+    "q26_orderby_limit" ->
+      """SELECT CAST(l_shipdate AS DATE) AS ship_date, l_orderkey, l_linenumber
+         FROM lineitem ORDER BY ship_date, l_orderkey, l_linenumber LIMIT 100""",
+
+    "q27_distinct_filter" ->
+      """SELECT DISTINCT o_orderpriority FROM orders WHERE o_orderstatus = 'O'
+         ORDER BY o_orderpriority""",
+
+    "s02_watermark_filter" ->
+      """SELECT CAST(l_shipdate AS DATE) AS ship_date, COUNT(*) AS cnt
+         FROM lineitem WHERE l_shipdate > TIMESTAMP '2000-06-30'
+         GROUP BY 1 ORDER BY ship_date""",
+
+    "s06_semi_join_extract" ->
+      """SELECT l_orderkey, l_linenumber FROM lineitem
+         WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_orderstatus = 'F')
+         ORDER BY l_orderkey, l_linenumber""",
+
+    "s09_state_max_scan" ->
+      """SELECT CAST(MAX(o_orderdate) AS DATE) AS wm_date,
+           CAST(MAX(epoch(o_orderdate)) AS BIGINT) AS wm_epoch, COUNT(*) AS cnt
+         FROM orders WHERE o_orderstatus = 'O'""",
+
+    "ev01_sessionize" ->
+      """WITH ev AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events),
+         lagged AS (
+           SELECT user_id, ts_us,
+                  LAG(ts_us, 1) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS prev_us
+           FROM ev),
+         flagged AS (
+           SELECT user_id, ts_us,
+                  CASE WHEN prev_us IS NULL OR ts_us - prev_us > 1800000000 THEN 1 ELSE 0 END AS new_sess
+           FROM lagged),
+         sess AS (
+           SELECT user_id,
+                  SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us
+                                      ROWS UNBOUNDED PRECEDING) AS sess_id
+           FROM flagged)
+         SELECT user_id, CAST(MAX(sess_id) AS BIGINT) AS n_sessions, COUNT(*) AS n_events
+         FROM sess GROUP BY user_id ORDER BY user_id""",
+
+    "ev02_json_props" ->
+      """SELECT event_id, CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS INTEGER) AS k_val
+         FROM events ORDER BY event_id""",
+
+    "d01_exact_dedup" ->
+      """SELECT md5(text) AS content_md5, MIN(doc_id) AS keep_id, COUNT(*) AS dup_count
+         FROM documents GROUP BY 1 ORDER BY keep_id""",
+
+    "d02_minhash_lsh" -> minhashOracle,
+
+    "d03_simhash" -> simhashOracle,
+
+    "d04_text_stats" ->
+      """WITH base AS (
+           SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars2,
+             CAST(len([x for x in string_split(text, ' ') if length(x) > 0]) AS BIGINT) AS n_tokens,
+             CAST(len([x for x in string_split(text, ' ')
+                       if x IN ('the','a','of','and','to','in')]) AS BIGINT) AS n_stopwords,
+             CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]')) AS BIGINT) AS n_regex_tokens
+           FROM documents)
+         SELECT doc_id, n_chars2, n_tokens, n_stopwords, n_regex_tokens,
+           CAST((n_stopwords * 1000000) // n_tokens AS BIGINT) AS stopword_ratio_e6
+         FROM base ORDER BY doc_id""",
+
+    "d05_lang_id" ->
+      """SELECT doc_id, lang,
+           CASE WHEN len([x for x in string_split(text, ' ')
+                          if x IN ('the','a','of','and','to','in')]) * 25
+                     >= len([x for x in string_split(text, ' ') if length(x) > 0]) * 3
+                THEN 'en' ELSE 'other' END AS lang_pred
+         FROM documents ORDER BY doc_id""",
+
+    "d06_fingerprint" ->
+      """SELECT md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fingerprint,
+           MIN(doc_id) AS keep_id, COUNT(*) AS cnt
+         FROM documents GROUP BY 1 ORDER BY keep_id""",
+
+    "e01_knn_bruteforce" -> knnOracle(""),
+    "e02_ann_ivf" -> knnOracle("AND e.label = q.q_label"),
+
+    "e03_centroids" ->
+      """SELECT label AS cell, CAST(dim - 1 AS INTEGER) AS dim,
+           CAST(SUM(CAST(CAST(v AS DOUBLE) AS DECIMAL(27,10))) AS DOUBLE) / COUNT(*) AS centroid
+         FROM (SELECT label, unnest(embedding) AS v,
+                      generate_subscripts(embedding, 1) AS dim
+               FROM embeddings)
+         GROUP BY label, dim ORDER BY cell, dim"""
+  )
 }

@@ -1,0 +1,96 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis / dedup primitives for large-scale training-data pipelines:
+  * character shingles, a portable (cross-engine reproducible) string hash,
+  * MinHash signatures, SimHash fingerprints, tokenization, language-ID
+  * heuristics and quality stats.
+  *
+  * Everything here is built from codegen'd higher-order functions
+  * (`transform`/`aggregate`/`sequence`) — no UDFs — so the hot path stays in
+  * whole-stage codegen and scales linearly with input bytes.
+  *
+  * The hash is deliberately a simple polynomial-mod hash so the DuckDB
+  * correctness oracle can evaluate the *identical* arithmetic.
+  */
+object TextFunctions {
+
+  /** Modulus for the portable polynomial hash (a prime < 2^30 so
+    * `acc*31 + char` never overflows a long). */
+  val HashMod = 1000000007L
+
+  /** MinHash permutation coefficients: mh_j(h) = (A(j)*h + B(j)) mod HashMod. */
+  val MinhashA: Seq[Long] = Seq(2, 3, 5, 7, 11, 13, 17, 19, 23, 29, 31, 37)
+  val MinhashB: Seq[Long] = Seq(1, 7, 13, 19, 29, 37, 43, 53, 61, 71, 79, 89)
+  val NumPerms: Int = MinhashA.length
+
+  /** Distinct character n-gram shingles of a string column. Empty array when
+    * the string is shorter than n (guards Spark's descending `sequence`). */
+  def shingles(c: Column, n: Int): Column =
+    when(length(c) < n, array().cast("array<string>"))
+      .otherwise(array_distinct(
+        transform(sequence(lit(1), length(c) - (n - 1)), i => c.substr(i, lit(n)))))
+
+  /** Portable polynomial hash of a string: fold(acc*31 + ascii(ch)) mod p.
+    * Reproducible in any SQL engine with list folds. */
+  def portableHash(c: Column): Column =
+    aggregate(
+      transform(sequence(lit(1), length(c)), i => ascii(c.substr(i, lit(1)))),
+      lit(0L),
+      (acc, ch) => (acc * 31L + ch.cast("long")) % HashMod)
+
+  /** Hashes of all shingles (distinct n-grams) of a string. */
+  def shingleHashes(c: Column, n: Int): Column =
+    transform(shingles(c, n), g => portableHash(g))
+
+  /** MinHash signature (array of NumPerms longs) over shingle hashes. */
+  def minhashSignature(hashesCol: Column): Column =
+    array((0 until NumPerms).map { j =>
+      array_min(transform(hashesCol,
+        h => (h * MinhashA(j) + MinhashB(j)) % HashMod))
+    }: _*)
+
+  /** Whitespace tokens (with duplicates — term frequency preserved). */
+  def tokens(c: Column): Column = split(c, " ")
+
+  /** SimHash fingerprint over whitespace tokens, `bits` bits wide (<=30 so
+    * the portable hash supplies enough entropy). For each bit j, sum +1/-1
+    * votes of every token's hash bit j; set bit j if the sum is positive. */
+  def simhash(c: Column, bits: Int): Column = {
+    val th = transform(filter(tokens(c), t => length(t) > 0), t => portableHash(t))
+    val terms = (0 until bits).map { j =>
+      val pow = 1L << j
+      val vote = aggregate(th, lit(0L),
+        (acc, h) => acc + when(shiftright(h, j).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L))
+      when(vote > 0, lit(pow)).otherwise(lit(0L))
+    }
+    terms.reduce(_ + _)
+  }
+
+  /** BPE-ish token count: runs of letters, runs of digits, or single
+    * non-alphanumeric non-space characters. */
+  def regexTokenCount(c: Column): Column =
+    size(regexp_extract_all(c, lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"), lit(0)))
+
+  /** Stopword-ratio text-quality score: fraction of tokens in a tiny English
+    * stopword list — the length/punct/stopword trio from the brief. */
+  val Stopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in")
+
+  def stopwordCount(c: Column): Column =
+    size(filter(tokens(c), t => t.isin(Stopwords.map(x => x: Any): _*))).cast("long")
+
+  def tokenCount(c: Column): Column =
+    size(filter(tokens(c), t => length(t) > 0)).cast("long")
+
+  /** n-gram-free language-ID heuristic: English iff stopword ratio >= 0.12
+    * (compared in exact integer arithmetic: 25*stops >= 3*tokens). */
+  def langIdHeuristic(c: Column): Column =
+    when(stopwordCount(c) * 25 >= tokenCount(c) * 3, lit("en")).otherwise(lit("other"))
+
+  /** Document fingerprint: md5 of the whitespace-normalized, lowercased text
+    * (rolling-hash-style near-identity canonicalization). */
+  def fingerprint(c: Column): Column =
+    md5(lower(TrinoFunctions.normalizeWhitespace(c)).cast("binary"))
+}

@@ -1,0 +1,64 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.VectorFunctions._
+
+/** Similarity search over an embedding column (`array<float>`).
+  *
+  * Scale design: the brute-force path broadcasts the (small) query set and
+  * streams the corpus once — a map-side nested loop, no shuffle of the corpus
+  * beyond the final per-query top-k. The IVF path additionally restricts each
+  * probe to its coarse cell (here the `label` column stands in for a learned
+  * cluster assignment), turning the scan into a hash-partitioned equi-join —
+  * at 100 TB only 1/nCells of the corpus is read per probe wave, and the join
+  * shuffles on the cell id, never enumerating cross-cell pairs.
+  */
+object Similarity {
+
+  /** Exact cosine top-k: every query against the whole corpus (baseline).
+    * `queries` must be small (it is broadcast). */
+  def knnBruteForce(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val q = broadcast(queries.select(col("vec_id").as("query_id"),
+      col("embedding").as("q_emb")))
+    val scored = corpus.select(col("vec_id").as("neighbor_id"),
+        col("embedding").as("c_emb"))
+      .crossJoin(q) // deliberate: broadcast nested loop, corpus streamed once
+      .where(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(cosine(col("q_emb"), col("c_emb")), 6).as("score"))
+    topK(scored, k)
+  }
+
+  /** IVF-style ANN: probe only the query's coarse cell (cellCol equality).
+    * One shuffled equi-join on the cell id; no cross-cell work. */
+  def knnIvf(corpus: DataFrame, queries: DataFrame, cellCol: String, k: Int): DataFrame = {
+    val q = broadcast(queries.select(col("vec_id").as("query_id"),
+      col(cellCol).as("q_cell"), col("embedding").as("q_emb")))
+    val scored = corpus.select(col("vec_id").as("neighbor_id"),
+        col(cellCol).as("c_cell"), col("embedding").as("c_emb"))
+      .join(q, col("q_cell") === col("c_cell"))
+      .where(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(cosine(col("q_emb"), col("c_emb")), 6).as("score"))
+    topK(scored, k)
+  }
+
+  private def topK(scored: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "score")
+  }
+
+  /** Per-cell centroids of the embedding column, computed with fixed-scale
+    * decimal accumulation so the result is independent of partial-agg order
+    * (and reproducible by an external oracle). */
+  def centroids(corpus: DataFrame, cellCol: String): DataFrame =
+    corpus.select(col(cellCol).as("cell"), posexplode(col("embedding")).as(Seq("dim", "v")))
+      .groupBy("cell", "dim")
+      .agg((sum(col("v").cast("double").cast("decimal(27,10)")).cast("double") /
+            count(lit(1))).as("centroid"))
+}

@@ -394,24 +394,34 @@ object SparkEntry {
         SELECT doc_id, $fp AS simhash FROM bits ORDER BY doc_id"""
   }
 
-  private def minhashOracle: String =
-    s"""WITH sh AS (
+  private def minhashOracle: String = {
+    val rows = TF.LshRows
+    s"""WITH sh AS MATERIALIZED (
           SELECT doc_id,
                  list_distinct([substring(text, i, 3)
                                 for i in range(1, greatest(length(text)-2, 0)+1)]) AS s
           FROM documents),
-        h AS (SELECT doc_id, s, [${duckHash("g")} for g in s] AS hs FROM sh),
-        b AS (SELECT doc_id, hs, bands.j, bands.a, bands.b
-              FROM h, (VALUES $bandsValues) bands(j, a, b)),
-        mh AS (SELECT doc_id, j, list_min([(a*x+b) % $P for x in hs]) AS v FROM b),
+        h AS MATERIALIZED (SELECT doc_id, [${duckHash("g")} for g in s] AS hs FROM sh),
+        mh AS MATERIALIZED (
+          SELECT doc_id, bands.j,
+                 list_min([(CAST(bands.a AS BIGINT)*x + bands.b) % $P for x in hs]) AS v
+          FROM h, (VALUES $bandsValues) bands(j, a, b)),
+        bk AS MATERIALIZED (
+          SELECT doc_id, j // $rows AS band_id,
+                 string_agg(CAST(v AS VARCHAR), ',' ORDER BY j) AS band_key
+          FROM mh GROUP BY doc_id, j // $rows),
         cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-                 FROM mh x JOIN mh y ON x.j = y.j AND x.v = y.v AND x.doc_id < y.doc_id),
+                 FROM bk x JOIN bk y ON x.band_id = y.band_id
+                   AND x.band_key = y.band_key AND x.doc_id < y.doc_id),
+        hset AS MATERIALIZED (SELECT doc_id, list_sort(list_distinct(hs)) AS hset FROM h),
         ver AS (SELECT doc_a, doc_b,
-                       len(list_intersect(sa.s, sb.s)) AS i,
-                       len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s)) AS u
-                FROM cand JOIN sh sa ON sa.doc_id = doc_a JOIN sh sb ON sb.doc_id = doc_b)
+                       len(list_intersect(ha.hset, hb.hset)) AS i,
+                       len(ha.hset) + len(hb.hset) - len(list_intersect(ha.hset, hb.hset)) AS u
+                FROM cand JOIN hset ha ON ha.doc_id = doc_a
+                          JOIN hset hb ON hb.doc_id = doc_b)
         SELECT doc_a, doc_b, CAST((i * 1000000) // u AS BIGINT) AS jaccard_e6
         FROM ver WHERE i * 5 >= u * 4 ORDER BY doc_a, doc_b"""
+  }
 
   /** Sequential double dot product / norms — DuckDB list_reduce mirrors
     * Spark's left-fold exactly. */

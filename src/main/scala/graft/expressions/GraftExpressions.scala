@@ -1,0 +1,88 @@
+package graft.expressions
+
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expressions (with codegen) for the text-hash kernels.
+  * Registered through [[GraftSparkSessionExtensions]] so queries call them as
+  * SQL functions (`graft_minhash_sig(text)`), staying inside whole-stage
+  * codegen — the generated code is a single static call into
+  * [[TextHashKernels]].
+  */
+case class MinhashSigExpression(child: Expression, n: Int = 3)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    TextHashKernels.minhashSig(input.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expressions.TextHashKernels.minhashSig($c, $n)")
+  override protected def withNewChildInternal(newChild: Expression): MinhashSigExpression =
+    copy(child = newChild)
+  override def prettyName: String = "graft_minhash_sig"
+}
+
+/** Sorted distinct n-gram shingle hashes of a string. */
+case class ShingleHashSetExpression(child: Expression, n: Int = 3)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    TextHashKernels.shingleHashSet(input.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expressions.TextHashKernels.shingleHashSet($c, $n)")
+  override protected def withNewChildInternal(newChild: Expression): ShingleHashSetExpression =
+    copy(child = newChild)
+  override def prettyName: String = "graft_shingle_hash_set"
+}
+
+/** [intersection, union] of two sorted distinct long arrays (linear merge). */
+case class SortedIUExpression(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(a: Any, b: Any): Any =
+    TextHashKernels.sortedIU(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.expressions.TextHashKernels.sortedIU($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): SortedIUExpression =
+    copy(left = l, right = r)
+  override def prettyName: String = "graft_sorted_iu"
+}
+
+case class SimhashExpression(child: Expression, bits: Int = 20)
+    extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(input: Any): Any =
+    TextHashKernels.simhash(input.asInstanceOf[UTF8String], bits)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expressions.TextHashKernels.simhash($c, $bits)")
+  override protected def withNewChildInternal(newChild: Expression): SimhashExpression =
+    copy(child = newChild)
+  override def prettyName: String = "graft_simhash"
+}
+
+/** `spark.sql.extensions=graft.expressions.GraftSparkSessionExtensions` */
+class GraftSparkSessionExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("graft_minhash_sig"),
+      new ExpressionInfo(classOf[MinhashSigExpression].getName, "graft_minhash_sig"),
+      (children: Seq[Expression]) => MinhashSigExpression(children.head)))
+    ext.injectFunction((
+      FunctionIdentifier("graft_shingle_hash_set"),
+      new ExpressionInfo(classOf[ShingleHashSetExpression].getName, "graft_shingle_hash_set"),
+      (children: Seq[Expression]) => ShingleHashSetExpression(children.head)))
+    ext.injectFunction((
+      FunctionIdentifier("graft_sorted_iu"),
+      new ExpressionInfo(classOf[SortedIUExpression].getName, "graft_sorted_iu"),
+      (children: Seq[Expression]) => SortedIUExpression(children(0), children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_simhash"),
+      new ExpressionInfo(classOf[SimhashExpression].getName, "graft_simhash"),
+      (children: Seq[Expression]) => SimhashExpression(children.head)))
+  }
+}

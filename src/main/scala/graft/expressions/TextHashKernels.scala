@@ -1,0 +1,117 @@
+package graft.expressions
+
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.functions.TextFunctions
+
+/** JVM kernels behind the custom Catalyst expressions in
+  * [[GraftExpressions]]. The arithmetic is EXACTLY the portable polynomial
+  * hash of [[TextFunctions]] (fold `acc*31 + char` mod 1e9+7 over ASCII
+  * chars), so results are reproducible by the DuckDB oracle and by the
+  * higher-order-function formulations — these kernels exist because a tight
+  * allocation-free JVM loop is ~1000x faster than interpreted HOF evaluation
+  * on the 100 TB hot path.
+  */
+object TextHashKernels {
+  final val P: Long = TextFunctions.HashMod
+  private val A: Array[Long] = TextFunctions.MinhashA.toArray
+  private val B: Array[Long] = TextFunctions.MinhashB.toArray
+  final val K: Int = A.length
+
+  /** Polynomial hash of s[from, from+len) — no allocation. */
+  @inline private def hashRange(s: String, from: Int, len: Int): Long = {
+    var acc = 0L
+    var i = from
+    val end = from + len
+    while (i < end) { acc = (acc * 31L + s.charAt(i)) % P; i += 1 }
+    acc
+  }
+
+  /** MinHash signature (K longs) over n-gram shingle hashes. Duplicate
+    * shingles cannot change a minimum, so no dedup pass is needed. */
+  def minhashSig(text: UTF8String, n: Int): ArrayData = {
+    val s = text.toString
+    val mins = Array.fill(K)(Long.MaxValue)
+    val last = s.length - n
+    var i = 0
+    while (i <= last) {
+      val h = hashRange(s, i, n)
+      var j = 0
+      while (j < K) {
+        val v = (A(j) * h + B(j)) % P
+        if (v < mins(j)) mins(j) = v
+        j += 1
+      }
+      i += 1
+    }
+    if (last < 0) java.util.Arrays.fill(mins, 0L)
+    new GenericArrayData(mins)
+  }
+
+  /** Sorted distinct n-gram shingle hashes (the doc's shingle set, hashed).
+    * Near-dup verification compares these sets; two distinct shingles
+    * colliding mod P (~1e-4 per doc pair) is an accepted approximation, and
+    * the oracle computes the identical quantity. */
+  def shingleHashSet(text: UTF8String, n: Int): ArrayData = {
+    val s = text.toString
+    val last = s.length - n
+    if (last < 0) return new GenericArrayData(Array.emptyLongArray)
+    val hs = new Array[Long](last + 1)
+    var i = 0
+    while (i <= last) { hs(i) = hashRange(s, i, n); i += 1 }
+    java.util.Arrays.sort(hs)
+    // in-place dedup of the sorted array
+    var w = 1
+    i = 1
+    while (i <= last) {
+      if (hs(i) != hs(w - 1)) { hs(w) = hs(i); w += 1 }
+      i += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(hs, w))
+  }
+
+  /** [intersection, union] sizes of two SORTED distinct long arrays via a
+    * linear merge — allocation-free. */
+  def sortedIU(a: ArrayData, b: ArrayData): ArrayData = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    var i = 0
+    var j = 0
+    var inter = 0L
+    while (i < na && j < nb) {
+      val x = a.getLong(i)
+      val y = b.getLong(j)
+      if (x == y) { inter += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    new GenericArrayData(Array(inter, na.toLong + nb.toLong - inter))
+  }
+
+  /** SimHash over whitespace tokens (term frequency preserved, empty tokens
+    * skipped), `bits` wide; bit j set iff sum of +-1 votes of hash bit j > 0. */
+  def simhash(text: UTF8String, bits: Int): Long = {
+    val s = text.toString
+    val votes = new Array[Int](bits)
+    var i = 0
+    val len = s.length
+    while (i < len) {
+      while (i < len && s.charAt(i) == ' ') i += 1
+      val start = i
+      while (i < len && s.charAt(i) != ' ') i += 1
+      if (i > start) {
+        val h = hashRange(s, start, i - start)
+        var j = 0
+        while (j < bits) {
+          if (((h >> j) & 1L) == 1L) votes(j) += 1 else votes(j) -= 1
+          j += 1
+        }
+      }
+    }
+    var fp = 0L
+    var j = 0
+    while (j < bits) { if (votes(j) > 0) fp |= (1L << j); j += 1 }
+    fp
+  }
+}

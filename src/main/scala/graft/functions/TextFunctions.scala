@@ -21,10 +21,22 @@ object TextFunctions {
     * `acc*31 + char` never overflows a long). */
   val HashMod = 1000000007L
 
-  /** MinHash permutation coefficients: mh_j(h) = (A(j)*h + B(j)) mod HashMod. */
-  val MinhashA: Seq[Long] = Seq(2, 3, 5, 7, 11, 13, 17, 19, 23, 29, 31, 37)
-  val MinhashB: Seq[Long] = Seq(1, 7, 13, 19, 29, 37, 43, 53, 61, 71, 79, 89)
+  /** MinHash permutation coefficients: mh_j(h) = (A(j)*h + B(j)) mod HashMod,
+    * a universal hash family with coefficients drawn from a fixed-seed LCG so
+    * the permutations are pairwise independent (small arithmetic-progression
+    * coefficients correlate adjacent perms and collapse banded LSH back to
+    * single-row behavior). a*h stays < 2^63 since both are < 2^30.
+    *
+    * 200 permutations arranged as 25 bands x 8 rows: recall at the J=0.8
+    * near-dup threshold is 1-(1-0.8^8)^25 ~ 0.99 while pairs at the corpus's
+    * typical J~0.5 collide on a band with probability only ~0.1. */
+  private val lcgStream: Seq[Long] = Iterator.iterate(42L)(x =>
+    x * 6364136223846793005L + 1442695040888963407L).drop(1).take(400).toSeq
+  val MinhashA: Seq[Long] = lcgStream.take(200).map(x => math.abs(x % (HashMod - 1)) + 1)
+  val MinhashB: Seq[Long] = lcgStream.drop(200).map(x => math.abs(x % HashMod))
   val NumPerms: Int = MinhashA.length
+  val LshBands: Int = 25
+  val LshRows: Int = 8
 
   /** Distinct character n-gram shingles of a string column. Empty array when
     * the string is shorter than n (guards Spark's descending `sequence`). */
@@ -45,9 +57,11 @@ object TextFunctions {
   def shingleHashes(c: Column, n: Int): Column =
     transform(shingles(c, n), g => portableHash(g))
 
-  /** MinHash signature (array of NumPerms longs) over shingle hashes. */
-  def minhashSignature(hashesCol: Column): Column =
-    array((0 until NumPerms).map { j =>
+  /** MinHash signature over shingle hashes — interpreted HOF reference
+    * implementation, cross-checked against the codegen kernel in tests; the
+    * hot path uses [[graft.expressions.MinhashSigExpression]]. */
+  def minhashSignature(hashesCol: Column, perms: Int = NumPerms): Column =
+    array((0 until perms).map { j =>
       array_min(transform(hashesCol,
         h => (h * MinhashA(j) + MinhashB(j)) % HashMod))
     }: _*)

@@ -5,6 +5,8 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.{TextFunctions => TF, TrinoFunctions => TR, VectorFunctions => VF}
 import graft.operators.{Dedup, Similarity}
+import graft.runner.{IngestRunner, Resource, ResourceWriteProperties}
+import graft.tables.{LakeCatalog, LakeTable, PartitionField}
 
 /** Driver contract — one `queries` entry per implemented operator from
   * SURVEY.md §2, with DuckDB-equivalent `oracleSql` for the correctness gate.
@@ -309,6 +311,92 @@ object SparkEntry {
         .select(col("event_id"),
           regexp_extract(col("props"), "\"k\":\\s*(\\d+)", 1).cast("int").as("k_val"))
         .orderBy("event_id")
+    }),
+
+    // ---- lakehouse table layer, exercised end-to-end ------------------
+    // L1: transactional append across two chunks == full table.
+    "l01_append" -> ((s, dir) => {
+      val loc = java.nio.file.Files.createTempDirectory("graft_l01").toString + "/t"
+      val o = t(s, dir, "orders")
+      val table = LakeTable.ensure(s, loc, o.schema)
+      table.write(o.where(col("o_orderkey") % 2 === 0), "append")
+      table.write(o.where(col("o_orderkey") % 2 === 1), "append")
+      table.read()
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          col("o_totalprice"), col("o_orderdate").cast("date").as("order_date"))
+        .orderBy("o_orderkey")
+    }),
+
+    // L2: merge/upsert as full-outer rewrite (iceberg/io.py:95-106).
+    "l02_merge_upsert" -> ((s, dir) => {
+      val loc = java.nio.file.Files.createTempDirectory("graft_l02").toString + "/t"
+      val o = t(s, dir, "orders")
+      val table = LakeTable.ensure(s, loc, o.schema)
+      table.write(o.where(col("o_orderkey") % 7 =!= 0), "append")
+      val updates = o.where(col("o_orderkey") % 3 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") * 2)
+      table.write(updates, "merge", mergeOn = Seq("o_orderkey"))
+      table.read().select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+        .orderBy("o_orderkey")
+    }),
+
+    // L3: replace-then-append chunk rule (runner.py:79-84).
+    "l03_replace_chunks" -> ((s, dir) => {
+      val loc = java.nio.file.Files.createTempDirectory("graft_l03").toString + "/t"
+      val o = t(s, dir, "orders")
+      val table = LakeTable.ensure(s, loc, o.schema)
+      table.write(o, "append") // pre-existing contents, must vanish
+      table.write(o.where(col("o_orderstatus") === "O"), "replace")
+      table.write(o.where(col("o_orderstatus") === "F"), "append")
+      table.read().select(col("o_orderkey"), col("o_orderstatus"))
+        .orderBy("o_orderkey")
+    }),
+
+    // L5 + §1.4: partition spec (year transform) with a pruned read-back.
+    "l05_partition_prune" -> ((s, dir) => {
+      val loc = java.nio.file.Files.createTempDirectory("graft_l05").toString + "/t"
+      val li = t(s, dir, "lineitem")
+      val table = LakeTable.ensure(s, loc, li.schema,
+        partitionSpec = Seq(PartitionField("l_shipdate", "year")))
+      table.write(li, "append")
+      table.readWithPartitions()
+        .where(col("l_shipdate_year") === 2000) // prunes to one partition dir
+        .groupBy(month(col("l_shipdate")).as("ship_month"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy("ship_month")
+    }),
+
+    // L6+R3-R6: two-run incremental ingest with stored watermark filter.
+    "r03_incremental_ingest" -> ((s, dir) => {
+      val root = java.nio.file.Files.createTempDirectory("graft_r03").toString
+      val catalog = new LakeCatalog(root)
+      val o = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderdate"), col("o_totalprice"))
+      val cutoff = lit("1999-01-01").cast("timestamp")
+      def extractor(upTo: Boolean)(wm: Option[graft.runner.Watermark]) = {
+        val base = if (upTo) o.where(col("o_orderdate") <= cutoff) else o
+        Iterator(wm.map(IngestRunner.watermarkFilter(base, _)).getOrElse(base))
+      }
+      val res1 = Resource("orders_inc", extractor(upTo = true), watermarkColumn = Some("o_orderdate"))
+      IngestRunner.runIngest(s, catalog, "wh", "ns", Seq(res1))
+      // run 2 sees the full source but the stored watermark filters re-reads
+      IngestRunner.runIngest(s, catalog, "wh", "ns",
+        Seq(res1.copy(extractor = extractor(upTo = false))))
+      catalog.loadTable(s, "wh", "ns", "orders_inc").read()
+        .select(col("o_orderkey"), col("o_orderdate").cast("date").as("order_date"))
+        .orderBy("o_orderkey")
+    }),
+
+    // §1.3: add-only schema evolution; old rows null-filled on read.
+    "l06_evolve_schema" -> ((s, dir) => {
+      val loc = java.nio.file.Files.createTempDirectory("graft_l06").toString + "/t"
+      val o = t(s, dir, "orders")
+      val narrow = o.select("o_orderkey", "o_orderstatus")
+      val table = LakeTable.ensure(s, loc, narrow.schema)
+      table.write(narrow.where(col("o_orderkey") % 2 === 0), "append")
+      table.write(o.select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .where(col("o_orderkey") % 2 === 1), "append")
+      table.read().orderBy("o_orderkey")
     }),
 
     // ---- training-data pipeline: dedup --------------------------------
@@ -627,6 +715,42 @@ object SparkEntry {
     "ev02_json_props" ->
       """SELECT event_id, CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS INTEGER) AS k_val
          FROM events ORDER BY event_id""",
+
+    "l01_append" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+           CAST(o_orderdate AS DATE) AS order_date
+         FROM orders ORDER BY o_orderkey""",
+
+    "l02_merge_upsert" ->
+      """WITH target AS (SELECT * FROM orders WHERE o_orderkey % 7 <> 0),
+           src AS (SELECT o_orderkey, o_orderstatus, o_totalprice * 2 AS o_totalprice
+                   FROM orders WHERE o_orderkey % 3 = 0)
+         SELECT COALESCE(s.o_orderkey, t.o_orderkey) AS o_orderkey,
+           CASE WHEN s.o_orderkey IS NOT NULL THEN s.o_totalprice ELSE t.o_totalprice END AS o_totalprice,
+           CASE WHEN s.o_orderkey IS NOT NULL THEN s.o_orderstatus ELSE t.o_orderstatus END AS o_orderstatus
+         FROM target t FULL OUTER JOIN src s ON t.o_orderkey = s.o_orderkey
+         ORDER BY o_orderkey""",
+
+    "l03_replace_chunks" ->
+      """SELECT o_orderkey, o_orderstatus FROM orders
+         WHERE o_orderstatus IN ('O', 'F') ORDER BY o_orderkey""",
+
+    "l05_partition_prune" ->
+      """SELECT CAST(month(l_shipdate) AS INTEGER) AS ship_month, COUNT(*) AS cnt
+         FROM lineitem WHERE year(l_shipdate) = 2000
+         GROUP BY 1 ORDER BY ship_month""",
+
+    "r03_incremental_ingest" ->
+      """SELECT o_orderkey, CAST(o_orderdate AS DATE) AS order_date
+         FROM orders ORDER BY o_orderkey""",
+
+    "l06_evolve_schema" ->
+      """SELECT o_orderkey, o_orderstatus, CAST(NULL AS DOUBLE) AS o_totalprice
+         FROM orders WHERE o_orderkey % 2 = 0
+         UNION ALL
+         SELECT o_orderkey, o_orderstatus, o_totalprice
+         FROM orders WHERE o_orderkey % 2 = 1
+         ORDER BY o_orderkey""",
 
     "d01_exact_dedup" ->
       """SELECT md5(text) AS content_md5, MIN(doc_id) AS keep_id, COUNT(*) AS dup_count

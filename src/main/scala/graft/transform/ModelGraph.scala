@@ -1,0 +1,101 @@
+package graft.transform
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.tables.{LakeCatalog, PartitionField, SortField}
+
+/** dbt-style model DAG (Q28/Q29): each model is a function of its resolved
+  * `ref()`s and `source()`s; the graph runs models in dependency order.
+  * Staging models materialize as temp views; marts CTAS through the table
+  * layer with partition specs — mirroring `dbt_project.yml:31-46` (views by
+  * default, marts as tables, `on_table_exists='drop'` == replace).
+  */
+final case class Model(
+    name: String,
+    deps: Seq[String],
+    build: (SparkSession, String => DataFrame) => DataFrame,
+    materialized: String = "view", // view | table
+    partitionSpec: Seq[PartitionField] = Nil,
+    sortOrder: Seq[SortField] = Nil)
+
+final class ModelGraph(models: Seq[Model]) {
+  private val byName = models.map(m => m.name -> m).toMap
+  require(byName.size == models.size, "duplicate model names")
+
+  /** Kahn topo order; cycles raise. */
+  def topoOrder: Seq[String] = {
+    val indeg = scala.collection.mutable.Map[String, Int]().withDefaultValue(0)
+    val out = scala.collection.mutable.Map[String, List[String]]().withDefaultValue(Nil)
+    models.foreach { m =>
+      m.deps.filter(byName.contains).foreach { d =>
+        indeg(m.name) += 1
+        out(d) = m.name :: out(d)
+      }
+      indeg.getOrElseUpdate(m.name, indeg(m.name))
+    }
+    val queue = scala.collection.mutable.Queue(
+      models.map(_.name).filter(indeg(_) == 0).sorted: _*)
+    val order = scala.collection.mutable.ListBuffer.empty[String]
+    while (queue.nonEmpty) {
+      val n = queue.dequeue()
+      order += n
+      out(n).sorted.foreach { m =>
+        indeg(m) -= 1
+        if (indeg(m) == 0) queue.enqueue(m)
+      }
+    }
+    if (order.size != models.size)
+      throw new IllegalStateException(
+        s"Cycle in model graph involving: ${models.map(_.name).diff(order.toSeq)}")
+    order.toSeq
+  }
+
+  /** Run every model in dependency order. `sources` resolves `source()`
+    * names; refs resolve to already-built models. A `sources` entry whose
+    * key names a MODEL splices a fixture in place of that model (dbt
+    * unit-test style, reference `transform/tests/fixtures/` SQL rows) — the
+    * model is not built. When a catalog is given, `materialized="table"` models are
+    * replaced through the table layer with their partition/sort specs and
+    * re-read from storage (CTAS). */
+  def run(spark: SparkSession, sources: Map[String, DataFrame],
+          catalog: Option[(LakeCatalog, String, String)] = None,
+          targets: Seq[String] = Nil): Map[String, DataFrame] = {
+    val built = scala.collection.mutable.Map.empty[String, DataFrame]
+    def resolve(name: String): DataFrame =
+      built.getOrElse(name, sources.getOrElse(name,
+        throw new NoSuchElementException(s"Unknown ref/source: '$name'")))
+
+    // dbt --select style: only the transitive dependency closure of targets
+    val selected: Set[String] =
+      if (targets.isEmpty) byName.keySet.toSet
+      else {
+        val seen = scala.collection.mutable.Set.empty[String]
+        def visit(n: String): Unit =
+          if (byName.contains(n) && seen.add(n)) byName(n).deps.foreach(visit)
+        targets.foreach(visit)
+        seen.toSet
+      }
+
+    topoOrder.filter(selected.contains).foreach { name =>
+      val m = byName(name)
+      if (sources.contains(name)) {
+        built(name) = sources(name) // fixture splice
+      } else {
+      m.deps.foreach(resolve) // fail fast on missing inputs
+      val df = m.build(spark, resolve)
+      val result = (m.materialized, catalog) match {
+        case ("table", Some((cat, wh, ns))) =>
+          val table = cat.ensureTable(spark, wh, ns, m.name, df.schema,
+            m.partitionSpec, m.sortOrder)
+          table.write(df, "replace") // on_table_exists = 'drop'/'replace'
+          table.read()
+        case _ =>
+          df.createOrReplaceTempView(s"graft_model_$name")
+          df
+      }
+      built(name) = result
+      }
+    }
+    built.toMap
+  }
+}

@@ -1,0 +1,112 @@
+package graft.runner
+
+import org.apache.spark.sql.SparkSession
+
+import graft.sources.OpralogSource
+import graft.tables.{LakeCatalog, Maintenance}
+import graft.transform.OpralogModels
+
+/** The `elt` CLI (R7, `elt-common/src/elt_common/cli.py:31-94`):
+  * `ls` lists jobs, `run` executes one with domain-qualified ambiguous-name
+  * resolution; plus `transform` (the dbt-run equivalent) and `maintain`
+  * (R9 cron entry point).
+  *
+  * Jobs register in [[Cli.jobs]] keyed `{domain}/{name}` — the Scala shape
+  * of the reference's `{warehouse}/ingest/{domain}/{source}` directory
+  * discovery + convention-loaded `Extract` classes (R1/R2,
+  * `pipeline.py:41-68`, `extract.py:144-194`): a registry instead of
+  * dynamic class loading.
+  */
+object Cli {
+  final case class Job(domain: String, name: String,
+                       run: (SparkSession, LakeCatalog, String) => Map[String, Long]) {
+    def fullName = s"$domain/$name"
+    def namespace = s"${domain}_$name"
+  }
+
+  /** sourceDir convention: `<root>/sources/<domain>/<name>/` parquet. */
+  def jobs(root: String): Seq[Job] = Seq(
+    Job("accelerator", "opralogweb", (spark, catalog, warehouse) =>
+      new OpralogSource(spark, s"$root/sources/accelerator/opralogweb")
+        .run(catalog, warehouse, "accelerator_opralogweb")))
+
+  /** Ambiguous-name resolution like `cli.py:78-94`: exact full match first,
+    * then unique suffix match; ambiguity or no match raise. */
+  def findJob(all: Seq[Job], query: String): Job = {
+    val exact = all.filter(j => j.fullName == query)
+    if (exact.nonEmpty) return exact.head
+    val suffix = all.filter(_.name == query)
+    suffix match {
+      case Seq(one) => one
+      case Seq() => throw new IllegalArgumentException(
+        s"No ingest job matches '$query'. Available: ${all.map(_.fullName).mkString(", ")}")
+      case many => throw new IllegalArgumentException(
+        s"Ambiguous job name '$query' matches: ${many.map(_.fullName).mkString(", ")}. " +
+          "Qualify with '<domain>/<name>'.")
+    }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]")
+      .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", "graft.expressions.GraftSparkSessionExtensions")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try run(spark, args.toIndexedSeq)
+    finally spark.stop()
+  }
+
+  def run(spark: SparkSession, args: Seq[String]): Unit = args match {
+    case Seq("ls", root) =>
+      jobs(root).foreach(j => println(j.fullName))
+
+    case Seq("run", root, jobName) =>
+      val job = findJob(jobs(root), jobName)
+      val catalog = new LakeCatalog(s"$root/warehouses")
+      val counts = job.run(spark, catalog, "facility_ops_landing")
+      counts.toSeq.sortBy(_._1).foreach { case (t, n) => println(s"$t: $n rows") }
+
+    case Seq("transform", root) =>
+      val catalog = new LakeCatalog(s"$root/warehouses")
+      val landing = ("facility_ops_landing", "accelerator_opralogweb")
+      def landingTable(name: String) =
+        catalog.loadTable(spark, landing._1, landing._2, name).read()
+      val sources = Map(
+        "accelerator_opralogweb.entries" -> landingTable("entries"),
+        "accelerator_opralogweb.chapter_entry" -> landingTable("chapter_entry"),
+        "accelerator_opralogweb.logbook_chapter" -> landingTable("logbook_chapter"),
+        "accelerator_opralogweb.logbooks" -> landingTable("logbooks"),
+        "accelerator_opralogweb.more_entry_columns" -> landingTable("more_entry_columns"),
+        "accelerator_opralogweb.additional_columns" -> landingTable("additional_columns"))
+      val built = OpralogModels.graph.run(spark, sources,
+        catalog = Some((catalog, "facility_ops", "accelerator")),
+        targets = Seq("stg_opralogweb__mcr_equipment_downtime"))
+      val n = built("stg_opralogweb__mcr_equipment_downtime").count()
+      println(s"stg_opralogweb__mcr_equipment_downtime: $n rows")
+
+    case Seq("maintain", root, warehouse, namespace) =>
+      maintain(spark, root, warehouse, namespace, "7d")
+    case Seq("maintain", root, warehouse, namespace, "-r", retention) =>
+      maintain(spark, root, warehouse, namespace, retention)
+
+    case other =>
+      System.err.println(
+        s"""Unknown command: ${other.mkString(" ")}
+           |Usage:
+           |  ls <root>
+           |  run <root> <job>
+           |  transform <root>
+           |  maintain <root> <warehouse> <namespace> [-r <N><d|h|m|s>]""".stripMargin)
+      throw new IllegalArgumentException("bad usage")
+  }
+
+  private def maintain(spark: SparkSession, root: String, warehouse: String,
+                       namespace: String, retention: String): Unit = {
+    val results = Maintenance.runAll(spark, new LakeCatalog(s"$root/warehouses"),
+      warehouse, namespace, retention = retention)
+    results.foreach(r => println(s"${r.table}: ${if (r.ok) "ok" else "FAILED"} - ${r.detail}"))
+  }
+}

@@ -452,7 +452,27 @@ object SparkEntry {
 
     "e03_centroids" -> ((s, dir) =>
       Similarity.centroids(t(s, dir, "embeddings"), "label")
-        .orderBy("cell", "dim"))
+        .orderBy("cell", "dim")),
+
+    // Embedding-cosine near-dup pairs within coarse cells (5th dedup
+    // modality; no cross join — the join shuffles on the cell id).
+    // Threshold 0.35: the synthetic corpus plants no true duplicates (max
+    // same-cell cosine ~0.45), so a demonstrative threshold keeps the
+    // result set non-trivial while exercising the exact same plan.
+    "e04_embedding_near_dup" -> ((s, dir) =>
+      Similarity.cosineNearDupPairs(t(s, dir, "embeddings"), "label", 0.35)
+        .orderBy("vec_a", "vec_b")),
+
+    // Tumbling-window event aggregation (batch form of the streaming
+    // windowed counts; §2.9).
+    "ev03_tumbling_window" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"),
+          TR.sumExact(col("value"), scale = 6).as("sum_value"))
+        .select(col("w.start").cast("long").as("window_epoch"),
+          col("event_type"), col("cnt"), col("sum_value"))
+        .orderBy("window_epoch", "event_type"))
   )
 
   // ------------------------------------------------------------------
@@ -787,6 +807,20 @@ object SparkEntry {
 
     "e01_knn_bruteforce" -> knnOracle(""),
     "e02_ann_ivf" -> knnOracle("AND e.label = q.q_label"),
+
+    "e04_embedding_near_dup" ->
+      s"""SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           ${duckCos("a.embedding", "b.embedding")} AS score
+         FROM embeddings a JOIN embeddings b
+           ON a.label = b.label AND a.vec_id < b.vec_id
+         WHERE ${duckCos("a.embedding", "b.embedding")} >= 0.35
+         ORDER BY vec_a, vec_b""",
+
+    "ev03_tumbling_window" ->
+      """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS window_epoch,
+           event_type, COUNT(*) AS cnt,
+           CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE) AS sum_value
+         FROM events GROUP BY 1, 2 ORDER BY window_epoch, event_type""",
 
     "e03_centroids" ->
       """SELECT label AS cell, CAST(dim - 1 AS INTEGER) AS dim,

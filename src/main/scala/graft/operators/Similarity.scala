@@ -53,6 +53,22 @@ object Similarity {
       .select("query_id", "rank", "neighbor_id", "score")
   }
 
+  /** Embedding-cosine near-duplicate pairs (the 5th dedup modality): a
+    * self-equi-join on the coarse cell (label) keeps the pair space
+    * per-cell — shuffle on the cell id, never a cross join — then exact
+    * cosine in double precision against a threshold. */
+  def cosineNearDupPairs(corpus: DataFrame, cellCol: String,
+                         threshold: Double): DataFrame = {
+    val a = corpus.select(col("vec_id").as("vec_a"), col(cellCol).as("cell_a"),
+      col("embedding").as("emb_a"))
+    val b = corpus.select(col("vec_id").as("vec_b"), col(cellCol).as("cell_b"),
+      col("embedding").as("emb_b"))
+    a.join(b, col("cell_a") === col("cell_b") && col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"),
+        round(cosine(col("emb_a"), col("emb_b")), 6).as("score"))
+      .where(col("score") >= threshold)
+  }
+
   /** Per-cell centroids of the embedding column, computed with fixed-scale
     * decimal accumulation so the result is independent of partial-agg order
     * (and reproducible by an external oracle). */

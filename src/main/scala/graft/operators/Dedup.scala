@@ -43,7 +43,11 @@ object Dedup {
   def minhashNearDupPairs(docs: DataFrame, idCol: String, textCol: String,
                           thresholdNum: Int = 4, thresholdDen: Int = 5): DataFrame = {
     import graft.functions.TextFunctions.{LshBands, LshRows}
+    // Spread the signature compute across the cluster: source files may be
+    // few/unsplittable (single row group) and the kernel is the heavy step,
+    // so a cheap shuffle of the raw docs buys full parallelism.
     val base = docs.select(col(idCol).as("doc_id"), col(textCol).as("text"))
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism, col(idCol))
     // Banded LSH keys: the 200-perm signature is sliced into 25 bands of 8
     // rows; a band key is the comma-joined row values (string keys hash-join
     // identically in any engine). Docs meet iff they agree on a whole band.

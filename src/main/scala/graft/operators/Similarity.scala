@@ -24,6 +24,9 @@ object Similarity {
       col("embedding").as("q_emb")))
     val scored = corpus.select(col("vec_id").as("neighbor_id"),
         col("embedding").as("c_emb"))
+      // spread the corpus scan: single-row-group files scan as one task,
+      // and the per-pair cosine is the dominant cost
+      .repartition(corpus.sparkSession.sparkContext.defaultParallelism)
       .crossJoin(q) // deliberate: broadcast nested loop, corpus streamed once
       .where(col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"),

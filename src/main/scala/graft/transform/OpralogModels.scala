@@ -208,6 +208,31 @@ object OpralogModels {
       .select(col("equipment").as("uncategorized_equipment"))
       .distinct()
 
+  /** staging/beamlines/stg_moderator_performance__monitor_peaks.sql and
+    * staging/estates/stg_electricity_sharepoint_rdm_data.sql: projection /
+    * rename staging models. */
+  private def stgMonitorPeaks(s: SparkSession, ref: String => DataFrame): DataFrame =
+    ref("beamlines_moderator_performance.monitor_peaks").select(
+      "beamline", "run_number", "cycle_name", "run_start", "proton_charge",
+      "peak_centre", "peak_centre_error", "peak_amplitude",
+      "peak_amplitude_error", "peak_sigma", "peak_sigma_error")
+
+  private def stgRdmData(s: SparkSession, ref: String => DataFrame): DataFrame =
+    ref("estates_electricity_sharepoint.rdm_data").select(
+      col("date_time").as("power_measured_at"),
+      col("isis_elec_total_power_mw").as("total_isis_power_mw"))
+
+  /** marts/accelerator/power_consumption.sql (partitioned
+    * year(power_measured_at)) and marts/beamlines/incident_monitor_peaks.sql
+    * (partitioned beamline). */
+  private def martPowerConsumption(s: SparkSession, ref: String => DataFrame): DataFrame =
+    ref("stg_electricity_sharepoint_rdm_data")
+      .select("power_measured_at", "total_isis_power_mw")
+
+  private def martIncidentMonitorPeaks(s: SparkSession, ref: String => DataFrame): DataFrame =
+    ref("stg_moderator_performance__monitor_peaks")
+      .select("beamline", "run_number", "cycle_name", "run_start", "peak_centre")
+
   /** The full graph (Q29); sources are landing tables keyed
     * `namespace.table`. */
   val graph: ModelGraph = new ModelGraph(Seq(
@@ -245,5 +270,15 @@ object OpralogModels {
       materialized = "table",
       partitionSpec = Seq(PartitionField("cycle_name", "identity"))),
     Model("mcr_equipment_downtime_uncategorized_equipment",
-      Seq("mcr_equipment_downtime_records"), martUncategorized)))
+      Seq("mcr_equipment_downtime_records"), martUncategorized),
+    Model("stg_moderator_performance__monitor_peaks",
+      Seq("beamlines_moderator_performance.monitor_peaks"), stgMonitorPeaks),
+    Model("stg_electricity_sharepoint_rdm_data",
+      Seq("estates_electricity_sharepoint.rdm_data"), stgRdmData),
+    Model("power_consumption", Seq("stg_electricity_sharepoint_rdm_data"),
+      martPowerConsumption, materialized = "table",
+      partitionSpec = Seq(PartitionField("power_measured_at", "year"))),
+    Model("incident_monitor_peaks", Seq("stg_moderator_performance__monitor_peaks"),
+      martIncidentMonitorPeaks, materialized = "table",
+      partitionSpec = Seq(PartitionField("beamline", "identity")))))
 }

@@ -92,7 +92,10 @@ class OpralogGoldenSpec extends AnyFunSuite with SparkSpec {
         "additional_column_id"),
       "accelerator_opralogweb.additional_columns" -> Seq((1, " Equipment "))
         .toDF("additional_column_id", "col_title"))
-    val built = OpralogModels.graph.run(spark, raw ++ Map(
+    val built = OpralogModels.graph.run(spark, targets = Seq(
+      "base_opralogweb__entries", "base_opralogweb__more_entry_columns",
+      "base_opralogweb__additional_columns", "stg_statusdisplay__cycles"),
+      sources = raw ++ Map(
       "base_statusdisplay__cycles" -> Seq(("id1", "c")).toDF("dlt_id", "name"),
       "base_statusdisplay__cycles__phases" ->
         Seq(("p", 1, ts("2024-01-01 00:00:00"), ts("2024-01-02 00:00:00"), "id1"))
@@ -150,7 +153,9 @@ class OpralogGoldenSpec extends AnyFunSuite with SparkSpec {
       "accelerator_accelerator_sharepoint.equipment_downtime_data_11_08_24" -> sharepoint,
       "accelerator_accelerator_sharepoint.edr_equipment_mapping" -> mapping)
     val built = OpralogModels.graph.run(spark, sources,
-      catalog = Some((catalog, "facility_ops", "accelerator")))
+      catalog = Some((catalog, "facility_ops", "accelerator")),
+      targets = Seq("mcr_equipment_downtime_records",
+        "mcr_equipment_downtime_uncategorized_equipment"))
     val records = built("mcr_equipment_downtime_records")
       .orderBy("fault_occurred_at").collect()
 

@@ -148,6 +148,13 @@ final class LakeTable private (spark: SparkSession, val location: String) {
   def merge(df: DataFrame, keys: Seq[String],
             properties: Map[String, String] = Map.empty): Unit = {
     val meta = evolveIfNeeded(df.schema)
+    // PyIceberg upsert rejects duplicate join-column rows in the source —
+    // a silent full-outer-join row multiplication would corrupt the table
+    // (SURVEY §7.4 risk 1).
+    val dupKeys = df.groupBy(keys.map(col): _*).count().where(col("count") > 1)
+    if (!dupKeys.isEmpty)
+      throw new IllegalArgumentException(
+        s"Duplicate rows in merge source for key(s) ${keys.mkString(", ")}")
     val aligned = alignTo(df, meta.schema).withColumn("__is_src", lit(1))
     val target = read()
     val cond = keys.map(k => target(k) <=> aligned(k)).reduce(_ && _)

@@ -44,6 +44,33 @@ class LakeTableSpec extends AnyFunSuite with SparkSpec {
     assert(out.toSeq == Seq((1L, "a"), (2L, "B2"), (3L, "c")))
   }
 
+  test("merge with duplicate source keys raises (PyIceberg upsert parity)") {
+    val loc = tmpDir("lt_merge_dup")
+    val df = Seq((1L, "a"), (2L, "b")).toDF("id", "name")
+    val t = LakeTable.ensure(spark, loc, df.schema)
+    t.write(df, "append")
+    val e = intercept[IllegalArgumentException] {
+      t.write(Seq((3L, "x"), (3L, "y")).toDF("id", "name"), "merge", mergeOn = Seq("id"))
+    }
+    assert(e.getMessage.contains("Duplicate rows"))
+    assert(names(loc) == Seq("a", "b")) // table unchanged
+  }
+
+  test("partition matrix: month/day/hour transforms write {col}_{transform} dirs") {
+    val loc = tmpDir("lt_part2")
+    val df = Seq((1L, java.sql.Timestamp.valueOf("2021-07-15 11:30:00")))
+      .toDF("id", "created_at")
+    val t = LakeTable.ensure(spark, loc, df.schema,
+      partitionSpec = Seq(PartitionField("created_at", "month"),
+        PartitionField("created_at", "day"), PartitionField("created_at", "hour")))
+    t.write(df, "append")
+    val snap = Paths.get(loc, "data", "snap-0")
+    assert(Files.isDirectory(snap.resolve("created_at_month=202107")))
+    assert(Files.isDirectory(snap.resolve("created_at_month=202107")
+      .resolve("created_at_day=2021-07-15")))
+    assert(t.read().count() == 1)
+  }
+
   test("merge without merge_on raises") {
     val loc = tmpDir("lt_merge_err")
     val df = Seq((1L, "a")).toDF("id", "name")

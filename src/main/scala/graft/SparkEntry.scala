@@ -313,6 +313,18 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    // §2.6: collect_list per group (reference: arrow group_by aggregate
+    // [(col,"list")], moderator_performance.py:78-84), sorted for
+    // cross-engine determinism.
+    "q28_collect_list" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(concat_ws(",",
+            sort_array(collect_list(col("o_orderkey")))).as("order_keys"),
+          count(lit(1)).as("cnt"))
+        .orderBy("o_custkey")
+    }),
+
     // ---- lakehouse table layer, exercised end-to-end ------------------
     // L1: transactional append across two chunks == full table.
     "l01_append" -> ((s, dir) => {
@@ -735,6 +747,12 @@ object SparkEntry {
     "ev02_json_props" ->
       """SELECT event_id, CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS INTEGER) AS k_val
          FROM events ORDER BY event_id""",
+
+    "q28_collect_list" ->
+      """SELECT o_custkey,
+           array_to_string(list_sort(list(o_orderkey)), ',') AS order_keys,
+           COUNT(*) AS cnt
+         FROM orders GROUP BY o_custkey ORDER BY o_custkey""",
 
     "l01_append" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,

@@ -23,6 +23,16 @@ class MaintenanceSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("dropNamespace purges all tables then the namespace (L7)") {
+    val catalog = new LakeCatalog(tmpDir("purge_wh"))
+    val df = Seq((1L, "a")).toDF("id", "name")
+    catalog.ensureTable(spark, "w", "n", "t1", df.schema).write(df, "append")
+    assert(catalog.tableExists("w", "n", "t1"))
+    catalog.dropNamespace("w", "n")
+    assert(!catalog.namespaceExists("w", "n"))
+    assert(!catalog.tableExists("w", "n", "t1"))
+  }
+
   test("runAll maintains every table and isolates per-table failures") {
     val catalog = new LakeCatalog(tmpDir("maint_wh"))
     val (wh, ns) = ("w", "n")

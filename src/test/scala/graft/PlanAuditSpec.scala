@@ -1,0 +1,51 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Scale-property regression gate: the physical plans the engine must keep
+  * producing — pushed-down scans, broadcast joins for small sides, and no
+  * cartesian products anywhere near the dedup/ANN paths. A correctness-green
+  * change that regresses one of these would still be a 100 TB failure. */
+class PlanAuditSpec extends AnyFunSuite with SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
+
+  test("scans push filters down to parquet") {
+    assert(plan("q01_agg_pushdown").contains("LessThanOrEqual(l_shipdate"))
+    assert(plan("s02_watermark_filter").contains("GreaterThan(l_shipdate"))
+    assert(plan("q06_cast_ts_date").contains("GreaterThanOrEqual(l_shipdate"))
+  }
+
+  test("star joins broadcast the small sides") {
+    val p = plan("q12_join_multi")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 4, p.take(500))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("interval join is a broadcast nested loop over the tiny periods table") {
+    assert(plan("q20_interval_join").contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("LSH dedup and IVF ANN never form a cartesian product") {
+    for (q <- Seq("d02_minhash_lsh", "e02_ann_ivf", "e04_embedding_near_dup")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q has a cartesian product")
+    }
+  }
+
+  test("semi-join extract plans as a real semi join") {
+    val p = plan("s06_semi_join_extract")
+    assert(p.contains("LeftSemi") || p.contains("left_semi"))
+  }
+
+  test("column pruning: two-column projection reads exactly those columns") {
+    val p = plan("q27_distinct_filter")
+    val readSchema = "ReadSchema: [^\\n]+".r.findFirstIn(p).getOrElse("")
+    assert(readSchema.contains("o_orderstatus") &&
+      readSchema.contains("o_orderpriority"), readSchema)
+    assert(!readSchema.contains("o_totalprice") &&
+      !readSchema.contains("o_orderdate"), readSchema)
+  }
+}

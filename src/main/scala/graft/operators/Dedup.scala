@@ -73,6 +73,11 @@ object Dedup {
     cand
       .join(shs.select(col("doc_id").as("doc_a"), col("shs").as("shs_a")), "doc_a")
       .join(shs.select(col("doc_id").as("doc_b"), col("shs").as("shs_b")), "doc_b")
+      // Sound size-ratio prefilter: J >= num/den implies
+      // min(|A|,|B|)*den >= max(|A|,|B|)*num, so dropping pairs that fail it
+      // cannot drop a true pair — it just skips the merge kernel for them.
+      .where(least(size(col("shs_a")), size(col("shs_b"))) * thresholdDen >=
+        greatest(size(col("shs_a")), size(col("shs_b"))) * thresholdNum)
       .withColumn("iu", expr("graft_sorted_iu(shs_a, shs_b)"))
       .select(col("doc_a"), col("doc_b"),
         col("iu").getItem(0).as("i"), col("iu").getItem(1).as("u"))

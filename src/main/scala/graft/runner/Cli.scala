@@ -70,22 +70,21 @@ object Cli {
       counts.toSeq.sortBy(_._1).foreach { case (t, n) => println(s"$t: $n rows") }
 
     case Seq("transform", root) =>
-      val catalog = new LakeCatalog(s"$root/warehouses")
-      val landing = ("facility_ops_landing", "accelerator_opralogweb")
-      def landingTable(name: String) =
-        catalog.loadTable(spark, landing._1, landing._2, name).read()
-      val sources = Map(
-        "accelerator_opralogweb.entries" -> landingTable("entries"),
-        "accelerator_opralogweb.chapter_entry" -> landingTable("chapter_entry"),
-        "accelerator_opralogweb.logbook_chapter" -> landingTable("logbook_chapter"),
-        "accelerator_opralogweb.logbooks" -> landingTable("logbooks"),
-        "accelerator_opralogweb.more_entry_columns" -> landingTable("more_entry_columns"),
-        "accelerator_opralogweb.additional_columns" -> landingTable("additional_columns"))
-      val built = OpralogModels.graph.run(spark, sources,
-        catalog = Some((catalog, "facility_ops", "accelerator")),
-        targets = Seq("stg_opralogweb__mcr_equipment_downtime"))
-      val n = built("stg_opralogweb__mcr_equipment_downtime").count()
-      println(s"stg_opralogweb__mcr_equipment_downtime: $n rows")
+      val built = runTransform(spark, root)
+      built.toSeq.sortBy(_._1).foreach { case (m, df) =>
+        println(s"$m: ${df.count()} rows")
+      }
+
+    // `dbt test` equivalent: data tests over the built models (§5.4).
+    case Seq("test", root) =>
+      val built = runTransform(spark, root)
+      val runnable = graft.transform.DataTests.acceleratorSuite
+        .filter { case (model, _, _) => built.contains(model) }
+      val results = graft.transform.DataTests.run(built, runnable)
+      results.foreach(r => println(
+        s"${r.model} ${r.test}: ${if (r.passed) "PASS" else s"FAIL (${r.violations} violations)"}"))
+      if (results.exists(!_.passed))
+        throw new IllegalStateException("data tests failed")
 
     case Seq("maintain", root, warehouse, namespace) =>
       maintain(spark, root, warehouse, namespace, "7d")
@@ -101,6 +100,40 @@ object Cli {
            |  transform <root>
            |  maintain <root> <warehouse> <namespace> [-r <N><d|h|m|s>]""".stripMargin)
       throw new IllegalArgumentException("bad usage")
+  }
+
+  /** Run the model graph over whatever landing tables exist; targets are
+    * the models whose sources are all present (dbt builds the subgraph the
+    * sources support). */
+  private def runTransform(spark: SparkSession,
+                           root: String): Map[String, org.apache.spark.sql.DataFrame] = {
+    val catalog = new LakeCatalog(s"$root/warehouses")
+    val wh = "facility_ops_landing"
+    val sourceTables = Seq(
+      ("accelerator_opralogweb", Seq("entries", "chapter_entry", "logbook_chapter",
+        "logbooks", "more_entry_columns", "additional_columns")),
+      ("accelerator_statusdisplay", Seq("cycles", "cycles__phases")),
+      ("accelerator_accelerator_sharepoint",
+        Seq("edr_equipment_mapping", "equipment_downtime_data_11_08_24")),
+      ("beamlines_moderator_performance", Seq("monitor_peaks")),
+      ("estates_electricity_sharepoint", Seq("rdm_data")))
+    val sources = (for {
+      (ns, tables) <- sourceTables
+      tbl <- tables if catalog.tableExists(wh, ns, tbl)
+    } yield s"$ns.$tbl" -> catalog.loadTable(spark, wh, ns, tbl).read()).toMap
+
+    // build every model whose transitive sources are all available
+    val available = sources.keySet
+    val models = OpralogModels.graph
+    val buildable = models.topoOrder.filter { name =>
+      def ok(n: String): Boolean =
+        available.contains(n) || models.modelDeps(n).exists(_.forall(ok))
+      ok(name)
+    }
+    if (buildable.isEmpty) Map.empty
+    else OpralogModels.graph.run(spark, sources,
+      catalog = Some((catalog, "facility_ops", "accelerator")),
+      targets = buildable)
   }
 
   private def maintain(spark: SparkSession, root: String, warehouse: String,

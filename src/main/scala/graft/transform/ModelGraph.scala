@@ -22,6 +22,9 @@ final class ModelGraph(models: Seq[Model]) {
   private val byName = models.map(m => m.name -> m).toMap
   require(byName.size == models.size, "duplicate model names")
 
+  /** Deps of a model by name; None if the name is a source, not a model. */
+  def modelDeps(name: String): Option[Seq[String]] = byName.get(name).map(_.deps)
+
   /** Kahn topo order; cycles raise. */
   def topoOrder: Seq[String] = {
     val indeg = scala.collection.mutable.Map[String, Int]().withDefaultValue(0)

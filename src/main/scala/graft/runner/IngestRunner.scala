@@ -57,22 +57,34 @@ object IngestRunner {
         else None
 
       val watermarks = scala.collection.mutable.ListBuffer.empty[Watermark]
-      res.extractor(storedWatermark).foreach { chunk =>
+      res.extractor(storedWatermark).foreach { chunk0 =>
         // 'replace' deletes contents once: first chunk replaces, the rest
         // append (`runner.py:79-84`).
         if (writeMode == "replace" && rowsSeen(res.name) > 0) writeMode = "append"
 
-        val rows = chunk.count()
-        if (rows > 0) { // L4: zero-row chunks never even create the table
-          val watermark = makeWatermark(chunk, res.watermarkColumn)
-          watermark.foreach(watermarks += _)
+        // Single evaluation of the extractor plan per chunk: cache the
+        // chunk, then ONE job computes row count + max watermark together;
+        // the write re-reads the cache, not the source.
+        val chunk = chunk0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          val aggs = count(lit(1)).as("__rows") +:
+            res.watermarkColumn.map(c => max(col(c)).as("__wm")).toSeq
+          val stats = chunk.agg(aggs.head, aggs.tail: _*).head()
+          val rows = stats.getLong(0)
+          if (rows > 0) { // L4: zero-row chunks never even create the table
+            val watermark = res.watermarkColumn.flatMap { c =>
+              if (stats.isNullAt(1)) None
+              else Some(toWatermark(c, stats.get(1), chunk.schema(c).dataType))
+            }
+            watermark.foreach(watermarks += _)
 
-          val table = LakeTable.ensure(spark, location, chunk.schema,
-            res.writeProperties.partition, res.writeProperties.sortOrder)
-          table.write(chunk, writeMode, res.writeProperties.mergeOn,
-            ingestProperties(watermark))
-          rowsSeen(res.name) += rows
-        }
+            val table = LakeTable.ensure(spark, location, chunk.schema,
+              res.writeProperties.partition, res.writeProperties.sortOrder)
+            table.write(chunk, writeMode, res.writeProperties.mergeOn,
+              ingestProperties(watermark))
+            rowsSeen(res.name) += rows
+          }
+        } finally chunk.unpersist()
       }
 
       // Out-of-order watermark repair (`runner.py:100-107`).

@@ -39,20 +39,11 @@ final class OpralogSource(spark: SparkSession, sourceDir: String,
   def toSnakeCase(name: String): String =
     name.replaceAll("([a-z0-9])([A-Z])", "$1_$2").toLowerCase
 
-  /** Chunk a DataFrame into row-count slices via a window row_number — the
-    * Spark shape of SQLAlchemy's `yield_per(chunk_size)` streaming. */
-  private def chunks(df: DataFrame, orderCol: String): Iterator[DataFrame] = {
-    val total = df.count()
-    if (total == 0) Iterator(snake(df))
-    else {
-      val w = org.apache.spark.sql.expressions.Window.orderBy(col(orderCol))
-      val numbered = df.withColumn("__rn", row_number().over(w))
-      (0L until total by chunkSize.toLong).iterator.map { start =>
-        snake(numbered.where(col("__rn") > start && col("__rn") <= start + chunkSize)
-          .drop("__rn"))
-      }
-    }
-  }
+  /** Chunk a DataFrame into cursor-range slices ([[Chunker.rangeChunks]]) —
+    * the Spark shape of SQLAlchemy's `yield_per(chunk_size)` streaming, with
+    * every chunk predicate pushed into the scan. */
+  private def chunks(df: DataFrame, orderCol: String): Iterator[DataFrame] =
+    Chunker.rangeChunks(df, orderCol, chunkSize.toLong).map(snake)
 
   /** EntryIds captured from the Entries extraction of THIS run, consumed by
     * the MoreEntryColumns semi-join (reference: dlt `add_map` capture,

@@ -1,8 +1,6 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
-import org.apache.spark.sql.functions._
 
 import graft.runner.{IngestRunner, Resource, ResourceWriteProperties, Watermark}
 
@@ -40,16 +38,7 @@ final class TableSource(spark: SparkSession, sourceDir: String) {
 
   private def chunked(df: DataFrame, config: TableSourceConfig): Iterator[DataFrame] = {
     val orderCol = config.watermarkColumn.getOrElse(df.columns.head)
-    val total = df.count()
-    if (total == 0) Iterator(df)
-    else {
-      val w = Window.orderBy(col(orderCol))
-      val numbered = df.withColumn("__rn", row_number().over(w))
-      (0L until total by config.chunkSize.toLong).iterator.map { start =>
-        numbered.where(col("__rn") > start && col("__rn") <= start + config.chunkSize)
-          .drop("__rn")
-      }
-    }
+    Chunker.rangeChunks(df, orderCol, config.chunkSize.toLong)
   }
 
   def resource(config: TableSourceConfig): Resource =

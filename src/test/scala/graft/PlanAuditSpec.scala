@@ -40,6 +40,30 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
     assert(p.contains("LeftSemi") || p.contains("left_semi"))
   }
 
+  test("chunked extract plans contain no window and no global sort") {
+    // Round-2 regression: the chunker used an unpartitioned
+    // Window.orderBy().row_number(), serializing the whole extract through
+    // one task per chunk. Cursor-range chunks must stay scan+filter only.
+    import spark.implicits._
+    val dir = tmpDir("plan_chunk")
+    (1 to 100).map(i => (i.toLong, s"v$i")).toDF("id", "value")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/items.parquet")
+    val chunks = new graft.sources.TableSource(spark, dir)
+      .scan(graft.sources.TableSourceConfig("items", chunkSize = 30,
+        watermarkColumn = Some("id")))(None).toSeq
+    assert(chunks.size > 1) // actually chunked, not a single-slice cop-out
+    chunks.foreach { c =>
+      val p = c.queryExecution.executedPlan.toString
+      assert(!p.contains("Window"), p.take(400))
+      assert(!p.contains("Sort"), p.take(400))
+      assert(!p.contains("Exchange"), p.take(400))
+      // the range predicate reaches the parquet scan
+      assert(p.contains("PushedFilters"), p.take(400))
+    }
+    val total = chunks.map(_.count()).sum
+    assert(total == 100)
+  }
+
   test("column pruning: two-column projection reads exactly those columns") {
     val p = plan("q27_distinct_filter")
     val readSchema = "ReadSchema: [^\\n]+".r.findFirstIn(p).getOrElse("")

@@ -99,6 +99,25 @@ class IngestRunnerSpec extends AnyFunSuite with SparkSpec {
     assert(t.read().count() == 600)
   }
 
+  test("each chunk's source is evaluated exactly once (count+watermark+write fused)") {
+    // Round-2 regression: the loop ran count(), agg(max), and the write as
+    // three separate jobs over the raw extractor plan — 3x source reads per
+    // chunk. An accumulator on the source RDD proves one evaluation now.
+    val evals = spark.sparkContext.longAccumulator("source_evals")
+    def extract(wm: Option[Watermark]): Iterator[DataFrame] = {
+      val rdd = spark.sparkContext.parallelize(1 to 100, 2)
+        .map { i => evals.add(1); org.apache.spark.sql.Row(i, s"v$i") }
+      Iterator(spark.createDataFrame(rdd, org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.IntegerType),
+        org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.StringType)))))
+    }
+    val catalog = new LakeCatalog(tmpDir("runner_onepass"))
+    IngestRunner.runIngest(spark, catalog, "w", "n", Seq(
+      Resource("once", extract _, watermarkColumn = Some("id"))))
+    assert(catalog.loadTable(spark, "w", "n", "once").read().count() == 100)
+    assert(evals.value == 100L, s"source rows evaluated ${evals.value} times, expected 100")
+  }
+
   test("invalid write mode and merge-without-keys rejected at config time") {
     intercept[IllegalArgumentException](ResourceWriteProperties(writeMode = "bogus"))
     intercept[IllegalArgumentException](ResourceWriteProperties(writeMode = "merge"))

@@ -42,14 +42,23 @@ object IngestRunner {
   val PropertyWatermark = "ingest.watermark"
 
   def runIngest(spark: SparkSession, catalog: LakeCatalog, warehouse: String,
-                namespace: String, resources: Seq[Resource]): Map[String, Long] = {
+                namespace: String, resources: Seq[Resource],
+                pipelineName: Option[String] = None): Map[String, Long] = {
     catalog.ensureNamespace(warehouse, namespace)
     val rowsSeen = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+    // (resource name, table metadata version, schema json) per schema
+    // creation/evolution this run — becomes `_dlt_version` rows.
+    val schemaEvents = scala.collection.mutable.ListBuffer.empty[(String, Int, String)]
+    val finalWatermarks = scala.collection.mutable.Map.empty[String, String]
 
     resources.foreach { res =>
       val location = catalog.tableLocation(warehouse, namespace, res.name)
       var writeMode = res.writeProperties.writeMode
 
+      val schemaBefore: Option[String] =
+        if (LakeTable.exists(location))
+          Some(LakeTable.load(spark, location).metadata.schema.json)
+        else None
       val storedWatermark: Option[Watermark] =
         if (LakeTable.exists(location))
           LakeTable.load(spark, location).metadata.properties.get(PropertyWatermark)
@@ -79,7 +88,8 @@ object IngestRunner {
             watermark.foreach(watermarks += _)
 
             val table = LakeTable.ensure(spark, location, chunk.schema,
-              res.writeProperties.partition, res.writeProperties.sortOrder)
+              res.writeProperties.partition, res.writeProperties.sortOrder,
+              identifierFields = res.writeProperties.mergeOn)
             table.write(chunk, writeMode, res.writeProperties.mergeOn,
               ingestProperties(watermark))
             rowsSeen(res.name) += rows
@@ -94,10 +104,51 @@ object IngestRunner {
         if (maxWm != watermarks.last)
           LakeTable.load(spark, location)
             .writeProperties(ingestProperties(Some(maxWm)))
+        finalWatermarks(res.name) = maxWm.serialize
       }
+
+      // L8 feed: a created or add-only-evolved schema becomes a
+      // `_dlt_version` row (reference `pyiceberg.py:116-139`).
+      if (rowsSeen(res.name) > 0) {
+        val after = LakeTable.load(spark, location)
+        val afterJson = after.metadata.schema.json
+        if (!schemaBefore.contains(afterJson))
+          schemaEvents += ((res.name, after.version, afterJson))
+      }
+    }
+
+    // L8: one `_dlt_loads` row per completed load, schema-version rows for
+    // evolutions, and a `_dlt_pipeline_state` row carrying the per-resource
+    // watermarks (reference `pyiceberg.py:160-293`).
+    if (rowsSeen.valuesIterator.sum > 0) {
+      val pipeline = pipelineName.getOrElse(namespace)
+      val loadId = f"${System.currentTimeMillis() / 1000.0}%.3f" // dlt-style id
+      val versionHash = md5Hex(resources.sortBy(_.name).flatMap { r =>
+        val loc = catalog.tableLocation(warehouse, namespace, r.name)
+        if (LakeTable.exists(loc))
+          Some(s"${r.name}:${LakeTable.load(spark, loc).metadata.schema.json}")
+        else None
+      }.mkString("\n"))
+      schemaEvents.foreach { case (_, version, schemaJson) =>
+        LoadBookkeeping.recordSchemaVersion(spark, catalog, warehouse, namespace,
+          pipeline, version.toLong, md5Hex(schemaJson), schemaJson)
+      }
+      LoadBookkeeping.completeLoad(spark, catalog, warehouse, namespace,
+        loadId, pipeline, versionHash)
+      val stateJson = org.json4s.jackson.JsonMethods.compact(
+        org.json4s.jackson.JsonMethods.render(
+          org.json4s.JObject("watermarks" -> org.json4s.JObject(
+            finalWatermarks.toList.sorted.map { case (k, v) =>
+              k -> org.json4s.JString(v) }))))
+      LoadBookkeeping.writeState(spark, catalog, warehouse, namespace,
+        pipeline, 1L, stateJson, loadId)
     }
     rowsSeen.toMap
   }
+
+  private def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
 
   /** `max(data[watermark_column])`, None when absent or all-null
     * (`runner.py:125-133`). */

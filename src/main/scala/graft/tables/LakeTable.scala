@@ -126,10 +126,15 @@ final class LakeTable private (spark: SparkSession, val location: String) {
       case "append" => append(df, properties)
       case "replace" => replace(df, properties)
       case "merge" =>
-        if (mergeOn.isEmpty)
+        // Keyless merge falls back to the table's stored identifier fields
+        // (reference: merge keys persisted at create, `helpers.py:184-187`,
+        // read back to drive the upsert, `pyiceberg.py:358-361`).
+        val keys = if (mergeOn.nonEmpty) mergeOn else metadata.identifierFields
+        if (keys.isEmpty)
           throw new IllegalArgumentException(
-            s"Table '$location': write mode 'merge' requires 'merge_on' property.")
-        merge(df, mergeOn, properties)
+            s"Table '$location': write mode 'merge' requires 'merge_on' property " +
+              "or identifier fields stored on the table.")
+        merge(df, keys, properties)
       case other => throw new IllegalArgumentException(s"Unsupported write mode: '$other'")
     }
   }
@@ -268,7 +273,8 @@ object LakeTable {
   def ensure(spark: SparkSession, location: String, schema: StructType,
              partitionSpec: Seq[PartitionField] = Nil,
              sortOrder: Seq[SortField] = Nil,
-             properties: Map[String, String] = Map.empty): LakeTable = {
+             properties: Map[String, String] = Map.empty,
+             identifierFields: Seq[String] = Nil): LakeTable = {
     if (exists(location)) return load(spark, location)
     // validate the spec against the schema before creating anything
     partitionSpec.foreach { p =>
@@ -278,8 +284,11 @@ object LakeTable {
     }
     sortOrder.foreach(s => require(schema.fieldNames.contains(s.column),
       s"Sort column '${s.column}' not in schema"))
+    identifierFields.foreach(f => require(schema.fieldNames.contains(f),
+      s"Identifier field '$f' not in schema"))
     val t = new LakeTable(spark, location)
-    t.commit(TableMetadata.empty(schema, partitionSpec, sortOrder, properties))
+    t.commit(TableMetadata.empty(schema, partitionSpec, sortOrder, properties,
+      identifierFields))
     t
   }
 

@@ -24,8 +24,12 @@ final case class PartitionField(column: String, transform: String) {
 final case class SortField(column: String, ascending: Boolean)
 
 /** Table metadata: schema, partition spec, sort order (write-layout only,
-  * like the reference's `helpers.py:251-256`), free-form properties (used for
-  * ingestion watermarks, `runner.py:24-25`), and the snapshot log. */
+  * like the reference's `helpers.py:251-256`), identifier (primary-key)
+  * fields persisted on the table like Iceberg's `identifier_field_ids`
+  * (reference stores merge keys at create time, `helpers.py:184-187`, and
+  * reads them back to drive upserts, `pyiceberg.py:358-361`), free-form
+  * properties (used for ingestion watermarks, `runner.py:24-25`), and the
+  * snapshot log. */
 final case class TableMetadata(
     formatVersion: Int,
     schema: StructType,
@@ -33,7 +37,8 @@ final case class TableMetadata(
     sortOrder: Seq[SortField],
     properties: Map[String, String],
     snapshots: Seq[Snapshot],
-    currentSnapshotId: Long) {
+    currentSnapshotId: Long,
+    identifierFields: Seq[String] = Nil) {
 
   def currentSnapshot: Option[Snapshot] = snapshots.find(_.id == currentSnapshotId)
 
@@ -45,6 +50,7 @@ final case class TableMetadata(
         JObject("column" -> JString(p.column), "transform" -> JString(p.transform)))),
       "sortOrder" -> JArray(sortOrder.toList.map(s =>
         JObject("column" -> JString(s.column), "ascending" -> JBool(s.ascending)))),
+      "identifierFields" -> JArray(identifierFields.toList.map(JString(_))),
       "properties" -> JObject(properties.toList.map { case (k, v) => k -> JString(v) }),
       "snapshots" -> JArray(snapshots.toList.map(s => JObject(
         "id" -> JInt(s.id),
@@ -60,8 +66,10 @@ object TableMetadata {
   def empty(schema: StructType,
             partitionSpec: Seq[PartitionField] = Nil,
             sortOrder: Seq[SortField] = Nil,
-            properties: Map[String, String] = Map.empty): TableMetadata =
-    TableMetadata(1, schema, partitionSpec, sortOrder, properties, Nil, -1L)
+            properties: Map[String, String] = Map.empty,
+            identifierFields: Seq[String] = Nil): TableMetadata =
+    TableMetadata(1, schema, partitionSpec, sortOrder, properties, Nil, -1L,
+      identifierFields)
 
   def fromJson(json: String): TableMetadata = {
     val j = JsonMethods.parse(json)
@@ -94,9 +102,14 @@ object TableMetadata {
       }
       case _ => Nil
     }
+    val idFields = (j \ "identifierFields") match {
+      case JArray(items) => items.map(str) // absent in pre-round-3 metadata
+      case _ => Nil
+    }
     TableMetadata(
       (j \ "formatVersion").asInstanceOf[JInt].num.toInt,
       schema, spec, sort, props, snaps,
-      (j \ "currentSnapshotId").asInstanceOf[JInt].num.toLong)
+      (j \ "currentSnapshotId").asInstanceOf[JInt].num.toLong,
+      idFields)
   }
 }

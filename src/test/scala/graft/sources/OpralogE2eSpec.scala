@@ -101,6 +101,21 @@ class OpralogE2eSpec extends AnyFunSuite with SparkSpec {
       .where($"entry_id" === 49 && $"additional_column_id" === 3)
       .select("number_value").as[Double].head()
     assert(lost49 == 5.1)
+
+    // L8: one `_dlt_loads` row per completed run, all status 0
+    val loads = landing(graft.runner.LoadBookkeeping.LoadsTable)
+    assert(loads.count() == 2)
+    assert(loads.where($"status" === 0).count() == 2)
+    // schema versions recorded on table creation in run 1, none in run 2
+    assert(landing(graft.runner.LoadBookkeeping.VersionTable).count() == 6)
+    // state read-back: latest state carries the per-resource watermarks
+    val state = graft.runner.LoadBookkeeping.readLatestState(
+      spark, catalog, wh, ns, ns)
+    assert(state.isDefined)
+    assert(state.get.contains("entries") && state.get.contains("chapter_entry"))
+    // identifier fields persisted from the resource merge keys
+    val entriesMeta = catalog.loadTable(spark, wh, ns, "entries").metadata
+    assert(entriesMeta.identifierFields == Seq("entry_id"))
   }
 
   test("cli: ls lists jobs; ambiguous/unknown names rejected") {

@@ -56,6 +56,23 @@ class LakeTableSpec extends AnyFunSuite with SparkSpec {
     assert(names(loc) == Seq("a", "b")) // table unchanged
   }
 
+  test("identifier fields round-trip and drive a keyless merge") {
+    val loc = tmpDir("lt_idfields")
+    val df1 = Seq((1L, "a"), (2L, "b")).toDF("id", "name")
+    val t = LakeTable.ensure(spark, loc, df1.schema, identifierFields = Seq("id"))
+    assert(LakeTable.load(spark, loc).metadata.identifierFields == Seq("id"))
+    t.write(df1, "append")
+    // keyless merge call resolves the stored identifier fields
+    t.write(Seq((2L, "B2"), (3L, "c")).toDF("id", "name"), "merge")
+    val out = LakeTable.load(spark, loc).read().as[(Long, String)].collect().sortBy(_._1)
+    assert(out.toSeq == Seq((1L, "a"), (2L, "B2"), (3L, "c")))
+    // unknown identifier field rejected at create time
+    intercept[IllegalArgumentException] {
+      LakeTable.ensure(spark, tmpDir("lt_idbad"), df1.schema,
+        identifierFields = Seq("nope"))
+    }
+  }
+
   test("partition matrix: month/day/hour transforms write {col}_{transform} dirs") {
     val loc = tmpDir("lt_part2")
     val df = Seq((1L, java.sql.Timestamp.valueOf("2021-07-15 11:30:00")))

@@ -2,7 +2,8 @@ package graft.runner
 
 import org.apache.spark.sql.SparkSession
 
-import graft.sources.OpralogSource
+import graft.sources.{ElectricitySource, ModeratorSource, OpralogSource,
+  SharepointSheetSource, StatusDisplaySource}
 import graft.tables.{LakeCatalog, Maintenance}
 import graft.transform.OpralogModels
 
@@ -24,11 +25,33 @@ object Cli {
     def namespace = s"${domain}_$name"
   }
 
-  /** sourceDir convention: `<root>/sources/<domain>/<name>/` parquet. */
+  /** The reference's full ingest-job matrix, one registry entry per
+    * pipeline script under `warehouses/facility_ops_landing/ingest/`.
+    * sourceDir convention: `<root>/sources/<domain>/<name>/`. */
   def jobs(root: String): Seq[Job] = Seq(
     Job("accelerator", "opralogweb", (spark, catalog, warehouse) =>
       new OpralogSource(spark, s"$root/sources/accelerator/opralogweb")
-        .run(catalog, warehouse, "accelerator_opralogweb")))
+        .run(catalog, warehouse, "accelerator_opralogweb")),
+    Job("accelerator", "statusdisplay", (spark, catalog, warehouse) =>
+      IngestRunner.runIngest(spark, catalog, warehouse, "accelerator_statusdisplay",
+        new StatusDisplaySource(spark,
+          s"$root/sources/accelerator/statusdisplay").resources)),
+    Job("accelerator", "accelerator_sharepoint", (spark, catalog, warehouse) =>
+      IngestRunner.runIngest(spark, catalog, warehouse,
+        "accelerator_accelerator_sharepoint",
+        new SharepointSheetSource(spark,
+          s"$root/sources/accelerator/accelerator_sharepoint").resources)),
+    Job("estates", "electricity_sharepoint", (spark, catalog, warehouse) =>
+      IngestRunner.runIngest(spark, catalog, warehouse,
+        "estates_electricity_sharepoint",
+        new ElectricitySource(spark,
+          s"$root/sources/estates/electricity_sharepoint").resources)),
+    Job("beamlines", "moderator_performance", (spark, catalog, warehouse) =>
+      IngestRunner.runIngest(spark, catalog, warehouse,
+        "beamlines_moderator_performance",
+        new ModeratorSource(spark,
+          s"$root/sources/beamlines/moderator_performance",
+          catalog, warehouse, "beamlines_moderator_performance").resources)))
 
   /** Ambiguous-name resolution like `cli.py:78-94`: exact full match first,
     * then unique suffix match; ambiguity or no match raise. */

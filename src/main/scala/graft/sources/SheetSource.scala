@@ -21,8 +21,11 @@ object SheetSource {
 
   def read(spark: SparkSession, path: String, config: SheetConfig): DataFrame = {
     import spark.implicits._
-    // skiprows: drop the first N physical lines before parsing
-    val lines = spark.read.textFile(path)
+    // skiprows: drop the first N physical lines before parsing. coalesce(1)
+    // makes "first N lines" well-defined — monotonically_increasing_id is
+    // only line-ordered within one partition. Sheet exports are small
+    // single files by nature; this is not a big-data path.
+    val lines = spark.read.textFile(path).coalesce(1)
       .withColumn("__idx", monotonically_increasing_id())
     val body = lines.where(col("__idx") >= config.skipRows)
       .orderBy("__idx").select("value").as[String]

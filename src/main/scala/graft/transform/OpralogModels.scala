@@ -242,10 +242,16 @@ object OpralogModels {
     Model("base_opralogweb__logbooks", Seq("accelerator_opralogweb.logbooks"), baseLogbooks),
     Model("base_opralogweb__more_entry_columns", Seq("accelerator_opralogweb.more_entry_columns"), baseMoreEntryColumns),
     Model("base_opralogweb__additional_columns", Seq("accelerator_opralogweb.additional_columns"), baseAdditionalColumns),
+    // base_statusdisplay__cycles(.sql:9-16) / __phases(.sql:10-19): rename
+    // the dlt-normalized landing columns (_dlt_id/label, type/start/end).
     Model("base_statusdisplay__cycles", Seq("accelerator_statusdisplay.cycles"),
-      (_, ref) => ref("accelerator_statusdisplay.cycles")),
+      (_, ref) => ref("accelerator_statusdisplay.cycles").select(
+        col("_dlt_id").as("dlt_id"), col("label").as("name"))),
     Model("base_statusdisplay__cycles__phases", Seq("accelerator_statusdisplay.cycles__phases"),
-      (_, ref) => ref("accelerator_statusdisplay.cycles__phases")),
+      (_, ref) => ref("accelerator_statusdisplay.cycles__phases").select(
+        col("type").as("phase"), col("target"),
+        col("start").as("started_at"), col("end").as("ended_at"),
+        col("_dlt_parent_id").as("dlt_cycles_id"))),
     Model("stg_opralogweb__mcr_equipment_downtime",
       Seq("base_opralogweb__entries", "base_opralogweb__chapter_entry",
         "base_opralogweb__logbook_chapter", "base_opralogweb__logbooks",

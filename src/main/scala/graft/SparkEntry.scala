@@ -530,8 +530,12 @@ object SparkEntry {
           SELECT doc_id, j // $rows AS band_id,
                  string_agg(CAST(v AS VARCHAR), ',' ORDER BY j) AS band_key
           FROM mh GROUP BY doc_id, j // $rows),
+        bkc AS MATERIALIZED (
+          SELECT * FROM bk
+          QUALIFY COUNT(*) OVER (PARTITION BY band_id, band_key)
+                  <= ${graft.operators.Dedup.DefaultMaxBandBucket}),
         cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-                 FROM bk x JOIN bk y ON x.band_id = y.band_id
+                 FROM bkc x JOIN bkc y ON x.band_id = y.band_id
                    AND x.band_key = y.band_key AND x.doc_id < y.doc_id),
         hset AS MATERIALIZED (SELECT doc_id, list_sort(list_distinct(hs)) AS hset FROM h),
         ver AS (SELECT doc_a, doc_b,

@@ -40,23 +40,16 @@ object Dedup {
     * oracle. With the 12 permutations the miss probability for a true pair
     * at J=0.8 is 0.2^12 ~ 4e-9.
     */
+  /** Default band-bucket size cap: >500 documents agreeing on a whole
+    * minhash band is boilerplate/degenerate text, not near-duplication
+    * worth O(m^2) candidate pairs. */
+  val DefaultMaxBandBucket = 500
+
   def minhashNearDupPairs(docs: DataFrame, idCol: String, textCol: String,
-                          thresholdNum: Int = 4, thresholdDen: Int = 5): DataFrame = {
-    import graft.functions.TextFunctions.{LshBands, LshRows}
-    // Spread the signature compute across the cluster: source files may be
-    // few/unsplittable (single row group) and the kernel is the heavy step,
-    // so a cheap shuffle of the raw docs buys full parallelism.
-    val base = docs.select(col(idCol).as("doc_id"), col(textCol).as("text"))
-      .repartition(docs.sparkSession.sparkContext.defaultParallelism, col(idCol))
-    // Banded LSH keys: the 200-perm signature is sliced into 25 bands of 8
-    // rows; a band key is the comma-joined row values (string keys hash-join
-    // identically in any engine). Docs meet iff they agree on a whole band.
-    val sig = base.select(col("doc_id"), expr("graft_minhash_sig(text)").as("sig"))
-    val bandKeys = transform(sequence(lit(0), lit(LshBands - 1)), i =>
-      concat_ws(",", transform(
-        slice(col("sig"), i * LshRows + 1, lit(LshRows)), x => x.cast("string"))))
-    val bands = sig.select(col("doc_id"),
-      posexplode(bandKeys).as(Seq("band_id", "band_key")))
+                          thresholdNum: Int = 4, thresholdDen: Int = 5,
+                          maxBandBucket: Int = DefaultMaxBandBucket): DataFrame = {
+    val bands = cappedBandKeys(docs, idCol, textCol, maxBandBucket)
+    val base = repartitionedDocs(docs, idCol, textCol)
 
     val cand = bands.as("a").join(bands.as("b"),
         col("a.band_id") === col("b.band_id") &&
@@ -85,6 +78,48 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"),
         expr("CAST((i * 1000000) div u AS BIGINT)").as("jaccard_e6"))
   }
+
+  /** Spread the signature compute across the cluster: source files may be
+    * few/unsplittable (single row group) and the kernel is the heavy step,
+    * so a cheap shuffle of the raw docs buys full parallelism. */
+  private def repartitionedDocs(docs: DataFrame, idCol: String,
+                                textCol: String): DataFrame =
+    docs.select(col(idCol).as("doc_id"), col(textCol).as("text"))
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism, col(idCol))
+
+  /** Banded LSH keys with the bucket-size guard: the 200-perm signature is
+    * sliced into 25 bands of 8 rows; a band key is the comma-joined row
+    * values (string keys hash-join identically in any engine). Docs meet
+    * iff they agree on a whole band. A window count over (band_id,
+    * band_key) — the same partitioning the candidate self-join shuffles on,
+    * so the exchange is shared — drops buckets above `maxBandBucket`: the
+    * standard guard against degenerate/boilerplate bands exploding one
+    * bucket into O(m^2) candidates at corpus scale. */
+  private def cappedBandKeys(docs: DataFrame, idCol: String, textCol: String,
+                             maxBandBucket: Int): DataFrame = {
+    import graft.functions.TextFunctions.{LshBands, LshRows}
+    val sig = repartitionedDocs(docs, idCol, textCol)
+      .select(col("doc_id"), expr("graft_minhash_sig(text)").as("sig"))
+    val bandKeys = transform(sequence(lit(0), lit(LshBands - 1)), i =>
+      concat_ws(",", transform(
+        slice(col("sig"), i * LshRows + 1, lit(LshRows)), x => x.cast("string"))))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("band_id"), col("band_key"))
+    sig.select(col("doc_id"), posexplode(bandKeys).as(Seq("band_id", "band_key")))
+      .withColumn("__bucket_n", count(lit(1)).over(w))
+      .where(col("__bucket_n") <= maxBandBucket)
+      .drop("__bucket_n")
+  }
+
+  /** Monitoring view of what the cap drops: oversized (band_id, band_key)
+    * buckets and their sizes — run alongside a dedup job to quantify
+    * boilerplate (the "logged count" companion to the silent in-plan cap). */
+  def oversizedBandBuckets(docs: DataFrame, idCol: String, textCol: String,
+                           maxBandBucket: Int = DefaultMaxBandBucket): DataFrame =
+    cappedBandKeys(docs, idCol, textCol, Int.MaxValue)
+      .groupBy("band_id", "band_key")
+      .agg(count(lit(1)).as("bucket_size"))
+      .where(col("bucket_size") > maxBandBucket)
 
   /** SimHash fingerprint per document (near-identical docs collide). */
   def simhashFingerprints(docs: DataFrame, idCol: String, textCol: String): DataFrame =

@@ -92,7 +92,11 @@ object Cli {
       val counts = job.run(spark, catalog, "facility_ops_landing")
       counts.toSeq.sortBy(_._1).foreach { case (t, n) => println(s"$t: $n rows") }
 
+    // Counts are opt-in (`--counts`): printing them re-materializes every
+    // view-backed model once more — fine for a spot check, not a default.
     case Seq("transform", root) =>
+      runTransform(spark, root).keys.toSeq.sorted.foreach(m => println(s"$m: built"))
+    case Seq("transform", root, "--counts") =>
       val built = runTransform(spark, root)
       built.toSeq.sortBy(_._1).foreach { case (m, df) =>
         println(s"$m: ${df.count()} rows")
@@ -101,7 +105,7 @@ object Cli {
     // `dbt test` equivalent: data tests over the built models (§5.4).
     case Seq("test", root) =>
       val built = runTransform(spark, root)
-      val runnable = graft.transform.DataTests.acceleratorSuite
+      val runnable = graft.transform.DataTests.fullSuite
         .filter { case (model, _, _) => built.contains(model) }
       val results = graft.transform.DataTests.run(built, runnable)
       results.foreach(r => println(
@@ -120,7 +124,8 @@ object Cli {
            |Usage:
            |  ls <root>
            |  run <root> <job>
-           |  transform <root>
+           |  transform <root> [--counts]
+           |  test <root>
            |  maintain <root> <warehouse> <namespace> [-r <N><d|h|m|s>]""".stripMargin)
       throw new IllegalArgumentException("bad usage")
   }

@@ -155,21 +155,39 @@ final class LakeTable private (spark: SparkSession, val location: String) {
     val meta = evolveIfNeeded(df.schema)
     // PyIceberg upsert rejects duplicate join-column rows in the source —
     // a silent full-outer-join row multiplication would corrupt the table
-    // (SURVEY §7.4 risk 1).
-    val dupKeys = df.groupBy(keys.map(col): _*).count().where(col("count") > 1)
-    if (!dupKeys.isEmpty)
-      throw new IllegalArgumentException(
-        s"Duplicate rows in merge source for key(s) ${keys.mkString(", ")}")
-    val aligned = alignTo(df, meta.schema).withColumn("__is_src", lit(1))
+    // (SURVEY §7.4 risk 1). The check is folded into the merge pass itself:
+    // a window count over the merge keys (whose exchange the join reuses —
+    // both shuffle on the same keys) feeds an in-plan guard, so the source
+    // is NOT scanned by a separate detection job. The guard trips inside
+    // the write job, before any metadata commit.
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys.map(col).toIndexedSeq: _*)
+    val aligned = alignTo(df, meta.schema)
+      .withColumn("__is_src", lit(1))
+      .withColumn("__src_cnt", count(lit(1)).over(w))
     val target = read()
     val cond = keys.map(k => target(k) <=> aligned(k)).reduce(_ && _)
+    val dupMsg = s"$DupMarker for key(s) ${keys.mkString(", ")}"
     val merged = target.join(aligned, cond, "full_outer")
-      .select(meta.schema.fieldNames.map { c =>
-        when(aligned("__is_src").isNotNull, aligned(c)).otherwise(target(c)).as(c)
+      .select(meta.schema.fieldNames.zipWithIndex.map { case (c, i) =>
+        val value = when(aligned("__is_src").isNotNull, aligned(c))
+          .otherwise(target(c))
+        // guard rides on the first output column so pruning can't drop it
+        (if (i == 0) when(aligned("__src_cnt") > 1, raise_error(lit(dupMsg)))
+          .otherwise(value) else value).as(c)
       }.toIndexedSeq: _*)
-    commitData(merged, "merge", keepExisting = false, properties,
+    try commitData(merged, "merge", keepExisting = false, properties,
       preEvolved = Some(meta))
+    catch {
+      case e: Throwable if causeChain(e).exists(
+          m => m != null && m.contains(DupMarker)) =>
+        throw new IllegalArgumentException(dupMsg)
+    }
   }
+
+  private def causeChain(e: Throwable): Seq[String] =
+    Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(10)
+      .map(_.getMessage).toSeq
 
   private def evolveIfNeeded(incoming: StructType): TableMetadata = {
     val meta = metadata
@@ -211,8 +229,15 @@ final class LakeTable private (spark: SparkSession, val location: String) {
       else withDerived
 
     val writer = sorted.write.mode("errorifexists")
-    (if (partCols.nonEmpty) writer.partitionBy(partCols: _*) else writer)
+    try (if (partCols.nonEmpty) writer.partitionBy(partCols: _*) else writer)
       .parquet(s"$location/$snapRel")
+    catch {
+      case e: Throwable =>
+        // a failed write must not leave a partial directory squatting on
+        // the next snapshot id (the writer errors on existing paths)
+        deleteRecursively(Paths.get(location, snapRel))
+        throw e
+    }
 
     val newFiles = listParquet(Paths.get(location, snapRel))
       .map(p => Paths.get(location).relativize(p).toString)
@@ -260,6 +285,17 @@ final class LakeTable private (spark: SparkSession, val location: String) {
 }
 
 object LakeTable {
+  /** Marker threaded through the in-plan duplicate-merge-key guard. */
+  private[tables] val DupMarker = "Duplicate rows in merge source"
+
+  private[tables] def deleteRecursively(p: Path): Unit = {
+    if (!Files.exists(p)) return
+    val s = Files.walk(p)
+    try s.sorted(java.util.Comparator.reverseOrder[Path]())
+      .iterator().asScala.foreach(Files.deleteIfExists(_))
+    finally s.close()
+  }
+
   def exists(location: String): Boolean =
     Files.exists(Paths.get(location, "metadata", "VERSION"))
 

@@ -21,21 +21,35 @@ class PipelinesE2eSpec extends AnyFunSuite with SparkSpec {
 
   // ---- fixture writers -------------------------------------------------
 
-  private def writeStatusdisplay(root: String): Unit = {
+  private def writeStatusdisplay(root: String, json: String = cyclesJson): Unit = {
     val dir = Paths.get(s"$root/sources/accelerator/statusdisplay")
     Files.createDirectories(dir)
-    Files.write(dir.resolve("cycles.json"),
-      """[
-        |  {"label": "2024/2", "phases": [
-        |    {"type": "run-up", "target": 0,
-        |     "start": "2024-07-01T07:30:00Z", "end": "2024-07-09T07:30:00Z"},
-        |    {"type": "user-time", "target": 1,
-        |     "start": "2024-07-09T07:30:00Z", "end": "2024-07-24T07:30:00Z"}]},
-        |  {"label": "1996/1", "phases": [
-        |    {"type": "user-time", "target": 1,
-        |     "start": "1996-02-01T08:00:00Z", "end": "1996-03-01T08:00:00Z"}]}
-        |]""".stripMargin.getBytes)
+    Files.write(dir.resolve("cycles.json"), json.getBytes)
   }
+
+  private val cyclesJson =
+    """[
+      |  {"label": "2024/2", "phases": [
+      |    {"type": "run-up", "target": 0,
+      |     "start": "2024-07-01T07:30:00Z", "end": "2024-07-09T07:30:00Z"},
+      |    {"type": "user-time", "target": 1,
+      |     "start": "2024-07-09T07:30:00Z", "end": "2024-07-24T07:30:00Z"}]},
+      |  {"label": "1996/1", "phases": [
+      |    {"type": "user-time", "target": 1,
+      |     "start": "1996-02-01T08:00:00Z", "end": "1996-03-01T08:00:00Z"}]}
+      |]""".stripMargin
+
+  /** One phase per cycle: the declared `unique:name` test on the cycles
+    * mart (`cycles.yml:8-10`) constrains the feed shape. */
+  private val cyclesJsonSinglePhase =
+    """[
+      |  {"label": "2024/2", "phases": [
+      |    {"type": "user-time", "target": 1,
+      |     "start": "2024-07-09T07:30:00Z", "end": "2024-07-24T07:30:00Z"}]},
+      |  {"label": "1996/1", "phases": [
+      |    {"type": "user-time", "target": 1,
+      |     "start": "1996-02-01T08:00:00Z", "end": "1996-03-01T08:00:00Z"}]}
+      |]""".stripMargin
 
   private def writeSharepoint(root: String): Unit = {
     val dir = Paths.get(s"$root/sources/accelerator/accelerator_sharepoint")
@@ -254,5 +268,28 @@ class PipelinesE2eSpec extends AnyFunSuite with SparkSpec {
       $"equipment_category" === "Vacuum").count() >= 1)
     assert(mart("power_consumption").count() == 3)
     assert(mart("incident_monitor_peaks").count() == 1)
+  }
+
+  test("elt test: the full declared data-test suite runs green end-to-end") {
+    val root = tmpDir("dt_e2e")
+    writeOpralog(root)
+    writeStatusdisplay(root, cyclesJsonSinglePhase)
+    writeSharepoint(root)
+    writeElectricityFile(root, "2024-07-ISIS.csv", elecJuly)
+    writeModeratorRun(root, "cycle_24_2", 1001L, charge = 2.0)
+    for (job <- Seq("opralogweb", "statusdisplay", "accelerator_sharepoint",
+        "electricity_sharepoint", "moderator_performance"))
+      Cli.run(spark, Seq("run", root, job))
+
+    val out = new java.io.ByteArrayOutputStream()
+    Console.withOut(out)(Cli.run(spark, Seq("test", root))) // throws on failure
+    val printed = out.toString
+    assert(printed.contains("cycles unique:name: PASS"))
+    assert(printed.contains("incident_monitor_peaks not_null:peak_centre: PASS"))
+    assert(printed.contains("power_consumption not_null:total_isis_power_mw: PASS"))
+    assert(!printed.contains("FAIL"))
+    // every suite ran: accelerator + beamlines + estates
+    assert(printed.linesIterator.size ==
+      graft.transform.DataTests.fullSuite.size)
   }
 }

@@ -424,6 +424,10 @@ object SparkEntry {
       Dedup.simhashFingerprints(t(s, dir, "documents"), "doc_id", "text")
         .orderBy("doc_id")),
 
+    "d07_ngram_jaccard" -> ((s, dir) =>
+      Dedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_a", "doc_b")),
+
     // ---- training-data pipeline: text analysis ------------------------
     "d04_text_stats" -> ((s, dir) => {
       val d = t(s, dir, "documents")
@@ -801,6 +805,28 @@ object SparkEntry {
     "d02_minhash_lsh" -> minhashOracle,
 
     "d03_simhash" -> simhashOracle,
+
+    "d07_ngram_jaccard" ->
+      """WITH toks AS (
+           SELECT doc_id, [x for x in string_split(text, ' ') if length(x) > 0] AS w
+           FROM documents),
+         g AS (
+           SELECT doc_id,
+                  unnest(list_distinct([w[i] || ' ' || w[i+1]
+                                        for i in range(1, len(w))])) AS gram
+           FROM toks WHERE len(w) >= 2),
+         gc AS (
+           SELECT * FROM g
+           QUALIFY COUNT(*) OVER (PARTITION BY gram) <= 1000),
+         sz AS (SELECT doc_id, COUNT(*) AS n FROM gc GROUP BY doc_id),
+         i AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+               FROM gc a JOIN gc b ON a.gram = b.gram AND a.doc_id < b.doc_id
+               GROUP BY 1, 2),
+         v AS (SELECT doc_a, doc_b, i, sa.n + sb.n - i AS u
+               FROM i JOIN sz sa ON sa.doc_id = doc_a
+                      JOIN sz sb ON sb.doc_id = doc_b)
+         SELECT doc_a, doc_b, CAST((i * 1000000) // u AS BIGINT) AS jaccard_e6
+         FROM v WHERE i * 2 >= u * 1 ORDER BY doc_a, doc_b""",
 
     "d04_text_stats" ->
       """WITH base AS (

@@ -121,6 +121,51 @@ object Dedup {
       .agg(count(lit(1)).as("bucket_size"))
       .where(col("bucket_size") > maxBandBucket)
 
+  /** Exact word n-gram Jaccard near-duplicate pairs via an inverted-index
+    * join — the non-probabilistic companion to MinHash-LSH for corpora
+    * where exact overlap scores matter.
+    *
+    * Scale shape: docs explode to distinct (gram, doc_id) postings; a
+    * document-frequency cap drops grams appearing in more than `maxDocFreq`
+    * docs (a gram with frequency d fans out d^2/2 pairs — ubiquitous grams
+    * are boilerplate, not similarity signal); the self-equi-join shuffles
+    * on the gram key only, then one aggregation counts the intersection
+    * per pair. Jaccard is computed over the capped (informative) gram
+    * space on BOTH sides — sizes and intersections see the same postings,
+    * so the score is self-consistent. No cartesian product anywhere.
+    */
+  def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+                        n: Int = 2, thresholdNum: Int = 1, thresholdDen: Int = 2,
+                        maxDocFreq: Int = 1000): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    val base = repartitionedDocs(docs, idCol, textCol)
+    val words = filter(split(col("text"), " "), w => length(w) > 0)
+    val grams = array_distinct(transform(
+      sequence(lit(0), size(col("__w")) - n), i =>
+        concat_ws(" ", slice(col("__w"), i + 1, lit(n)))))
+    val postings = base
+      .withColumn("__w", words)
+      .where(size(col("__w")) >= n)
+      .select(col("doc_id"), explode(grams).as("gram"))
+    val byGram = org.apache.spark.sql.expressions.Window.partitionBy(col("gram"))
+    val capped = postings
+      .withColumn("__df", count(lit(1)).over(byGram))
+      .where(col("__df") <= maxDocFreq)
+      .drop("__df")
+    val sizes = capped.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = capped.as("a").join(capped.as("b"),
+        col("a.gram") === col("b.gram") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("i"))
+    inter
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+      .withColumn("u", col("na") + col("nb") - col("i"))
+      .where(col("i") * thresholdDen >= col("u") * thresholdNum)
+      .select(col("doc_a"), col("doc_b"),
+        expr("CAST((i * 1000000) div u AS BIGINT)").as("jaccard_e6"))
+  }
+
   /** SimHash fingerprint per document (near-identical docs collide). */
   def simhashFingerprints(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs.select(col(idCol).as("doc_id"),

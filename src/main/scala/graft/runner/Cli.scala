@@ -19,8 +19,11 @@ import graft.transform.OpralogModels
   * dynamic class loading.
   */
 object Cli {
+  /** A runnable ingest job; `run` receives any CLI args after the job name
+    * (the reference's per-pipeline argparse flags, e.g. electricity's
+    * `--backfill [--backfill-glob]`, `electricity_sharepoint.py:244-248`). */
   final case class Job(domain: String, name: String,
-                       run: (SparkSession, LakeCatalog, String) => Map[String, Long]) {
+                       run: (SparkSession, LakeCatalog, String, Seq[String]) => Map[String, Long]) {
     def fullName = s"$domain/$name"
     def namespace = s"${domain}_$name"
   }
@@ -29,29 +32,31 @@ object Cli {
     * pipeline script under `warehouses/facility_ops_landing/ingest/`.
     * sourceDir convention: `<root>/sources/<domain>/<name>/`. */
   def jobs(root: String): Seq[Job] = Seq(
-    Job("accelerator", "opralogweb", (spark, catalog, warehouse) =>
+    Job("accelerator", "opralogweb", (spark, catalog, warehouse, _) =>
       new OpralogSource(spark, s"$root/sources/accelerator/opralogweb")
         .run(catalog, warehouse, "accelerator_opralogweb")),
-    Job("accelerator", "statusdisplay", (spark, catalog, warehouse) =>
+    Job("accelerator", "statusdisplay", (spark, catalog, warehouse, _) =>
       IngestRunner.runIngest(spark, catalog, warehouse, "accelerator_statusdisplay",
         new StatusDisplaySource(spark,
           s"$root/sources/accelerator/statusdisplay").resources)),
-    Job("accelerator", "accelerator_sharepoint", (spark, catalog, warehouse) =>
+    Job("accelerator", "accelerator_sharepoint", (spark, catalog, warehouse, _) =>
       IngestRunner.runIngest(spark, catalog, warehouse,
         "accelerator_accelerator_sharepoint",
         new SharepointSheetSource(spark,
           s"$root/sources/accelerator/accelerator_sharepoint").resources)),
-    Job("estates", "electricity_sharepoint", (spark, catalog, warehouse) =>
+    Job("estates", "electricity_sharepoint", (spark, catalog, warehouse, args) =>
       IngestRunner.runIngest(spark, catalog, warehouse,
         "estates_electricity_sharepoint",
         new ElectricitySource(spark,
-          s"$root/sources/estates/electricity_sharepoint").resources)),
-    Job("beamlines", "moderator_performance", (spark, catalog, warehouse) =>
+          s"$root/sources/estates/electricity_sharepoint",
+          backfill = args.contains("--backfill")).resources)),
+    Job("beamlines", "moderator_performance", (spark, catalog, warehouse, args) =>
       IngestRunner.runIngest(spark, catalog, warehouse,
         "beamlines_moderator_performance",
         new ModeratorSource(spark,
           s"$root/sources/beamlines/moderator_performance",
-          catalog, warehouse, "beamlines_moderator_performance").resources)))
+          catalog, warehouse, "beamlines_moderator_performance",
+          incremental = !args.contains("--backfill")).resources)))
 
   /** Ambiguous-name resolution like `cli.py:78-94`: exact full match first,
     * then unique suffix match; ambiguity or no match raise. */
@@ -86,10 +91,10 @@ object Cli {
     case Seq("ls", root) =>
       jobs(root).foreach(j => println(j.fullName))
 
-    case Seq("run", root, jobName) =>
+    case Seq("run", root, jobName, jobArgs @ _*) =>
       val job = findJob(jobs(root), jobName)
       val catalog = new LakeCatalog(s"$root/warehouses")
-      val counts = job.run(spark, catalog, "facility_ops_landing")
+      val counts = job.run(spark, catalog, "facility_ops_landing", jobArgs.toSeq)
       counts.toSeq.sortBy(_._1).foreach { case (t, n) => println(s"$t: $n rows") }
 
     // Counts are opt-in (`--counts`): printing them re-materializes every
@@ -123,7 +128,7 @@ object Cli {
         s"""Unknown command: ${other.mkString(" ")}
            |Usage:
            |  ls <root>
-           |  run <root> <job>
+           |  run <root> <job> [--backfill]
            |  transform <root> [--counts]
            |  test <root>
            |  maintain <root> <warehouse> <namespace> [-r <N><d|h|m|s>]""".stripMargin)

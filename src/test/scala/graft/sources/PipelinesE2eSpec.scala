@@ -209,6 +209,24 @@ class PipelinesE2eSpec extends AnyFunSuite with SparkSpec {
     assert(rdm.where($"isis_elec_total_power_mw" === 120.5).count() == 0)
   }
 
+  test("electricity_sharepoint --backfill reads the historical globs") {
+    val root = tmpDir("el_bf")
+    writeElectricityFile(root, "2024-07-ISIS.csv", elecJuly)
+    // historical archive layout only the backfill globs reach
+    val sub = Paths.get(s"$root/sources/estates/electricity_sharepoint/archive")
+    Files.createDirectories(sub)
+    Files.write(sub.resolve("2023-06-manual-export.csv"),
+      "time,Power\n15/06/23 10:00:00,95.0\n".getBytes)
+    val catalog = new LakeCatalog(s"$root/warehouses")
+    val ns = "estates_electricity_sharepoint"
+    Cli.run(spark, Seq("run", root, "electricity_sharepoint"))
+    assert(catalog.loadTable(spark, wh, ns, "rdm_data").read().count() == 3)
+    Cli.run(spark, Seq("run", root, "electricity_sharepoint", "--backfill"))
+    val rdm = catalog.loadTable(spark, wh, ns, "rdm_data").read()
+    assert(rdm.count() == 4)
+    assert(rdm.where($"isis_elec_total_power_mw" === 95.0).count() == 1)
+  }
+
   test("moderator_performance: archive walk, fit, loaded-run skip, upsert") {
     val root = tmpDir("mp_e2e")
     // incremental mode must ignore the older cycle

@@ -12,7 +12,7 @@ object Bench {
   val headline: Seq[String] = Seq(
     "q01_agg_pushdown", "q12_join_multi", "q20_interval_join",
     "q24_window_lag", "ev01_sessionize",
-    "d01_exact_dedup", "d02_minhash_lsh", "d03_simhash",
+    "d01_exact_dedup", "d02_minhash_lsh", "d03_simhash", "d07_ngram_jaccard",
     "e01_knn_bruteforce", "e02_ann_ivf")
 
   def main(args: Array[String]): Unit = {

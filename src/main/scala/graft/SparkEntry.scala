@@ -428,6 +428,10 @@ object SparkEntry {
       Dedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text")
         .orderBy("doc_a", "doc_b")),
 
+    "d08_winnow_fingerprints" -> ((s, dir) =>
+      Dedup.winnowFingerprintRows(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id", "fingerprint")),
+
     // ---- training-data pipeline: text analysis ------------------------
     "d04_text_stats" -> ((s, dir) => {
       val d = t(s, dir, "documents")
@@ -852,6 +856,22 @@ object SparkEntry {
       """SELECT md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fingerprint,
            MIN(doc_id) AS keep_id, COUNT(*) AS cnt
          FROM documents GROUP BY 1 ORDER BY keep_id""",
+
+    "d08_winnow_fingerprints" ->
+      s"""WITH h AS MATERIALIZED (
+           SELECT doc_id,
+                  [${duckHash("g")} for g in
+                   [substring(text, i, 3)
+                    for i in range(1, greatest(length(text)-2, 0)+1)]] AS hs
+           FROM documents),
+         fp AS (
+           SELECT doc_id,
+                  list_sort(list_distinct(
+                    [list_min(hs[i:i+7])
+                     for i in range(1, greatest(len(hs)-7, 1)+1)])) AS fps
+           FROM h WHERE len(hs) > 0)
+         SELECT doc_id, CAST(unnest(fps) AS BIGINT) AS fingerprint
+         FROM fp ORDER BY doc_id, fingerprint""",
 
     "e01_knn_bruteforce" -> knnOracle(""),
     "e02_ann_ivf" -> knnOracle("AND e.label = q.q_label"),

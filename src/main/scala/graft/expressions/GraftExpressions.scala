@@ -53,6 +53,20 @@ case class SortedIUExpression(left: Expression, right: Expression)
   override def prettyName: String = "graft_sorted_iu"
 }
 
+/** Sorted distinct winnowing fingerprints (window-min of n-gram hashes). */
+case class WinnowExpression(child: Expression, n: Int = 3, window: Int = 8)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    TextHashKernels.winnowFingerprints(input.asInstanceOf[UTF8String], n, window)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.expressions.TextHashKernels.winnowFingerprints($c, $n, $window)")
+  override protected def withNewChildInternal(newChild: Expression): WinnowExpression =
+    copy(child = newChild)
+  override def prettyName: String = "graft_winnow"
+}
+
 case class SimhashExpression(child: Expression, bits: Int = 20)
     extends UnaryExpression {
   override def dataType: DataType = LongType
@@ -84,5 +98,9 @@ class GraftSparkSessionExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_simhash"),
       new ExpressionInfo(classOf[SimhashExpression].getName, "graft_simhash"),
       (children: Seq[Expression]) => SimhashExpression(children.head)))
+    ext.injectFunction((
+      FunctionIdentifier("graft_winnow"),
+      new ExpressionInfo(classOf[WinnowExpression].getName, "graft_winnow"),
+      (children: Seq[Expression]) => WinnowExpression(children.head)))
   }
 }

@@ -71,6 +71,40 @@ object TextHashKernels {
     new GenericArrayData(java.util.Arrays.copyOf(hs, w))
   }
 
+  /** Winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03): the
+    * minimum shingle hash of every sliding window of `w` consecutive n-gram
+    * hashes, sorted distinct. Guarantees any match of length >= w+n-1
+    * shares a fingerprint, at ~2/(w+1) the density of the full hash
+    * sequence. Plain (not robust) winnowing — the window minimum — so a
+    * SQL oracle reproduces it with list_min over slices. */
+  def winnowFingerprints(text: UTF8String, n: Int, w: Int): ArrayData = {
+    val s = text.toString
+    val last = s.length - n
+    if (last < 0) return new GenericArrayData(Array.emptyLongArray)
+    val hs = new Array[Long](last + 1)
+    var i = 0
+    while (i <= last) { hs(i) = hashRange(s, i, n); i += 1 }
+    val nw = math.max(1, hs.length - w + 1)
+    val fps = new Array[Long](nw)
+    i = 0
+    while (i < nw) {
+      var m = Long.MaxValue
+      var j = i
+      val end = math.min(i + w, hs.length)
+      while (j < end) { if (hs(j) < m) m = hs(j); j += 1 }
+      fps(i) = m
+      i += 1
+    }
+    java.util.Arrays.sort(fps)
+    var wIdx = 1
+    i = 1
+    while (i < nw) {
+      if (fps(i) != fps(wIdx - 1)) { fps(wIdx) = fps(i); wIdx += 1 }
+      i += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(fps, wIdx))
+  }
+
   /** [intersection, union] sizes of two SORTED distinct long arrays via a
     * linear merge — allocation-free. */
   def sortedIU(a: ArrayData, b: ArrayData): ArrayData = {

@@ -166,6 +166,18 @@ object Dedup {
         expr("CAST((i * 1000000) div u AS BIGINT)").as("jaccard_e6"))
   }
 
+  /** Winnowing document fingerprints (Schleimer/Wilkerson/Aiken local
+    * fingerprinting): the minimum rolling hash of each sliding window of
+    * character n-gram hashes, exploded to (doc_id, fingerprint) rows. Any
+    * shared substring of length >= window+n-1 guarantees a shared
+    * fingerprint at ~2/(window+1) the density of the raw hash sequence —
+    * the standard containment/plagiarism index. The kernel is a codegen'd
+    * Catalyst expression; the output shuffles only if the consumer groups
+    * by fingerprint (posting-list construction). */
+  def winnowFingerprintRows(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    repartitionedDocs(docs, idCol, textCol)
+      .select(col("doc_id"), explode(expr("graft_winnow(text)")).as("fingerprint"))
+
   /** SimHash fingerprint per document (near-identical docs collide). */
   def simhashFingerprints(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs.select(col(idCol).as("doc_id"),

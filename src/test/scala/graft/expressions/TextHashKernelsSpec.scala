@@ -59,6 +59,30 @@ class TextHashKernelsSpec extends AnyFunSuite with SparkSpec {
     both.collect().foreach(r => assert(r.getLong(0) == r.getLong(1)))
   }
 
+  test("winnow kernel == reference formulation; shared-substring guarantee") {
+    // independent reference implementation of plain winnowing
+    def refWinnow(s: String, n: Int, w: Int): Seq[Long] = {
+      def h(g: String) = g.foldLeft(0L)((a, c) => (a * 31 + c) % TextFunctions.HashMod)
+      val hs = s.sliding(n).filter(_.length == n).map(h).toVector
+      if (hs.isEmpty) Vector.empty
+      else (0 until math.max(1, hs.length - w + 1))
+        .map(i => hs.slice(i, i + w).min).distinct.sorted
+    }
+    val df = samples.toDF("t")
+    val rows = df.select(col("t"), expr("graft_winnow(t)").as("k")).collect()
+    rows.foreach(r => assert(r.getSeq[Long](1) == refWinnow(r.getString(0), 3, 8),
+      s"text '${r.getString(0)}'"))
+
+    // winnowing guarantee: a shared substring of length >= w+n-1 (10 chars)
+    // forces at least one shared fingerprint
+    val shared = "qwertyuiopas" // 12 chars
+    val a = s"prefix one $shared suffix alpha"
+    val b = s"другое содержание $shared completely different tail"
+    val fps = Seq(a, b).toDF("t")
+      .select(expr("graft_winnow(t)").as("f")).collect().map(_.getSeq[Long](0).toSet)
+    assert(fps(0).intersect(fps(1)).nonEmpty)
+  }
+
   test("short strings yield empty shingle set and zero-filled signature") {
     val df = Seq("ab").toDF("t")
     val r = df.select(expr("graft_shingle_hash_set(t)").as("s"),

@@ -432,6 +432,31 @@ object SparkEntry {
       Dedup.winnowFingerprintRows(t(s, dir, "documents"), "doc_id", "text")
         .orderBy("doc_id", "fingerprint")),
 
+    // Composite quality scoring: punct/digit ratios, mean word length, and a
+    // Gopher-style keep heuristic — all in floor-scaled integer arithmetic
+    // so any partial-aggregation order reproduces the oracle bit-for-bit.
+    "d09_quality_score" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      d.select(col("doc_id"),
+          length(col("text")).cast("long").as("n_chars"),
+          TF.punctCount(col("text")).as("n_punct"),
+          TF.digitCount(col("text")).as("n_digits"),
+          TF.tokenCount(col("text")).as("n_tokens"),
+          TF.tokenChars(col("text")).as("tok_chars"),
+          TF.stopwordCount(col("text")).as("n_stop"))
+        .select(col("doc_id"),
+          expr("CASE WHEN n_chars > 0 THEN (n_punct * 1000000) div n_chars ELSE 0 END")
+            .as("punct_ratio_e6"),
+          expr("CASE WHEN n_chars > 0 THEN (n_digits * 1000000) div n_chars ELSE 0 END")
+            .as("digit_ratio_e6"),
+          expr("CASE WHEN n_tokens > 0 THEN (tok_chars * 1000) div n_tokens ELSE 0 END")
+            .as("mean_token_len_e3"),
+          expr("""n_tokens >= 5 AND n_stop >= 1 AND
+                  (CASE WHEN n_chars > 0 THEN (n_punct * 1000000) div n_chars ELSE 0 END)
+                    <= 200000""").as("keep"))
+        .orderBy("doc_id")
+    }),
+
     // ---- training-data pipeline: text analysis ------------------------
     "d04_text_stats" -> ((s, dir) => {
       val d = t(s, dir, "documents")
@@ -872,6 +897,29 @@ object SparkEntry {
            FROM h WHERE len(hs) > 0)
          SELECT doc_id, CAST(unnest(fps) AS BIGINT) AS fingerprint
          FROM fp ORDER BY doc_id, fingerprint""",
+
+    "d09_quality_score" ->
+      """WITH base AS (
+           SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
+             CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9 ]')) AS BIGINT) AS n_punct,
+             CAST(len(regexp_extract_all(text, '[0-9]')) AS BIGINT) AS n_digits,
+             [x for x in string_split(text, ' ') if length(x) > 0] AS toks
+           FROM documents),
+         c AS (
+           SELECT doc_id, n_chars, n_punct, n_digits,
+             CAST(len(toks) AS BIGINT) AS n_tokens,
+             CAST(list_reduce(list_prepend(0, [length(x) for x in toks]),
+                              (a, b) -> a + b) AS BIGINT) AS tok_chars,
+             CAST(len([x for x in toks
+                       if x IN ('the','a','of','and','to','in')]) AS BIGINT) AS n_stop
+           FROM base)
+         SELECT doc_id,
+           CAST(CASE WHEN n_chars > 0 THEN (n_punct * 1000000) // n_chars ELSE 0 END AS BIGINT) AS punct_ratio_e6,
+           CAST(CASE WHEN n_chars > 0 THEN (n_digits * 1000000) // n_chars ELSE 0 END AS BIGINT) AS digit_ratio_e6,
+           CAST(CASE WHEN n_tokens > 0 THEN (tok_chars * 1000) // n_tokens ELSE 0 END AS BIGINT) AS mean_token_len_e3,
+           (n_tokens >= 5 AND n_stop >= 1 AND
+            (CASE WHEN n_chars > 0 THEN (n_punct * 1000000) // n_chars ELSE 0 END) <= 200000) AS keep
+         FROM c ORDER BY doc_id""",
 
     "e01_knn_bruteforce" -> knnOracle(""),
     "e02_ann_ivf" -> knnOracle("AND e.label = q.q_label"),

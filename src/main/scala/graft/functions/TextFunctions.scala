@@ -107,4 +107,17 @@ object TextFunctions {
     * (rolling-hash-style near-identity canonicalization). */
   def fingerprint(c: Column): Column =
     md5(lower(TrinoFunctions.normalizeWhitespace(c)).cast("binary"))
+
+  // ---- quality scoring (the length/punct/stopword trio, integer-exact) --
+
+  def punctCount(c: Column): Column =
+    size(regexp_extract_all(c, lit("[^a-zA-Z0-9 ]"), lit(0))).cast("long")
+
+  def digitCount(c: Column): Column =
+    size(regexp_extract_all(c, lit("[0-9]"), lit(0))).cast("long")
+
+  /** Sum of token lengths (basis of mean word length). */
+  def tokenChars(c: Column): Column =
+    aggregate(filter(tokens(c), t => length(t) > 0), lit(0L),
+      (acc, t) => acc + length(t).cast("long"))
 }

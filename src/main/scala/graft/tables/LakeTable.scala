@@ -79,9 +79,17 @@ final class LakeTable private (spark: SparkSession, val location: String) {
       return spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         fullSchema)
     }
-    // Group files by snapshot directory (the basePath for partition
-    // discovery of that write era), read each group, and union by position
-    // after projecting to the full schema's column order.
+    // Unpartitioned tables (the common landing-table case) need no
+    // partition-column reconstruction: ONE scan node over every live file,
+    // so the plan stays constant-size no matter how many append commits
+    // accumulated. Partitioned tables group files by snapshot directory
+    // (the basePath for partition discovery of that write era), read each
+    // group, and union by position — plan size grows with era count until
+    // compact() folds the eras (maintenance contract).
+    if (meta.partitionSpec.isEmpty) {
+      return spark.read.schema(fullSchema)
+        .parquet(files.map(f => s"$location/$f"): _*)
+    }
     val groups = files.groupBy(f => f.split("/").take(2).mkString("/"))
     groups.map { case (snapRel, fs) =>
       spark.read

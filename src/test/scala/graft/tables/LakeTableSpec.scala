@@ -56,6 +56,16 @@ class LakeTableSpec extends AnyFunSuite with SparkSpec {
     assert(names(loc) == Seq("a", "b")) // table unchanged
   }
 
+  test("unpartitioned read is one scan node regardless of append count") {
+    val loc = tmpDir("lt_flatread")
+    val df = Seq((1L, "a")).toDF("id", "name")
+    val t = LakeTable.ensure(spark, loc, df.schema)
+    (1 to 5).foreach(i => t.write(Seq((i.toLong, s"v$i")).toDF("id", "name"), "append"))
+    val plan = LakeTable.load(spark, loc).read().queryExecution.executedPlan.toString
+    assert(!plan.contains("Union"), plan.take(400))
+    assert(LakeTable.load(spark, loc).read().count() == 5)
+  }
+
   test("identifier fields round-trip and drive a keyless merge") {
     val loc = tmpDir("lt_idfields")
     val df1 = Seq((1L, "a"), (2L, "b")).toDF("id", "name")

@@ -432,6 +432,18 @@ object SparkEntry {
       Dedup.winnowFingerprintRows(t(s, dir, "documents"), "doc_id", "text")
         .orderBy("doc_id", "fingerprint")),
 
+    // Trained IVF: deterministic Lloyd's k-means (init = k lowest vec_ids,
+    // tie-break on cell id, decimal-accumulated means) then a final
+    // nearest-centroid assignment; the oracle unrolls the same iterations.
+    "e05_kmeans_ivf_cells" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val cents = Similarity.trainCentroids(emb, 8, 2)
+      Similarity.assignCells(emb, cents)
+        .groupBy("cell")
+        .agg(count(lit(1)).as("n_vectors"), min(col("vec_id")).as("min_vec_id"))
+        .orderBy("cell")
+    }),
+
     // Composite quality scoring: punct/digit ratios, mean word length, and a
     // Gopher-style keep heuristic — all in floor-scaled integer arithmetic
     // so any partial-aggregation order reproduces the oracle bit-for-bit.
@@ -601,7 +613,47 @@ object SparkEntry {
         SELECT query_id, rank, neighbor_id, score
         FROM ranked WHERE rank <= 5 ORDER BY query_id, rank"""
 
+  /** DuckDB mirror of [[graft.operators.Similarity.trainCentroids]] +
+    * final assignment: Lloyd iterations unrolled as CTE pairs (assign a_i,
+    * means c_i), every float->double cast, fold order, tie-break, and
+    * decimal accumulation identical to the Spark plan. */
+  private def kmeansOracle(k: Int, iters: Int): String = {
+    val dist = "list_reduce([(CAST(p[1] AS DOUBLE) - p[2]) * " +
+      "(CAST(p[1] AS DOUBLE) - p[2]) for p in list_zip(e.embedding, c.c_emb)], " +
+      "(x, y) -> x + y)"
+    def assign(name: String, cents: String) =
+      s"""$name AS (
+          SELECT vec_id, cell FROM (
+            SELECT e.vec_id, c.cell,
+                   ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                                      ORDER BY $dist ASC, c.cell ASC) AS rn
+            FROM embeddings e, $cents c) WHERE rn = 1)"""
+    val init =
+      s"""c0 AS (
+          SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cell,
+                 [CAST(x AS DOUBLE) for x in embedding] AS c_emb
+          FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT $k))"""
+    val steps = (1 to iters).map { i =>
+      assign(s"a$i", s"c${i - 1}") + s""",
+        c$i AS (
+          SELECT cell, list(m ORDER BY dim) AS c_emb FROM (
+            SELECT a.cell, x.dim,
+                   CAST(SUM(CAST(CAST(x.v AS DOUBLE) AS DECIMAL(27,10))) AS DOUBLE)
+                     / COUNT(*) AS m
+            FROM a$i a JOIN (SELECT vec_id, unnest(embedding) AS v,
+                                    generate_subscripts(embedding, 1) AS dim
+                             FROM embeddings) x ON x.vec_id = a.vec_id
+            GROUP BY a.cell, x.dim) GROUP BY cell)"""
+    }
+    s"""WITH $init,
+        ${steps.mkString(",\n")},
+        ${assign("afin", s"c$iters")}
+        SELECT cell, COUNT(*) AS n_vectors, MIN(vec_id) AS min_vec_id
+        FROM afin GROUP BY cell ORDER BY cell"""
+  }
+
   def oracleSql: Map[String, String] = Map(
+    "e05_kmeans_ivf_cells" -> kmeansOracle(8, 2),
     "q01_agg_pushdown" ->
       """SELECT l_returnflag, l_linestatus,
            CAST(SUM(CAST(l_quantity AS DECIMAL(27,4))) AS DOUBLE) AS sum_qty,

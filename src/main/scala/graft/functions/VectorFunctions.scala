@@ -21,4 +21,11 @@ object VectorFunctions {
   /** Cosine similarity (double); NaN-free for zero vectors via nullif. */
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (norm(a) * norm(b))
+
+  /** Squared L2 distance (double), strictly sequential summation. */
+  def sqDist(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b,
+        (x, y) => (x.cast("double") - y.cast("double")) *
+          (x.cast("double") - y.cast("double"))),
+      lit(0.0), (acc, v) => acc + v)
 }

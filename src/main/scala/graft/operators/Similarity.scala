@@ -80,4 +80,48 @@ object Similarity {
       .groupBy("cell", "dim")
       .agg((sum(col("v").cast("double").cast("decimal(27,10)")).cast("double") /
             count(lit(1))).as("centroid"))
+
+  // ---- trained IVF (Lloyd's k-means, fully deterministic) ---------------
+
+  /** Nearest-centroid assignment: the k-row centroid table broadcasts, the
+    * corpus streams once (broadcast nested loop), ties break on the lowest
+    * cell id. One vec_id-partitioned window picks the argmin. */
+  def assignCells(corpus: DataFrame, centroids: DataFrame): DataFrame = {
+    val scored = corpus.select(col("vec_id"), col("embedding"))
+      .crossJoin(broadcast(centroids))
+      .select(col("vec_id"), col("cell"),
+        sqDist(col("embedding"), col("c_emb")).as("d"))
+    val w = Window.partitionBy("vec_id").orderBy(col("d").asc, col("cell").asc)
+    scored.withColumn("__rn", row_number().over(w)).where(col("__rn") === 1)
+      .select("vec_id", "cell")
+  }
+
+  /** Lloyd's k-means over the embedding column — the trained coarse
+    * quantizer behind a real IVF index (replacing the `label` stand-in).
+    * Deterministic end to end: init is the k lowest vec_ids, assignment
+    * ties break on cell id, and means accumulate through fixed-scale
+    * decimals, so any executor count reproduces the oracle. At 100 TB,
+    * train on a sample (the assignment join broadcasts only k centroids;
+    * each Lloyd iteration is one corpus pass + one shuffle on cell/dim). */
+  def trainCentroids(corpus: DataFrame, k: Int, iters: Int): DataFrame = {
+    var cents = corpus.select(col("vec_id"), col("embedding"))
+      .orderBy("vec_id").limit(k)
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("c_emb"))
+      .withColumn("cell",
+        row_number().over(Window.orderBy("vec_id")).cast("long") - 1)
+      .select("cell", "c_emb")
+    for (_ <- 1 to iters) {
+      val assigned = assignCells(corpus, cents)
+      cents = corpus.join(assigned, "vec_id")
+        .select(col("cell"), posexplode(col("embedding")).as(Seq("dim", "v")))
+        .groupBy("cell", "dim")
+        .agg((sum(col("v").cast("double").cast("decimal(27,10)")).cast("double") /
+              count(lit(1))).as("m"))
+        .groupBy("cell")
+        .agg(transform(array_sort(collect_list(struct(col("dim"), col("m")))),
+          s => s.getField("m")).as("c_emb"))
+    }
+    cents
+  }
 }

@@ -16,7 +16,8 @@ final case class Model(
     build: (SparkSession, String => DataFrame) => DataFrame,
     materialized: String = "view", // view | table
     partitionSpec: Seq[PartitionField] = Nil,
-    sortOrder: Seq[SortField] = Nil)
+    sortOrder: Seq[SortField] = Nil,
+    schema: Option[String] = None) // dbt +schema override (marts per domain)
 
 final class ModelGraph(models: Seq[Model]) {
   private val byName = models.map(m => m.name -> m).toMap
@@ -88,8 +89,8 @@ final class ModelGraph(models: Seq[Model]) {
       val df = m.build(spark, resolve)
       val result = (m.materialized, catalog) match {
         case ("table", Some((cat, wh, ns))) =>
-          val table = cat.ensureTable(spark, wh, ns, m.name, df.schema,
-            m.partitionSpec, m.sortOrder)
+          val table = cat.ensureTable(spark, wh, m.schema.getOrElse(ns), m.name,
+            df.schema, m.partitionSpec, m.sortOrder)
           table.write(df, "replace") // on_table_exists = 'drop'/'replace'
           table.read()
         case _ =>

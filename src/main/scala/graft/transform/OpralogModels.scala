@@ -286,5 +286,6 @@ object OpralogModels {
       partitionSpec = Seq(PartitionField("power_measured_at", "year"))),
     Model("incident_monitor_peaks", Seq("stg_moderator_performance__monitor_peaks"),
       martIncidentMonitorPeaks, materialized = "table",
-      partitionSpec = Seq(PartitionField("beamline", "identity")))))
+      partitionSpec = Seq(PartitionField("beamline", "identity")),
+      schema = Some("beamlines")))) // dbt_project.yml: marts/beamlines +schema
 }

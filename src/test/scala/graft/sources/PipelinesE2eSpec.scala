@@ -285,7 +285,9 @@ class PipelinesE2eSpec extends AnyFunSuite with SparkSpec {
     assert(records.where($"equipment" === "Pump A" &&
       $"equipment_category" === "Vacuum").count() >= 1)
     assert(mart("power_consumption").count() == 3)
-    assert(mart("incident_monitor_peaks").count() == 1)
+    // dbt +schema: the beamlines mart lands in its own namespace
+    assert(catalog.loadTable(spark, "facility_ops", "beamlines",
+      "incident_monitor_peaks").read().count() == 1)
   }
 
   test("elt test: the full declared data-test suite runs green end-to-end") {

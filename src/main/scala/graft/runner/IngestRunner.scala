@@ -23,12 +23,16 @@ final case class ResourceWriteProperties(
 }
 
 /** One extractable resource (`extract.py:93-104`): a chunked extractor
-  * honoring an optional stored watermark, plus write/watermark config. */
+  * honoring an optional stored watermark, plus write/watermark config.
+  * `dltColumns` stamps every landed row with `_dlt_load_id` (the run's load
+  * id) and a deterministic content-hash `_dlt_id` — dlt's row bookkeeping
+  * columns, carried by all dlt-based pipelines' landing tables. */
 final case class Resource(
     name: String,
     extractor: Option[Watermark] => Iterator[DataFrame],
     writeProperties: ResourceWriteProperties = ResourceWriteProperties(),
-    watermarkColumn: Option[String] = None)
+    watermarkColumn: Option[String] = None,
+    dltColumns: Boolean = false)
 
 /** The ingest loop (`elt-common/src/elt_common/runner.py:41-133`):
   * per resource — read stored watermark (tolerate missing table/property),
@@ -46,6 +50,9 @@ object IngestRunner {
                 pipelineName: Option[String] = None): Map[String, Long] = {
     catalog.ensureNamespace(warehouse, namespace)
     val rowsSeen = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+    // dlt-style load id, minted up-front so row stamps and the _dlt_loads
+    // row agree (`pyiceberg.py:160-218`).
+    val loadId = f"${System.currentTimeMillis() / 1000.0}%.3f"
     // (resource name, table metadata version, schema json) per schema
     // creation/evolution this run — becomes `_dlt_version` rows.
     val schemaEvents = scala.collection.mutable.ListBuffer.empty[(String, Int, String)]
@@ -71,10 +78,11 @@ object IngestRunner {
         // append (`runner.py:79-84`).
         if (writeMode == "replace" && rowsSeen(res.name) > 0) writeMode = "append"
 
+        val stamped = if (res.dltColumns) addDltColumns(chunk0, loadId) else chunk0
         // Single evaluation of the extractor plan per chunk: cache the
         // chunk, then ONE job computes row count + max watermark together;
         // the write re-reads the cache, not the source.
-        val chunk = chunk0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val chunk = stamped.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         try {
           val aggs = count(lit(1)).as("__rows") +:
             res.watermarkColumn.map(c => max(col(c)).as("__wm")).toSeq
@@ -122,7 +130,6 @@ object IngestRunner {
     // watermarks (reference `pyiceberg.py:160-293`).
     if (rowsSeen.valuesIterator.sum > 0) {
       val pipeline = pipelineName.getOrElse(namespace)
-      val loadId = f"${System.currentTimeMillis() / 1000.0}%.3f" // dlt-style id
       val versionHash = md5Hex(resources.sortBy(_.name).flatMap { r =>
         val loc = catalog.tableLocation(warehouse, namespace, r.name)
         if (LakeTable.exists(loc))
@@ -149,6 +156,19 @@ object IngestRunner {
   private def md5Hex(s: String): String =
     java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  /** dlt's per-row bookkeeping columns: `_dlt_load_id` ties each row to its
+    * `_dlt_loads` entry; `_dlt_id` is a deterministic content hash (stable
+    * across re-runs, unlike dlt's random ids — makes upserts idempotent).
+    * Columns already present (e.g. from the JSON normalizer) are kept. */
+  def addDltColumns(df: DataFrame, loadId: String): DataFrame = {
+    val withId =
+      if (df.columns.contains("_dlt_id")) df
+      else df.withColumn("_dlt_id",
+        md5(to_json(struct(df.columns.map(col).toIndexedSeq: _*))))
+    if (withId.columns.contains("_dlt_load_id")) withId
+    else withId.withColumn("_dlt_load_id", lit(loadId))
+  }
 
   /** `max(data[watermark_column])`, None when absent or all-null
     * (`runner.py:125-133`). */

@@ -52,5 +52,5 @@ final class ElectricitySource(spark: SparkSession, sourceDir: String,
   def resources: Seq[Resource] = Seq(
     Resource("rdm_data", wm => Iterator(read(wm)),
       ResourceWriteProperties(writeMode = "merge", mergeOn = Seq("date_time")),
-      watermarkColumn = Some("date_time")))
+      watermarkColumn = Some("date_time"), dltColumns = true))
 }

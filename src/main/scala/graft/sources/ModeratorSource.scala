@@ -67,7 +67,7 @@ final class ModeratorSource(spark: SparkSession, archiveMount: String,
   def resources: Seq[Resource] = Seq(
     Resource("monitor_peaks", _ => Iterator(fitNewRuns()),
       ResourceWriteProperties(writeMode = "merge",
-        mergeOn = Seq("beamline", "run_number"))))
+        mergeOn = Seq("beamline", "run_number")), dltColumns = true))
 }
 
 object ModeratorSource {

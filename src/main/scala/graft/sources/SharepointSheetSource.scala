@@ -48,7 +48,7 @@ final class SharepointSheetSource(spark: SparkSession, sourceDir: String) {
 
   def resources: Seq[Resource] = Seq(
     Resource("equipment_downtime_data_11_08_24", _ => Iterator(downtimeData()),
-      ResourceWriteProperties(writeMode = "replace")),
+      ResourceWriteProperties(writeMode = "replace"), dltColumns = true),
     Resource("edr_equipment_mapping", _ => Iterator(edrMapping()),
-      ResourceWriteProperties(writeMode = "replace")))
+      ResourceWriteProperties(writeMode = "replace"), dltColumns = true))
 }

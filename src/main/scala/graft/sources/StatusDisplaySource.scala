@@ -41,8 +41,8 @@ final class StatusDisplaySource(spark: SparkSession, sourceDir: String) {
     lazy val (parent, children) = readCycles()
     Seq(
       Resource("cycles", _ => Iterator(parent),
-        ResourceWriteProperties(writeMode = "replace")),
+        ResourceWriteProperties(writeMode = "replace"), dltColumns = true),
       Resource("cycles__phases", _ => Iterator(children("cycles__phases")),
-        ResourceWriteProperties(writeMode = "replace")))
+        ResourceWriteProperties(writeMode = "replace"), dltColumns = true))
   }
 }

@@ -166,13 +166,14 @@ class PipelinesE2eSpec extends AnyFunSuite with SparkSpec {
       "equipment_downtime_data_11_08_24").read()
     assert(downtime.columns.toSeq == Seq("equipment", "user_run",
       "downtime_minutesx", "fault_date", "fault_time", "group",
-      "fault_description", "managerscomments"))
+      "fault_description", "managerscomments", "_dlt_id", "_dlt_load_id"))
     assert(downtime.count() == 2)
     // format-drift protection: '.96/1'-style runs stay text
     assert(downtime.schema("user_run").dataType.typeName == "string")
     assert(downtime.where($"user_run" === ".96/1").count() == 1)
     val edr = catalog.loadTable(spark, wh, ns, "edr_equipment_mapping").read()
-    assert(edr.columns.toSeq == Seq("equipment_name", "equipment_category"))
+    assert(edr.columns.toSeq == Seq("equipment_name", "equipment_category",
+      "_dlt_id", "_dlt_load_id"))
     assert(edr.count() == 3)
   }
 
@@ -207,6 +208,10 @@ class PipelinesE2eSpec extends AnyFunSuite with SparkSpec {
     assert(rdm.count() == 4)
     assert(rdm.where($"isis_elec_total_power_mw" === 150.0).count() == 1)
     assert(rdm.where($"isis_elec_total_power_mw" === 120.5).count() == 0)
+    // every landed row carries a _dlt_load_id present in _dlt_loads
+    val loadIds = catalog.loadTable(spark, wh, ns, "_dlt_loads").read()
+      .select($"load_id".as("_dlt_load_id"))
+    assert(rdm.join(loadIds, Seq("_dlt_load_id"), "left_anti").count() == 0)
   }
 
   test("electricity_sharepoint --backfill reads the historical globs") {

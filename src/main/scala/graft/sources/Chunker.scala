@@ -44,9 +44,11 @@ object Chunker {
     // planning pass 2: cursor values at every chunkSize-th rank
     val nChunks = ((total + chunkSize - 1) / chunkSize).toInt
     val probs = (1 until nChunks).map(i => (i * chunkSize).toDouble / total)
-    val bounds = df
+    val boundsRow = df
       .agg(percentile_approx(col(orderCol), lit(probs.toArray), lit(Accuracy)).as("b"))
-      .head().getSeq[Any](0)
+      .head()
+    if (boundsRow.isNullAt(0)) return Iterator(df) // all-null cursor column
+    val bounds = boundsRow.getSeq[Any](0)
       .distinct // duplicate boundaries (skew / few distinct values) collapse
 
     val c = col(orderCol)

@@ -898,7 +898,7 @@ object SparkEntry {
            FROM toks WHERE len(w) >= 2),
          gc AS (
            SELECT * FROM g
-           QUALIFY COUNT(*) OVER (PARTITION BY gram) <= 1000),
+           QUALIFY COUNT(*) OVER (PARTITION BY gram) <= 100),
          sz AS (SELECT doc_id, COUNT(*) AS n FROM gc GROUP BY doc_id),
          i AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
                FROM gc a JOIN gc b ON a.gram = b.gram AND a.doc_id < b.doc_id

@@ -127,8 +127,10 @@ object Dedup {
     *
     * Scale shape: docs explode to distinct (gram, doc_id) postings; a
     * document-frequency cap drops grams appearing in more than `maxDocFreq`
-    * docs (a gram with frequency d fans out d^2/2 pairs — ubiquitous grams
-    * are boilerplate, not similarity signal); the self-equi-join shuffles
+    * docs (a gram with frequency d fans out d^2/2 pairs, so the join cost
+    * is sum(min(df, cap)^2) — ubiquitous grams are boilerplate, not
+    * similarity signal, and the default cap keeps any one gram's fanout at
+    * 10^4 pairs); the self-equi-join shuffles
     * on the gram key only, then one aggregation counts the intersection
     * per pair. Jaccard is computed over the capped (informative) gram
     * space on BOTH sides — sizes and intersections see the same postings,
@@ -136,7 +138,7 @@ object Dedup {
     */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                         n: Int = 2, thresholdNum: Int = 1, thresholdDen: Int = 2,
-                        maxDocFreq: Int = 1000): DataFrame = {
+                        maxDocFreq: Int = 100): DataFrame = {
     require(n >= 1, s"n must be >= 1, got $n")
     val base = repartitionedDocs(docs, idCol, textCol)
     val words = filter(split(col("text"), " "), w => length(w) > 0)

@@ -10,16 +10,22 @@ import org.apache.spark.sql.types._
 import graft.tables.{LakeCatalog, LakeTable, PartitionField, SortField}
 
 /** Resource write properties (`elt-common/src/elt_common/extract.py:63-87`):
-  * write mode defaults to append; merge requires mergeOn. */
+  * write mode defaults to append; merge requires mergeOn and only the
+  * upsert strategy exists (reference rejects delete-insert/scd2 —
+  * `dlt_destinations/pyiceberg/pyiceberg.py:141-149`, test
+  * `test_explicit_merge_not_supported_for_strategies_other_than_upsert`). */
 final case class ResourceWriteProperties(
     mergeOn: Seq[String] = Nil,
     partition: Seq[PartitionField] = Nil,
     sortOrder: Seq[SortField] = Nil,
-    writeMode: String = "append") {
+    writeMode: String = "append",
+    mergeStrategy: String = "upsert") {
   require(Set("append", "replace", "merge").contains(writeMode),
     s"Invalid write mode '$writeMode'. Allowed values: (append, merge, replace)")
   require(writeMode != "merge" || mergeOn.nonEmpty,
     "'merge_on' must be provided when mode='merge'")
+  require(writeMode != "merge" || mergeStrategy == "upsert",
+    s"Merge strategy '$mergeStrategy' is not supported. Only 'upsert' merges are supported.")
 }
 
 /** One extractable resource (`extract.py:93-104`): a chunked extractor

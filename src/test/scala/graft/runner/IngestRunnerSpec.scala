@@ -121,5 +121,10 @@ class IngestRunnerSpec extends AnyFunSuite with SparkSpec {
   test("invalid write mode and merge-without-keys rejected at config time") {
     intercept[IllegalArgumentException](ResourceWriteProperties(writeMode = "bogus"))
     intercept[IllegalArgumentException](ResourceWriteProperties(writeMode = "merge"))
+    // only upsert merges exist (reference parity: delete-insert/scd2 raise)
+    val e = intercept[IllegalArgumentException](ResourceWriteProperties(
+      writeMode = "merge", mergeOn = Seq("id"), mergeStrategy = "delete-insert"))
+    assert(e.getMessage.contains("Only 'upsert'"))
+    ResourceWriteProperties(writeMode = "merge", mergeOn = Seq("id")) // default fine
   }
 }

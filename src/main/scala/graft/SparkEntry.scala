@@ -444,6 +444,18 @@ object SparkEntry {
         .orderBy("cell")
     }),
 
+    // The full trained-IVF search path: k-means cells from e05's quantizer,
+    // then the probe restricted to its coarse cell — end-to-end ANN with a
+    // trained index, oracle-gated.
+    "e06_kmeans_ivf_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val cents = Similarity.trainCentroids(emb, 8, 2)
+      val cells = Similarity.assignCells(emb, cents)
+      val withCell = emb.join(cells, "vec_id")
+      Similarity.knnIvf(withCell, withCell.where(col("vec_id") < 10), "cell", 5)
+        .orderBy("query_id", "rank")
+    }),
+
     // Composite quality scoring: punct/digit ratios, mean word length, and a
     // Gopher-style keep heuristic — all in floor-scaled integer arithmetic
     // so any partial-aggregation order reproduces the oracle bit-for-bit.
@@ -647,13 +659,37 @@ object SparkEntry {
     }
     s"""WITH $init,
         ${steps.mkString(",\n")},
-        ${assign("afin", s"c$iters")}
-        SELECT cell, COUNT(*) AS n_vectors, MIN(vec_id) AS min_vec_id
-        FROM afin GROUP BY cell ORDER BY cell"""
+        ${assign("afin", s"c$iters")}"""
   }
 
+  /** e05: final-assignment cell sizes. */
+  private def kmeansCellsOracle(k: Int, iters: Int): String =
+    s"""${kmeansOracle(k, iters)}
+        SELECT cell, COUNT(*) AS n_vectors, MIN(vec_id) AS min_vec_id
+        FROM afin GROUP BY cell ORDER BY cell"""
+
+  /** e06: trained-IVF top-k — the knn oracle with the probe restricted to
+    * its k-means cell. */
+  private def kmeansTopkOracle(k: Int, iters: Int, topK: Int): String =
+    s"""${kmeansOracle(k, iters)},
+        q AS (SELECT e.vec_id AS query_id, a.cell AS q_cell, e.embedding AS q_emb
+              FROM embeddings e JOIN afin a ON a.vec_id = e.vec_id
+              WHERE e.vec_id < 10),
+        scored AS (
+          SELECT q.query_id, e.vec_id AS neighbor_id,
+                 ${duckCos("q.q_emb", "e.embedding")} AS score
+          FROM q JOIN embeddings e ON e.vec_id <> q.query_id
+                 JOIN afin ac ON ac.vec_id = e.vec_id AND ac.cell = q.q_cell),
+        ranked AS (SELECT query_id, neighbor_id, score,
+                          ROW_NUMBER() OVER (PARTITION BY query_id
+                                             ORDER BY score DESC, neighbor_id ASC) AS rank
+                   FROM scored)
+        SELECT query_id, rank, neighbor_id, score
+        FROM ranked WHERE rank <= $topK ORDER BY query_id, rank"""
+
   def oracleSql: Map[String, String] = Map(
-    "e05_kmeans_ivf_cells" -> kmeansOracle(8, 2),
+    "e05_kmeans_ivf_cells" -> kmeansCellsOracle(8, 2),
+    "e06_kmeans_ivf_topk" -> kmeansTopkOracle(8, 2, 5),
     "q01_agg_pushdown" ->
       """SELECT l_returnflag, l_linestatus,
            CAST(SUM(CAST(l_quantity AS DECIMAL(27,4))) AS DOUBLE) AS sum_qty,

@@ -41,6 +41,17 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
     assert(p.contains("LeftSemi") || p.contains("left_semi"))
   }
 
+  test("hot text kernels run inside whole-stage codegen") {
+    val df = SparkEntry.queries("d02_minhash_lsh")(spark, dir)
+    df.collect() // AQE only finalizes (and shows codegen spans) on execution
+    val p = df.queryExecution.executedPlan.toString
+    // codegen stages render as "*(n)" markers in the AQE final plan
+    assert("""\*\(\d+\)""".r.findFirstIn(p).isDefined, p.take(600))
+    // the custom expressions appear natively in the plan, not via a UDF
+    assert(p.contains("graft_minhash_sig"), p.take(800))
+    assert(!p.contains("BatchEvalPython") && !p.contains("ScalaUDF"))
+  }
+
   test("chunked extract plans contain no window and no global sort") {
     // Round-2 regression: the chunker used an unpartitioned
     // Window.orderBy().row_number(), serializing the whole extract through

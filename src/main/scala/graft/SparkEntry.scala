@@ -541,7 +541,28 @@ object SparkEntry {
           TR.sumExact(col("value"), scale = 6).as("sum_value"))
         .select(col("w.start").cast("long").as("window_epoch"),
           col("event_type"), col("cnt"), col("sum_value"))
-        .orderBy("window_epoch", "event_type"))
+        .orderBy("window_epoch", "event_type")),
+
+    // Ordered conversion funnel: first view, first click at-or-after it,
+    // first purchase at-or-after that click — per-stage conditional mins
+    // chained through user_id-keyed joins (one reusable shuffle key, no
+    // window over the whole event stream).
+    "ev04_funnel" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).select("user_id", "event_type", "ts_us")
+      val v = ev.where(col("event_type") === "view")
+        .groupBy("user_id").agg(min(col("ts_us")).as("view_us"))
+      val c = ev.where(col("event_type") === "click").join(v, "user_id")
+        .where(col("ts_us") >= col("view_us"))
+        .groupBy("user_id").agg(min(col("ts_us")).as("click_us"))
+      val p = ev.where(col("event_type") === "purchase").join(c, "user_id")
+        .where(col("ts_us") >= col("click_us"))
+        .groupBy("user_id").agg(min(col("ts_us")).as("purchase_us"))
+      ev.select("user_id").distinct()
+        .join(v, Seq("user_id"), "left_outer")
+        .join(c, Seq("user_id"), "left_outer")
+        .join(p, Seq("user_id"), "left_outer")
+        .orderBy("user_id")
+    })
   )
 
   // ------------------------------------------------------------------
@@ -1008,6 +1029,24 @@ object SparkEntry {
            (n_tokens >= 5 AND n_stop >= 1 AND
             (CASE WHEN n_chars > 0 THEN (n_punct * 1000000) // n_chars ELSE 0 END) <= 200000) AS keep
          FROM c ORDER BY doc_id""",
+
+    "ev04_funnel" ->
+      """WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events),
+         v AS (SELECT user_id, MIN(ts_us) AS view_us FROM ev
+               WHERE event_type = 'view' GROUP BY user_id),
+         c AS (SELECT e.user_id, MIN(e.ts_us) AS click_us
+               FROM ev e JOIN v ON v.user_id = e.user_id
+               WHERE e.event_type = 'click' AND e.ts_us >= v.view_us
+               GROUP BY e.user_id),
+         p AS (SELECT e.user_id, MIN(e.ts_us) AS purchase_us
+               FROM ev e JOIN c ON c.user_id = e.user_id
+               WHERE e.event_type = 'purchase' AND e.ts_us >= c.click_us
+               GROUP BY e.user_id),
+         u AS (SELECT DISTINCT user_id FROM ev)
+         SELECT u.user_id, v.view_us, c.click_us, p.purchase_us
+         FROM u LEFT JOIN v USING (user_id) LEFT JOIN c USING (user_id)
+                LEFT JOIN p USING (user_id)
+         ORDER BY user_id""",
 
     "e01_knn_bruteforce" -> knnOracle(""),
     "e02_ann_ivf" -> knnOracle("AND e.label = q.q_label"),

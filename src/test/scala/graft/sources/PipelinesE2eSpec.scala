@@ -293,6 +293,11 @@ class PipelinesE2eSpec extends AnyFunSuite with SparkSpec {
     // dbt +schema: the beamlines mart lands in its own namespace
     assert(catalog.loadTable(spark, "facility_ops", "beamlines",
       "incident_monitor_peaks").read().count() == 1)
+
+    // opt-in counts path prints per-model row counts
+    val out2 = new java.io.ByteArrayOutputStream()
+    Console.withOut(out2)(Cli.run(spark, Seq("transform", root, "--counts")))
+    assert(out2.toString.contains("power_consumption: 3 rows"))
   }
 
   test("elt test: the full declared data-test suite runs green end-to-end") {

@@ -56,6 +56,21 @@ class LakeTableSpec extends AnyFunSuite with SparkSpec {
     assert(names(loc) == Seq("a", "b")) // table unchanged
   }
 
+  test("merge with a wider source evolves the schema then upserts") {
+    val loc = tmpDir("lt_merge_evolve")
+    val df1 = Seq((1L, "a"), (2L, "b")).toDF("id", "name")
+    val t = LakeTable.ensure(spark, loc, df1.schema, identifierFields = Seq("id"))
+    t.write(df1, "append")
+    // source adds a column: schema evolves add-only, old rows null-filled
+    t.write(Seq((2L, "B2", 9.5), (3L, "c", 1.0)).toDF("id", "name", "score"), "merge")
+    val out = LakeTable.load(spark, loc).read()
+      .as[(Long, String, Option[Double])].collect().sortBy(_._1)
+    assert(out.toSeq == Seq((1L, "a", None), (2L, "B2", Some(9.5)),
+      (3L, "c", Some(1.0))))
+    assert(LakeTable.load(spark, loc).metadata.schema.fieldNames.toSeq ==
+      Seq("id", "name", "score"))
+  }
+
   test("unpartitioned read is one scan node regardless of append count") {
     val loc = tmpDir("lt_flatread")
     val df = Seq((1L, "a")).toDF("id", "name")

@@ -444,6 +444,13 @@ object SparkEntry {
         .orderBy("cell")
     }),
 
+    // LSH-bucketed embedding near-dup: the sign-random-projection (cosine
+    // LSH) alternative to the e04 cell join.
+    "e07_hyperplane_lsh_near_dup" -> ((s, dir) =>
+      Similarity.hyperplaneLshNearDupPairs(t(s, dir, "embeddings"),
+          dim = 64, numPlanes = 8, threshold = 0.35)
+        .orderBy("vec_a", "vec_b")),
+
     // The full trained-IVF search path: k-means cells from e05's quantizer,
     // then the probe restricted to its coarse cell — end-to-end ANN with a
     // trained index, oracle-gated.
@@ -708,9 +715,28 @@ object SparkEntry {
         SELECT query_id, rank, neighbor_id, score
         FROM ranked WHERE rank <= $topK ORDER BY query_id, rank"""
 
+  /** e07: same plane constants inlined as list literals; bucket arithmetic,
+    * dot fold order, and the cosine verify mirror the Spark plan exactly. */
+  private def hyperplaneLshOracle(dim: Int, numPlanes: Int, threshold: Double): String = {
+    val planes = graft.operators.Similarity.hyperplanes(numPlanes, dim)
+    val bucket = planes.zipWithIndex.map { case (p, j) =>
+      val planeList = p.mkString("[", ",", "]")
+      s"(CASE WHEN ${duckDot("embedding", planeList)} > 0 THEN ${1L << j} ELSE 0 END)"
+    }.mkString(" + ")
+    s"""WITH b AS MATERIALIZED (
+          SELECT vec_id, embedding, CAST($bucket AS BIGINT) AS bucket
+          FROM embeddings)
+        SELECT a.vec_id AS vec_a, b2.vec_id AS vec_b,
+               ${duckCos("a.embedding", "b2.embedding")} AS score
+        FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
+        WHERE ${duckCos("a.embedding", "b2.embedding")} >= $threshold
+        ORDER BY vec_a, vec_b"""
+  }
+
   def oracleSql: Map[String, String] = Map(
     "e05_kmeans_ivf_cells" -> kmeansCellsOracle(8, 2),
     "e06_kmeans_ivf_topk" -> kmeansTopkOracle(8, 2, 5),
+    "e07_hyperplane_lsh_near_dup" -> hyperplaneLshOracle(64, 8, 0.35),
     "q01_agg_pushdown" ->
       """SELECT l_returnflag, l_linestatus,
            CAST(SUM(CAST(l_quantity AS DECIMAL(27,4))) AS DOUBLE) AS sum_qty,

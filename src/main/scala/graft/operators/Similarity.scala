@@ -81,6 +81,46 @@ object Similarity {
       .agg((sum(col("v").cast("double").cast("decimal(27,10)")).cast("double") /
             count(lit(1))).as("centroid"))
 
+  // ---- hyperplane LSH (sign-random-projection buckets) ------------------
+
+  /** Deterministic LCG-drawn hyperplanes (k x dim, components in [-1, 1)) —
+    * fixed seed, so the Spark plan and the SQL oracle share the exact plane
+    * constants. */
+  def hyperplanes(k: Int, dim: Int, seed: Long = 20260812L): Seq[Seq[Double]] = {
+    var x = seed
+    def next(): Double = {
+      x = x * 6364136223846793005L + 1442695040888963407L
+      ((x >>> 11).toDouble / (1L << 53).toDouble) * 2.0 - 1.0
+    }
+    Seq.fill(k)(Seq.fill(dim)(next()))
+  }
+
+  /** Sign-random-projection bucket id: bit j set iff emb . plane_j > 0 —
+    * the cosine-LSH family (Charikar '02): vectors at angle theta collide
+    * per bit with probability 1 - theta/pi. */
+  def hyperplaneBucket(emb: org.apache.spark.sql.Column,
+                       planes: Seq[Seq[Double]]): org.apache.spark.sql.Column =
+    planes.zipWithIndex.map { case (p, j) =>
+      when(dot(emb, lit(p.toArray)) > 0d, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** LSH-bucketed embedding near-dup pairs — the hash-bucket alternative to
+    * the IVF cell join (e04): one shuffle on the 2^k bucket ids, exact
+    * cosine verification inside each bucket, never a cross join. Recall
+    * trades against bucket size via k (more planes = smaller buckets,
+    * lower per-bucket cost, more missed borderline pairs). */
+  def hyperplaneLshNearDupPairs(corpus: DataFrame, dim: Int,
+                                numPlanes: Int, threshold: Double): DataFrame = {
+    val planes = hyperplanes(numPlanes, dim)
+    val b = corpus.select(col("vec_id"), col("embedding"),
+      hyperplaneBucket(col("embedding"), planes).as("bucket"))
+    b.as("a").join(b.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        round(cosine(col("a.embedding"), col("b.embedding")), 6).as("score"))
+      .where(col("score") >= threshold)
+  }
+
   // ---- trained IVF (Lloyd's k-means, fully deterministic) ---------------
 
   /** Nearest-centroid assignment: the k-row centroid table broadcasts, the

@@ -67,6 +67,18 @@ final class LakeTable private (spark: SparkSession, val location: String) {
     * partition-pruned scans on `{col}_{transform}`). */
   def readWithPartitions(): DataFrame = readWithPartitions(metadata)
 
+  /** Time travel: table contents AS OF a retained snapshot id (complete
+    * file-list snapshots make this a plain read of that snapshot's files;
+    * expired snapshots raise). */
+  def readAt(snapshotId: Long): DataFrame = {
+    val meta = metadata
+    val snap = meta.snapshots.find(_.id == snapshotId).getOrElse(
+      throw new IllegalArgumentException(
+        s"Snapshot $snapshotId not found (retained: ${meta.snapshots.map(_.id).mkString(", ")})"))
+    readWithPartitions(meta.copy(currentSnapshotId = snap.id))
+      .select(meta.schema.fieldNames.map(col).toIndexedSeq: _*)
+  }
+
   private def readWithPartitions(meta: TableMetadata): DataFrame = {
     val derived = meta.partitionSpec.filterNot(_.parsed == PartitionTransform.Identity)
     val derivedFields = derived.map { p =>

@@ -56,6 +56,21 @@ class LakeTableSpec extends AnyFunSuite with SparkSpec {
     assert(names(loc) == Seq("a", "b")) // table unchanged
   }
 
+  test("time travel: readAt returns a retained snapshot; expired ids raise") {
+    val loc = tmpDir("lt_timetravel")
+    val t = LakeTable.ensure(spark, loc, Seq((1L, "a")).toDF("id", "name").schema)
+    t.write(Seq((1L, "a")).toDF("id", "name"), "append")
+    val snap1 = LakeTable.load(spark, loc).metadata.currentSnapshotId
+    t.write(Seq((2L, "b")).toDF("id", "name"), "append")
+    assert(LakeTable.load(spark, loc).read().count() == 2)
+    assert(LakeTable.load(spark, loc).readAt(snap1).count() == 1)
+    // expiry drops the old snapshot -> readAt raises (future nowMs so the
+    // cutoff is unambiguously past both snapshot timestamps)
+    LakeTable.load(spark, loc).expireSnapshots(olderThanMs = 0,
+      nowMs = System.currentTimeMillis() + 60000)
+    intercept[IllegalArgumentException](LakeTable.load(spark, loc).readAt(snap1))
+  }
+
   test("merge with a wider source evolves the schema then upserts") {
     val loc = tmpDir("lt_merge_evolve")
     val df1 = Seq((1L, "a"), (2L, "b")).toDF("id", "name")

@@ -50,4 +50,15 @@ object StreamingIngest {
       .agg(count(lit(1)).as("cnt"), sum(col("value")).as("sum_value"))
       .select(col("window.start").as("window_start"), col("event_type"),
         col("cnt"), col("sum_value"))
+
+  /** Streaming exact dedup on a key set: duplicates arriving within the
+    * watermark window are dropped, and the engine evicts key state once the
+    * watermark passes — bounded state, unlike an unbounded dropDuplicates.
+    * The streaming form of the exact-dedup batch operator for continuous
+    * training-data ingest. */
+  def dedupWithinWatermark(events: DataFrame, tsCol: String, lateness: String,
+                           keyCols: Seq[String]): DataFrame =
+    events
+      .withWatermark(tsCol, lateness)
+      .dropDuplicatesWithinWatermark(keyCols)
 }

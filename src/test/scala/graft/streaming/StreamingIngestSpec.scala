@@ -36,6 +36,28 @@ class StreamingIngestSpec extends AnyFunSuite with SparkSpec {
     assert(LakeTable.load(spark, tableLoc).read().count() == 3)
   }
 
+  test("dedupWithinWatermark drops in-window duplicates with bounded state") {
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, java.sql.Timestamp, String)]
+    val deduped = StreamingIngest.dedupWithinWatermark(
+      input.toDF().toDF("id", "ts", "payload"), "ts", "10 minutes", Seq("id"))
+    val q = deduped.writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    try {
+      def ts(s: String) = java.sql.Timestamp.valueOf(s)
+      input.addData((1L, ts("2024-01-01 00:00:00"), "first"),
+        (1L, ts("2024-01-01 00:01:00"), "dup"),
+        (2L, ts("2024-01-01 00:02:00"), "other"))
+      q.processAllAvailable()
+      input.addData((1L, ts("2024-01-01 00:03:00"), "still dup"))
+      q.processAllAvailable()
+      val rows = spark.table("dedup_out").collect()
+      assert(rows.length == 2) // one row per key inside the window
+      assert(rows.map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L))
+    } finally q.stop()
+  }
+
   test("windowedCounts aggregates tumbling windows with a watermark") {
     val events = Seq(
       (java.sql.Timestamp.valueOf("2024-01-01 00:10:00"), "click", 1.0),

@@ -49,5 +49,15 @@ class BeamlinesModelsSpec extends AnyFunSuite with SparkSpec {
     val loc = catalog.tableLocation("facility_ops", "estates", "power_consumption")
     assert(java.nio.file.Files.isDirectory(
       java.nio.file.Paths.get(loc, "data", "snap-0", "power_measured_at_year=2023")))
+
+    // partition pruning: a year filter on the derived partition column
+    // reaches the scan as a PartitionFilter (only 2024 dirs read)
+    val pruned = catalog.loadTable(spark, "facility_ops", "estates",
+        "power_consumption").readWithPartitions()
+      .where(col("power_measured_at_year") === 2024)
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") &&
+      plan.contains("power_measured_at_year"), plan.take(600))
+    assert(pruned.count() == 1)
   }
 }

@@ -432,6 +432,10 @@ object SparkEntry {
       Dedup.winnowFingerprintRows(t(s, dir, "documents"), "doc_id", "text")
         .orderBy("doc_id", "fingerprint")),
 
+    "d10_winnow_containment" -> ((s, dir) =>
+      Dedup.winnowContainmentPairs(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_a", "doc_b")),
+
     // Trained IVF: deterministic Lloyd's k-means (init = k lowest vec_ids,
     // tie-break on cell id, decimal-accumulated means) then a final
     // nearest-centroid assignment; the oracle unrolls the same iterations.
@@ -1032,6 +1036,34 @@ object SparkEntry {
            FROM h WHERE len(hs) > 0)
          SELECT doc_id, CAST(unnest(fps) AS BIGINT) AS fingerprint
          FROM fp ORDER BY doc_id, fingerprint""",
+
+    "d10_winnow_containment" ->
+      s"""WITH h AS MATERIALIZED (
+           SELECT doc_id,
+                  [${duckHash("g")} for g in
+                   [substring(text, i, 3)
+                    for i in range(1, greatest(length(text)-2, 0)+1)]] AS hs
+           FROM documents),
+         fp AS (
+           SELECT doc_id,
+                  list_distinct(
+                    [list_min(hs[i:i+7])
+                     for i in range(1, greatest(len(hs)-7, 1)+1)]) AS fps
+           FROM h WHERE len(hs) > 0),
+         gf AS (SELECT doc_id, unnest(fps) AS fingerprint FROM fp),
+         gc AS (SELECT * FROM gf
+                QUALIFY COUNT(*) OVER (PARTITION BY fingerprint) <= 100),
+         sz AS (SELECT doc_id, COUNT(*) AS n FROM gc GROUP BY doc_id),
+         sh AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared_fps
+                FROM gc a JOIN gc b ON a.fingerprint = b.fingerprint
+                                   AND a.doc_id < b.doc_id
+                GROUP BY 1, 2)
+         SELECT doc_a, doc_b, shared_fps,
+                CAST((shared_fps * 1000000) // LEAST(sa.n, sb.n) AS BIGINT) AS containment_e6
+         FROM sh JOIN sz sa ON sa.doc_id = doc_a
+                 JOIN sz sb ON sb.doc_id = doc_b
+         WHERE shared_fps * 2 >= LEAST(sa.n, sb.n) * 1
+         ORDER BY doc_a, doc_b""",
 
     "d09_quality_score" ->
       """WITH base AS (

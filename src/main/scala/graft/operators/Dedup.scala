@@ -180,6 +180,37 @@ object Dedup {
     repartitionedDocs(docs, idCol, textCol)
       .select(col("doc_id"), explode(expr("graft_winnow(text)")).as("fingerprint"))
 
+  /** Containment detection over winnowing fingerprints (the MOSS use):
+    * pairs sharing at least thresholdNum/thresholdDen of the SMALLER doc's
+    * fingerprints — catches partial duplication (one document embedded in
+    * another) that symmetric Jaccard scores miss. Same scale shape as the
+    * n-gram join: df-capped postings, self-equi-join on the fingerprint,
+    * one aggregation per pair; containment is scored over the capped
+    * fingerprint space on both sides. */
+  def winnowContainmentPairs(docs: DataFrame, idCol: String, textCol: String,
+                             thresholdNum: Int = 1, thresholdDen: Int = 2,
+                             maxDocFreq: Int = 100): DataFrame = {
+    val fps = winnowFingerprintRows(docs, idCol, textCol)
+    val byFp = org.apache.spark.sql.expressions.Window.partitionBy(col("fingerprint"))
+    val capped = fps
+      .withColumn("__df", count(lit(1)).over(byFp))
+      .where(col("__df") <= maxDocFreq)
+      .drop("__df")
+    val sizes = capped.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    capped.as("a").join(capped.as("b"),
+        col("a.fingerprint") === col("b.fingerprint") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("shared_fps"))
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+      .where(col("shared_fps") * thresholdDen >=
+        least(col("na"), col("nb")) * thresholdNum)
+      .select(col("doc_a"), col("doc_b"), col("shared_fps"),
+        expr("CAST((shared_fps * 1000000) div least(na, nb) AS BIGINT)")
+          .as("containment_e6"))
+  }
+
   /** SimHash fingerprint per document (near-identical docs collide). */
   def simhashFingerprints(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs.select(col(idCol).as("doc_id"),

@@ -118,6 +118,27 @@ class OpralogE2eSpec extends AnyFunSuite with SparkSpec {
     assert(entriesMeta.identifierFields == Seq("entry_id"))
   }
 
+  test("multi-chunk extraction: small chunkSize still lands exact tables") {
+    val root = tmpDir("opralog_chunked")
+    val srcDir = s"$root/sources/accelerator/opralogweb"
+    val catalog = new LakeCatalog(s"$root/warehouses")
+    val (wh, ns) = ("facility_ops_landing", "accelerator_opralogweb")
+    writeSource(srcDir, 1 to 100, Map.empty)
+    // chunkSize 30 -> every big resource streams in several cursor-range
+    // chunks (ranges, not row slices): same final tables, same watermarks
+    val src = new OpralogSource(spark, srcDir, chunkSize = 30)
+    src.run(catalog, wh, ns)
+    def landing(t: String) = catalog.loadTable(spark, wh, ns, t).read()
+    assert(landing("chapter_entry").count() == 100)
+    assert(landing("entries").count() == 100)
+    assert(landing("entries").select("entry_id").distinct().count() == 100)
+    assert(landing("more_entry_columns").count() == 400)
+    val wm = graft.runner.Watermark.deserialize(
+      catalog.loadTable(spark, wh, ns, "chapter_entry")
+        .readProperty(graft.runner.IngestRunner.PropertyWatermark))
+    assert(wm == graft.runner.Watermark("logbook_entry_id", 100L))
+  }
+
   test("cli: ls lists jobs; ambiguous/unknown names rejected") {
     val out = new java.io.ByteArrayOutputStream()
     Console.withOut(out)(Cli.run(spark, Seq("ls", "/nonexistent")))

@@ -95,28 +95,35 @@ object Dedup {
     * so the exchange is shared — drops buckets above `maxBandBucket`: the
     * standard guard against degenerate/boilerplate bands exploding one
     * bucket into O(m^2) candidates at corpus scale. */
-  private def cappedBandKeys(docs: DataFrame, idCol: String, textCol: String,
-                             maxBandBucket: Int): DataFrame = {
+  private def bandKeyRows(docs: DataFrame, idCol: String,
+                          textCol: String): DataFrame = {
     import graft.functions.TextFunctions.{LshBands, LshRows}
     val sig = repartitionedDocs(docs, idCol, textCol)
       .select(col("doc_id"), expr("graft_minhash_sig(text)").as("sig"))
     val bandKeys = transform(sequence(lit(0), lit(LshBands - 1)), i =>
       concat_ws(",", transform(
         slice(col("sig"), i * LshRows + 1, lit(LshRows)), x => x.cast("string"))))
+    sig.select(col("doc_id"), posexplode(bandKeys).as(Seq("band_id", "band_key")))
+  }
+
+  private def cappedBandKeys(docs: DataFrame, idCol: String, textCol: String,
+                             maxBandBucket: Int): DataFrame = {
+    val rows = bandKeyRows(docs, idCol, textCol)
+    if (maxBandBucket == Int.MaxValue) return rows // uncapped: no window pass
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("band_id"), col("band_key"))
-    sig.select(col("doc_id"), posexplode(bandKeys).as(Seq("band_id", "band_key")))
-      .withColumn("__bucket_n", count(lit(1)).over(w))
+    rows.withColumn("__bucket_n", count(lit(1)).over(w))
       .where(col("__bucket_n") <= maxBandBucket)
       .drop("__bucket_n")
   }
 
   /** Monitoring view of what the cap drops: oversized (band_id, band_key)
     * buckets and their sizes — run alongside a dedup job to quantify
-    * boilerplate (the "logged count" companion to the silent in-plan cap). */
+    * boilerplate (the "logged count" companion to the silent in-plan cap).
+    * One groupBy over the exploded bands; no window pass. */
   def oversizedBandBuckets(docs: DataFrame, idCol: String, textCol: String,
                            maxBandBucket: Int = DefaultMaxBandBucket): DataFrame =
-    cappedBandKeys(docs, idCol, textCol, Int.MaxValue)
+    bandKeyRows(docs, idCol, textCol)
       .groupBy("band_id", "band_key")
       .agg(count(lit(1)).as("bucket_size"))
       .where(col("bucket_size") > maxBandBucket)

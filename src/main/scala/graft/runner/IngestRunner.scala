@@ -58,7 +58,10 @@ object IngestRunner {
     val rowsSeen = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
     // dlt-style load id, minted up-front so row stamps and the _dlt_loads
     // row agree (`pyiceberg.py:160-218`).
-    val loadId = f"${System.currentTimeMillis() / 1000.0}%.3f"
+    // explicit root locale: the dlt load-id convention is dot-decimal, and
+    // the f-interpolator would honor a comma-decimal default locale
+    val loadId = String.format(java.util.Locale.ROOT, "%.3f",
+      Double.box(System.currentTimeMillis() / 1000.0))
     // (resource name, table metadata version, schema json) per schema
     // creation/evolution this run — becomes `_dlt_version` rows.
     val schemaEvents = scala.collection.mutable.ListBuffer.empty[(String, Int, String)]

@@ -9,13 +9,17 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * is a run of events for one user with no gap larger than `gapSeconds`.
   *
   * State per user is ONE open session (bounded memory: four longs/doubles —
-  * no event buffering). Within a batch, events are folded in timestamp
-  * order, closing and emitting sessions whenever the gap is exceeded; the
-  * surviving open session is stored with an event-time timeout at
-  * `session_end + gap`. When the watermark passes that point the state
-  * times out and the closed session is emitted — exactly-once, append-mode
-  * output. At cluster scale the state store shards by user hash; no
-  * executor ever sees more than its shard of open sessions.
+  * no event buffering). Within a batch, events AND the open session are
+  * merged as interval fragments in start order, closing and emitting every
+  * fragment but the last whenever a gap is exceeded — late events within
+  * gap of the open session extend it backward; later ones become separate,
+  * immediately-closed earlier sessions. The surviving open session is
+  * stored with an event-time timeout at `session_end + gap` (or emitted at
+  * once when the watermark already passed that point). When the watermark
+  * passes the timeout the state fires and the closed session is emitted —
+  * exactly-once, append-mode output. At cluster scale the state store
+  * shards by user hash; no executor ever sees more than its shard of open
+  * sessions.
   */
 object StreamingSessionize {
 
@@ -40,25 +44,42 @@ object StreamingSessionize {
             state.remove()
             Iterator(toSession(user, s))
           } else {
-            val closed = scala.collection.mutable.ListBuffer.empty[Session]
-            var open = state.getOption
-            batch.toSeq.sortBy(_.ts.getTime).foreach { e =>
-              val t = e.ts.getTime
-              open = open match {
-                case Some(s) if t - s.endMs <= gapMs =>
-                  Some(OpenSession(s.startMs, math.max(s.endMs, t), s.n + 1,
-                    s.sum + e.value))
-                case Some(s) => // gap exceeded: close, start fresh
-                  closed += toSession(user, s)
-                  Some(OpenSession(t, t, 1L, e.value))
-                case None => Some(OpenSession(t, t, 1L, e.value))
+            // Late-but-accepted events (ts in [watermark, session start) —
+            // Spark drops only rows strictly behind the watermark) may
+            // predate the open session, so a forward-only merge is wrong.
+            // Instead every event and the open session become interval
+            // fragments, sorted by start; adjacent fragments within the gap
+            // merge — which extends the open session BACKWARD when a late
+            // event lands within gap of its start, and lets a chain of late
+            // events bridge into it.
+            val frags = scala.collection.mutable.ArrayBuffer.empty[OpenSession]
+            state.getOption.foreach(frags += _)
+            batch.foreach(e =>
+              frags += OpenSession(e.ts.getTime, e.ts.getTime, 1L, e.value))
+            val merged = scala.collection.mutable.ArrayBuffer.empty[OpenSession]
+            frags.sortBy(f => (f.startMs, f.endMs)).foreach { f =>
+              if (merged.nonEmpty && f.startMs - merged.last.endMs <= gapMs) {
+                val l = merged.last
+                merged(merged.size - 1) = OpenSession(l.startMs,
+                  math.max(l.endMs, f.endMs), l.n + f.n, l.sum + f.sum)
+              } else merged += f
+            }
+            if (merged.isEmpty) Iterator.empty
+            else {
+              val closed = merged.init.map(toSession(user, _))
+              val last = merged.last
+              // A timeout at or below the watermark would throw and kill the
+              // query — reachable when lateness > gap. The session is final
+              // by definition then: emit it now instead of storing it.
+              if (last.endMs + gapMs <= state.getCurrentWatermarkMs()) {
+                state.remove()
+                (closed :+ toSession(user, last)).iterator
+              } else {
+                state.update(last)
+                state.setTimeoutTimestamp(last.endMs + gapMs)
+                closed.iterator
               }
             }
-            open.foreach { s =>
-              state.update(s)
-              state.setTimeoutTimestamp(s.endMs + gapMs)
-            }
-            closed.iterator
           }
         })
   }

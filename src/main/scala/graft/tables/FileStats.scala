@@ -1,0 +1,100 @@
+package graft.tables
+
+import org.apache.spark.sql.types._
+
+/** Encoding and comparison of per-file column bounds kept in snapshot
+  * metadata — the role Iceberg manifests' `lower_bounds`/`upper_bounds`
+  * play for PyIceberg's `row_filter` file pruning
+  * (`elt-common/src/elt_common/iceberg/io.py` scans via
+  * `dlt_destinations/pyiceberg/pyiceberg.py:230-233`).
+  *
+  * Values are stored as strings in a per-type canonical form (integers and
+  * decimals verbatim, timestamps as epoch micros, dates as epoch days,
+  * booleans as 0/1, short strings raw); comparison decodes both sides with
+  * the table schema's type, so bounds written by any engine version compare
+  * identically. Unknown/unsupported stats always read as "may match" —
+  * pruning is an optimization, never a correctness gate.
+  */
+object FileStats {
+
+  /** Longest string bound kept verbatim; longer strings get no stats (a
+    * truncated max is unsound without the increment-last-char trick). */
+  val MaxStringBound = 64
+
+  def supported(dt: DataType): Boolean = dt match {
+    case _: ByteType | _: ShortType | _: IntegerType | _: LongType |
+         _: FloatType | _: DoubleType | _: DecimalType | _: BooleanType |
+         _: DateType | _: TimestampType | _: TimestampNTZType |
+         _: StringType => true
+    case _ => false
+  }
+
+  /** Canonical string encoding of a (non-null) Scala/Java value of type
+    * `dt`; None when the value cannot be soundly encoded (NaN/Inf, long
+    * strings). */
+  def encode(v: Any, dt: DataType): Option[String] = dt match {
+    case _: ByteType | _: ShortType | _: IntegerType | _: LongType =>
+      Some(v.asInstanceOf[Number].longValue().toString)
+    case _: FloatType | _: DoubleType =>
+      val d = v.asInstanceOf[Number].doubleValue()
+      if (d.isNaN || d.isInfinite) None else Some(d.toString)
+    case _: DecimalType => Some(v.toString)
+    case _: BooleanType => Some(if (v.asInstanceOf[Boolean]) "1" else "0")
+    case _: DateType => v match {
+      case d: java.sql.Date => Some(d.toLocalDate.toEpochDay.toString)
+      case d: java.time.LocalDate => Some(d.toEpochDay.toString)
+      case _ => None
+    }
+    case _: TimestampType => v match {
+      case t: java.sql.Timestamp =>
+        Some((math.multiplyExact(t.getTime / 1000L, 1000000L) +
+          t.getNanos / 1000L).toString)
+      case t: java.time.Instant =>
+        Some((math.multiplyExact(t.getEpochSecond, 1000000L) +
+          t.getNano / 1000L).toString)
+      case _ => None
+    }
+    case _: TimestampNTZType => v match {
+      case t: java.time.LocalDateTime =>
+        val i = t.toInstant(java.time.ZoneOffset.UTC)
+        Some((math.multiplyExact(i.getEpochSecond, 1000000L) +
+          i.getNano / 1000L).toString)
+      case _ => None
+    }
+    case _: StringType =>
+      val s = v.asInstanceOf[String]
+      if (s.length <= MaxStringBound) Some(s) else None
+    case _ => None
+  }
+
+  private def compare(a: String, b: String, dt: DataType): Int = dt match {
+    case _: StringType => a.compareTo(b)
+    case _ => BigDecimal(a).compare(BigDecimal(b))
+  }
+
+  /** Could a file with bounds `cs` contain a value in [lo, hi]? (None bound
+    * = unbounded on that side; absent file bounds = may match.) */
+  def mayOverlap(cs: ColumnStats, dt: DataType,
+                 lo: Option[String], hi: Option[String],
+                 loInclusive: Boolean = true, hiInclusive: Boolean = true): Boolean = {
+    if (cs.min.isEmpty && cs.max.isEmpty)
+      // no value bounds: either stats were unencodable (may match) or the
+      // file is all-null in this column (cannot match a range predicate)
+      return !(cs.nullCount >= 0 && cs.nullCount == cs.valueCount)
+    val aboveLo = (lo, cs.max) match {
+      case (Some(l), Some(fmax)) =>
+        val c = compare(fmax, l, dt); if (loInclusive) c >= 0 else c > 0
+      case _ => true
+    }
+    val belowHi = (hi, cs.min) match {
+      case (Some(h), Some(fmin)) =>
+        val c = compare(fmin, h, dt); if (hiInclusive) c <= 0 else c < 0
+      case _ => true
+    }
+    aboveLo && belowHi
+  }
+
+  /** Could any of the (encoded) point values occur in the file? */
+  def mayContainAny(cs: ColumnStats, dt: DataType, values: Seq[String]): Boolean =
+    values.exists(v => mayOverlap(cs, dt, Some(v), Some(v)))
+}

@@ -69,14 +69,18 @@ final class LakeTable private (spark: SparkSession, val location: String) {
 
   /** Time travel: table contents AS OF a retained snapshot id (complete
     * file-list snapshots make this a plain read of that snapshot's files;
-    * expired snapshots raise). */
+    * expired snapshots raise). Reads with the snapshot-time schema —
+    * columns added by later evolution do NOT appear (Iceberg semantics);
+    * pre-stats metadata without a stored snapshot schema falls back to the
+    * current schema. */
   def readAt(snapshotId: Long): DataFrame = {
     val meta = metadata
     val snap = meta.snapshots.find(_.id == snapshotId).getOrElse(
       throw new IllegalArgumentException(
         s"Snapshot $snapshotId not found (retained: ${meta.snapshots.map(_.id).mkString(", ")})"))
-    readWithPartitions(meta.copy(currentSnapshotId = snap.id))
-      .select(meta.schema.fieldNames.map(col).toIndexedSeq: _*)
+    val snapSchema = snap.schema.getOrElse(meta.schema)
+    readWithPartitions(meta.copy(schema = snapSchema, currentSnapshotId = snap.id))
+      .select(snapSchema.fieldNames.map(col).toIndexedSeq: _*)
   }
 
   private def readWithPartitions(meta: TableMetadata): DataFrame = {
@@ -86,7 +90,7 @@ final class LakeTable private (spark: SparkSession, val location: String) {
         derivedType(p, meta.schema), nullable = true)
     }
     val fullSchema = StructType(meta.schema.fields ++ derivedFields)
-    val files = meta.currentSnapshot.map(_.files).getOrElse(Nil)
+    val files = meta.currentSnapshot.map(_.paths).getOrElse(Nil)
     if (files.isEmpty) {
       return spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         fullSchema)
@@ -259,16 +263,71 @@ final class LakeTable private (spark: SparkSession, val location: String) {
         throw e
     }
 
-    val newFiles = listParquet(Paths.get(location, snapRel))
-      .map(p => Paths.get(location).relativize(p).toString)
+    val newFiles = newFileEntries(snapRel, meta)
     val oldFiles =
       if (keepExisting) meta.currentSnapshot.map(_.files).getOrElse(Nil) else Nil
-    val snap = Snapshot(snapId, System.currentTimeMillis(), op, oldFiles ++ newFiles)
+    val snap = Snapshot(snapId, System.currentTimeMillis(), op,
+      oldFiles ++ newFiles, Some(meta.schema.json))
     commit(metadata.copy( // re-read: evolveIfNeeded may have bumped version
       snapshots = metadata.snapshots :+ snap,
       currentSnapshotId = snapId,
       properties = metadata.properties ++ properties))
   }
+
+  /** Manifest entries for the files just written under `snapRel`: partition
+    * values parsed from the Hive-style directory names, plus per-column
+    * min/max/null-count bounds collected in ONE Spark job over the delta
+    * (grouped by `input_file_name`) — O(delta), never O(table). These bounds
+    * are what lets `merge` rewrite only touched files and lets scans skip
+    * files whose range can't match a filter (Iceberg-manifest economics). */
+  private def newFileEntries(snapRel: String, meta: TableMetadata): Seq[DataFile] = {
+    val paths = listParquet(Paths.get(location, snapRel))
+    val rels = paths.map(p => Paths.get(location).relativize(p).toString)
+    if (paths.isEmpty) return Nil
+    val partByRel = rels.map(r => r -> partitionValuesOf(r)).toMap
+    // columns physically present in the files: the data schema minus
+    // identity-partitioned columns (those live in directory names)
+    val partFieldNames = meta.partitionSpec.map(_.fieldName).toSet
+    val fileFields = meta.schema.fields.filterNot(f => partFieldNames.contains(f.name))
+    val statable = fileFields.filter(f => FileStats.supported(f.dataType)).toSeq
+    val df = spark.read.schema(StructType(fileFields))
+      .parquet(paths.map(_.toString): _*)
+    val aggs = count(lit(1)).as("__n") +: statable.zipWithIndex.flatMap { case (f, i) =>
+      Seq(min(col(f.name)).as(s"__min_$i"), max(col(f.name)).as(s"__max_$i"),
+        sum(col(f.name).isNull.cast("long")).as(s"__null_$i"))
+    }
+    val rows = df.groupBy(input_file_name().as("__f"))
+      .agg(aggs.head, aggs.tail: _*).collect()
+    val statsByRel = rows.flatMap { r =>
+      val uri = r.getString(0)
+      val decoded = try new java.net.URI(uri).getPath catch { case _: Exception => uri }
+      rels.find(rel => uri.endsWith("/" + rel) || decoded.endsWith("/" + rel)).map { rel =>
+        val n = r.getLong(1)
+        val stats = statable.zipWithIndex.map { case (f, i) =>
+          val mn = Option(r.get(2 + 3 * i)).flatMap(FileStats.encode(_, f.dataType))
+          val mx = Option(r.get(3 + 3 * i)).flatMap(FileStats.encode(_, f.dataType))
+          f.name -> ColumnStats(mn, mx, r.getLong(4 + 3 * i), n)
+        }.toMap
+        rel -> (n, stats)
+      }
+    }.toMap
+    rels.map { rel =>
+      statsByRel.get(rel) match {
+        case Some((n, stats)) => DataFile(rel, n, partByRel(rel), stats)
+        case None => DataFile(rel, -1L, partByRel(rel)) // unmatched: no bounds
+      }
+    }
+  }
+
+  /** Hive-style partition values from a file's relative path
+    * (`data/snap-N/col=value/...`); `__HIVE_DEFAULT_PARTITION__` is null. */
+  private def partitionValuesOf(rel: String): Map[String, Option[String]] =
+    rel.split("/").dropRight(1).filter(_.contains("=")).map { seg =>
+      val eq = seg.indexOf('=')
+      val name = unescapePathName(seg.substring(0, eq))
+      val raw = unescapePathName(seg.substring(eq + 1))
+      name -> (if (raw == "__HIVE_DEFAULT_PARTITION__") None else Some(raw))
+    }.toMap
 
   // ---- maintenance (R9) ---------------------------------------------
 
@@ -295,7 +354,7 @@ final class LakeTable private (spark: SparkSession, val location: String) {
   /** Delete data files not referenced by any retained snapshot. */
   def removeOrphanFiles(): Seq[String] = {
     val meta = metadata
-    val referenced = meta.snapshots.flatMap(_.files).toSet
+    val referenced = meta.snapshots.flatMap(_.paths).toSet
     if (!Files.exists(dataDir)) return Nil
     val all = listParquet(dataDir).map(p => Paths.get(location).relativize(p).toString)
     val orphans = all.filterNot(referenced.contains)
@@ -307,6 +366,22 @@ final class LakeTable private (spark: SparkSession, val location: String) {
 object LakeTable {
   /** Marker threaded through the in-plan duplicate-merge-key guard. */
   private[tables] val DupMarker = "Duplicate rows in merge source"
+
+  /** Reverse of Spark/Hive partition-path escaping (%XX sequences). */
+  private[tables] def unescapePathName(s: String): String = {
+    if (!s.contains('%')) return s
+    val sb = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '%' && i + 2 < s.length) {
+        val hex = s.substring(i + 1, i + 3)
+        try { sb.append(Integer.parseInt(hex, 16).toChar); i += 3 }
+        catch { case _: NumberFormatException => sb.append(c); i += 1 }
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
 
   private[tables] def deleteRecursively(p: Path): Unit = {
     if (!Files.exists(p)) return

@@ -4,9 +4,35 @@ import org.apache.spark.sql.types.{DataType, StructType}
 import org.json4s._
 import org.json4s.jackson.JsonMethods
 
+/** Column bounds for one data file: canonical-string min/max (see
+  * [[FileStats]]), the file's null count for the column, and the file row
+  * count (so an all-null column is distinguishable from missing stats).
+  * min/max both None with nullCount == valueCount means all-null; both None
+  * with nullCount < valueCount means the bounds were unencodable. */
+final case class ColumnStats(
+    min: Option[String],
+    max: Option[String],
+    nullCount: Long,
+    valueCount: Long)
+
+/** One data file of a snapshot: path relative to the table location, row
+  * count, Hive-style partition values parsed from its directory names
+  * (None = null partition value), and per-column bounds — the manifest
+  * entry that lets merges and scans touch only files that can contain
+  * matching keys (Iceberg manifests' role for PyIceberg's upsert and
+  * `row_filter` scans). Files from pre-stats metadata parse with rowCount
+  * -1 and empty stats: never prunable, always readable. */
+final case class DataFile(
+    path: String,
+    rowCount: Long = -1L,
+    partitionValues: Map[String, Option[String]] = Map.empty,
+    stats: Map[String, ColumnStats] = Map.empty)
+
 /** One committed snapshot: an operation plus the complete list of data files
   * (relative to the table location) that make up the table AFTER this
-  * snapshot. Complete-file-list snapshots make every commit a simple atomic
+  * snapshot, and the table schema AT this snapshot (so time travel reads a
+  * snapshot with its own schema, like Iceberg's schema-id per snapshot).
+  * Complete-file-list snapshots make every commit a simple atomic
   * metadata swap and give time travel / expiry / orphan GC for free.
   * Mirrors the role of Iceberg snapshots used by the reference
   * (pyiceberg transactions in `elt-common/src/elt_common/iceberg/io.py:92-113`). */
@@ -14,7 +40,12 @@ final case class Snapshot(
     id: Long,
     timestampMs: Long,
     operation: String, // append | replace | merge | compact
-    files: Seq[String])
+    files: Seq[DataFile],
+    schemaJson: Option[String] = None) {
+  def paths: Seq[String] = files.map(_.path)
+  def schema: Option[StructType] =
+    schemaJson.map(DataType.fromJson(_).asInstanceOf[StructType])
+}
 
 final case class PartitionField(column: String, transform: String) {
   def parsed: PartitionTransform = PartitionTransform.parse(transform)
@@ -43,6 +74,21 @@ final case class TableMetadata(
   def currentSnapshot: Option[Snapshot] = snapshots.find(_.id == currentSnapshotId)
 
   def toJson: String = {
+    def fileJson(f: DataFile): JValue =
+      JObject(List(
+        "path" -> JString(f.path),
+        "rowCount" -> JInt(f.rowCount)) ++
+        (if (f.partitionValues.isEmpty) Nil
+         else List("partitionValues" -> JObject(f.partitionValues.toList.sortBy(_._1)
+           .map { case (k, v) => k -> v.map(JString(_)).getOrElse(JNull) }))) ++
+        (if (f.stats.isEmpty) Nil
+         else List("stats" -> JObject(f.stats.toList.sortBy(_._1).map { case (c, s) =>
+           c -> JObject(List(
+             "nullCount" -> JInt(s.nullCount),
+             "valueCount" -> JInt(s.valueCount)) ++
+             s.min.map(m => "min" -> JString(m)).toList ++
+             s.max.map(m => "max" -> JString(m)).toList)
+         }))))
     val j = JObject(
       "formatVersion" -> JInt(formatVersion),
       "schema" -> JsonMethods.parse(schema.json),
@@ -52,11 +98,12 @@ final case class TableMetadata(
         JObject("column" -> JString(s.column), "ascending" -> JBool(s.ascending)))),
       "identifierFields" -> JArray(identifierFields.toList.map(JString(_))),
       "properties" -> JObject(properties.toList.map { case (k, v) => k -> JString(v) }),
-      "snapshots" -> JArray(snapshots.toList.map(s => JObject(
+      "snapshots" -> JArray(snapshots.toList.map(s => JObject(List(
         "id" -> JInt(s.id),
         "timestampMs" -> JInt(s.timestampMs),
         "operation" -> JString(s.operation),
-        "files" -> JArray(s.files.toList.map(JString(_)))))),
+        "files" -> JArray(s.files.toList.map(fileJson))) ++
+        s.schemaJson.map(sj => "schema" -> JsonMethods.parse(sj)).toList))),
       "currentSnapshotId" -> JInt(currentSnapshotId))
     JsonMethods.pretty(JsonMethods.render(j))
   }
@@ -74,6 +121,11 @@ object TableMetadata {
   def fromJson(json: String): TableMetadata = {
     val j = JsonMethods.parse(json)
     def str(v: JValue): String = v match { case JString(s) => s; case other => other.values.toString }
+    def long(v: JValue): Long = v match {
+      case JInt(n) => n.toLong
+      case JLong(n) => n
+      case other => other.values.toString.toLong
+    }
     val schema = DataType.fromJson(JsonMethods.compact(JsonMethods.render(j \ "schema")))
       .asInstanceOf[StructType]
     val spec = (j \ "partitionSpec") match {
@@ -89,15 +141,39 @@ object TableMetadata {
       case JObject(fields) => fields.map { case (k, v) => k -> str(v) }.toMap
       case _ => Map.empty[String, String]
     }
+    def dataFile(v: JValue): DataFile = v match {
+      case JString(path) => DataFile(path) // pre-stats metadata: path only
+      case obj =>
+        val pvs = (obj \ "partitionValues") match {
+          case JObject(fields) => fields.map { case (k, pv) =>
+            k -> (pv match { case JNull => None; case s => Some(str(s)) })
+          }.toMap
+          case _ => Map.empty[String, Option[String]]
+        }
+        val stats = (obj \ "stats") match {
+          case JObject(fields) => fields.map { case (c, s) =>
+            c -> ColumnStats(
+              (s \ "min") match { case JString(m) => Some(m); case _ => None },
+              (s \ "max") match { case JString(m) => Some(m); case _ => None },
+              long(s \ "nullCount"), long(s \ "valueCount"))
+          }.toMap
+          case _ => Map.empty[String, ColumnStats]
+        }
+        DataFile(str(obj \ "path"), long(obj \ "rowCount"), pvs, stats)
+    }
     val snaps = (j \ "snapshots") match {
       case JArray(items) => items.map { i =>
         Snapshot(
-          (i \ "id").asInstanceOf[JInt].num.toLong,
-          (i \ "timestampMs").asInstanceOf[JInt].num.toLong,
+          long(i \ "id"),
+          long(i \ "timestampMs"),
           str(i \ "operation"),
           (i \ "files") match {
-            case JArray(fs) => fs.map(str)
+            case JArray(fs) => fs.map(dataFile)
             case _ => Nil
+          },
+          (i \ "schema") match {
+            case JNothing | JNull => None
+            case s => Some(JsonMethods.compact(JsonMethods.render(s)))
           })
       }
       case _ => Nil
@@ -109,7 +185,7 @@ object TableMetadata {
     TableMetadata(
       (j \ "formatVersion").asInstanceOf[JInt].num.toInt,
       schema, spec, sort, props, snaps,
-      (j \ "currentSnapshotId").asInstanceOf[JInt].num.toLong,
+      long(j \ "currentSnapshotId"),
       idFields)
   }
 }

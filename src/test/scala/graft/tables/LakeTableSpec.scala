@@ -71,6 +71,53 @@ class LakeTableSpec extends AnyFunSuite with SparkSpec {
     intercept[IllegalArgumentException](LakeTable.load(spark, loc).readAt(snap1))
   }
 
+  test("snapshot manifests carry per-file bounds, null counts and partition values") {
+    val loc = tmpDir("lt_stats")
+    val df1 = Seq((1L, Some("a"), "x"), (3L, None, "x")).toDF("id", "name", "grp")
+    val t = LakeTable.ensure(spark, loc, df1.schema,
+      partitionSpec = Seq(PartitionField("grp", "identity")))
+    t.write(df1.coalesce(1), "append")
+    t.write(Seq((10L, Some("z"), "y")).toDF("id", "name", "grp").coalesce(1), "append")
+
+    val files = t.metadata.currentSnapshot.get.files.sortBy(f => f.stats("id").min.get.toLong)
+    assert(files.size == 2 && files.forall(_.rowCount > 0))
+    val f1 = files.head
+    assert(f1.stats("id") == ColumnStats(Some("1"), Some("3"), 0L, 2L))
+    assert(f1.stats("name") == ColumnStats(Some("a"), Some("a"), 1L, 2L))
+    // identity-partitioned column lives in the directory, not the file
+    assert(!f1.stats.contains("grp") && f1.partitionValues("grp") == Some("x"))
+    assert(files(1).stats("id") == ColumnStats(Some("10"), Some("10"), 0L, 1L))
+    assert(files(1).partitionValues("grp") == Some("y"))
+    // bounds survive the JSON round trip
+    val reread = TableMetadata.fromJson(t.metadata.toJson)
+    assert(reread.currentSnapshot.get.files.map(_.stats).toSet == files.map(_.stats).toSet)
+  }
+
+  test("pre-stats metadata with plain string file lists still parses") {
+    val schema = Seq((1L, "a")).toDF("id", "name").schema
+    val legacy = """{"formatVersion":1,"schema":""" + schema.json + """,
+      "partitionSpec":[],"sortOrder":[],"identifierFields":[],"properties":{},
+      "snapshots":[{"id":0,"timestampMs":5,"operation":"append",
+        "files":["data/snap-0/part-0.parquet"]}],
+      "currentSnapshotId":0}"""
+    val meta = TableMetadata.fromJson(legacy)
+    val f = meta.currentSnapshot.get.files.head
+    assert(f == DataFile("data/snap-0/part-0.parquet"))
+    assert(meta.currentSnapshot.get.schemaJson.isEmpty)
+  }
+
+  test("time travel reads a snapshot with its snapshot-time schema") {
+    val loc = tmpDir("lt_tt_schema")
+    val t = LakeTable.ensure(spark, loc, Seq((1L, "a")).toDF("id", "name").schema)
+    t.write(Seq((1L, "a")).toDF("id", "name"), "append")
+    val snap1 = t.metadata.currentSnapshotId
+    // evolution adds a column AFTER snap1
+    t.write(Seq((2L, "b", 7.5)).toDF("id", "name", "score"), "append")
+    assert(t.read().columns.toSeq == Seq("id", "name", "score"))
+    // snapshot-time schema: no null-filled 'score' column in time travel
+    assert(t.readAt(snap1).columns.toSeq == Seq("id", "name"))
+  }
+
   test("merge with a wider source evolves the schema then upserts") {
     val loc = tmpDir("lt_merge_evolve")
     val df1 = Seq((1L, "a"), (2L, "b")).toDF("id", "name")
@@ -217,7 +264,7 @@ class LakeTableSpec extends AnyFunSuite with SparkSpec {
     val t = LakeTable.ensure(spark, loc, df.schema,
       sortOrder = Seq(SortField("id", ascending = true)))
     t.write(df.coalesce(1), "append")
-    val file = LakeTable.load(spark, loc).metadata.currentSnapshot.get.files.head
+    val file = LakeTable.load(spark, loc).metadata.currentSnapshot.get.files.head.path
     val rows = spark.read.parquet(s"$loc/$file").select("id").as[Long].collect()
     assert(rows.toSeq == Seq(1L, 2L, 3L))
   }

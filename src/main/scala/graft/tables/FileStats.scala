@@ -97,4 +97,34 @@ object FileStats {
   /** Could any of the (encoded) point values occur in the file? */
   def mayContainAny(cs: ColumnStats, dt: DataType, values: Seq[String]): Boolean =
     values.exists(v => mayOverlap(cs, dt, Some(v), Some(v)))
+
+  /** Source-side key bounds for a merge: the encoded min/max of the
+    * non-null key values plus whether nulls occur (merge keys are null-safe
+    * equal). `unknown` bounds (unsupported type, unencodable values) match
+    * every file. */
+  final case class KeyBounds(dt: DataType, lo: Option[String], hi: Option[String],
+                             hasNull: Boolean, unknown: Boolean)
+
+  /** Does a file possibly contain any row whose key columns null-safe-match
+    * some source row? Per column: range overlap with the source's [lo, hi],
+    * OR both sides have nulls, OR either side's bounds are unknown. A file
+    * must pass EVERY key column to be touched (per-column independence is a
+    * conservative over-approximation of the conjunctive key match). */
+  def touches(file: DataFile, bounds: Map[String, KeyBounds]): Boolean =
+    bounds.forall { case (c, kb) =>
+      if (kb.unknown) true
+      else file.stats.get(c) match {
+        case None => true // legacy manifest entry: no bounds, must rewrite
+        case Some(cs) =>
+          val hasValues = kb.lo.isDefined || kb.hi.isDefined
+          (hasValues && mayOverlap(cs, kb.dt, kb.lo, kb.hi)) ||
+            (kb.hasNull && cs.nullCount != 0)
+      }
+    }
+
+  /** Split a snapshot's files into (touched, untouched) by the source key
+    * bounds — the copy-on-write planning step. */
+  def splitTouched(files: Seq[DataFile],
+                   bounds: Map[String, KeyBounds]): (Seq[DataFile], Seq[DataFile]) =
+    files.partition(touches(_, bounds))
 }

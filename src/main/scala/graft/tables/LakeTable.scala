@@ -83,14 +83,15 @@ final class LakeTable private (spark: SparkSession, val location: String) {
       .select(snapSchema.fieldNames.map(col).toIndexedSeq: _*)
   }
 
-  private def readWithPartitions(meta: TableMetadata): DataFrame = {
+  private def readWithPartitions(meta: TableMetadata,
+                                 filesOverride: Option[Seq[String]] = None): DataFrame = {
     val derived = meta.partitionSpec.filterNot(_.parsed == PartitionTransform.Identity)
     val derivedFields = derived.map { p =>
       org.apache.spark.sql.types.StructField(p.fieldName,
         derivedType(p, meta.schema), nullable = true)
     }
     val fullSchema = StructType(meta.schema.fields ++ derivedFields)
-    val files = meta.currentSnapshot.map(_.paths).getOrElse(Nil)
+    val files = filesOverride.getOrElse(meta.currentSnapshot.map(_.paths).getOrElse(Nil))
     if (files.isEmpty) {
       return spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         fullSchema)
@@ -171,42 +172,86 @@ final class LakeTable private (spark: SparkSession, val location: String) {
 
   /** Upsert: matched rows (null-safe key equality) take ALL columns from the
     * new data; unmatched new rows are inserted; unmatched existing rows are
-    * kept. Full-outer-join rewrite of PyIceberg's
-    * `upsert(when_matched_update_all, when_not_matched_insert_all)`
-    * (`io.py:95-106`). */
+    * kept — PyIceberg's `upsert(when_matched_update_all,
+    * when_not_matched_insert_all)` (`io.py:95-106`).
+    *
+    * Copy-on-write on touched files only: the source's key bounds (one
+    * O(delta) agg job) intersect each manifest entry's column bounds; files
+    * that cannot contain a matched key are carried into the new snapshot
+    * VERBATIM, and the full-outer-join rewrite reads only the touched
+    * files. A small delta into a large table costs O(delta + touched), not
+    * O(table) — Iceberg's upsert cost model (data files without matched
+    * keys are never rewritten). */
   def merge(df: DataFrame, keys: Seq[String],
             properties: Map[String, String] = Map.empty): Unit = {
     val meta = evolveIfNeeded(df.schema)
-    // PyIceberg upsert rejects duplicate join-column rows in the source —
-    // a silent full-outer-join row multiplication would corrupt the table
-    // (SURVEY §7.4 risk 1). The check is folded into the merge pass itself:
-    // a window count over the merge keys (whose exchange the join reuses —
-    // both shuffle on the same keys) feeds an in-plan guard, so the source
-    // is NOT scanned by a separate detection job. The guard trips inside
-    // the write job, before any metadata commit.
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(keys.map(col).toIndexedSeq: _*)
-    val aligned = alignTo(df, meta.schema)
-      .withColumn("__is_src", lit(1))
-      .withColumn("__src_cnt", count(lit(1)).over(w))
-    val target = read()
-    val cond = keys.map(k => target(k) <=> aligned(k)).reduce(_ && _)
-    val dupMsg = s"$DupMarker for key(s) ${keys.mkString(", ")}"
-    val merged = target.join(aligned, cond, "full_outer")
-      .select(meta.schema.fieldNames.zipWithIndex.map { case (c, i) =>
-        val value = when(aligned("__is_src").isNotNull, aligned(c))
-          .otherwise(target(c))
-        // guard rides on the first output column so pruning can't drop it
-        (if (i == 0) when(aligned("__src_cnt") > 1, raise_error(lit(dupMsg)))
-          .otherwise(value) else value).as(c)
-      }.toIndexedSeq: _*)
-    try commitData(merged, "merge", keepExisting = false, properties,
-      preEvolved = Some(meta))
-    catch {
-      case e: Throwable if causeChain(e).exists(
-          m => m != null && m.contains(DupMarker)) =>
-        throw new IllegalArgumentException(dupMsg)
-    }
+    // Persisted: the source plan feeds the bounds job AND the merge join,
+    // and extractor plans can be expensive to recompute.
+    val alignedSrc = alignTo(df, meta.schema)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val bounds = sourceKeyBounds(alignedSrc, meta.schema, keys)
+      val (touched, untouched) = FileStats.splitTouched(
+        meta.currentSnapshot.map(_.files).getOrElse(Nil), bounds)
+
+      // PyIceberg upsert rejects duplicate join-column rows in the source —
+      // a silent full-outer-join row multiplication would corrupt the table
+      // (SURVEY §7.4 risk 1). The check is folded into the merge pass itself:
+      // a window count over the merge keys (whose exchange the join reuses —
+      // both shuffle on the same keys) feeds an in-plan guard, so the source
+      // is NOT scanned by a separate detection job. The guard trips inside
+      // the write job, before any metadata commit.
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(keys.map(col).toIndexedSeq: _*)
+      val aligned = alignedSrc
+        .withColumn("__is_src", lit(1))
+        .withColumn("__src_cnt", count(lit(1)).over(w))
+      val target = readWithPartitions(meta, Some(touched.map(_.path)))
+        .select(meta.schema.fieldNames.map(col).toIndexedSeq: _*)
+      val cond = keys.map(k => target(k) <=> aligned(k)).reduce(_ && _)
+      val dupMsg = s"$DupMarker for key(s) ${keys.mkString(", ")}"
+      val merged = target.join(aligned, cond, "full_outer")
+        .select(meta.schema.fieldNames.zipWithIndex.map { case (c, i) =>
+          val value = when(aligned("__is_src").isNotNull, aligned(c))
+            .otherwise(target(c))
+          // guard rides on the first output column so pruning can't drop it
+          (if (i == 0) when(aligned("__src_cnt") > 1, raise_error(lit(dupMsg)))
+            .otherwise(value) else value).as(c)
+        }.toIndexedSeq: _*)
+      try commitData(merged, "merge", keepExisting = false, properties,
+        preEvolved = Some(meta), carryFiles = untouched)
+      catch {
+        case e: Throwable if causeChain(e).exists(
+            m => m != null && m.contains(DupMarker)) =>
+          throw new IllegalArgumentException(dupMsg)
+      }
+    } finally alignedSrc.unpersist()
+  }
+
+  /** Encoded min/max/has-null of each merge-key column over the source —
+    * the probe side of the touched-file split. Bounds become `unknown`
+    * (match everything) for unsupported types or unencodable values. */
+  private def sourceKeyBounds(src: DataFrame, schema: StructType,
+                              keys: Seq[String]): Map[String, FileStats.KeyBounds] = {
+    val aggs = keys.flatMap(k => Seq(min(col(k)).as(s"__min_$k"),
+      max(col(k)).as(s"__max_$k"), sum(col(k).isNull.cast("long")).as(s"__null_$k")))
+    val row = src.agg(aggs.head, aggs.tail: _*).head()
+    keys.zipWithIndex.map { case (k, i) =>
+      val dt = schema(k).dataType
+      if (!FileStats.supported(dt))
+        k -> FileStats.KeyBounds(dt, None, None, hasNull = false, unknown = true)
+      else {
+        val mnRaw = row.get(3 * i)
+        val mxRaw = row.get(3 * i + 1)
+        val mn = Option(mnRaw).flatMap(FileStats.encode(_, dt))
+        val mx = Option(mxRaw).flatMap(FileStats.encode(_, dt))
+        // a non-null value that failed to encode leaves the true range
+        // unknowable -> never prune on this column
+        val unknown = (mnRaw != null && mn.isEmpty) || (mxRaw != null && mx.isEmpty)
+        val nulls = if (row.isNullAt(3 * i + 2)) 0L else row.getLong(3 * i + 2)
+        k -> FileStats.KeyBounds(dt, mn, mx, hasNull = nulls > 0, unknown = unknown)
+      }
+    }.toMap
   }
 
   private def causeChain(e: Throwable): Seq[String] =
@@ -233,7 +278,8 @@ final class LakeTable private (spark: SparkSession, val location: String) {
 
   private def commitData(df: DataFrame, op: String, keepExisting: Boolean,
                          properties: Map[String, String],
-                         preEvolved: Option[TableMetadata] = None): Unit = {
+                         preEvolved: Option[TableMetadata] = None,
+                         carryFiles: Seq[DataFile] = Nil): Unit = {
     val meta = preEvolved.getOrElse(evolveIfNeeded(df.schema))
     val snapId = meta.currentSnapshotId + 1
     val snapRel = s"data/snap-$snapId"
@@ -266,8 +312,10 @@ final class LakeTable private (spark: SparkSession, val location: String) {
     val newFiles = newFileEntries(snapRel, meta)
     val oldFiles =
       if (keepExisting) meta.currentSnapshot.map(_.files).getOrElse(Nil) else Nil
+    // carryFiles: untouched files a copy-on-write merge carries forward
+    // verbatim (manifest entries, bounds and all)
     val snap = Snapshot(snapId, System.currentTimeMillis(), op,
-      oldFiles ++ newFiles, Some(meta.schema.json))
+      carryFiles ++ oldFiles ++ newFiles, Some(meta.schema.json))
     commit(metadata.copy( // re-read: evolveIfNeeded may have bumped version
       snapshots = metadata.snapshots :+ snap,
       currentSnapshotId = snapId,

@@ -118,6 +118,60 @@ class LakeTableSpec extends AnyFunSuite with SparkSpec {
     assert(t.readAt(snap1).columns.toSeq == Seq("id", "name"))
   }
 
+  test("touched-file split semantics: overlap, nulls, unknown and legacy entries") {
+    import FileStats._
+    val dt = org.apache.spark.sql.types.LongType
+    val f = DataFile("f", 10, Map.empty, Map("id" -> ColumnStats(Some("100"), Some("200"), 0, 10)))
+    val fNulls = DataFile("g", 10, Map.empty, Map("id" -> ColumnStats(Some("100"), Some("200"), 3, 10)))
+    val fAllNull = DataFile("n", 10, Map.empty, Map("id" -> ColumnStats(None, None, 10, 10)))
+    val legacy = DataFile("h")
+    def kb(lo: Long, hi: Long, hasNull: Boolean = false) =
+      Map("id" -> KeyBounds(dt, Some(lo.toString), Some(hi.toString), hasNull, unknown = false))
+    assert(touches(f, kb(150, 300)) && touches(f, kb(200, 200)) && touches(f, kb(1, 100)))
+    assert(!touches(f, kb(201, 300)) && !touches(f, kb(1, 99)))
+    // null-safe keys: a null-bearing source touches only null-bearing files
+    assert(!touches(f, kb(300, 400, hasNull = true)))
+    assert(touches(fNulls, kb(300, 400, hasNull = true)))
+    assert(!touches(fAllNull, kb(1, 1000)))
+    assert(touches(fAllNull, Map("id" -> KeyBounds(dt, None, None, hasNull = true, unknown = false))))
+    // unknown bounds or legacy (stats-less) entries always rewrite
+    assert(touches(f, Map("id" -> KeyBounds(dt, None, None, hasNull = false, unknown = true))))
+    assert(touches(legacy, kb(300, 400)))
+    // every key column must admit a match
+    val g = DataFile("m", 10, Map.empty, Map(
+      "id" -> ColumnStats(Some("100"), Some("200"), 0, 10),
+      "k2" -> ColumnStats(Some("5"), Some("6"), 0, 10)))
+    val both = kb(150, 160) + ("k2" -> KeyBounds(dt, Some("7"), Some("9"), false, false))
+    assert(!touches(g, both))
+  }
+
+  test("merge rewrites only files that can contain matched keys (copy-on-write)") {
+    val loc = tmpDir("lt_cow")
+    def batch(ids: Range, v: String) = ids.map(i => (i.toLong, v)).toDF("id", "name")
+    val t = LakeTable.ensure(spark, loc, batch(1 to 2, "x").schema,
+      identifierFields = Seq("id"))
+    t.write(batch(1 to 10, "a").coalesce(1), "append")
+    t.write(batch(11 to 20, "b").coalesce(1), "append")
+    t.write(batch(21 to 30, "c").coalesce(1), "append")
+    val before = t.metadata.currentSnapshot.get.files
+    assert(before.size == 3)
+    def fileWithMin(m: String) = before.find(_.stats("id").min.contains(m)).get
+    val (fa, fb, fc) = (fileWithMin("1"), fileWithMin("11"), fileWithMin("21"))
+
+    t.merge(Seq((11L, "B2"), (19L, "B19")).toDF("id", "name"), Seq("id"))
+
+    val after = t.metadata.currentSnapshot.get.files
+    // untouched files carried forward verbatim — same manifest paths
+    assert(after.map(_.path).contains(fa.path) && after.map(_.path).contains(fc.path))
+    assert(!after.map(_.path).contains(fb.path))
+    // rewritten data files live under the new snapshot dir only
+    assert(after.map(_.path).filterNot(Set(fa.path, fc.path)).forall(_.startsWith("data/snap-3")))
+    // semantics unchanged: updates applied, everything else intact
+    val rows = t.read().as[(Long, String)].collect().toMap
+    assert(rows.size == 30 && rows(11L) == "B2" && rows(19L) == "B19" &&
+      rows(12L) == "b" && rows(1L) == "a" && rows(30L) == "c")
+  }
+
   test("merge with a wider source evolves the schema then upserts") {
     val loc = tmpDir("lt_merge_evolve")
     val df1 = Seq((1L, "a"), (2L, "b")).toDF("id", "name")

@@ -23,6 +23,18 @@ import graft.tables.{LakeCatalog, LakeTable, PartitionField}
 object SparkEntry {
   import Tables.t
 
+  /** Register the `graftlake` SQL catalog once per session (Spark caches
+    * catalog instances by name, so the root is pinned at first use);
+    * queries isolate under their own namespace. */
+  private def sqlCatalogRoot(s: SparkSession): String = synchronized {
+    if (!s.conf.getOption("spark.sql.catalog.graftlake").isDefined) {
+      s.conf.set("spark.sql.catalog.graftlake", "graft.sql.LakeSparkCatalog")
+      s.conf.set("spark.sql.catalog.graftlake.root",
+        java.nio.file.Files.createTempDirectory("graft_sqlcat").toString)
+    }
+    s.conf.get("spark.sql.catalog.graftlake.root")
+  }
+
   /** Flagship: multi-way join + exact aggregation (SURVEY §2.5 Q12/Q14). */
   def entry(spark: SparkSession): DataFrame =
     queries("q12_join_multi")(spark, "/root/testdata/sf0.001")
@@ -409,6 +421,56 @@ object SparkEntry {
       table.write(o.select("o_orderkey", "o_orderstatus", "o_totalprice")
         .where(col("o_orderkey") % 2 === 1), "append")
       table.read().orderBy("o_orderkey")
+    }),
+
+    // ---- SQL surface over lake tables (DSv2 catalog + relation rule) --
+    // The reference's consumption layer is SQL over the Iceberg catalog
+    // (dbt->Trino `transform/profiles.yml:1-16`, DuckDB attach
+    // `infra/scripts/duckdb-attach-lakehouses.sh`); these route reads and
+    // writes through `graft.sql.LakeSparkCatalog`.
+    "sql01_catalog_agg" -> ((s, dir) => {
+      val root = sqlCatalogRoot(s)
+      val o = t(s, dir, "orders")
+      LakeTable.ensure(s, s"$root/sql01/orders", o.schema).write(o, "replace")
+      s.sql(
+        """SELECT o_orderstatus, COUNT(*) AS cnt,
+          |  MIN(o_totalprice) AS min_price, MAX(o_totalprice) AS max_price
+          |FROM graftlake.sql01.orders
+          |WHERE o_orderdate >= timestamp'1997-01-01 00:00:00'
+          |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
+    }),
+
+    "sql02_catalog_join" -> ((s, dir) => {
+      val root = sqlCatalogRoot(s)
+      val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer")
+      LakeTable.ensure(s, s"$root/sql02/orders", o.schema).write(o, "replace")
+      LakeTable.ensure(s, s"$root/sql02/customer", c.schema).write(c, "replace")
+      s.sql(
+        """SELECT c.c_mktsegment, COUNT(*) AS cnt, MAX(o.o_totalprice) AS max_price
+          |FROM graftlake.sql02.orders o
+          |JOIN graftlake.sql02.customer c ON o.o_custkey = c.c_custkey
+          |WHERE c.c_acctbal > 0
+          |GROUP BY c.c_mktsegment ORDER BY c_mktsegment""".stripMargin)
+    }),
+
+    "sql03_sql_insert" -> ((s, dir) => {
+      val root = sqlCatalogRoot(s)
+      val o = t(s, dir, "orders")
+      // idempotent across runs: recreate the target table each time
+      LakeTable.deleteRecursively(java.nio.file.Paths.get(s"$root/sql03"))
+      o.createOrReplaceTempView("orders_src_sql03")
+      s.sql("CREATE TABLE graftlake.sql03.orders_lite " +
+        "(o_orderkey BIGINT, o_orderstatus STRING, o_totalprice DOUBLE)")
+      // transactional append through the commit protocol (V1 write fallback)
+      s.sql("INSERT INTO graftlake.sql03.orders_lite " +
+        "SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders_src_sql03 " +
+        "WHERE o_orderkey % 4 = 0")
+      s.sql("INSERT INTO graftlake.sql03.orders_lite " +
+        "SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders_src_sql03 " +
+        "WHERE o_orderkey % 4 = 1")
+      s.sql("SELECT o_orderkey, o_orderstatus, o_totalprice " +
+        "FROM graftlake.sql03.orders_lite ORDER BY o_orderkey")
     }),
 
     // ---- training-data pipeline: dedup --------------------------------
@@ -957,6 +1019,22 @@ object SparkEntry {
     "r03_incremental_ingest" ->
       """SELECT o_orderkey, CAST(o_orderdate AS DATE) AS order_date
          FROM orders ORDER BY o_orderkey""",
+
+    "sql01_catalog_agg" ->
+      """SELECT o_orderstatus, COUNT(*) AS cnt,
+           MIN(o_totalprice) AS min_price, MAX(o_totalprice) AS max_price
+         FROM orders WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+         GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+
+    "sql02_catalog_join" ->
+      """SELECT c.c_mktsegment, COUNT(*) AS cnt, MAX(o.o_totalprice) AS max_price
+         FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+         WHERE c.c_acctbal > 0
+         GROUP BY c.c_mktsegment ORDER BY c_mktsegment""",
+
+    "sql03_sql_insert" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+         WHERE o_orderkey % 4 IN (0, 1) ORDER BY o_orderkey""",
 
     "l06_evolve_schema" ->
       """SELECT o_orderkey, o_orderstatus, CAST(NULL AS DOUBLE) AS o_totalprice

@@ -102,5 +102,8 @@ class GraftSparkSessionExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_winnow"),
       new ExpressionInfo(classOf[WinnowExpression].getName, "graft_winnow"),
       (children: Seq[Expression]) => WinnowExpression(children.head)))
+    // SQL surface over lake tables: catalog reads of graft.sql.LakeSqlTable
+    // become manifest-backed file relations (see graft.sql.LakeRelationRule)
+    ext.injectResolutionRule(sp => new graft.sql.LakeRelationRule(sp))
   }
 }

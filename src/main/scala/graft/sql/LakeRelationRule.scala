@@ -1,0 +1,63 @@
+package graft.sql
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.AttributeReference
+import org.apache.spark.sql.catalyst.plans.logical.{DeleteFromTable, InsertIntoStatement, LogicalPlan, MergeIntoTable, UpdateTable, V2WriteCommand}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.LogicalRelation
+import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+
+import graft.tables.LakeTable
+
+/** Resolution rule: replace a catalog read of a [[LakeSqlTable]] with a
+  * `HadoopFsRelation` over the manifest-backed
+  * [[graft.tables.LakeFileIndex]], so SQL reads plan through the exact
+  * same scan as programmatic `LakeTable.read()` — ONE `FileSourceScanExec`
+  * with metadata partition pruning and manifest-bounds file skipping.
+  * (The same architecture Delta Lake uses for its Spark reads: a v2
+  * catalog resolves the table, an injected rule swaps in a file relation
+  * driven by the table format's own metadata.)
+  *
+  * Write targets are left untouched: `INSERT INTO` must stay a v2
+  * relation so it routes through the `V1_BATCH_WRITE` fallback into the
+  * transactional commit protocol — converting it here would let Spark's
+  * file-source insert write parquet straight into the directory,
+  * bypassing the snapshot log.
+  *
+  * The snapshot pinned at `loadTable` time (schema + files, carried on
+  * the [[LakeSqlTable]]) is what gets scanned — one statement, one
+  * consistent table version.
+  */
+final class LakeRelationRule(spark: SparkSession) extends Rule[LogicalPlan] {
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    // collect (by identity) relations that are write targets
+    val writeTargets = new java.util.IdentityHashMap[LogicalPlan, Unit]()
+    plan.foreach {
+      case i: InsertIntoStatement => writeTargets.put(i.table, ())
+      case w: V2WriteCommand => writeTargets.put(w.table, ())
+      case m: MergeIntoTable => writeTargets.put(m.targetTable, ())
+      case d: DeleteFromTable => writeTargets.put(d.table, ())
+      case u: UpdateTable => writeTargets.put(u.table, ())
+      case _ =>
+    }
+    plan.resolveOperators {
+      case r: DataSourceV2Relation if r.table.isInstanceOf[LakeSqlTable] &&
+          !writeTargets.containsKey(r) =>
+        val t = r.table.asInstanceOf[LakeSqlTable]
+        val lake = LakeTable.load(spark, t.location)
+        val files = t.meta.currentSnapshot.map(_.files).getOrElse(Nil)
+        val rel = lake.baseRelation(t.meta, files)
+        // relation layout is dataSchema ++ partitionSchema; reuse the v2
+        // relation's output attributes by NAME (parents already resolved
+        // against their exprIds), minting fresh ones only for derived
+        // partition columns the v2 schema does not expose
+        val byName = r.output.map(a => a.name -> a).toMap
+        val attrs = rel.schema.fields.toIndexedSeq.map { f =>
+          byName.getOrElse(f.name,
+            AttributeReference(f.name, f.dataType, nullable = true)())
+        }
+        LogicalRelation(rel, attrs, None, isStreaming = false, None)
+    }
+  }
+}

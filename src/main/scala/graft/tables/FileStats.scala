@@ -127,4 +127,123 @@ object FileStats {
   def splitTouched(files: Seq[DataFile],
                    bounds: Map[String, KeyBounds]): (Seq[DataFile], Seq[DataFile]) =
     files.partition(touches(_, bounds))
+
+  // ---- data-filter file skipping (scan planning) ----------------------
+
+  /** Canonical-string encoding of a CATALYST-INTERNAL value: internal
+    * date (epoch-day Int) and timestamp (epoch-micros Long) reps are
+    * already the canonical form, so only strings/booleans re-encode. */
+  def encodeInternal(v: Any, dt: DataType): Option[String] = dt match {
+    case _: ByteType | _: ShortType | _: IntegerType | _: LongType |
+         _: DateType | _: TimestampType | _: TimestampNTZType =>
+      Some(v.asInstanceOf[Number].longValue().toString)
+    case _: FloatType | _: DoubleType =>
+      val d = v.asInstanceOf[Number].doubleValue()
+      if (d.isNaN || d.isInfinite) None else Some(d.toString)
+    case _: DecimalType => Some(v.toString)
+    case _: BooleanType => Some(if (v.asInstanceOf[Boolean]) "1" else "0")
+    case _: StringType =>
+      val s = v.toString
+      if (s.length <= MaxStringBound) Some(s) else None
+    case _ => None
+  }
+
+  /** Could `file` contain a row matching the pushed-down data filter?
+    * Conservative three-valued logic over the manifest bounds — any shape
+    * or type this can't reason about answers "may match". This is the
+    * manifest-level skip PyIceberg's `row_filter` performs against
+    * Iceberg `lower_bounds`/`upper_bounds` (`pyiceberg.py:230-233`),
+    * applied BEFORE Spark ever lists or opens the file. */
+  def mayMatchExpr(e: org.apache.spark.sql.catalyst.expressions.Expression,
+                   file: DataFile, schema: StructType): Boolean = {
+    import org.apache.spark.sql.catalyst.expressions._
+    def colStats(c: String): Option[(ColumnStats, DataType)] = for {
+      fld <- schema.fields.find(_.name == c)
+      cs <- file.stats.get(c)
+      if supported(fld.dataType)
+    } yield (cs, fld.dataType)
+    // range check against the file bounds; unencodable value or absent
+    // stats -> may match
+    def range(c: String, v: Any, asLo: Boolean, asHi: Boolean,
+              inclusive: Boolean): Boolean =
+      colStats(c) match {
+        case None => true
+        case Some((cs, dt)) => encodeInternal(v, dt) match {
+          case None => true
+          case enc => mayOverlap(cs, dt,
+            if (asLo) enc else None, if (asHi) enc else None,
+            loInclusive = inclusive, hiInclusive = inclusive)
+        }
+      }
+    def nullCheck(c: String, wantNull: Boolean): Boolean = colStats(c) match {
+      case None => true
+      case Some((cs, _)) =>
+        if (wantNull) cs.nullCount != 0
+        else !(cs.valueCount >= 0 && cs.nullCount == cs.valueCount)
+    }
+    e match {
+      case And(l, r) => mayMatchExpr(l, file, schema) && mayMatchExpr(r, file, schema)
+      case Or(l, r) => mayMatchExpr(l, file, schema) || mayMatchExpr(r, file, schema)
+      case EqualTo(a: AttributeReference, Literal(v, _)) if v != null =>
+        range(a.name, v, asLo = true, asHi = true, inclusive = true)
+      case EqualTo(Literal(v, _), a: AttributeReference) if v != null =>
+        range(a.name, v, asLo = true, asHi = true, inclusive = true)
+      case EqualNullSafe(a: AttributeReference, Literal(v, _)) =>
+        if (v == null) nullCheck(a.name, wantNull = true)
+        else range(a.name, v, asLo = true, asHi = true, inclusive = true)
+      case EqualNullSafe(Literal(v, _), a: AttributeReference) =>
+        if (v == null) nullCheck(a.name, wantNull = true)
+        else range(a.name, v, asLo = true, asHi = true, inclusive = true)
+      case GreaterThan(a: AttributeReference, Literal(v, _)) if v != null =>
+        range(a.name, v, asLo = true, asHi = false, inclusive = false)
+      case GreaterThan(Literal(v, _), a: AttributeReference) if v != null =>
+        range(a.name, v, asLo = false, asHi = true, inclusive = false)
+      case GreaterThanOrEqual(a: AttributeReference, Literal(v, _)) if v != null =>
+        range(a.name, v, asLo = true, asHi = false, inclusive = true)
+      case GreaterThanOrEqual(Literal(v, _), a: AttributeReference) if v != null =>
+        range(a.name, v, asLo = false, asHi = true, inclusive = true)
+      case LessThan(a: AttributeReference, Literal(v, _)) if v != null =>
+        range(a.name, v, asLo = false, asHi = true, inclusive = false)
+      case LessThan(Literal(v, _), a: AttributeReference) if v != null =>
+        range(a.name, v, asLo = true, asHi = false, inclusive = false)
+      case LessThanOrEqual(a: AttributeReference, Literal(v, _)) if v != null =>
+        range(a.name, v, asLo = false, asHi = true, inclusive = true)
+      case LessThanOrEqual(Literal(v, _), a: AttributeReference) if v != null =>
+        range(a.name, v, asLo = true, asHi = false, inclusive = true)
+      case In(a: AttributeReference, list) if list.forall(_.isInstanceOf[Literal]) =>
+        // IN never matches on null elements; any unencodable -> may match
+        colStats(a.name) match {
+          case None => true
+          case Some((cs, dt)) =>
+            val vs = list.collect { case Literal(v, _) if v != null => v }
+            val enc = vs.map(encodeInternal(_, dt))
+            enc.exists(_.isEmpty) || mayContainAny(cs, dt, enc.flatten)
+        }
+      case InSet(a: AttributeReference, hset) =>
+        colStats(a.name) match {
+          case None => true
+          case Some((cs, dt)) =>
+            val vs = hset.toSeq.filter(_ != null)
+            val enc = vs.map(encodeInternal(_, dt))
+            enc.exists(_.isEmpty) || mayContainAny(cs, dt, enc.flatten)
+        }
+      case IsNull(a: AttributeReference) => nullCheck(a.name, wantNull = true)
+      case IsNotNull(a: AttributeReference) => nullCheck(a.name, wantNull = false)
+      case StartsWith(a: AttributeReference, Literal(p, _)) if p != null =>
+        // strings with prefix p lie in [p, nextPrefix(p)); nextPrefix
+        // increments the last char (bail to "may match" on overflow)
+        colStats(a.name) match {
+          case None => true
+          case Some((cs, dt)) =>
+            val s = p.toString
+            if (s.isEmpty || s.charAt(s.length - 1) == Char.MaxValue) true
+            else {
+              val next = s.substring(0, s.length - 1) +
+                (s.charAt(s.length - 1) + 1).toChar
+              mayOverlap(cs, dt, Some(s), Some(next), hiInclusive = false)
+            }
+        }
+      case _ => true // Not, Contains/EndsWith, casts, unknown: no pruning
+    }
+  }
 }

@@ -84,49 +84,36 @@ final class LakeTable private (spark: SparkSession, val location: String) {
   }
 
   private def readWithPartitions(meta: TableMetadata,
-                                 filesOverride: Option[Seq[String]] = None): DataFrame = {
+                                 filesOverride: Option[Seq[DataFile]] = None): DataFrame = {
     val derived = meta.partitionSpec.filterNot(_.parsed == PartitionTransform.Identity)
     val derivedFields = derived.map { p =>
       org.apache.spark.sql.types.StructField(p.fieldName,
-        derivedType(p, meta.schema), nullable = true)
+        LakeFileIndex.partitionType(p, meta.schema), nullable = true)
     }
     val fullSchema = StructType(meta.schema.fields ++ derivedFields)
-    val files = filesOverride.getOrElse(meta.currentSnapshot.map(_.paths).getOrElse(Nil))
+    val files = filesOverride.getOrElse(meta.currentSnapshot.map(_.files).getOrElse(Nil))
     if (files.isEmpty) {
       return spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         fullSchema)
     }
-    // Unpartitioned tables (the common landing-table case) need no
-    // partition-column reconstruction: ONE scan node over every live file,
-    // so the plan stays constant-size no matter how many append commits
-    // accumulated. Partitioned tables group files by snapshot directory
-    // (the basePath for partition discovery of that write era), read each
-    // group, and union by position — plan size grows with era count until
-    // compact() folds the eras (maintenance contract).
-    if (meta.partitionSpec.isEmpty) {
-      return spark.read.schema(fullSchema)
-        .parquet(files.map(f => s"$location/$f"): _*)
-    }
-    val groups = files.groupBy(f => f.split("/").take(2).mkString("/"))
-    groups.map { case (snapRel, fs) =>
-      spark.read
-        .schema(fullSchema)
-        .option("basePath", s"$location/$snapRel")
-        .parquet(fs.map(f => s"$location/$f"): _*)
-        .select(fullSchema.fieldNames.map(col).toIndexedSeq: _*)
-    }.reduce(_ union _)
+    // ONE scan node over every live file via the manifest-backed FileIndex:
+    // partition values come from metadata (no directory discovery), data
+    // filters skip files on manifest bounds, and the plan stays
+    // constant-size no matter how many commits accumulated.
+    spark.baseRelationToDataFrame(baseRelation(meta, files))
+      .select(fullSchema.fieldNames.map(col).toIndexedSeq: _*)
   }
 
-  private def derivedType(p: PartitionField, schema: StructType)
-      : org.apache.spark.sql.types.DataType = {
-    import org.apache.spark.sql.types._
-    p.parsed match {
-      case PartitionTransform.Year | PartitionTransform.Month => IntegerType
-      case PartitionTransform.Day | PartitionTransform.Hour => StringType
-      case PartitionTransform.Bucket(_) => IntegerType
-      case PartitionTransform.Truncate(_) => schema(p.column).dataType
-      case PartitionTransform.Identity => schema(p.column).dataType
-    }
+  /** `HadoopFsRelation` over the manifest-backed [[LakeFileIndex]] — the
+    * relation both the programmatic read path and the SQL catalog share. */
+  private[graft] def baseRelation(
+      meta: TableMetadata,
+      files: Seq[DataFile]): org.apache.spark.sql.execution.datasources.HadoopFsRelation = {
+    val index = new LakeFileIndex(spark, location, meta, files)
+    org.apache.spark.sql.execution.datasources.HadoopFsRelation(
+      index, index.partitionSchema, index.dataSchema, None,
+      new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat(),
+      Map.empty)(spark)
   }
 
   def readProperty(key: String): String = metadata.properties(key)
@@ -206,7 +193,7 @@ final class LakeTable private (spark: SparkSession, val location: String) {
       val aligned = alignedSrc
         .withColumn("__is_src", lit(1))
         .withColumn("__src_cnt", count(lit(1)).over(w))
-      val target = readWithPartitions(meta, Some(touched.map(_.path)))
+      val target = readWithPartitions(meta, Some(touched))
         .select(meta.schema.fieldNames.map(col).toIndexedSeq: _*)
       val cond = keys.map(k => target(k) <=> aligned(k)).reduce(_ && _)
       val dupMsg = s"$DupMarker for key(s) ${keys.mkString(", ")}"
@@ -359,10 +346,13 @@ final class LakeTable private (spark: SparkSession, val location: String) {
         rel -> (n, stats)
       }
     }.toMap
+    val sizeByRel = paths.zip(rels).map { case (p, rel) =>
+      rel -> (try Files.size(p) catch { case _: Exception => -1L })
+    }.toMap
     rels.map { rel =>
       statsByRel.get(rel) match {
-        case Some((n, stats)) => DataFile(rel, n, partByRel(rel), stats)
-        case None => DataFile(rel, -1L, partByRel(rel)) // unmatched: no bounds
+        case Some((n, stats)) => DataFile(rel, n, partByRel(rel), stats, sizeByRel(rel))
+        case None => DataFile(rel, -1L, partByRel(rel), Map.empty, sizeByRel(rel))
       }
     }
   }
@@ -431,7 +421,7 @@ object LakeTable {
     sb.toString
   }
 
-  private[tables] def deleteRecursively(p: Path): Unit = {
+  private[graft] def deleteRecursively(p: Path): Unit = {
     if (!Files.exists(p)) return
     val s = Files.walk(p)
     try s.sorted(java.util.Comparator.reverseOrder[Path]())

@@ -16,17 +16,20 @@ final case class ColumnStats(
     valueCount: Long)
 
 /** One data file of a snapshot: path relative to the table location, row
-  * count, Hive-style partition values parsed from its directory names
-  * (None = null partition value), and per-column bounds — the manifest
-  * entry that lets merges and scans touch only files that can contain
-  * matching keys (Iceberg manifests' role for PyIceberg's upsert and
-  * `row_filter` scans). Files from pre-stats metadata parse with rowCount
-  * -1 and empty stats: never prunable, always readable. */
+  * count, byte size (Iceberg's `file_size_in_bytes` — scan planning needs
+  * real lengths), Hive-style partition values parsed from its directory
+  * names (None = null partition value), and per-column bounds — the
+  * manifest entry that lets merges and scans touch only files that can
+  * contain matching keys (Iceberg manifests' role for PyIceberg's upsert
+  * and `row_filter` scans). Files from pre-stats metadata parse with
+  * rowCount/sizeBytes -1 and empty stats: never prunable, always
+  * readable (size is stat'ed at scan planning when absent). */
 final case class DataFile(
     path: String,
     rowCount: Long = -1L,
     partitionValues: Map[String, Option[String]] = Map.empty,
-    stats: Map[String, ColumnStats] = Map.empty)
+    stats: Map[String, ColumnStats] = Map.empty,
+    sizeBytes: Long = -1L)
 
 /** One committed snapshot: an operation plus the complete list of data files
   * (relative to the table location) that make up the table AFTER this
@@ -78,6 +81,7 @@ final case class TableMetadata(
       JObject(List(
         "path" -> JString(f.path),
         "rowCount" -> JInt(f.rowCount)) ++
+        (if (f.sizeBytes < 0) Nil else List("sizeBytes" -> JInt(f.sizeBytes))) ++
         (if (f.partitionValues.isEmpty) Nil
          else List("partitionValues" -> JObject(f.partitionValues.toList.sortBy(_._1)
            .map { case (k, v) => k -> v.map(JString(_)).getOrElse(JNull) }))) ++
@@ -159,7 +163,11 @@ object TableMetadata {
           }.toMap
           case _ => Map.empty[String, ColumnStats]
         }
-        DataFile(str(obj \ "path"), long(obj \ "rowCount"), pvs, stats)
+        val size = (obj \ "sizeBytes") match {
+          case JNothing | JNull => -1L
+          case v => long(v)
+        }
+        DataFile(str(obj \ "path"), long(obj \ "rowCount"), pvs, stats, size)
     }
     val snaps = (j \ "snapshots") match {
       case JArray(items) => items.map { i =>

@@ -31,8 +31,11 @@ object SchemaEvolution {
         case Some(nf) if nf.dataType != f.dataType =>
           incompatibilities +=
             s"Field '${f.name}' changed type from '${f.dataType.sql}' to '${nf.dataType.sql}'"
-        case Some(nf) if nf.nullable != f.nullable =>
-          incompatibilities += s"Field '${f.name}' 'required' changed to ${!nf.nullable}"
+        case Some(nf) if nf.nullable && !f.nullable =>
+          // optional data into a required column is the one incompatible
+          // direction (PyIceberg parity: required data fits an optional
+          // column without evolution)
+          incompatibilities += s"Field '${f.name}' 'required' changed to false"
         case _ => ()
       }
     }

@@ -197,6 +197,49 @@ class LakeTableSpec extends AnyFunSuite with SparkSpec {
     assert(LakeTable.load(spark, loc).read().count() == 5)
   }
 
+  test("partitioned read is one scan node across appends, pruned from metadata") {
+    val loc = tmpDir("lt_flatpart")
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val df = Seq((1L, ts("2024-01-01 00:00:00"), "x")).toDF("id", "created_at", "name")
+    val t = LakeTable.ensure(spark, loc, df.schema,
+      partitionSpec = Seq(PartitionField("created_at", "year")))
+    (0 to 9).foreach(i => t.write(
+      Seq((i.toLong, ts(s"202$i-06-01 00:00:00"), s"v$i")).toDF("id", "created_at", "name"),
+      "append"))
+    val read = LakeTable.load(spark, loc).readWithPartitions()
+    // pre-compaction: still ONE scan node (no per-era union)
+    assert(!read.queryExecution.executedPlan.toString.contains("Union"))
+    assert(read.count() == 10)
+    // partition pruning happens against metadata partition values
+    val pruned = read.filter(col("created_at_year") === 2024)
+    assert(pruned.collect().length == 1)
+    assert(scanOf(pruned).metrics("numFiles").value == 1)
+  }
+
+  test("scan skips files whose manifest bounds cannot match a filter") {
+    val loc = tmpDir("lt_skipfiles")
+    def batch(ids: Range) = ids.map(i => (i.toLong, s"n$i")).toDF("id", "name")
+    val t = LakeTable.ensure(spark, loc, batch(1 to 2).schema)
+    t.write(batch(1 to 10).coalesce(1), "append")
+    t.write(batch(11 to 20).coalesce(1), "append")
+    t.write(batch(21 to 30).coalesce(1), "append")
+    val one = t.read().filter(col("id") === 15L)
+    assert(one.collect().length == 1)
+    assert(scanOf(one).metrics("numFiles").value == 1)
+    val range = t.read().filter(col("id") >= 11L && col("id") <= 25L)
+    assert(range.collect().length == 15)
+    assert(scanOf(range).metrics("numFiles").value == 2)
+    val none = t.read().filter(col("id") > 100L)
+    assert(none.collect().isEmpty)
+    assert(scanOf(none).metrics("numFiles").value == 0)
+  }
+
+  private def scanOf(df: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.execution.FileSourceScanExec =
+    df.queryExecution.executedPlan.collectLeaves().collectFirst {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }.get
+
   test("identifier fields round-trip and drive a keyless merge") {
     val loc = tmpDir("lt_idfields")
     val df1 = Seq((1L, "a"), (2L, "b")).toDF("id", "name")

@@ -8,12 +8,18 @@ import org.apache.spark.sql.SparkSession
   * it (VERDICT r1 "Bench fidelity" item). */
 object Bench {
   /** Headline set: the heavier shapes — wide join+agg, window, LSH dedup,
-    * ANN, sessionization — plus the scan-heavy Q1 aggregate. */
+    * winnowing/containment, trained-IVF k-means, hyperplane LSH, ANN,
+    * sessionization, the SQL-catalog path — plus the scan-heavy Q1
+    * aggregate. Every operator whose cost could regress with plan changes
+    * gets round-over-round tracking here. */
   val headline: Seq[String] = Seq(
     "q01_agg_pushdown", "q12_join_multi", "q20_interval_join",
     "q24_window_lag", "ev01_sessionize",
     "d01_exact_dedup", "d02_minhash_lsh", "d03_simhash", "d07_ngram_jaccard",
-    "e01_knn_bruteforce", "e02_ann_ivf")
+    "d08_winnow_fingerprints", "d10_winnow_containment",
+    "e01_knn_bruteforce", "e02_ann_ivf",
+    "e05_kmeans_ivf_cells", "e06_kmeans_ivf_topk",
+    "e07_hyperplane_lsh_near_dup", "sql02_catalog_join")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

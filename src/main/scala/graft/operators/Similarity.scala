@@ -125,14 +125,18 @@ object Similarity {
 
   /** Nearest-centroid assignment: the k-row centroid table broadcasts, the
     * corpus streams once (broadcast nested loop), ties break on the lowest
-    * cell id. One vec_id-partitioned window picks the argmin. */
+    * cell id. The argmin is a `min_by` aggregation, NOT a window: partial
+    * aggregation reduces each vec_id's k scored rows map-side before the
+    * shuffle, so the exchange carries one row per vector instead of k —
+    * this runs once per Lloyd iteration, so the k-fold reduction matters. */
   def assignCells(corpus: DataFrame, centroids: DataFrame): DataFrame = {
     val scored = corpus.select(col("vec_id"), col("embedding"))
       .crossJoin(broadcast(centroids))
       .select(col("vec_id"), col("cell"),
         sqDist(col("embedding"), col("c_emb")).as("d"))
-    val w = Window.partitionBy("vec_id").orderBy(col("d").asc, col("cell").asc)
-    scored.withColumn("__rn", row_number().over(w)).where(col("__rn") === 1)
+    // struct(d, cell) is unique per (vec_id, cell): no ordering ties
+    scored.groupBy("vec_id")
+      .agg(min_by(col("cell"), struct(col("d"), col("cell"))).as("cell"))
       .select("vec_id", "cell")
   }
 
@@ -141,10 +145,22 @@ object Similarity {
     * Deterministic end to end: init is the k lowest vec_ids, assignment
     * ties break on cell id, and means accumulate through fixed-scale
     * decimals, so any executor count reproduces the oracle. At 100 TB,
-    * train on a sample (the assignment join broadcasts only k centroids;
-    * each Lloyd iteration is one corpus pass + one shuffle on cell/dim). */
-  def trainCentroids(corpus: DataFrame, k: Int, iters: Int): DataFrame = {
-    var cents = corpus.select(col("vec_id"), col("embedding"))
+    * train on a sample via `sampleFraction` (seed-deterministic for a
+    * given input layout): centroid quality needs only a representative
+    * subset, and each Lloyd iteration then passes over fraction*corpus
+    * instead of the full table. The assignment join broadcasts only k
+    * centroids; each iteration is one training-set pass + one shuffle on
+    * cell/dim. */
+  def trainCentroids(corpus: DataFrame, k: Int, iters: Int,
+                     sampleFraction: Double = 1.0,
+                     sampleSeed: Long = 20260812L): DataFrame = {
+    require(sampleFraction > 0.0 && sampleFraction <= 1.0,
+      s"sampleFraction must be in (0, 1], got $sampleFraction")
+    val training =
+      if (sampleFraction < 1.0)
+        corpus.sample(withReplacement = false, sampleFraction, sampleSeed)
+      else corpus
+    var cents = training.select(col("vec_id"), col("embedding"))
       .orderBy("vec_id").limit(k)
       .select(col("vec_id"),
         transform(col("embedding"), x => x.cast("double")).as("c_emb"))
@@ -152,8 +168,8 @@ object Similarity {
         row_number().over(Window.orderBy("vec_id")).cast("long") - 1)
       .select("cell", "c_emb")
     for (_ <- 1 to iters) {
-      val assigned = assignCells(corpus, cents)
-      cents = corpus.join(assigned, "vec_id")
+      val assigned = assignCells(training, cents)
+      cents = training.join(assigned, "vec_id")
         .select(col("cell"), posexplode(col("embedding")).as(Seq("dim", "v")))
         .groupBy("cell", "dim")
         .agg((sum(col("v").cast("double").cast("decimal(27,10)")).cast("double") /

@@ -66,6 +66,14 @@ object IngestRunner {
     // creation/evolution this run — becomes `_dlt_version` rows.
     val schemaEvents = scala.collection.mutable.ListBuffer.empty[(String, Int, String)]
     val finalWatermarks = scala.collection.mutable.Map.empty[String, String]
+    val pipeline = pipelineName.getOrElse(namespace)
+    // State restore (`pyiceberg.py:221-293`): the last completed load's
+    // per-resource watermarks, read lazily — only consulted when a landing
+    // table is missing or lost its watermark property, so cursors survive a
+    // dropped/recreated table without a full re-extract.
+    lazy val stateWatermarks: Map[String, String] =
+      LoadBookkeeping.readLatestState(spark, catalog, warehouse, namespace, pipeline)
+        .map(parseStateWatermarks).getOrElse(Map.empty)
 
     resources.foreach { res =>
       val location = catalog.tableLocation(warehouse, namespace, res.name)
@@ -75,11 +83,15 @@ object IngestRunner {
         if (LakeTable.exists(location))
           Some(LakeTable.load(spark, location).metadata.schema.json)
         else None
-      val storedWatermark: Option[Watermark] =
-        if (LakeTable.exists(location))
-          LakeTable.load(spark, location).metadata.properties.get(PropertyWatermark)
-            .map(Watermark.deserialize)
-        else None
+      val storedWatermark: Option[Watermark] = {
+        val fromTable =
+          if (LakeTable.exists(location))
+            LakeTable.load(spark, location).metadata.properties.get(PropertyWatermark)
+              .map(Watermark.deserialize)
+          else None
+        fromTable.orElse(
+          stateWatermarks.get(res.name).map(Watermark.deserialize))
+      }
 
       val watermarks = scala.collection.mutable.ListBuffer.empty[Watermark]
       res.extractor(storedWatermark).foreach { chunk0 =>
@@ -138,7 +150,6 @@ object IngestRunner {
     // evolutions, and a `_dlt_pipeline_state` row carrying the per-resource
     // watermarks (reference `pyiceberg.py:160-293`).
     if (rowsSeen.valuesIterator.sum > 0) {
-      val pipeline = pipelineName.getOrElse(namespace)
       val versionHash = md5Hex(resources.sortBy(_.name).flatMap { r =>
         val loc = catalog.tableLocation(warehouse, namespace, r.name)
         if (LakeTable.exists(loc))
@@ -160,6 +171,16 @@ object IngestRunner {
         pipeline, 1L, stateJson, loadId)
     }
     rowsSeen.toMap
+  }
+
+  /** Per-resource serialized watermarks out of a `_dlt_pipeline_state`
+    * JSON blob (the inverse of the writer above). */
+  def parseStateWatermarks(stateJson: String): Map[String, String] = {
+    import org.json4s._
+    org.json4s.jackson.JsonMethods.parse(stateJson) \ "watermarks" match {
+      case JObject(fields) => fields.collect { case (k, JString(v)) => k -> v }.toMap
+      case _ => Map.empty
+    }
   }
 
   private def md5Hex(s: String): String =

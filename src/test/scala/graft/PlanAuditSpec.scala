@@ -36,6 +36,22 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("centroid assignment is a partial-aggregated min_by, not a window") {
+    // assignCells runs once per Lloyd iteration: the argmin must carry
+    // partial aggregation (map-side k-fold reduction before the shuffle),
+    // never a full N*k-row window shuffle
+    val emb = Tables.t(spark, dir, "embeddings")
+    // materialize the (tiny) centroid table so only the assignment itself
+    // is in the audited plan
+    val trained = graft.operators.Similarity.trainCentroids(emb, 4, 1)
+    val cents = spark.createDataFrame(
+      java.util.Arrays.asList(trained.collect(): _*), trained.schema)
+    val p = graft.operators.Similarity.assignCells(emb, cents)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Window"), p.take(800))
+    assert(p.contains("partial_min_by") || p.contains("partial_minby"), p.take(800))
+  }
+
   test("semi-join extract plans as a real semi join") {
     val p = plan("s06_semi_join_extract")
     assert(p.contains("LeftSemi") || p.contains("left_semi"))

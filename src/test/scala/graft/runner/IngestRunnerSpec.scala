@@ -118,6 +118,45 @@ class IngestRunnerSpec extends AnyFunSuite with SparkSpec {
     assert(evals.value == 100L, s"source rows evaluated ${evals.value} times, expected 100")
   }
 
+  test("dropped landing table restores its cursor from _dlt_pipeline_state") {
+    val data = (0 until 100).map(i => (i, s"v$i"))
+    val seenWatermarks = scala.collection.mutable.ListBuffer.empty[Option[Watermark]]
+    def extract(wm: Option[Watermark]): Iterator[DataFrame] = {
+      seenWatermarks += wm
+      val df = data.toDF("id", "value")
+      Iterator(wm.map(IngestRunner.watermarkFilter(df, _)).getOrElse(df))
+    }
+    val catalog = new LakeCatalog(tmpDir("runner_state"))
+    val (wh, ns) = ("w", "n")
+    val res = Resource("cursored", extract _, watermarkColumn = Some("id"))
+    IngestRunner.runIngest(spark, catalog, wh, ns, Seq(res))
+    assert(seenWatermarks.last.isEmpty) // cold start: full extract
+    assert(catalog.loadTable(spark, wh, ns, "cursored").read().count() == 100)
+
+    // landing table dropped (GC mishap / manual reset) — the cursor must
+    // survive via the state table, like the reference's state restore
+    // (pyiceberg.py:221-293)
+    graft.tables.LakeTable.deleteRecursively(
+      java.nio.file.Paths.get(catalog.tableLocation(wh, ns, "cursored")))
+    assert(!catalog.tableExists(wh, ns, "cursored"))
+
+    IngestRunner.runIngest(spark, catalog, wh, ns, Seq(res))
+    // run 2's extractor received the restored watermark: NOT a full
+    // re-extract — only rows past the cursor would land (none here)
+    assert(seenWatermarks.last.exists(_.value == WatermarkValue.I(99L)))
+    assert(!catalog.tableExists(wh, ns, "cursored")) // zero new rows
+
+    // with fresh rows past the cursor, only the delta lands
+    val more = (0 until 110).map(i => (i, s"v$i"))
+    def extract2(wm: Option[Watermark]): Iterator[DataFrame] = {
+      val df = more.toDF("id", "value")
+      Iterator(wm.map(IngestRunner.watermarkFilter(df, _)).getOrElse(df))
+    }
+    IngestRunner.runIngest(spark, catalog, wh, ns,
+      Seq(res.copy(extractor = extract2 _)))
+    assert(catalog.loadTable(spark, wh, ns, "cursored").read().count() == 10)
+  }
+
   test("invalid write mode and merge-without-keys rejected at config time") {
     intercept[IllegalArgumentException](ResourceWriteProperties(writeMode = "bogus"))
     intercept[IllegalArgumentException](ResourceWriteProperties(writeMode = "merge"))

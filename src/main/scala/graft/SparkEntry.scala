@@ -473,6 +473,24 @@ object SparkEntry {
         "FROM graftlake.sql03.orders_lite ORDER BY o_orderkey")
     }),
 
+    "sql04_merge_into" -> ((s, dir) => {
+      val root = sqlCatalogRoot(s)
+      val o = t(s, dir, "orders")
+      LakeTable.deleteRecursively(java.nio.file.Paths.get(s"$root/sql04"))
+      val table = LakeTable.ensure(s, s"$root/sql04/orders", o.schema)
+      table.write(o.where(col("o_orderkey") % 7 =!= 0), "append")
+      o.where(col("o_orderkey") % 3 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") * 2)
+        .createOrReplaceTempView("sql04_src")
+      s.sql(
+        """MERGE INTO graftlake.sql04.orders t USING sql04_src s
+          |ON t.o_orderkey = s.o_orderkey
+          |WHEN MATCHED THEN UPDATE SET *
+          |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      s.sql("SELECT o_orderkey, o_totalprice, o_orderstatus " +
+        "FROM graftlake.sql04.orders ORDER BY o_orderkey")
+    }),
+
     // ---- training-data pipeline: dedup --------------------------------
     "d01_exact_dedup" -> ((s, dir) =>
       Dedup.exactDedup(t(s, dir, "documents"), "doc_id", "text")
@@ -1035,6 +1053,16 @@ object SparkEntry {
     "sql03_sql_insert" ->
       """SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
          WHERE o_orderkey % 4 IN (0, 1) ORDER BY o_orderkey""",
+
+    "sql04_merge_into" ->
+      """WITH target AS (SELECT * FROM orders WHERE o_orderkey % 7 <> 0),
+           src AS (SELECT o_orderkey, o_orderstatus, o_totalprice * 2 AS o_totalprice
+                   FROM orders WHERE o_orderkey % 3 = 0)
+         SELECT COALESCE(s.o_orderkey, t.o_orderkey) AS o_orderkey,
+           CASE WHEN s.o_orderkey IS NOT NULL THEN s.o_totalprice ELSE t.o_totalprice END AS o_totalprice,
+           CASE WHEN s.o_orderkey IS NOT NULL THEN s.o_orderstatus ELSE t.o_orderstatus END AS o_orderstatus
+         FROM target t FULL OUTER JOIN src s ON t.o_orderkey = s.o_orderkey
+         ORDER BY o_orderkey""",
 
     "l06_evolve_schema" ->
       """SELECT o_orderkey, o_orderstatus, CAST(NULL AS DOUBLE) AS o_totalprice

@@ -103,7 +103,10 @@ class GraftSparkSessionExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[WinnowExpression].getName, "graft_winnow"),
       (children: Seq[Expression]) => WinnowExpression(children.head)))
     // SQL surface over lake tables: catalog reads of graft.sql.LakeSqlTable
-    // become manifest-backed file relations (see graft.sql.LakeRelationRule)
+    // become manifest-backed file relations (see graft.sql.LakeRelationRule),
+    // and upsert-shaped MERGE INTO statements run the transactional
+    // copy-on-write merge (see graft.sql.LakeMergeIntoRule)
     ext.injectResolutionRule(sp => new graft.sql.LakeRelationRule(sp))
+    ext.injectResolutionRule(sp => new graft.sql.LakeMergeIntoRule(sp))
   }
 }

@@ -2,7 +2,7 @@ package graft.sql
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions.AttributeReference
-import org.apache.spark.sql.catalyst.plans.logical.{DeleteFromTable, InsertIntoStatement, LogicalPlan, MergeIntoTable, UpdateTable, V2WriteCommand}
+import org.apache.spark.sql.catalyst.plans.logical.{DeleteFromTable, InsertIntoStatement, LogicalPlan, MergeIntoTable, SubqueryAlias, UpdateTable, V2WriteCommand}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.LogicalRelation
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
@@ -31,14 +31,19 @@ import graft.tables.LakeTable
 final class LakeRelationRule(spark: SparkSession) extends Rule[LogicalPlan] {
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
-    // collect (by identity) relations that are write targets
+    // collect (by identity) relations that are write targets, looking
+    // through aliases (MERGE INTO t AS alias wraps the relation)
     val writeTargets = new java.util.IdentityHashMap[LogicalPlan, Unit]()
+    def mark(p: LogicalPlan): Unit = p match {
+      case a: SubqueryAlias => mark(a.child)
+      case other => writeTargets.put(other, ())
+    }
     plan.foreach {
-      case i: InsertIntoStatement => writeTargets.put(i.table, ())
-      case w: V2WriteCommand => writeTargets.put(w.table, ())
-      case m: MergeIntoTable => writeTargets.put(m.targetTable, ())
-      case d: DeleteFromTable => writeTargets.put(d.table, ())
-      case u: UpdateTable => writeTargets.put(u.table, ())
+      case i: InsertIntoStatement => mark(i.table)
+      case w: V2WriteCommand => mark(w.table)
+      case m: MergeIntoTable => mark(m.targetTable)
+      case d: DeleteFromTable => mark(d.table)
+      case u: UpdateTable => mark(u.table)
       case _ =>
     }
     plan.resolveOperators {

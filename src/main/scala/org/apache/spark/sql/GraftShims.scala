@@ -1,0 +1,12 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+
+/** Accessor for `private[sql]` Spark internals the lake SQL surface needs —
+  * the standard connector shim pattern (Delta, Iceberg and friends ship the
+  * same kind of bridge object). Kept to the absolute minimum. */
+object GraftShims {
+  /** DataFrame over an already-resolved logical plan. */
+  def ofRows(session: SparkSession, plan: LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(session.asInstanceOf[classic.SparkSession], plan)
+}

@@ -131,6 +131,49 @@ class LakeSqlSpec extends AnyFunSuite with SparkSpec {
       Seq(("Ex", 40.0), ("Why", 20.0)))
   }
 
+  test("MERGE INTO runs the transactional upsert (copy-on-write)") {
+    val t = ensureTable("ns1", "mrg")
+    t.write(Seq((1L, "a", 1.0), (2L, "b", 2.0), (3L, "c", 3.0))
+      .toDF("id", "name", "score"), "append")
+    Seq((2L, "B2", 20.0), (4L, "d", 4.0)).toDF("id", "name", "score")
+      .createOrReplaceTempView("mrg_src")
+    spark.sql(
+      """MERGE INTO lake.ns1.mrg AS t USING mrg_src AS s ON t.id = s.id
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    val out = spark.sql("SELECT id, name FROM lake.ns1.mrg ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(out == Seq((1L, "a"), (2L, "B2"), (3L, "c"), (4L, "d")))
+    // went through the commit protocol as a merge snapshot
+    assert(LakeTable.load(spark, s"$root/ns1/mrg").metadata
+      .currentSnapshot.get.operation == "merge")
+    // duplicate source keys trip the in-plan guard, no partial commit
+    Seq((9L, "x", 1.0), (9L, "y", 2.0)).toDF("id", "name", "score")
+      .createOrReplaceTempView("mrg_dup")
+    val e = intercept[Exception](spark.sql(
+      """MERGE INTO lake.ns1.mrg t USING mrg_dup s ON t.id = s.id
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin))
+    assert(e.getMessage.contains("Duplicate rows in merge source"))
+    assert(spark.sql("SELECT count(*) FROM lake.ns1.mrg").head().getLong(0) == 4)
+  }
+
+  test("MERGE INTO rejects non-upsert shapes with a clear error") {
+    val t = ensureTable("ns1", "mrg2")
+    t.write(Seq((1L, "a", 1.0)).toDF("id", "name", "score"), "append")
+    Seq((1L, "z", 9.0)).toDF("id", "name", "score")
+      .createOrReplaceTempView("mrg2_src")
+    val e = intercept[Exception](spark.sql(
+      """MERGE INTO lake.ns1.mrg2 t USING mrg2_src s ON t.id = s.id
+        |WHEN MATCHED THEN DELETE""".stripMargin))
+    assert(e.getMessage.contains("upsert-all shape"), e.getMessage)
+    val e2 = intercept[Exception](spark.sql(
+      """MERGE INTO lake.ns1.mrg2 t USING mrg2_src s ON t.id < s.id
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin))
+    assert(e2.getMessage.contains("conjunction"), e2.getMessage)
+  }
+
   test("CTAS creates and populates a lake table") {
     val t = ensureTable("ns1", "src_ctas")
     t.write(Seq((1L, "a", 1.0), (2L, "b", 2.0)).toDF("id", "name", "score"), "append")

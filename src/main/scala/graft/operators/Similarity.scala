@@ -169,7 +169,7 @@ object Similarity {
       .select("cell", "c_emb")
     for (_ <- 1 to iters) {
       val assigned = assignCells(training, cents)
-      cents = training.join(assigned, "vec_id")
+      val next = training.join(assigned, "vec_id")
         .select(col("cell"), posexplode(col("embedding")).as(Seq("dim", "v")))
         .groupBy("cell", "dim")
         .agg((sum(col("v").cast("double").cast("decimal(27,10)")).cast("double") /
@@ -177,6 +177,15 @@ object Similarity {
         .groupBy("cell")
         .agg(transform(array_sort(collect_list(struct(col("dim"), col("m")))),
           s => s.getField("m")).as("c_emb"))
+      // Materialize the k-row centroid table on the driver each iteration
+      // (k*dim doubles — tiny): the next iteration's plan starts from
+      // literal rows instead of a lineage that re-derives every previous
+      // iteration from the corpus, so per-iteration cost stays constant
+      // instead of growing exponentially with iters (MLlib's k-means does
+      // the same). Values are unchanged — the oracle still matches.
+      val rows = next.collect()
+      cents = training.sparkSession.createDataFrame(
+        java.util.Arrays.asList(rows: _*), next.schema)
     }
     cents
   }

@@ -84,6 +84,21 @@ class LakeSparkCatalog extends TableCatalog with SupportsNamespaces {
     new LakeSqlTable(ident.toString, loc, pinned)
   }
 
+  /** `TIMESTAMP AS OF`: newest retained snapshot at or before the given
+    * time (micros since epoch, per the DSv2 contract). */
+  override def loadTable(ident: Identifier, timestampMicros: Long): Table = {
+    val loc = tablePath(ident)
+    if (!LakeTable.exists(loc)) throw new NoSuchTableException(ident)
+    val meta = LakeTable.load(SparkSession.active, loc).metadata
+    val snap = meta.snapshots.filter(_.timestampMs * 1000L <= timestampMicros)
+      .sortBy(_.id).lastOption.getOrElse(
+        throw new IllegalArgumentException(
+          s"No retained snapshot at or before timestamp $timestampMicros"))
+    val pinned = meta.copy(schema = snap.schema.getOrElse(meta.schema),
+      currentSnapshotId = snap.id)
+    new LakeSqlTable(ident.toString, loc, pinned)
+  }
+
   override def tableExists(ident: Identifier): Boolean =
     LakeTable.exists(tablePath(ident))
 

@@ -113,6 +113,13 @@ class LakeSqlSpec extends AnyFunSuite with SparkSpec {
     assert(spark.sql("SELECT count(*) FROM lake.ns1.tt").head().getLong(0) == 2)
     assert(spark.sql(s"SELECT count(*) FROM lake.ns1.tt VERSION AS OF $snap1")
       .head().getLong(0) == 1)
+    // TIMESTAMP AS OF: pick the snapshot current at that moment
+    val snap1Ts = LakeTable.load(spark, s"$root/ns1/tt").metadata
+      .snapshots.find(_.id == snap1).get.timestampMs
+    val asOf = java.time.Instant.ofEpochMilli(snap1Ts)
+    assert(spark.sql(
+      s"SELECT count(*) FROM lake.ns1.tt TIMESTAMP AS OF '$asOf'")
+      .head().getLong(0) == 1)
   }
 
   test("joins and aggregates over two lake tables via pure SQL") {

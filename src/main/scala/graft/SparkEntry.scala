@@ -491,6 +491,17 @@ object SparkEntry {
         "FROM graftlake.sql04.orders ORDER BY o_orderkey")
     }),
 
+    // K1: salted equi-join — result identical to the plain join (the salt
+    // only changes the shuffle layout), so it oracle-gates directly.
+    "k01_salted_skew_join" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey").as("c_custkey"),
+          col("o_totalprice"))
+      val c = t(s, dir, "customer").select(col("c_custkey"), col("c_mktsegment"))
+      graft.operators.SkewJoin.saltedEquiJoin(o, c, "c_custkey", 8)
+        .orderBy("o_orderkey")
+    }),
+
     // ---- training-data pipeline: dedup --------------------------------
     "d01_exact_dedup" -> ((s, dir) =>
       Dedup.exactDedup(t(s, dir, "documents"), "doc_id", "text")
@@ -1053,6 +1064,12 @@ object SparkEntry {
     "sql03_sql_insert" ->
       """SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
          WHERE o_orderkey % 4 IN (0, 1) ORDER BY o_orderkey""",
+
+    "k01_salted_skew_join" ->
+      """SELECT o.o_orderkey, o.o_custkey AS c_custkey, o.o_totalprice,
+           c.c_mktsegment
+         FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+         ORDER BY o.o_orderkey""",
 
     "sql04_merge_into" ->
       """WITH target AS (SELECT * FROM orders WHERE o_orderkey % 7 <> 0),

@@ -379,6 +379,28 @@ final class LakeTable private (spark: SparkSession, val location: String) {
       keepExisting = false, Map.empty, preEvolved = Some(metadata))
   }
 
+  /** Incremental compaction: bin-pack only files SMALLER than
+    * `minFileSizeBytes` into ~targetFiles replacements and carry every
+    * already-well-sized file into the new snapshot verbatim — Iceberg's
+    * `rewrite_data_files(file_size_threshold)` cost model. On a 100 TB
+    * table accumulating small incremental commits this is O(small files)
+    * per run, where full `compact()` is O(table). Files with unknown size
+    * (legacy manifests) count as small. No-op (no commit) when nothing
+    * qualifies or the small set is already a single file. */
+  def compactSmallFiles(minFileSizeBytes: Long,
+                        targetFiles: Int = 1): Unit = {
+    val meta = metadata
+    val files = meta.currentSnapshot.map(_.files).getOrElse(Nil)
+    val (small, big) = files.partition(f =>
+      f.sizeBytes < 0 || f.sizeBytes < minFileSizeBytes)
+    if (small.size <= math.max(1, targetFiles)) return
+    val smallData = readWithPartitions(meta, Some(small))
+      .select(meta.schema.fieldNames.map(col).toIndexedSeq: _*)
+    commitData(smallData.coalesce(math.max(1, targetFiles)), "compact",
+      keepExisting = false, Map.empty, preEvolved = Some(meta),
+      carryFiles = big)
+  }
+
   /** Drop snapshot entries older than the retention window (current snapshot
     * always kept). */
   def expireSnapshots(olderThanMs: Long, nowMs: Long = System.currentTimeMillis()): Unit = {

@@ -32,14 +32,20 @@ object Maintenance {
     * the namespace when `tables` is empty), isolating per-table errors. */
   def runAll(spark: SparkSession, catalog: LakeCatalog, warehouse: String,
              namespace: String, tables: Seq[String] = Nil,
-             retention: String = "7d"): Seq[Result] = {
+             retention: String = "7d",
+             smallFileThresholdBytes: Option[Long] = None): Seq[Result] = {
     val retentionMs = parseRetention(retention)
     val targets =
       if (tables.nonEmpty) tables else catalog.listTables(warehouse, namespace)
     targets.map { t =>
       try {
         val table = catalog.loadTable(spark, warehouse, namespace, t)
-        table.compact()
+        // incremental bin-pack (O(small files)) when a threshold is given;
+        // full rewrite otherwise (the reference's `optimize`)
+        smallFileThresholdBytes match {
+          case Some(th) => table.compactSmallFiles(th)
+          case None => table.compact()
+        }
         table.expireSnapshots(retentionMs)
         val orphans = table.removeOrphanFiles()
         Result(t, ok = true, s"compacted; ${orphans.size} orphan files removed")

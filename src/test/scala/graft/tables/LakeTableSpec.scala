@@ -403,4 +403,28 @@ class LakeTableSpec extends AnyFunSuite with SparkSpec {
     assert(before > after && after == 1)
     assert(LakeTable.load(spark, loc).read().count() == 200)
   }
+
+  test("compactSmallFiles bin-packs only small files, carries big ones verbatim") {
+    val loc = tmpDir("lt_compact_small")
+    def batch(ids: Range) = ids.map(i => (i.toLong, "x" * 100)).toDF("id", "pad")
+    val t = LakeTable.ensure(spark, loc, batch(1 to 2).schema)
+    t.write(batch(1 to 5000).coalesce(1), "append") // one big file
+    (1 to 4).foreach(i => t.write( // four small incremental commits
+      batch((10000 + i * 10) until (10000 + i * 10 + 10)).coalesce(1), "append"))
+    val before = t.metadata.currentSnapshot.get.files
+    assert(before.size == 5)
+    val bigFile = before.maxBy(_.sizeBytes)
+    val threshold = bigFile.sizeBytes // everything smaller gets packed
+    t.compactSmallFiles(threshold)
+    val after = t.metadata.currentSnapshot.get.files
+    // big file carried verbatim (same manifest path); smalls became one
+    assert(after.size == 2)
+    assert(after.map(_.path).contains(bigFile.path))
+    assert(t.metadata.currentSnapshot.get.operation == "compact")
+    assert(LakeTable.load(spark, loc).read().count() == 5040)
+    // idempotent: nothing small left -> no new snapshot
+    val snapBefore = t.metadata.currentSnapshotId
+    t.compactSmallFiles(threshold)
+    assert(t.metadata.currentSnapshotId == snapBefore)
+  }
 }

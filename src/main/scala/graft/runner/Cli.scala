@@ -44,6 +44,14 @@ object Cli {
         "accelerator_accelerator_sharepoint",
         new SharepointSheetSource(spark,
           s"$root/sources/accelerator/accelerator_sharepoint").resources)),
+    // Legacy variant the reference keeps alongside its successor
+    // (`ingest/accelerator/sharepoint/sharepoint.py:23-37`): the same two
+    // replace-mode sheet resources, landed under its own namespace.
+    Job("accelerator", "sharepoint", (spark, catalog, warehouse, _) =>
+      IngestRunner.runIngest(spark, catalog, warehouse,
+        "accelerator_sharepoint",
+        new SharepointSheetSource(spark,
+          s"$root/sources/accelerator/sharepoint").resources)),
     Job("estates", "electricity_sharepoint", (spark, catalog, warehouse, args) =>
       IngestRunner.runIngest(spark, catalog, warehouse,
         "estates_electricity_sharepoint",
@@ -123,6 +131,13 @@ object Cli {
     case Seq("maintain", root, warehouse, namespace, "-r", retention) =>
       maintain(spark, root, warehouse, namespace, retention)
 
+    // Ad-hoc SQL over the landed warehouses — the reference's DuckDB-attach
+    // consumption path (`infra/scripts/duckdb-attach-lakehouses.sh`):
+    // `elt sql <root> "SELECT ... FROM lake.<warehouse>.<namespace>.<table>"`.
+    case Seq("sql", root, query) =>
+      registerSqlCatalog(spark, root)
+      spark.sql(query).show(100, truncate = false)
+
     case other =>
       System.err.println(
         s"""Unknown command: ${other.mkString(" ")}
@@ -131,8 +146,21 @@ object Cli {
            |  run <root> <job> [--backfill]
            |  transform <root> [--counts]
            |  test <root>
+           |  sql <root> "<query>"   (tables as lake.<warehouse>.<namespace>.<table>)
            |  maintain <root> <warehouse> <namespace> [-r <N><d|h|m|s>]""".stripMargin)
       throw new IllegalArgumentException("bad usage")
+  }
+
+  /** Register (or re-point) the `lake` SQL catalog over
+    * `<root>/warehouses`. Catalog instances are cached by name, so a root
+    * change also drops the session's cached catalogs. */
+  def registerSqlCatalog(spark: SparkSession, root: String): Unit = {
+    val target = s"$root/warehouses"
+    if (!spark.conf.getOption("spark.sql.catalog.lake.root").contains(target)) {
+      spark.conf.set("spark.sql.catalog.lake", "graft.sql.LakeSparkCatalog")
+      spark.conf.set("spark.sql.catalog.lake.root", target)
+      org.apache.spark.sql.GraftShims.resetCatalogs(spark)
+    }
   }
 
   /** Run the model graph over whatever landing tables exist; targets are

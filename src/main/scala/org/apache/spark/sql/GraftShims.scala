@@ -9,4 +9,11 @@ object GraftShims {
   /** DataFrame over an already-resolved logical plan. */
   def ofRows(session: SparkSession, plan: LogicalPlan): DataFrame =
     classic.Dataset.ofRows(session.asInstanceOf[classic.SparkSession], plan)
+
+  /** Drop the session's cached catalog instances so a changed
+    * `spark.sql.catalog.<name>.*` conf takes effect (catalogs re-instantiate
+    * from conf on next reference). */
+  def resetCatalogs(session: SparkSession): Unit =
+    session.asInstanceOf[classic.SparkSession]
+      .sessionState.catalogManager.reset()
 }

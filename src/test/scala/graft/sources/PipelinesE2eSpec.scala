@@ -51,8 +51,9 @@ class PipelinesE2eSpec extends AnyFunSuite with SparkSpec {
       |     "start": "1996-02-01T08:00:00Z", "end": "1996-03-01T08:00:00Z"}]}
       |]""".stripMargin
 
-  private def writeSharepoint(root: String): Unit = {
-    val dir = Paths.get(s"$root/sources/accelerator/accelerator_sharepoint")
+  private def writeSharepoint(root: String,
+                              job: String = "accelerator_sharepoint"): Unit = {
+    val dir = Paths.get(s"$root/sources/accelerator/$job")
     Files.createDirectories(dir)
     Files.write(dir.resolve("Equipment downtime data 11_08_24.csv"),
       """Equipment,User Run,Downtime Minutesx,FaultDate,FaultTime,Group,Fault Description,Managerscomments
@@ -177,6 +178,18 @@ class PipelinesE2eSpec extends AnyFunSuite with SparkSpec {
     assert(edr.count() == 3)
   }
 
+  test("legacy sharepoint job lands the same resources under its own namespace") {
+    val root = tmpDir("sp_legacy_e2e")
+    writeSharepoint(root, job = "sharepoint")
+    val catalog = new LakeCatalog(s"$root/warehouses")
+    Cli.run(spark, Seq("run", root, "sharepoint"))
+    val ns = "accelerator_sharepoint"
+    assert(catalog.loadTable(spark, wh, ns,
+      "equipment_downtime_data_11_08_24").read().count() == 2)
+    assert(catalog.loadTable(spark, wh, ns, "edr_equipment_mapping")
+      .read().count() == 3)
+  }
+
   test("electricity_sharepoint: incremental mtime filter + upsert on date_time") {
     val root = tmpDir("el_e2e")
     writeElectricityFile(root, "2024-07-ISIS.csv", elecJuly)
@@ -272,7 +285,7 @@ class PipelinesE2eSpec extends AnyFunSuite with SparkSpec {
 
     val out = new java.io.ByteArrayOutputStream()
     Console.withOut(out)(Cli.run(spark, Seq("ls", root)))
-    assert(out.toString.trim.split("\n").length == 5)
+    assert(out.toString.trim.split("\n").length == 6) // incl. legacy sharepoint
 
     for (job <- Seq("opralogweb", "statusdisplay", "accelerator_sharepoint",
         "electricity_sharepoint", "moderator_performance"))
@@ -293,6 +306,17 @@ class PipelinesE2eSpec extends AnyFunSuite with SparkSpec {
     // dbt +schema: the beamlines mart lands in its own namespace
     assert(catalog.loadTable(spark, "facility_ops", "beamlines",
       "incident_monitor_peaks").read().count() == 1)
+
+    // `elt sql`: the landed warehouses are SQL-addressable (the reference's
+    // DuckDB-attach consumption path) through the same catalog
+    Cli.registerSqlCatalog(spark, root)
+    assert(spark.sql(
+      "SELECT count(*) FROM lake.facility_ops.accelerator.cycles")
+      .head().getLong(0) == 3)
+    val sqlOut = new java.io.ByteArrayOutputStream()
+    Console.withOut(sqlOut)(Cli.run(spark, Seq("sql", root,
+      "SELECT name FROM lake.facility_ops.accelerator.cycles ORDER BY name")))
+    assert(sqlOut.toString.contains("2024/2"))
 
     // opt-in counts path prints per-model row counts
     val out2 = new java.io.ByteArrayOutputStream()

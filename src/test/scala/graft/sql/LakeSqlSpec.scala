@@ -17,6 +17,9 @@ class LakeSqlSpec extends AnyFunSuite with SparkSpec {
     val r = tmpDir("lake_sql_root")
     spark.conf.set("spark.sql.catalog.lake", classOf[LakeSparkCatalog].getName)
     spark.conf.set("spark.sql.catalog.lake.root", r)
+    // another suite may have already instantiated a `lake` catalog with a
+    // different root — cached instances ignore conf changes
+    org.apache.spark.sql.GraftShims.resetCatalogs(spark)
     r
   }
 

@@ -172,6 +172,32 @@ class LakeTableSpec extends AnyFunSuite with SparkSpec {
       rows(12L) == "b" && rows(1L) == "a" && rows(30L) == "c")
   }
 
+  test("copy-on-write merge on a partitioned table keeps partition layout") {
+    val loc = tmpDir("lt_cow_part")
+    def batch(ids: Range, cat: String) =
+      ids.map(i => (i.toLong, cat, s"v$i")).toDF("id", "cat", "name")
+    val t = LakeTable.ensure(spark, loc, batch(1 to 2, "a").schema,
+      partitionSpec = Seq(PartitionField("cat", "identity")),
+      identifierFields = Seq("id"))
+    t.write(batch(1 to 10, "a").coalesce(1), "append")
+    t.write(batch(11 to 20, "b").coalesce(1), "append")
+    val before = t.metadata.currentSnapshot.get.files
+    val untouchedBefore = before.filter(_.partitionValues.get("cat").contains(Some("b")))
+
+    t.merge(Seq((3L, "a", "A3")).toDF("id", "cat", "name"), Seq("id"))
+
+    val after = t.metadata.currentSnapshot.get.files
+    // cat=b file(s) carried verbatim with their partition values intact
+    assert(untouchedBefore.nonEmpty &&
+      untouchedBefore.forall(f => after.map(_.path).contains(f.path)))
+    val rows = t.read().as[(Long, String, String)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(rows.size == 20 && rows(3L) == (("a", "A3")) && rows(11L) == (("b", "v11")))
+    // partition-pruned read still works over the mixed carried+new snapshot
+    val pruned = t.readWithPartitions().filter(col("cat") === "b")
+    assert(pruned.collect().length == 10)
+  }
+
   test("merge with a wider source evolves the schema then upserts") {
     val loc = tmpDir("lt_merge_evolve")
     val df1 = Seq((1L, "a"), (2L, "b")).toDF("id", "name")

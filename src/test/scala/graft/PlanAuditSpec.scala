@@ -36,6 +36,13 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("SQL catalog reads push filters into the parquet scan") {
+    val p = plan("sql01_catalog_agg")
+    assert(p.contains("PushedFilters") &&
+      p.contains("GreaterThanOrEqual(o_orderdate"), p.take(800))
+    assert(!p.contains("Union")) // one scan node over the lake table
+  }
+
   test("centroid assignment is a partial-aggregated min_by, not a window") {
     // assignCells runs once per Lloyd iteration: the argmin must carry
     // partial aggregation (map-side k-fold reduction before the shuffle),

@@ -133,12 +133,15 @@ class LakeSqlSpec extends AnyFunSuite with SparkSpec {
     val d = LakeTable.ensure(spark, s"$root/ns1/dims",
       Seq(("x", "Ex")).toDF("name", "label").schema)
     d.write(Seq(("x", "Ex"), ("y", "Why")).toDF("name", "label"), "append")
-    val out = spark.sql(
+    val df = spark.sql(
       """SELECT d.label, sum(f.score) AS total
         |FROM lake.ns1.facts f JOIN lake.ns1.dims d ON f.name = d.name
-        |GROUP BY d.label ORDER BY d.label""".stripMargin).collect()
+        |GROUP BY d.label ORDER BY d.label""".stripMargin)
+    val out = df.collect()
     assert(out.map(r => (r.getString(0), r.getDouble(1))).toSeq ==
       Seq(("Ex", 40.0), ("Why", 20.0)))
+    // manifest sizeInBytes feeds join planning: the small side broadcasts
+    assert(df.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"))
   }
 
   test("MERGE INTO runs the transactional upsert (copy-on-write)") {

@@ -491,6 +491,28 @@ object SparkEntry {
         "FROM graftlake.sql04.orders ORDER BY o_orderkey")
     }),
 
+    "sql05_delete" -> ((s, dir) => {
+      val root = sqlCatalogRoot(s)
+      val o = t(s, dir, "orders")
+      LakeTable.deleteRecursively(java.nio.file.Paths.get(s"$root/sql05"))
+      LakeTable.ensure(s, s"$root/sql05/orders", o.schema).write(o, "append")
+      s.sql("DELETE FROM graftlake.sql05.orders WHERE o_orderstatus = 'F' " +
+        "AND o_orderkey % 2 = 0")
+      s.sql("SELECT o_orderkey, o_orderstatus FROM graftlake.sql05.orders " +
+        "ORDER BY o_orderkey")
+    }),
+
+    "sql06_update" -> ((s, dir) => {
+      val root = sqlCatalogRoot(s)
+      val o = t(s, dir, "orders")
+      LakeTable.deleteRecursively(java.nio.file.Paths.get(s"$root/sql06"))
+      LakeTable.ensure(s, s"$root/sql06/orders", o.schema).write(o, "append")
+      s.sql("UPDATE graftlake.sql06.orders SET o_totalprice = o_totalprice * 2, " +
+        "o_orderpriority = 'RUSH' WHERE o_orderstatus = 'O'")
+      s.sql("SELECT o_orderkey, o_totalprice, o_orderpriority " +
+        "FROM graftlake.sql06.orders ORDER BY o_orderkey")
+    }),
+
     // K1: salted equi-join — result identical to the plain join (the salt
     // only changes the shuffle layout), so it oracle-gates directly.
     "k01_salted_skew_join" -> ((s, dir) => {
@@ -1064,6 +1086,19 @@ object SparkEntry {
     "sql03_sql_insert" ->
       """SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
          WHERE o_orderkey % 4 IN (0, 1) ORDER BY o_orderkey""",
+
+    "sql05_delete" ->
+      """SELECT o_orderkey, o_orderstatus FROM orders
+         WHERE NOT (o_orderstatus = 'F' AND o_orderkey % 2 = 0)
+         ORDER BY o_orderkey""",
+
+    "sql06_update" ->
+      """SELECT o_orderkey,
+           CASE WHEN o_orderstatus = 'O' THEN o_totalprice * 2
+                ELSE o_totalprice END AS o_totalprice,
+           CASE WHEN o_orderstatus = 'O' THEN 'RUSH'
+                ELSE o_orderpriority END AS o_orderpriority
+         FROM orders ORDER BY o_orderkey""",
 
     "k01_salted_skew_join" ->
       """SELECT o.o_orderkey, o.o_custkey AS c_custkey, o.o_totalprice,

@@ -108,5 +108,6 @@ class GraftSparkSessionExtensions extends (SparkSessionExtensions => Unit) {
     // copy-on-write merge (see graft.sql.LakeMergeIntoRule)
     ext.injectResolutionRule(sp => new graft.sql.LakeRelationRule(sp))
     ext.injectResolutionRule(sp => new graft.sql.LakeMergeIntoRule(sp))
+    ext.injectResolutionRule(sp => new graft.sql.LakeDmlRule(sp))
   }
 }

@@ -215,6 +215,70 @@ final class LakeTable private (spark: SparkSession, val location: String) {
     } finally alignedSrc.unpersist()
   }
 
+  /** Row-level DELETE with the same copy-on-write economics as merge:
+    * the (resolved) predicate's manifest-bounds check splits the file list
+    * into possibly-matching and provably-unmatched; only possibly-matching
+    * files are rewritten without their deleted rows, the rest carry into
+    * the new snapshot verbatim. Deleting a bounded key range from a
+    * 100 TB table costs O(touched files). SQL-standard null semantics:
+    * rows where the predicate is NULL are kept. No-op (no commit) when no
+    * file can match. The training-data use: purge contaminated documents
+    * by id/fingerprint without rewriting the corpus. */
+  def delete(condition: Column): Unit = {
+    val meta = metadata
+    val files = meta.currentSnapshot.map(_.files).getOrElse(Nil)
+    if (files.isEmpty) return
+    val (touched, untouched) = splitByPredicate(meta, files, condition)
+    if (touched.isEmpty) return
+    val remaining = readWithPartitions(meta, Some(touched))
+      .select(meta.schema.fieldNames.map(col).toIndexedSeq: _*)
+      .filter(!coalesce(condition, lit(false)))
+    commitData(remaining, "delete", keepExisting = false, Map.empty,
+      preEvolved = Some(meta), carryFiles = untouched)
+  }
+
+  /** Row-level UPDATE (SET columns WHERE condition), copy-on-write on
+    * possibly-matching files only; unmatched rows in touched files are
+    * rewritten unchanged, untouched files carry verbatim. */
+  def update(set: Map[String, Column], condition: Column): Unit = {
+    val meta = metadata
+    set.keys.foreach(k => require(meta.schema.fieldNames.contains(k),
+      s"UPDATE of unknown column '$k'"))
+    val files = meta.currentSnapshot.map(_.files).getOrElse(Nil)
+    if (files.isEmpty) return
+    val (touched, untouched) = splitByPredicate(meta, files, condition)
+    if (touched.isEmpty) return
+    val matched = coalesce(condition, lit(false))
+    val updated = readWithPartitions(meta, Some(touched))
+      .select(meta.schema.fieldNames.map(col).toIndexedSeq: _*)
+      .select(meta.schema.fields.map { f =>
+        set.get(f.name) match {
+          case Some(v) => when(matched, v.cast(f.dataType))
+            .otherwise(col(f.name)).as(f.name)
+          case None => col(f.name)
+        }
+      }.toIndexedSeq: _*)
+    commitData(updated, "update", keepExisting = false, Map.empty,
+      preEvolved = Some(meta), carryFiles = untouched)
+  }
+
+  /** (possibly-matching, provably-unmatched) split of `files` for a
+    * predicate: resolve it against the table once, then evaluate the
+    * manifest bounds per file. */
+  private def splitByPredicate(meta: TableMetadata, files: Seq[DataFile],
+                               condition: Column): (Seq[DataFile], Seq[DataFile]) = {
+    val resolved = readWithPartitions(meta, Some(files.take(0)))
+      .select(meta.schema.fieldNames.map(col).toIndexedSeq: _*)
+      .filter(condition).queryExecution.analyzed.collectFirst {
+        case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition
+      }
+    resolved match {
+      case Some(cond) =>
+        files.partition(f => FileStats.mayMatchExpr(cond, f, meta.schema))
+      case None => (files, Nil) // cannot introspect: rewrite everything
+    }
+  }
+
   /** Encoded min/max/has-null of each merge-key column over the source —
     * the probe side of the touched-file split. Bounds become `unknown`
     * (match everything) for unsupported types or unencodable values. */

@@ -10,6 +10,10 @@ object GraftShims {
   def ofRows(session: SparkSession, plan: LogicalPlan): DataFrame =
     classic.Dataset.ofRows(session.asInstanceOf[classic.SparkSession], plan)
 
+  /** Column over a catalyst expression. */
+  def columnOf(e: catalyst.expressions.Expression): Column =
+    classic.ExpressionUtils.column(e)
+
   /** Drop the session's cached catalog instances so a changed
     * `spark.sql.catalog.<name>.*` conf takes effect (catalogs re-instantiate
     * from conf on next reference). */

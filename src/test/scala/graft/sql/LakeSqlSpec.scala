@@ -187,6 +187,26 @@ class LakeSqlSpec extends AnyFunSuite with SparkSpec {
     assert(e2.getMessage.contains("conjunction"), e2.getMessage)
   }
 
+  test("DELETE FROM and UPDATE run copy-on-write row-level operations") {
+    val t = ensureTable("ns1", "dml")
+    t.write((1 to 20).map(i => (i.toLong, s"n$i", i.toDouble))
+      .toDF("id", "name", "score"), "append")
+    spark.sql("DELETE FROM lake.ns1.dml WHERE id % 5 = 0")
+    assert(spark.sql("SELECT count(*) FROM lake.ns1.dml").head().getLong(0) == 16)
+    assert(LakeTable.load(spark, s"$root/ns1/dml").metadata
+      .currentSnapshot.get.operation == "delete")
+    spark.sql("UPDATE lake.ns1.dml SET score = score * 2, name = upper(name) " +
+      "WHERE id = 7")
+    val r = spark.sql("SELECT name, score FROM lake.ns1.dml WHERE id = 7").head()
+    assert(r.getString(0) == "N7" && r.getDouble(1) == 14.0)
+    assert(spark.sql("SELECT count(*) FROM lake.ns1.dml WHERE name = upper(name)")
+      .head().getLong(0) == 1)
+    // subqueries in DML predicates are rejected with a clear error
+    val e = intercept[Exception](spark.sql(
+      "DELETE FROM lake.ns1.dml WHERE id IN (SELECT id FROM lake.ns1.dml)"))
+    assert(e.getMessage.contains("subqueries"), e.getMessage)
+  }
+
   test("CTAS creates and populates a lake table") {
     val t = ensureTable("ns1", "src_ctas")
     t.write(Seq((1L, "a", 1.0), (2L, "b", 2.0)).toDF("id", "name", "score"), "append")

@@ -198,6 +198,52 @@ class LakeTableSpec extends AnyFunSuite with SparkSpec {
     assert(pruned.collect().length == 10)
   }
 
+  test("delete rewrites only files whose bounds can match; null predicate keeps rows") {
+    val loc = tmpDir("lt_delete")
+    def batch(ids: Range) = ids.map(i =>
+      (i.toLong, if (i % 10 == 0) null else s"n$i")).toDF("id", "name")
+    val t = LakeTable.ensure(spark, loc, batch(1 to 2).schema)
+    t.write(batch(1 to 10).coalesce(1), "append")
+    t.write(batch(11 to 20).coalesce(1), "append")
+    t.write(batch(21 to 30).coalesce(1), "append")
+    val before = t.metadata.currentSnapshot.get.files
+    t.delete(col("id") >= 11L && col("id") <= 13L)
+    val after = t.metadata.currentSnapshot.get.files
+    // files 1-10 and 21-30 carried verbatim
+    assert(before.count(f => after.map(_.path).contains(f.path)) == 2)
+    assert(t.metadata.currentSnapshot.get.operation == "delete")
+    val ids = t.read().select("id").as[Long].collect().sorted
+    assert(ids.toSeq == ((1L to 10L) ++ (14L to 30L)))
+    // NULL-predicate rows are kept (SQL semantics): name = 'nope' is NULL
+    // for the null-name rows, which must survive
+    t.delete(col("name") === "nope")
+    assert(t.read().count() == 27)
+    // provably-unmatched predicate: no commit at all
+    val v = t.metadata.currentSnapshotId
+    t.delete(col("id") > 1000L)
+    assert(t.metadata.currentSnapshotId == v)
+  }
+
+  test("update rewrites only touched files and only matched rows") {
+    val loc = tmpDir("lt_update")
+    def batch(ids: Range) = ids.map(i => (i.toLong, s"n$i", 1.0)).toDF("id", "name", "score")
+    val t = LakeTable.ensure(spark, loc, batch(1 to 2).schema)
+    t.write(batch(1 to 10).coalesce(1), "append")
+    t.write(batch(11 to 20).coalesce(1), "append")
+    val before = t.metadata.currentSnapshot.get.files
+    t.update(Map("score" -> (col("score") * 10), "name" -> upper(col("name"))),
+      col("id") === 15L)
+    val after = t.metadata.currentSnapshot.get.files
+    assert(before.count(f => after.map(_.path).contains(f.path)) == 1)
+    assert(t.metadata.currentSnapshot.get.operation == "update")
+    val rows = t.read().as[(Long, String, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(rows(15L) == (("N15", 10.0)))
+    assert(rows(14L) == (("n14", 1.0)) && rows(1L) == (("n1", 1.0)))
+    intercept[IllegalArgumentException](
+      t.update(Map("nope" -> lit(1)), col("id") === 1L))
+  }
+
   test("merge with a wider source evolves the schema then upserts") {
     val loc = tmpDir("lt_merge_evolve")
     val df1 = Seq((1L, "a"), (2L, "b")).toDF("id", "name")

@@ -128,6 +128,32 @@ object FileStats {
                    bounds: Map[String, KeyBounds]): (Seq[DataFile], Seq[DataFile]) =
     files.partition(touches(_, bounds))
 
+  /** Augment a file's stats with exact bounds for IDENTITY partition
+    * columns derived from its manifest partition values (min = max = the
+    * value; a null partition is an all-null column) — those columns live
+    * in directory names, not in the file, so they have no collected
+    * stats, yet a partition predicate can prune on them exactly. Used for
+    * the touched-file splits of merge/delete/update; the augmented entry
+    * is for evaluation only and must NOT be written back to a manifest. */
+  def withPartitionStats(f: DataFile, meta: TableMetadata,
+                         zoneId: String): DataFile = {
+    val idCols = meta.partitionSpec.filter(p =>
+      p.parsed == PartitionTransform.Identity && !f.stats.contains(p.column))
+    if (idCols.isEmpty) return f
+    val n = math.max(f.rowCount, 1L)
+    val extra = idCols.flatMap { p =>
+      f.partitionValues.get(p.column).map {
+        case Some(raw) =>
+          val dt = meta.schema(p.column).dataType
+          val enc = Option(LakeFileIndex.castPartitionValue(raw, dt, zoneId))
+            .flatMap(encodeInternal(_, dt))
+          p.column -> ColumnStats(enc, enc, 0, n)
+        case None => p.column -> ColumnStats(None, None, n, n)
+      }
+    }
+    f.copy(stats = f.stats ++ extra)
+  }
+
   // ---- data-filter file skipping (scan planning) ----------------------
 
   /** Canonical-string encoding of a CATALYST-INTERNAL value: internal

@@ -178,8 +178,11 @@ final class LakeTable private (spark: SparkSession, val location: String) {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val bounds = sourceKeyBounds(alignedSrc, meta.schema, keys)
-      val (touched, untouched) = FileStats.splitTouched(
-        meta.currentSnapshot.map(_.files).getOrElse(Nil), bounds)
+      val zone = spark.sessionState.conf.sessionLocalTimeZone
+      val (touched, untouched) =
+        meta.currentSnapshot.map(_.files).getOrElse(Nil).partition(f =>
+          FileStats.touches(
+            FileStats.withPartitionStats(f, meta, zone), bounds))
 
       // PyIceberg upsert rejects duplicate join-column rows in the source —
       // a silent full-outer-join row multiplication would corrupt the table
@@ -274,7 +277,11 @@ final class LakeTable private (spark: SparkSession, val location: String) {
       }
     resolved match {
       case Some(cond) =>
-        files.partition(f => FileStats.mayMatchExpr(cond, f, meta.schema))
+        // identity-partition columns get exact bounds from their manifest
+        // partition values (evaluation-only augmentation)
+        val zone = spark.sessionState.conf.sessionLocalTimeZone
+        files.partition(f => FileStats.mayMatchExpr(cond,
+          FileStats.withPartitionStats(f, meta, zone), meta.schema))
       case None => (files, Nil) // cannot introspect: rewrite everything
     }
   }

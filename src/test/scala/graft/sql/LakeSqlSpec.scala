@@ -75,6 +75,40 @@ class LakeSqlSpec extends AnyFunSuite with SparkSpec {
     assert(scan.metrics("numFiles").value == 1)
   }
 
+  test("identity-partitioned table: SQL reads remap partition columns by name") {
+    root
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lake.ns3")
+    // identity partition col sits in the MIDDLE of the declared schema but
+    // at the END of the physical relation layout — reads must remap
+    spark.sql("CREATE TABLE lake.ns3.idp (id BIGINT, region STRING, v DOUBLE) " +
+      "PARTITIONED BY (region)")
+    spark.sql("INSERT INTO lake.ns3.idp VALUES (1, 'eu', 1.5), (2, 'us', 2.5)")
+    val rows = spark.sql("SELECT id, region, v FROM lake.ns3.idp ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    assert(rows.toSeq == Seq((1L, "eu", 1.5), (2L, "us", 2.5)))
+    // partition pruning on the identity column
+    val pruned = spark.sql("SELECT id FROM lake.ns3.idp WHERE region = 'eu'")
+    assert(pruned.collect().map(_.getLong(0)).toSeq == Seq(1L))
+    val scan = pruned.queryExecution.executedPlan.collectLeaves().collectFirst {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }.get
+    assert(scan.metrics("numFiles").value == 1)
+    // DML on a partitioned table through SQL: a partition predicate
+    // touches only that partition's files — the other partition carries
+    // into the new snapshot verbatim
+    val euFiles = LakeTable.load(spark, s"$root/ns3/idp").metadata
+      .currentSnapshot.get.files
+      .filter(_.partitionValues.get("region").contains(Some("eu"))).map(_.path)
+    assert(euFiles.nonEmpty)
+    spark.sql("UPDATE lake.ns3.idp SET v = v * 10 WHERE region = 'us'")
+    assert(spark.sql("SELECT v FROM lake.ns3.idp WHERE id = 2").head().getDouble(0) == 25.0)
+    val afterUpdate = LakeTable.load(spark, s"$root/ns3/idp").metadata
+      .currentSnapshot.get.files.map(_.path)
+    assert(euFiles.forall(afterUpdate.contains)) // eu partition untouched
+    spark.sql("DELETE FROM lake.ns3.idp WHERE region = 'eu'")
+    assert(spark.sql("SELECT count(*) FROM lake.ns3.idp").head().getLong(0) == 1)
+  }
+
   test("INSERT INTO appends a snapshot; INSERT OVERWRITE replaces") {
     val t = ensureTable("ns1", "ins")
     spark.sql("INSERT INTO lake.ns1.ins VALUES (1, 'a', 1.0), (2, 'b', 2.0)")

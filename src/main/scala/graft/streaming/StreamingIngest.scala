@@ -17,12 +17,24 @@ import graft.tables.LakeTable
 object StreamingIngest {
 
   /** Drain new parquet files under `sourceDir` into the lake table at
-    * `tableLocation` (append, via foreachBatch through the transactional
-    * table layer). Blocks until the available data is processed. */
+    * `tableLocation` via foreachBatch through the transactional table
+    * layer. Blocks until the available data is processed.
+    *
+    * `writeMode = "append"` is plain ingest; `"merge"` (with `mergeOn`) is
+    * the streaming CDC-upsert sink: each micro-batch upserts through the
+    * copy-on-write merge, so a batch touching few keys rewrites only the
+    * files whose bounds admit those keys — continuous upsert into a
+    * 100 TB table stays O(batch + touched files) per trigger. */
   def drainToTable(spark: SparkSession, sourceDir: String,
                    schema: org.apache.spark.sql.types.StructType,
                    tableLocation: String, checkpointDir: String,
-                   transform: DataFrame => DataFrame = identity): Unit = {
+                   transform: DataFrame => DataFrame = identity,
+                   writeMode: String = "append",
+                   mergeOn: Seq[String] = Nil): Unit = {
+    require(writeMode == "append" || writeMode == "merge",
+      s"Streaming drain supports append or merge, got '$writeMode'")
+    require(writeMode != "merge" || mergeOn.nonEmpty,
+      "Streaming merge drain requires mergeOn keys")
     val stream = spark.readStream
       .schema(schema)
       .parquet(sourceDir)
@@ -31,8 +43,9 @@ object StreamingIngest {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         if (!batch.isEmpty) {
-          val table = LakeTable.ensure(batch.sparkSession, tableLocation, batch.schema)
-          table.append(batch)
+          val table = LakeTable.ensure(batch.sparkSession, tableLocation,
+            batch.schema, identifierFields = mergeOn)
+          table.write(batch, writeMode, mergeOn)
         }
       }
       .start()

@@ -36,6 +36,35 @@ class StreamingIngestSpec extends AnyFunSuite with SparkSpec {
     assert(LakeTable.load(spark, tableLoc).read().count() == 3)
   }
 
+  test("merge-mode drain is a streaming CDC upsert through copy-on-write") {
+    val src = tmpDir("cdc_src")
+    val tableLoc = tmpDir("cdc_tbl") + "/t"
+    val ckpt = tmpDir("cdc_ckpt")
+    val schema = Seq((1L, "a")).toDF("id", "name").schema
+
+    Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "name")
+      .coalesce(1).write.mode("append").parquet(src)
+    StreamingIngest.drainToTable(spark, src, schema, tableLoc, ckpt,
+      writeMode = "merge", mergeOn = Seq("id"))
+    assert(LakeTable.load(spark, tableLoc).read().count() == 3)
+
+    // a CDC batch updates one key and inserts another: upsert, not append
+    Seq((2L, "B2"), (4L, "d")).toDF("id", "name")
+      .coalesce(1).write.mode("append").parquet(src)
+    StreamingIngest.drainToTable(spark, src, schema, tableLoc, ckpt,
+      writeMode = "merge", mergeOn = Seq("id"))
+    val out = LakeTable.load(spark, tableLoc).read().as[(Long, String)]
+      .collect().sortBy(_._1)
+    assert(out.toSeq == Seq((1L, "a"), (2L, "B2"), (3L, "c"), (4L, "d")))
+    assert(LakeTable.load(spark, tableLoc).metadata
+      .currentSnapshot.get.operation == "merge")
+    // bad configs rejected up front
+    intercept[IllegalArgumentException](StreamingIngest.drainToTable(
+      spark, src, schema, tableLoc, ckpt, writeMode = "merge"))
+    intercept[IllegalArgumentException](StreamingIngest.drainToTable(
+      spark, src, schema, tableLoc, ckpt, writeMode = "replace"))
+  }
+
   test("dedupWithinWatermark drops in-window duplicates with bounded state") {
     implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val input = org.apache.spark.sql.execution.streaming.runtime

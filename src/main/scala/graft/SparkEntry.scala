@@ -537,6 +537,29 @@ object SparkEntry {
       Dedup.simhashFingerprints(t(s, dir, "documents"), "doc_id", "text")
         .orderBy("doc_id")),
 
+    // D11: the end-to-end corpus-clean composition — quality filter ->
+    // exact dedup -> MinHash near-dup prune, each stage the already-gated
+    // operator, chained the way a real training-data pipeline runs them.
+    "d11_corpus_clean" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val quality = d.select(col("doc_id"), col("text"),
+          length(col("text")).cast("long").as("n_chars"),
+          TF.punctCount(col("text")).as("n_punct"),
+          TF.tokenCount(col("text")).as("n_tokens"),
+          TF.stopwordCount(col("text")).as("n_stop"))
+        .where(expr("""n_tokens >= 5 AND n_stop >= 1 AND
+            (CASE WHEN n_chars > 0 THEN (n_punct * 1000000) div n_chars ELSE 0 END)
+              <= 200000"""))
+        .select("doc_id", "text")
+      val keepIds = Dedup.exactDedup(quality, "doc_id", "text")
+        .select(col("keep_id").as("doc_id"))
+      val deduped = quality.join(keepIds, "doc_id")
+      val nearDrop = Dedup.minhashNearDupPairs(deduped, "doc_id", "text")
+        .select(col("doc_b").as("doc_id")).distinct()
+      deduped.join(nearDrop, Seq("doc_id"), "left_anti")
+        .select("doc_id").orderBy("doc_id")
+    }),
+
     "d07_ngram_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text")
         .orderBy("doc_a", "doc_b")),
@@ -716,13 +739,16 @@ object SparkEntry {
         SELECT doc_id, $fp AS simhash FROM bits ORDER BY doc_id"""
   }
 
-  private def minhashOracle: String = {
+  /** The MinHash-LSH candidate+verify pipeline as a reusable CTE body over
+    * any (doc_id, text) relation `src` — shared by the d02 gate and the
+    * d11 corpus-clean composition. */
+  private def minhashCtes(src: String): String = {
     val rows = TF.LshRows
-    s"""WITH sh AS MATERIALIZED (
+    s"""sh AS MATERIALIZED (
           SELECT doc_id,
                  list_distinct([substring(text, i, 3)
                                 for i in range(1, greatest(length(text)-2, 0)+1)]) AS s
-          FROM documents),
+          FROM $src),
         h AS MATERIALIZED (SELECT doc_id, [${duckHash("g")} for g in s] AS hs FROM sh),
         mh AS MATERIALIZED (
           SELECT doc_id, bands.j,
@@ -744,10 +770,38 @@ object SparkEntry {
                        len(list_intersect(ha.hset, hb.hset)) AS i,
                        len(ha.hset) + len(hb.hset) - len(list_intersect(ha.hset, hb.hset)) AS u
                 FROM cand JOIN hset ha ON ha.doc_id = doc_a
-                          JOIN hset hb ON hb.doc_id = doc_b)
+                          JOIN hset hb ON hb.doc_id = doc_b)"""
+  }
+
+  private def minhashOracle: String =
+    s"""WITH ${minhashCtes("documents")}
         SELECT doc_a, doc_b, CAST((i * 1000000) // u AS BIGINT) AS jaccard_e6
         FROM ver WHERE i * 5 >= u * 4 ORDER BY doc_a, doc_b"""
-  }
+
+  /** d11: the d09 quality rule -> exact dedup (keep lowest id per digest)
+    * -> MinHash near-dup prune (drop every doc_b of a surviving pair). */
+  private def corpusCleanOracle: String =
+    s"""WITH qbase AS (
+          SELECT doc_id, text, CAST(length(text) AS BIGINT) AS n_chars,
+            CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9 ]')) AS BIGINT) AS n_punct,
+            [x for x in string_split(text, ' ') if length(x) > 0] AS toks
+          FROM documents),
+        q AS (
+          SELECT doc_id, text FROM (
+            SELECT doc_id, text, n_chars, n_punct,
+              CAST(len(toks) AS BIGINT) AS n_tokens,
+              CAST(len([x for x in toks
+                        if x IN ('the','a','of','and','to','in')]) AS BIGINT) AS n_stop
+            FROM qbase)
+          WHERE n_tokens >= 5 AND n_stop >= 1 AND
+            (CASE WHEN n_chars > 0 THEN (n_punct * 1000000) // n_chars ELSE 0 END) <= 200000),
+        ex AS (SELECT MIN(doc_id) AS doc_id FROM q GROUP BY md5(text)),
+        clean1 AS (SELECT q.doc_id, q.text FROM q JOIN ex USING (doc_id)),
+        ${minhashCtes("clean1")},
+        neardrop AS (SELECT DISTINCT doc_b FROM ver WHERE i * 5 >= u * 4)
+        SELECT doc_id FROM clean1
+        WHERE doc_id NOT IN (SELECT doc_b FROM neardrop)
+        ORDER BY doc_id"""
 
   /** Sequential double dot product / norms — DuckDB list_reduce mirrors
     * Spark's left-fold exactly. */
@@ -1131,6 +1185,8 @@ object SparkEntry {
     "d02_minhash_lsh" -> minhashOracle,
 
     "d03_simhash" -> simhashOracle,
+
+    "d11_corpus_clean" -> corpusCleanOracle,
 
     "d07_ngram_jaccard" ->
       """WITH toks AS (

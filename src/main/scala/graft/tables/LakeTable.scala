@@ -350,11 +350,21 @@ final class LakeTable private (spark: SparkSession, val location: String) {
       d.withColumn(p.fieldName, p.parsed(col(p.column), meta.schema(p.column).dataType))
     }
     val partCols = meta.partitionSpec.map(_.fieldName)
+    // Iceberg's write.distribution-mode=hash: cluster rows by partition
+    // value before the write so each partition is written by one task —
+    // without it, N tasks x P partitions can emit N*P small files per
+    // commit. One shuffle per write; worth it when many tasks feed many
+    // partitions. Opt-in via table property (default: no extra shuffle).
+    val distributed =
+      if (partCols.nonEmpty &&
+          meta.properties.get(PropDistributionMode).contains("hash"))
+        withDerived.repartition(partCols.map(col): _*)
+      else withDerived
     val sorted =
       if (meta.sortOrder.nonEmpty)
-        withDerived.sortWithinPartitions(meta.sortOrder.map(s =>
+        distributed.sortWithinPartitions(meta.sortOrder.map(s =>
           if (s.ascending) col(s.column).asc else col(s.column).desc): _*)
-      else withDerived
+      else distributed
 
     val writer = sorted.write.mode("errorifexists")
     try (if (partCols.nonEmpty) writer.partitionBy(partCols: _*) else writer)
@@ -497,6 +507,11 @@ final class LakeTable private (spark: SparkSession, val location: String) {
 object LakeTable {
   /** Marker threaded through the in-plan duplicate-merge-key guard. */
   private[tables] val DupMarker = "Duplicate rows in merge source"
+
+  /** Table property selecting the partitioned-write distribution:
+    * `hash` clusters rows by partition value before writing (one writer
+    * task per partition — Iceberg's `write.distribution-mode=hash`). */
+  val PropDistributionMode = "write.distribution-mode"
 
   /** Reverse of Spark/Hive partition-path escaping (%XX sequences). */
   private[tables] def unescapePathName(s: String): String = {

@@ -476,6 +476,26 @@ class LakeTableSpec extends AnyFunSuite with SparkSpec {
     assert(LakeTable.load(spark, loc).read().count() == 200)
   }
 
+  test("write.distribution-mode=hash clusters partitioned writes to one file each") {
+    def batch(n: Int) = (1 to 200).map(i =>
+      (i.toLong, s"c${i % n}", s"v$i")).toDF("id", "cat", "name").repartition(8)
+    // default: each of the 8 tasks may write every partition dir
+    val plainLoc = tmpDir("lt_dist_plain")
+    val plain = LakeTable.ensure(spark, plainLoc, batch(4).schema,
+      partitionSpec = Seq(PartitionField("cat", "identity")))
+    plain.write(batch(4), "append")
+    val plainFiles = plain.metadata.currentSnapshot.get.files.size
+    assert(plainFiles > 4, s"expected task-fanout files, got $plainFiles")
+    // hash mode: one writer task per partition value
+    val hashLoc = tmpDir("lt_dist_hash")
+    val hashed = LakeTable.ensure(spark, hashLoc, batch(4).schema,
+      partitionSpec = Seq(PartitionField("cat", "identity")),
+      properties = Map(LakeTable.PropDistributionMode -> "hash"))
+    hashed.write(batch(4), "append")
+    assert(hashed.metadata.currentSnapshot.get.files.size == 4)
+    assert(hashed.read().count() == 200)
+  }
+
   test("compactSmallFiles bin-packs only small files, carries big ones verbatim") {
     val loc = tmpDir("lt_compact_small")
     def batch(ids: Range) = ids.map(i => (i.toLong, "x" * 100)).toDF("id", "pad")

@@ -51,8 +51,14 @@ final class LakeFileIndex(
   override def listFiles(partitionFilters: Seq[Expression],
                          dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
     // manifest-bounds file skipping from the pushed-down data filters
-    val kept = files.filter(f =>
+    val bounded = files.filter(f =>
       dataFilters.forall(FileStats.mayMatchExpr(_, f, dataSchema)))
+    // transform-projection pruning: equality/IN filters on a transform's
+    // source column pin the partition value (bucket/truncate/date buckets
+    // are invisible to min/max bounds — this is the only skip for them)
+    val kept = TransformPruning.prune(bounded,
+      TransformPruning.allowedValues(dataFilters, meta,
+        spark.sessionState.conf.sessionLocalTimeZone))
 
     if (partitionSchema.isEmpty)
       return Seq(PartitionDirectory(InternalRow.empty, kept.map(fileStatus).toArray))

@@ -179,10 +179,16 @@ final class LakeTable private (spark: SparkSession, val location: String) {
     try {
       val bounds = sourceKeyBounds(alignedSrc, meta.schema, keys)
       val zone = spark.sessionState.conf.sessionLocalTimeZone
-      val (touched, untouched) =
+      val (boundTouched, boundCarry) =
         meta.currentSnapshot.map(_.files).getOrElse(Nil).partition(f =>
           FileStats.touches(
             FileStats.withPartitionStats(f, meta, zone), bounds))
+      // transform-partitioned key refinement: bucket/truncate partitions
+      // are invisible to key-range bounds, but the delta's distinct keys
+      // project onto an exact partition-value set when few enough
+      val (touched, keysetCarry) =
+        transformKeysetSplit(alignedSrc, meta, keys, boundTouched)
+      val untouched = boundCarry ++ keysetCarry
 
       // PyIceberg upsert rejects duplicate join-column rows in the source —
       // a silent full-outer-join row multiplication would corrupt the table
@@ -278,12 +284,50 @@ final class LakeTable private (spark: SparkSession, val location: String) {
     resolved match {
       case Some(cond) =>
         // identity-partition columns get exact bounds from their manifest
-        // partition values (evaluation-only augmentation)
+        // partition values (evaluation-only augmentation); transform
+        // partitions prune via predicate projection onto partition values
         val zone = spark.sessionState.conf.sessionLocalTimeZone
+        val allowed = TransformPruning.allowedValues(
+          TransformPruning.splitConjuncts(cond), meta, zone)
         files.partition(f => FileStats.mayMatchExpr(cond,
-          FileStats.withPartitionStats(f, meta, zone), meta.schema))
+            FileStats.withPartitionStats(f, meta, zone), meta.schema) &&
+          TransformPruning.prune(Seq(f), allowed).nonEmpty)
       case None => (files, Nil) // cannot introspect: rewrite everything
     }
+  }
+
+  /** (still-touched, additionally-carried) refinement of a merge's
+    * touched files for keys that are also transform-partition source
+    * columns: collect the delta's distinct key values (capped — a huge
+    * keyset means most partitions are touched anyway and the collect
+    * isn't worth it), project each through the partition transform, and
+    * carry files of every other partition verbatim. One bounded
+    * distinct job per such key over the already-persisted source. */
+  private def transformKeysetSplit(src: DataFrame, meta: TableMetadata,
+      keys: Seq[String], touched: Seq[DataFile]): (Seq[DataFile], Seq[DataFile]) = {
+    val fields = meta.partitionSpec
+      .filterNot(_.parsed == PartitionTransform.Identity)
+      .filter(p => keys.contains(p.column))
+    if (fields.isEmpty || touched.isEmpty) return (touched, Nil)
+    val zone = spark.sessionState.conf.sessionLocalTimeZone
+    var allowed = Map.empty[String, Set[Option[String]]]
+    fields.foreach { p =>
+      val dt = meta.schema(p.column).dataType
+      val rows = src.select(col(p.column)).distinct()
+        .limit(MergeKeysetCap + 1).collect()
+      if (rows.length <= MergeKeysetCap) {
+        val conv = org.apache.spark.sql.catalyst.CatalystTypeConverters
+          .createToCatalystConverter(dt)
+        val proj: Seq[Option[Option[String]]] = rows.toSeq.map { r =>
+          if (r.isNullAt(0)) Some(None) // null key lives in the null partition
+          else TransformPruning.projectValue(p.parsed, conv(r.get(0)), dt, zone)
+            .map(Option(_))
+        }
+        if (!proj.exists(_.isEmpty)) allowed += p.fieldName -> proj.flatten.toSet
+      }
+    }
+    if (allowed.isEmpty) (touched, Nil)
+    else touched.partition(f => TransformPruning.prune(Seq(f), allowed).nonEmpty)
   }
 
   /** Encoded min/max/has-null of each merge-key column over the source —
@@ -507,6 +551,11 @@ final class LakeTable private (spark: SparkSession, val location: String) {
 object LakeTable {
   /** Marker threaded through the in-plan duplicate-merge-key guard. */
   private[tables] val DupMarker = "Duplicate rows in merge source"
+
+  /** Max distinct merge-key values collected for transform-partition
+    * keyset pruning; beyond this the delta plausibly touches most
+    * partitions and the bounded collect stops paying for itself. */
+  private[tables] val MergeKeysetCap = 1000
 
   /** Table property selecting the partitioned-write distribution:
     * `hash` clusters rows by partition value before writing (one writer

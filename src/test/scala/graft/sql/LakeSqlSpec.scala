@@ -75,6 +75,34 @@ class LakeSqlSpec extends AnyFunSuite with SparkSpec {
     assert(scan.metrics("numFiles").value == 1)
   }
 
+  test("SQL point lookup on a bucket-partitioned table prunes to one bucket") {
+    root
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lake.nsb")
+    spark.sql("""CREATE TABLE lake.nsb.bucketed (id BIGINT, name STRING)
+                 PARTITIONED BY (bucket(8, id))""")
+    spark.sql("INSERT INTO lake.nsb.bucketed " +
+      "SELECT id, concat('n', id) FROM range(1, 201)")
+    val files = LakeTable.load(spark, s"$root/nsb/bucketed")
+      .metadata.currentSnapshot.get.files
+    assert(files.size >= 8) // one-plus file per bucket dir
+    val one = spark.sql("SELECT name FROM lake.nsb.bucketed WHERE id = 57")
+    assert(one.collect().map(_.getString(0)).toSeq == Seq("n57"))
+    val scan = one.queryExecution.executedPlan.collectLeaves().collectFirst {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }.get
+    // expected: files in id=57's bucket dir AND whose id range contains 57
+    // (bucket projection composes with manifest-bounds skipping)
+    val b57 = spark.range(1).select(pmod(xxhash64(lit(57L)), lit(8)).cast("int"))
+      .head.getInt(0).toString
+    val expect = files.count(f =>
+      f.partitionValues.get("id_bucket").contains(Some(b57)) &&
+        f.stats.get("id").exists(cs =>
+          cs.min.exists(_.toLong <= 57) && cs.max.exists(_.toLong >= 57)))
+    val inBucket = files.count(_.partitionValues.get("id_bucket").contains(Some(b57)))
+    assert(scan.metrics("numFiles").value == expect)
+    assert(expect < inBucket || inBucket < files.size) // pruning really bit
+  }
+
   test("identity-partitioned table: SQL reads remap partition columns by name") {
     root
     spark.sql("CREATE NAMESPACE IF NOT EXISTS lake.ns3")

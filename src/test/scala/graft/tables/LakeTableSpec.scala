@@ -496,6 +496,62 @@ class LakeTableSpec extends AnyFunSuite with SparkSpec {
     assert(hashed.read().count() == 200)
   }
 
+  test("bucket-partition pruning: equality predicates read/rewrite one bucket") {
+    val loc = tmpDir("lt_bucket_prune")
+    def batch(ids: Range) = ids.map(i => (i.toLong, s"n$i")).toDF("id", "name")
+    val t = LakeTable.ensure(spark, loc, batch(1 to 2).schema,
+      partitionSpec = Seq(PartitionField("id", "bucket[8]")))
+    t.write(batch(1 to 100).coalesce(1), "append")
+    t.write(batch(101 to 200).coalesce(1), "append")
+    val files = t.metadata.currentSnapshot.get.files
+    assert(files.size == 16) // 2 commits x 8 bucket dirs
+    // scan id=5: bucket pruning keeps the two id=5-bucket files, bounds
+    // then drop the commit-2 one (range [101,200]) -> exactly ONE file.
+    // Bounds alone can't get near this: commit-1 ids are hash-scattered,
+    // so most commit-1 ranges contain 5.
+    val one = t.read().filter(col("id") === 5L)
+    assert(one.collect().map(_.getString(1)).toSeq == Seq("n5"))
+    assert(scanOf(one).metrics("numFiles").value == 1)
+    // IN-list: at most the (<=2 buckets) x (2 commits) candidate files
+    val two = t.read().filter(col("id").isin(5L, 105L))
+    assert(two.collect().map(_.getString(1)).toSet == Set("n5", "n105"))
+    assert(scanOf(two).metrics("numFiles").value <= 4)
+    // DELETE id=5: only the single both-filters file is rewritten
+    val before = files.map(_.path).toSet
+    t.delete(col("id") === 5L)
+    val after = t.metadata.currentSnapshot.get.files.map(_.path).toSet
+    assert((before -- after).size == 1)
+    assert(t.read().count() == 199)
+    // MERGE of a small delta: nothing outside the delta keys' buckets is
+    // rewritten (cross-check bucket ids via the writer's own Column path)
+    val preFiles = t.metadata.currentSnapshot.get.files
+    val pre = preFiles.map(_.path).toSet
+    t.merge(Seq((10L, "TEN"), (110L, "NEW")).toDF("id", "name"), Seq("id"))
+    val post = t.metadata.currentSnapshot.get.files.map(_.path).toSet
+    val deltaBuckets = Seq(10L, 110L).map(k => spark.range(1)
+      .select(pmod(xxhash64(lit(k)), lit(8)).cast("int")).head.getInt(0).toString).toSet
+    val rewritten = pre -- post
+    assert(rewritten.nonEmpty && (pre intersect post).nonEmpty)
+    assert(rewritten.forall(p => preFiles.find(_.path == p).get
+      .partitionValues.get("id_bucket").exists(_.exists(deltaBuckets.contains))))
+    val got = t.read().filter(col("id").isin(10L, 110L))
+      .orderBy("id").collect().map(_.getString(1)).toSeq
+    assert(got == Seq("TEN", "NEW"))
+  }
+
+  test("truncate-partition pruning on long and string sources") {
+    val loc = tmpDir("lt_trunc_prune")
+    def batch(ids: Range) = ids.map(i => (i.toLong, s"k$i")).toDF("id", "name")
+    val t = LakeTable.ensure(spark, loc, batch(1 to 2).schema,
+      partitionSpec = Seq(PartitionField("id", "truncate[50]")))
+    t.write(batch(1 to 199).coalesce(1), "append")
+    val files = t.metadata.currentSnapshot.get.files
+    assert(files.size == 4) // truncate buckets 0, 50, 100, 150
+    val one = t.read().filter(col("id") === 57L)
+    assert(one.collect().map(_.getString(1)).toSeq == Seq("k57"))
+    assert(scanOf(one).metrics("numFiles").value == 1)
+  }
+
   test("compactSmallFiles bin-packs only small files, carries big ones verbatim") {
     val loc = tmpDir("lt_compact_small")
     def batch(ids: Range) = ids.map(i => (i.toLong, "x" * 100)).toDF("id", "pad")

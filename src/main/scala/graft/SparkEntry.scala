@@ -491,6 +491,29 @@ object SparkEntry {
         "FROM graftlake.sql04.orders ORDER BY o_orderkey")
     }),
 
+    // SQ5 general shape: conditional matched update/delete, explicit-column
+    // insert, and a NOT MATCHED BY SOURCE update — SQL clause-order
+    // semantics through the copy-on-write merge frame.
+    "sql07_merge_conditional" -> ((s, dir) => {
+      val root = sqlCatalogRoot(s)
+      val o = t(s, dir, "orders")
+      LakeTable.deleteRecursively(java.nio.file.Paths.get(s"$root/sql07"))
+      val table = LakeTable.ensure(s, s"$root/sql07/orders", o.schema)
+      table.write(o.where(col("o_orderkey") % 7 =!= 0), "append")
+      o.where(col("o_orderkey") % 3 === 0).createOrReplaceTempView("sql07_src")
+      s.sql(
+        """MERGE INTO graftlake.sql07.orders t USING sql07_src s
+          |ON t.o_orderkey = s.o_orderkey
+          |WHEN MATCHED AND s.o_orderstatus = 'F' THEN DELETE
+          |WHEN MATCHED THEN UPDATE SET o_totalprice = t.o_totalprice + s.o_totalprice
+          |WHEN NOT MATCHED AND s.o_totalprice > 1000 THEN
+          |  INSERT (o_orderkey, o_orderstatus) VALUES (s.o_orderkey, s.o_orderstatus)
+          |WHEN NOT MATCHED BY SOURCE AND t.o_orderkey % 5 = 0 THEN
+          |  UPDATE SET o_totalprice = t.o_totalprice * 2""".stripMargin)
+      s.sql("SELECT o_orderkey, o_orderstatus, o_totalprice " +
+        "FROM graftlake.sql07.orders ORDER BY o_orderkey")
+    }),
+
     "sql05_delete" -> ((s, dir) => {
       val root = sqlCatalogRoot(s)
       val o = t(s, dir, "orders")
@@ -1168,6 +1191,29 @@ object SparkEntry {
            CASE WHEN s.o_orderkey IS NOT NULL THEN s.o_totalprice ELSE t.o_totalprice END AS o_totalprice,
            CASE WHEN s.o_orderkey IS NOT NULL THEN s.o_orderstatus ELSE t.o_orderstatus END AS o_orderstatus
          FROM target t FULL OUTER JOIN src s ON t.o_orderkey = s.o_orderkey
+         ORDER BY o_orderkey""",
+
+    "sql07_merge_conditional" ->
+      """WITH target AS (SELECT o_orderkey, o_orderstatus, o_totalprice
+                         FROM orders WHERE o_orderkey % 7 <> 0),
+           src AS (SELECT o_orderkey, o_orderstatus, o_totalprice
+                   FROM orders WHERE o_orderkey % 3 = 0)
+         SELECT o_orderkey, o_orderstatus, o_totalprice FROM (
+           SELECT
+             COALESCE(t.o_orderkey, s.o_orderkey) AS o_orderkey,
+             CASE WHEN t.o_orderkey IS NULL THEN s.o_orderstatus
+                  ELSE t.o_orderstatus END AS o_orderstatus,
+             CASE
+               WHEN t.o_orderkey IS NOT NULL AND s.o_orderkey IS NOT NULL
+                 THEN t.o_totalprice + s.o_totalprice
+               WHEN t.o_orderkey IS NULL THEN NULL
+               WHEN t.o_orderkey % 5 = 0 THEN t.o_totalprice * 2
+               ELSE t.o_totalprice END AS o_totalprice,
+             t.o_orderkey IS NOT NULL AND s.o_orderkey IS NOT NULL
+               AND s.o_orderstatus = 'F' AS is_del,
+             t.o_orderkey IS NULL AND s.o_totalprice <= 1000 AS no_insert
+           FROM target t FULL OUTER JOIN src s ON t.o_orderkey = s.o_orderkey)
+         WHERE NOT is_del AND NOT no_insert
          ORDER BY o_orderkey""",
 
     "l06_evolve_schema" ->

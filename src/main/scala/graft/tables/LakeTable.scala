@@ -224,6 +224,140 @@ final class LakeTable private (spark: SparkSession, val location: String) {
     } finally alignedSrc.unpersist()
   }
 
+  /** General `MERGE INTO` (SQL-standard clause semantics): ordered
+    * conditional WHEN MATCHED UPDATE/DELETE, WHEN NOT MATCHED INSERT,
+    * WHEN NOT MATCHED BY SOURCE UPDATE/DELETE — first satisfied clause
+    * wins per row, a NULL clause condition is not satisfied, rows no
+    * clause claims keep their current state (matched / by-source) or are
+    * dropped (unmatched source rows). Clause conditions and assignment
+    * values reference the target row via [[MergeClauses.t]] and the
+    * source row via [[MergeClauses.s]].
+    *
+    * Same copy-on-write economics as [[merge]]: only files that can
+    * contain a source key are rewritten (bounds + transform-keyset
+    * pruning), the rest carry verbatim — EXCEPT when
+    * `notMatchedBySource` clauses exist, which read every target row's
+    * match state and so rewrite the whole table (the SQL shape itself is
+    * O(table); there is nothing to prune). Duplicate source keys
+    * matching one target row raise (in-plan guard, before any commit). */
+  def mergeClauses(src: DataFrame, keys: Seq[String],
+                   matched: Seq[MergeClauses.Clause] = Nil,
+                   notMatched: Seq[MergeClauses.Insert] = Nil,
+                   notMatchedBySource: Seq[MergeClauses.Clause] = Nil): Unit = {
+    import MergeClauses._
+    val meta = metadata
+    require(keys.nonEmpty, "mergeClauses requires at least one key column")
+    keys.foreach { k =>
+      require(meta.schema.fieldNames.contains(k), s"Merge key '$k' not in table schema")
+      require(src.columns.contains(k), s"Merge key '$k' not in source")
+    }
+    (matched ++ notMatchedBySource).foreach {
+      case _: Insert => throw new IllegalArgumentException(
+        "INSERT is only valid in the notMatched clause list")
+      case Update(_, set) => set.keys.foreach(c =>
+        require(meta.schema.fieldNames.contains(c), s"UPDATE SET of unknown column '$c'"))
+      case _: Delete => ()
+    }
+    notMatched.foreach(ins => ins.values.keys.foreach(c =>
+      require(meta.schema.fieldNames.contains(c), s"INSERT into unknown column '$c'")))
+    if (matched.isEmpty && notMatched.isEmpty && notMatchedBySource.isEmpty) return
+
+    // keys join/prune with the TARGET column types
+    val srcK = keys.foldLeft(src)((d, k) =>
+      d.withColumn(k, col(k).cast(meta.schema(k).dataType)))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val files = meta.currentSnapshot.map(_.files).getOrElse(Nil)
+      val (touched, untouched) =
+        if (notMatchedBySource.nonEmpty) (files, Seq.empty[DataFile])
+        else {
+          val bounds = sourceKeyBounds(srcK, meta.schema, keys)
+          val zone = spark.sessionState.conf.sessionLocalTimeZone
+          val (bt, bc) = files.partition(f => FileStats.touches(
+            FileStats.withPartitionStats(f, meta, zone), bounds))
+          val (tt, kc) = transformKeysetSplit(srcK, meta, keys, bt)
+          (tt, bc ++ kc)
+        }
+      if (touched.isEmpty && notMatched.isEmpty) return
+
+      val target = readWithPartitions(meta, Some(touched))
+        .select(meta.schema.fieldNames.map(col).toIndexedSeq: _*)
+      val tFrame = target
+        .select(meta.schema.fieldNames.map(c =>
+          col(c).as(TargetPrefix + c)).toIndexedSeq: _*)
+        .withColumn(TargetPrefix + "present", lit(1))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(keys.map(k => col(SourcePrefix + k)).toIndexedSeq: _*)
+      val sFrame = srcK
+        .select(srcK.columns.map(c =>
+          col(c).as(SourcePrefix + c)).toIndexedSeq: _*)
+        .withColumn(SourcePrefix + "present", lit(1))
+        .withColumn(SourcePrefix + "cnt", count(lit(1)).over(w))
+      val joinCond = keys.map(k =>
+        col(TargetPrefix + k) <=> col(SourcePrefix + k)).reduce(_ && _)
+      val joined = tFrame.join(sFrame, joinCond, "full_outer")
+
+      val isMatched = col(TargetPrefix + "present").isNotNull &&
+        col(SourcePrefix + "present").isNotNull
+      val srcOnly = col(TargetPrefix + "present").isNull &&
+        col(SourcePrefix + "present").isNotNull
+      // first clause whose condition holds (NULL = not satisfied)
+      def firstIdx(cs: Seq[Clause]): Column =
+        cs.zipWithIndex.foldRight(lit(-1)) { case ((cl, i), acc) =>
+          when(coalesce(cl.condition.getOrElse(lit(true)), lit(false)), lit(i))
+            .otherwise(acc)
+        }
+      val frame = joined
+        .withColumn("__mi", when(isMatched, firstIdx(matched)).otherwise(lit(-1)))
+        .withColumn("__ni", when(srcOnly, firstIdx(notMatched)).otherwise(lit(-1)))
+        .withColumn("__bi", when(!isMatched && !srcOnly,
+          firstIdx(notMatchedBySource)).otherwise(lit(-1)))
+
+      def notDeleted(idx: Column, cs: Seq[Clause]): Column = {
+        val dels = cs.zipWithIndex.collect { case (_: Delete, i) => i }
+        if (dels.isEmpty) lit(true) else !idx.isin(dels: _*)
+      }
+      val keep = when(isMatched, notDeleted(col("__mi"), matched))
+        .when(srcOnly, col("__ni") =!= -1)
+        .otherwise(notDeleted(col("__bi"), notMatchedBySource))
+
+      def updateChain(cs: Seq[Clause], idx: Column, base: Column,
+                      f: org.apache.spark.sql.types.StructField): Column =
+        cs.zipWithIndex.foldLeft(base) { case (acc, (cl, j)) => cl match {
+          case Update(_, set) => set.get(f.name) match {
+            case Some(v) => when(idx === j, v.cast(f.dataType)).otherwise(acc)
+            case None => acc
+          }
+          case _ => acc
+        }}
+      val dupMsg = s"$DupMarker for key(s) ${keys.mkString(", ")}"
+      val outCols = meta.schema.fields.zipWithIndex.map { case (f, i) =>
+        val keepVal = col(TargetPrefix + f.name)
+        val mVal = updateChain(matched, col("__mi"), keepVal, f)
+        val nVal = notMatched.zipWithIndex.foldLeft(lit(null).cast(f.dataType)) {
+          case (acc, (ins, j)) => ins.values.get(f.name) match {
+            case Some(v) => when(col("__ni") === j, v.cast(f.dataType)).otherwise(acc)
+            case None => acc
+          }
+        }
+        val bVal = updateChain(notMatchedBySource, col("__bi"), keepVal, f)
+        val value = when(isMatched, mVal).when(srcOnly, nVal).otherwise(bVal)
+        (if (i == 0)
+          when(isMatched && col(SourcePrefix + "cnt") > 1,
+            raise_error(lit(dupMsg))).otherwise(value)
+         else value).as(f.name)
+      }
+      val result = frame.filter(keep).select(outCols.toIndexedSeq: _*)
+      try commitData(result, "merge", keepExisting = false, Map.empty,
+        preEvolved = Some(meta), carryFiles = untouched)
+      catch {
+        case e: Throwable if causeChain(e).exists(
+            m => m != null && m.contains(DupMarker)) =>
+          throw new IllegalArgumentException(dupMsg)
+      }
+    } finally srcK.unpersist()
+  }
+
   /** Row-level DELETE with the same copy-on-write economics as merge:
     * the (resolved) predicate's manifest-bounds check splits the file list
     * into possibly-matching and provably-unmatched; only possibly-matching

@@ -75,6 +75,32 @@ class LakeSqlSpec extends AnyFunSuite with SparkSpec {
     assert(scan.metrics("numFiles").value == 1)
   }
 
+  test("general MERGE INTO: conditional update/delete, explicit insert, by-source") {
+    root
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lake.nsm")
+    spark.sql("CREATE TABLE lake.nsm.gm (id BIGINT, name STRING, score DOUBLE)")
+    spark.sql("""INSERT INTO lake.nsm.gm VALUES
+      (1, 'a', 10.0), (2, 'b', 20.0), (3, 'c', 30.0), (4, 'd', 40.0)""")
+    Seq((2L, "B", 25.0), (3L, "C", -1.0), (9L, "I", 90.0), (10L, "J", -5.0))
+      .toDF("id", "name", "score").createOrReplaceTempView("gm_src")
+    spark.sql("""
+      MERGE INTO lake.nsm.gm AS t USING gm_src AS s ON t.id = s.id
+      WHEN MATCHED AND s.score < 0 THEN DELETE
+      WHEN MATCHED THEN UPDATE SET name = s.name, score = t.score + s.score
+      WHEN NOT MATCHED AND s.score > 0 THEN INSERT (id, name) VALUES (s.id, s.name)
+      WHEN NOT MATCHED BY SOURCE AND t.id = 4 THEN UPDATE SET score = t.score * 10
+    """)
+    val got = spark.sql("SELECT * FROM lake.nsm.gm ORDER BY id").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) null else r.getDouble(2))).toSeq
+    assert(got == Seq(
+      (1L, "a", 10.0),   // by-source, condition false -> kept
+      (2L, "B", 45.0),   // matched update
+      (4L, "d", 400.0),  // by-source update
+      (9L, "I", null)))  // explicit-column insert, score NULL
+      // 3 deleted (matched, score<0), 10 not inserted (score<0)
+  }
+
   test("SQL point lookup on a bucket-partitioned table prunes to one bucket") {
     root
     spark.sql("CREATE NAMESPACE IF NOT EXISTS lake.nsb")
@@ -233,15 +259,16 @@ class LakeSqlSpec extends AnyFunSuite with SparkSpec {
     assert(spark.sql("SELECT count(*) FROM lake.ns1.mrg").head().getLong(0) == 4)
   }
 
-  test("MERGE INTO rejects non-upsert shapes with a clear error") {
+  test("MERGE INTO matched-delete-only works; non-equi condition still rejects") {
     val t = ensureTable("ns1", "mrg2")
-    t.write(Seq((1L, "a", 1.0)).toDF("id", "name", "score"), "append")
+    t.write(Seq((1L, "a", 1.0), (2L, "b", 2.0)).toDF("id", "name", "score"), "append")
     Seq((1L, "z", 9.0)).toDF("id", "name", "score")
       .createOrReplaceTempView("mrg2_src")
-    val e = intercept[Exception](spark.sql(
+    spark.sql(
       """MERGE INTO lake.ns1.mrg2 t USING mrg2_src s ON t.id = s.id
-        |WHEN MATCHED THEN DELETE""".stripMargin))
-    assert(e.getMessage.contains("upsert-all shape"), e.getMessage)
+        |WHEN MATCHED THEN DELETE""".stripMargin)
+    assert(spark.sql("SELECT id FROM lake.ns1.mrg2").collect()
+      .map(_.getLong(0)).toSeq == Seq(2L))
     val e2 = intercept[Exception](spark.sql(
       """MERGE INTO lake.ns1.mrg2 t USING mrg2_src s ON t.id < s.id
         |WHEN MATCHED THEN UPDATE SET *

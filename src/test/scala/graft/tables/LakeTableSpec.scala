@@ -496,6 +496,63 @@ class LakeTableSpec extends AnyFunSuite with SparkSpec {
     assert(hashed.read().count() == 200)
   }
 
+  test("mergeClauses: ordered conditional matched/not-matched/by-source clauses") {
+    import MergeClauses._
+    val loc = tmpDir("lt_merge_clauses")
+    val init = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0),
+      (4L, "d", 40.0), (5L, "e", 50.0), (6L, "f", 60.0)).toDF("id", "name", "score")
+    val tbl = LakeTable.ensure(spark, loc, init.schema)
+    tbl.write(init, "append")
+    val src = Seq((2L, "B", 25.0), (3L, "C", 5.0), (4L, "D", -1.0),
+      (7L, "G", 70.0), (8L, "H", -8.0)).toDF("id", "name", "score")
+    tbl.mergeClauses(src, Seq("id"),
+      matched = Seq(
+        // first-satisfied-wins: id=4 hits the delete even though the
+        // update would not fire; id=2 updates; id=3 matches neither -> kept
+        Delete(Some(s("score") < 0)),
+        Update(Some(s("score") > t("score")),
+          Map("name" -> s("name"), "score" -> (s("score") + t("score"))))),
+      notMatched = Seq(
+        Insert(Some(s("score") > 0), Map("id" -> s("id"), "name" -> s("name"),
+          "score" -> s("score")))), // id=8 (score<0) is NOT inserted
+      notMatchedBySource = Seq(
+        Delete(Some(t("id") === 6L)),
+        Update(Some(t("id") === 5L), Map("score" -> (t("score") * 2)))))
+    val got = tbl.read().orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq
+    assert(got == Seq(
+      (1L, "a", 10.0),        // by-source, no clause -> kept
+      (2L, "B", 45.0),        // matched update (25 > 20), score summed
+      (3L, "c", 30.0),        // matched, no clause satisfied -> kept
+      (5L, "e", 100.0),       // by-source update
+      (7L, "G", 70.0)))       // conditional insert
+      // 4 deleted (matched delete), 6 deleted (by-source), 8 not inserted
+  }
+
+  test("mergeClauses without by-source clauses carries untouched files") {
+    import MergeClauses._
+    val loc = tmpDir("lt_merge_clauses_cow")
+    def batch(ids: Range) = ids.map(i => (i.toLong, s"n$i")).toDF("id", "name")
+    val tbl = LakeTable.ensure(spark, loc, batch(1 to 2).schema)
+    tbl.write(batch(1 to 10).coalesce(1), "append")
+    tbl.write(batch(11 to 20).coalesce(1), "append")
+    val before = tbl.metadata.currentSnapshot.get.files.map(_.path).toSet
+    tbl.mergeClauses(Seq((15L, "XV")).toDF("id", "name"), Seq("id"),
+      matched = Seq(Update(None, Map("name" -> s("name")))))
+    val after = tbl.metadata.currentSnapshot.get.files.map(_.path).toSet
+    assert((before intersect after).size == 1) // the 1-10 file carried verbatim
+    assert(tbl.read().filter(col("id") === 15L).head.getString(1) == "XV")
+    // duplicate source keys matching a target row raise before commit
+    val versionBefore = tbl.version
+    val dup = Seq((15L, "x"), (15L, "y")).toDF("id", "name")
+    val e = intercept[Exception] {
+      tbl.mergeClauses(dup, Seq("id"),
+        matched = Seq(Update(None, Map("name" -> s("name")))))
+    }
+    assert(e.getMessage.contains("Duplicate rows in merge source"))
+    assert(tbl.version == versionBefore)
+  }
+
   test("bucket-partition pruning: equality predicates read/rewrite one bucket") {
     val loc = tmpDir("lt_bucket_prune")
     def batch(ids: Range) = ids.map(i => (i.toLong, s"n$i")).toDF("id", "name")

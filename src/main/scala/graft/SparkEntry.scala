@@ -583,6 +583,29 @@ object SparkEntry {
         .select("doc_id").orderBy("doc_id")
     }),
 
+    // D12: Gopher-style repetition quality rules — duplicate-word fraction
+    // (linear, in-row HOFs) and top-2-gram fraction (explode -> one shuffle
+    // on (doc_id, gram) with map-side partial counts -> per-doc max).
+    // Integer floor-scaled fractions for bit-exact cross-engine compare.
+    "d12_repetition" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val base = d.select(col("doc_id"),
+        TF.tokenCount(col("text")).as("n_tokens"),
+        size(array_distinct(TF.cleanTokens(col("text")))).cast("long").as("n_distinct"),
+        TF.wordBigrams(col("text")).as("grams"))
+      val top = base.select(col("doc_id"), explode(col("grams")).as("g"))
+        .groupBy("doc_id", "g").count()
+        .groupBy("doc_id").agg(max(col("count")).as("top2_cnt"))
+      base.join(top, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_tokens"),
+          expr("CASE WHEN n_tokens > 0 THEN ((n_tokens - n_distinct) * 1000000) div n_tokens ELSE 0 END")
+            .as("dup_word_frac_e6"),
+          coalesce(col("top2_cnt"), lit(0L)).as("top2_cnt"),
+          expr("CASE WHEN n_tokens > 1 THEN (coalesce(top2_cnt, 0) * 1000000) div (n_tokens - 1) ELSE 0 END")
+            .as("top2_frac_e6"))
+        .orderBy("doc_id")
+    }),
+
     "d07_ngram_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text")
         .orderBy("doc_a", "doc_b")),
@@ -1233,6 +1256,27 @@ object SparkEntry {
     "d03_simhash" -> simhashOracle,
 
     "d11_corpus_clean" -> corpusCleanOracle,
+
+    "d12_repetition" ->
+      """WITH toks AS (
+           SELECT doc_id, [x for x in string_split(text, ' ') if length(x) > 0] AS w
+           FROM documents),
+         base AS (
+           SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens,
+             CAST(len(list_distinct(w)) AS BIGINT) AS n_distinct,
+             [w[i] || ' ' || w[i+1] for i in range(1, len(w))] AS grams
+           FROM toks),
+         gcnt AS (
+           SELECT doc_id, g, COUNT(*) AS c
+           FROM (SELECT doc_id, unnest(grams) AS g FROM base) GROUP BY 1, 2),
+         top AS (SELECT doc_id, MAX(c) AS top2_cnt FROM gcnt GROUP BY 1)
+         SELECT b.doc_id, n_tokens,
+           CASE WHEN n_tokens > 0
+             THEN ((n_tokens - n_distinct) * 1000000) // n_tokens ELSE 0 END AS dup_word_frac_e6,
+           CAST(COALESCE(top2_cnt, 0) AS BIGINT) AS top2_cnt,
+           CASE WHEN n_tokens > 1
+             THEN (COALESCE(top2_cnt, 0) * 1000000) // (n_tokens - 1) ELSE 0 END AS top2_frac_e6
+         FROM base b LEFT JOIN top USING (doc_id) ORDER BY doc_id""",
 
     "d07_ngram_jaccard" ->
       """WITH toks AS (

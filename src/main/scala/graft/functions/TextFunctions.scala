@@ -120,4 +120,18 @@ object TextFunctions {
   def tokenChars(c: Column): Column =
     aggregate(filter(tokens(c), t => length(t) > 0), lit(0L),
       (acc, t) => acc + length(t).cast("long"))
+
+  // ---- repetition stats (Gopher-style quality rules) -------------------
+
+  /** Non-empty whitespace tokens, duplicates preserved. */
+  def cleanTokens(c: Column): Column = filter(tokens(c), t => length(t) > 0)
+
+  /** Word 2-grams ("w1 w2") over the non-empty tokens, duplicates
+    * preserved — the unit of Gopher's top-n-gram repetition rule. */
+  def wordBigrams(c: Column): Column = {
+    val w = cleanTokens(c)
+    when(size(w) < 2, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(0), size(w) - 2),
+        i => concat(element_at(w, i + 1), lit(" "), element_at(w, i + 2))))
+  }
 }

@@ -147,15 +147,35 @@ class LakeSparkCatalog extends TableCatalog with SupportsNamespaces {
   }
 
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val loc = tablePath(ident)
+    if (!LakeTable.exists(loc)) throw new NoSuchTableException(ident)
+    val t = LakeTable.load(SparkSession.active, loc)
     val setProps = changes.collect {
       case s: TableChange.SetProperty => s.property -> s.value
     }
-    if (setProps.size != changes.size)
+    val addCols = changes.collect {
+      case a: TableChange.AddColumn =>
+        if (a.fieldNames.length != 1) throw new UnsupportedOperationException(
+          s"Nested ADD COLUMN not supported: ${a.fieldNames.mkString(".")}")
+        if (a.position != null) throw new UnsupportedOperationException(
+          "ADD COLUMN FIRST/AFTER not supported (columns append)")
+        StructType(Seq.empty).add(a.fieldNames.head, a.dataType, a.isNullable).head
+    }
+    val dropCols = changes.collect {
+      case d: TableChange.DeleteColumn =>
+        if (d.fieldNames.length != 1) throw new UnsupportedOperationException(
+          s"Nested DROP COLUMN not supported: ${d.fieldNames.mkString(".")}")
+        d.fieldNames.head
+    }
+    val handled = setProps.size + addCols.size + dropCols.size
+    if (handled != changes.size)
       throw new UnsupportedOperationException(
-        "Only SET TBLPROPERTIES is supported; evolve schemas by writing data")
-    val loc = tablePath(ident)
-    if (!LakeTable.exists(loc)) throw new NoSuchTableException(ident)
-    LakeTable.load(SparkSession.active, loc).writeProperties(setProps.toMap)
+        "Supported ALTER TABLE changes: SET TBLPROPERTIES, ADD COLUMNS, " +
+          "DROP COLUMN (RENAME needs field-id column mapping, which plain " +
+          "parquet files cannot express)")
+    if (addCols.nonEmpty) t.addColumns(addCols)
+    if (dropCols.nonEmpty) t.dropColumns(dropCols)
+    if (setProps.nonEmpty) t.writeProperties(setProps.toMap)
     loadTable(ident)
   }
 

@@ -5,7 +5,7 @@ import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{StructField, StructType}
 
 import graft.types.SchemaEvolution
 
@@ -123,6 +123,41 @@ final class LakeTable private (spark: SparkSession, val location: String) {
   def writeProperties(props: Map[String, String]): Unit = {
     val meta = metadata
     commit(meta.copy(properties = meta.properties ++ props))
+  }
+
+  /** DDL ADD COLUMNS: metadata-only schema commit. Columns must be
+    * nullable (existing files don't have them; readers null-fill missing
+    * parquet columns — the standard add-only evolution contract). */
+  def addColumns(fields: Seq[StructField]): Unit = {
+    val meta = metadata
+    fields.foreach { f =>
+      require(f.nullable, s"ADD COLUMN '${f.name}' must be nullable " +
+        "(existing files cannot supply values)")
+      require(!meta.schema.fieldNames.exists(_.equalsIgnoreCase(f.name)),
+        s"Column '${f.name}' already exists")
+    }
+    commit(meta.copy(schema = StructType(meta.schema.fields ++ fields)))
+  }
+
+  /** DDL DROP COLUMN: metadata-only — files keep the physical column,
+    * every read projects it away. Partition-source, sort and identifier
+    * columns are load-bearing and cannot be dropped. */
+  def dropColumns(names: Seq[String]): Unit = {
+    val meta = metadata
+    names.foreach { n =>
+      require(meta.schema.fieldNames.exists(_.equalsIgnoreCase(n)),
+        s"No such column: '$n'")
+      require(!meta.partitionSpec.exists(_.column.equalsIgnoreCase(n)),
+        s"Cannot drop partition column '$n'")
+      require(!meta.sortOrder.exists(_.column.equalsIgnoreCase(n)),
+        s"Cannot drop sort column '$n'")
+      require(!meta.identifierFields.exists(_.equalsIgnoreCase(n)),
+        s"Cannot drop identifier column '$n'")
+    }
+    val lower = names.map(_.toLowerCase).toSet
+    val kept = meta.schema.fields.filterNot(f => lower.contains(f.name.toLowerCase))
+    require(kept.nonEmpty, "Cannot drop every column")
+    commit(meta.copy(schema = StructType(kept)))
   }
 
   // ---- write path ---------------------------------------------------

@@ -75,6 +75,32 @@ class LakeSqlSpec extends AnyFunSuite with SparkSpec {
     assert(scan.metrics("numFiles").value == 1)
   }
 
+  test("ALTER TABLE ADD/DROP COLUMN are metadata-only schema commits") {
+    root
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lake.nsd")
+    spark.sql("CREATE TABLE lake.nsd.ddl (id BIGINT, name STRING)")
+    spark.sql("INSERT INTO lake.nsd.ddl VALUES (1, 'a'), (2, 'b')")
+    val filesBefore = LakeTable.load(spark, s"$root/nsd/ddl")
+      .metadata.currentSnapshot.get.files.map(_.path).toSet
+    spark.sql("ALTER TABLE lake.nsd.ddl ADD COLUMNS (score DOUBLE)")
+    // old files are untouched; the new column null-fills on read
+    assert(LakeTable.load(spark, s"$root/nsd/ddl")
+      .metadata.currentSnapshot.get.files.map(_.path).toSet == filesBefore)
+    val got = spark.sql("SELECT id, name, score FROM lake.nsd.ddl ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.isNullAt(2))).toSeq
+    assert(got == Seq((1L, "a", true), (2L, "b", true)))
+    spark.sql("INSERT INTO lake.nsd.ddl VALUES (3, 'c', 3.5)")
+    assert(spark.sql("SELECT score FROM lake.nsd.ddl WHERE id = 3")
+      .head.getDouble(0) == 3.5)
+    // DROP projects the physical column away on every read
+    spark.sql("ALTER TABLE lake.nsd.ddl DROP COLUMN name")
+    assert(spark.sql("SELECT * FROM lake.nsd.ddl").columns.toSeq == Seq("id", "score"))
+    // RENAME has no sound encoding over plain parquet files -> clear error
+    val e = intercept[Exception](
+      spark.sql("ALTER TABLE lake.nsd.ddl RENAME COLUMN id TO key"))
+    assert(e.getMessage.contains("field-id"), e.getMessage)
+  }
+
   test("general MERGE INTO: conditional update/delete, explicit insert, by-source") {
     root
     spark.sql("CREATE NAMESPACE IF NOT EXISTS lake.nsm")

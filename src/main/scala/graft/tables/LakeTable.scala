@@ -17,9 +17,14 @@ import graft.types.SchemaEvolution
   * snapshot log, and maintenance procedures.
   *
   * Commit protocol: snapshots carry the complete data-file list; a commit
-  * writes `metadata/v{N}.json` then atomically swaps `metadata/VERSION`.
-  * Single-writer last-wins — the reference serializes loads anyway
-  * (`[load] workers=1`, see SURVEY §6).
+  * built from version N CASes `metadata/v{N+1}.json` into existence (atomic
+  * hard link — exactly one writer owns each version) and then advances the
+  * `VERSION` hint. Optimistic concurrency, Iceberg-style: appends rebase
+  * and retry on conflict; operations whose output depends on the base
+  * state (merge/delete/update/replace/compact) abort with
+  * [[ConcurrentCommitException]] rather than silently losing the other
+  * writer's commit. The reference serializes loads (`[load] workers=1`,
+  * SURVEY §6) but its Iceberg storage makes the same guarantee.
   *
   * Scale notes: data files are written/read by Spark (cluster-parallel);
   * only metadata I/O touches the driver. Reads reconstruct partition
@@ -33,26 +38,66 @@ final class LakeTable private (spark: SparkSession, val location: String) {
   private def metadataDir: Path = Paths.get(location, "metadata")
   private def dataDir: Path = Paths.get(location, "data")
 
+  /** Current table version: the `VERSION` pointer is a hint (its swap is
+    * last-writer-wins under races), so probe forward past it — committed
+    * `v{N}.json` files are the truth and appear atomically. */
   def version: Int = {
     val vf = metadataDir.resolve("VERSION")
-    if (Files.exists(vf)) new String(Files.readAllBytes(vf)).trim.toInt else 0
+    var v = if (Files.exists(vf)) new String(Files.readAllBytes(vf)).trim.toInt else 0
+    while (Files.exists(metadataDir.resolve(s"v${v + 1}.json"))) v += 1
+    v
   }
 
-  def metadata: TableMetadata =
-    TableMetadata.fromJson(new String(
-      Files.readAllBytes(metadataDir.resolve(s"v$version.json"))))
+  def metadata: TableMetadata = metadataAt._2
 
-  private def commit(meta: TableMetadata): Unit = {
-    val next = version + 1
+  /** The (version, metadata) pair every mutation must CAS against — a
+    * commit built from version N's state is only allowed to create
+    * version N+1 (optimistic concurrency, Iceberg's commit model). */
+  private[tables] def metadataAt: (Int, TableMetadata) = {
+    val v = version
+    (v, TableMetadata.fromJson(new String(
+      Files.readAllBytes(metadataDir.resolve(s"v$v.json")))))
+  }
+
+  /** Compare-and-swap commit: write the metadata under `v{base+1}.json`
+    * via an atomic hard link — exactly one concurrent committer can own a
+    * version number; losers get [[ConcurrentCommitException]] and must
+    * rebase or abort. A stale base (someone else already committed
+    * base+1) fails the same way, which is what prevents lost updates. */
+  private[tables] def commitCas(base: Int, meta: TableMetadata): Unit = {
+    val next = base + 1
     Files.createDirectories(metadataDir)
-    val tmp = metadataDir.resolve(s"v$next.json.tmp")
+    val tmp = metadataDir.resolve(
+      s"v$next.json.tmp-${java.util.UUID.randomUUID().toString.take(8)}")
     Files.write(tmp, meta.toJson.getBytes)
-    Files.move(tmp, metadataDir.resolve(s"v$next.json"),
-      StandardCopyOption.ATOMIC_MOVE)
-    val vtmp = metadataDir.resolve("VERSION.tmp")
+    try Files.createLink(metadataDir.resolve(s"v$next.json"), tmp)
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        Files.deleteIfExists(tmp)
+        throw new ConcurrentCommitException(
+          s"Commit conflict on '$location': version $next was committed concurrently")
+    } finally Files.deleteIfExists(tmp)
+    // advance the hint; readers recover from regressions by probing
+    val vtmp = metadataDir.resolve(
+      s"VERSION.tmp-${java.util.UUID.randomUUID().toString.take(8)}")
     Files.write(vtmp, next.toString.getBytes)
     Files.move(vtmp, metadataDir.resolve("VERSION"),
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Retry loop for metadata-only transactions (properties, DDL, snapshot
+    * expiry): these rebase trivially — re-read, re-apply, re-CAS. */
+  private def commitRetry(f: TableMetadata => TableMetadata): Unit = {
+    var attempt = 0
+    while (true) {
+      val (base, meta) = metadataAt
+      try { commitCas(base, f(meta)); return }
+      catch {
+        case e: ConcurrentCommitException =>
+          attempt += 1
+          if (attempt > LakeTable.MaxCommitRetries) throw e
+      }
+    }
   }
 
   // ---- read path ----------------------------------------------------
@@ -120,30 +165,26 @@ final class LakeTable private (spark: SparkSession, val location: String) {
 
   /** Commit property updates in a metadata-only transaction
     * (`iceberg/io.py:52-61`). */
-  def writeProperties(props: Map[String, String]): Unit = {
-    val meta = metadata
-    commit(meta.copy(properties = meta.properties ++ props))
-  }
+  def writeProperties(props: Map[String, String]): Unit =
+    commitRetry(meta => meta.copy(properties = meta.properties ++ props))
 
   /** DDL ADD COLUMNS: metadata-only schema commit. Columns must be
     * nullable (existing files don't have them; readers null-fill missing
     * parquet columns — the standard add-only evolution contract). */
-  def addColumns(fields: Seq[StructField]): Unit = {
-    val meta = metadata
+  def addColumns(fields: Seq[StructField]): Unit = commitRetry { meta =>
     fields.foreach { f =>
       require(f.nullable, s"ADD COLUMN '${f.name}' must be nullable " +
         "(existing files cannot supply values)")
       require(!meta.schema.fieldNames.exists(_.equalsIgnoreCase(f.name)),
         s"Column '${f.name}' already exists")
     }
-    commit(meta.copy(schema = StructType(meta.schema.fields ++ fields)))
+    meta.copy(schema = StructType(meta.schema.fields ++ fields))
   }
 
   /** DDL DROP COLUMN: metadata-only — files keep the physical column,
     * every read projects it away. Partition-source, sort and identifier
     * columns are load-bearing and cannot be dropped. */
-  def dropColumns(names: Seq[String]): Unit = {
-    val meta = metadata
+  def dropColumns(names: Seq[String]): Unit = commitRetry { meta =>
     names.foreach { n =>
       require(meta.schema.fieldNames.exists(_.equalsIgnoreCase(n)),
         s"No such column: '$n'")
@@ -157,7 +198,7 @@ final class LakeTable private (spark: SparkSession, val location: String) {
     val lower = names.map(_.toLowerCase).toSet
     val kept = meta.schema.fields.filterNot(f => lower.contains(f.name.toLowerCase))
     require(kept.nonEmpty, "Cannot drop every column")
-    commit(meta.copy(schema = StructType(kept)))
+    meta.copy(schema = StructType(kept))
   }
 
   // ---- write path ---------------------------------------------------
@@ -206,7 +247,7 @@ final class LakeTable private (spark: SparkSession, val location: String) {
     * keys are never rewritten). */
   def merge(df: DataFrame, keys: Seq[String],
             properties: Map[String, String] = Map.empty): Unit = {
-    val meta = evolveIfNeeded(df.schema)
+    val (base, meta) = evolveIfNeeded(df.schema)
     // Persisted: the source plan feeds the bounds job AND the merge join,
     // and extractor plans can be expensive to recompute.
     val alignedSrc = alignTo(df, meta.schema)
@@ -250,7 +291,7 @@ final class LakeTable private (spark: SparkSession, val location: String) {
             .otherwise(value) else value).as(c)
         }.toIndexedSeq: _*)
       try commitData(merged, "merge", keepExisting = false, properties,
-        preEvolved = Some(meta), carryFiles = untouched)
+        preEvolved = Some((base, meta)), carryFiles = untouched)
       catch {
         case e: Throwable if causeChain(e).exists(
             m => m != null && m.contains(DupMarker)) =>
@@ -280,7 +321,7 @@ final class LakeTable private (spark: SparkSession, val location: String) {
                    notMatched: Seq[MergeClauses.Insert] = Nil,
                    notMatchedBySource: Seq[MergeClauses.Clause] = Nil): Unit = {
     import MergeClauses._
-    val meta = metadata
+    val (base, meta) = metadataAt
     require(keys.nonEmpty, "mergeClauses requires at least one key column")
     keys.foreach { k =>
       require(meta.schema.fieldNames.contains(k), s"Merge key '$k' not in table schema")
@@ -384,7 +425,7 @@ final class LakeTable private (spark: SparkSession, val location: String) {
       }
       val result = frame.filter(keep).select(outCols.toIndexedSeq: _*)
       try commitData(result, "merge", keepExisting = false, Map.empty,
-        preEvolved = Some(meta), carryFiles = untouched)
+        preEvolved = Some((base, meta)), carryFiles = untouched)
       catch {
         case e: Throwable if causeChain(e).exists(
             m => m != null && m.contains(DupMarker)) =>
@@ -403,7 +444,7 @@ final class LakeTable private (spark: SparkSession, val location: String) {
     * file can match. The training-data use: purge contaminated documents
     * by id/fingerprint without rewriting the corpus. */
   def delete(condition: Column): Unit = {
-    val meta = metadata
+    val (base, meta) = metadataAt
     val files = meta.currentSnapshot.map(_.files).getOrElse(Nil)
     if (files.isEmpty) return
     val (touched, untouched) = splitByPredicate(meta, files, condition)
@@ -412,14 +453,14 @@ final class LakeTable private (spark: SparkSession, val location: String) {
       .select(meta.schema.fieldNames.map(col).toIndexedSeq: _*)
       .filter(!coalesce(condition, lit(false)))
     commitData(remaining, "delete", keepExisting = false, Map.empty,
-      preEvolved = Some(meta), carryFiles = untouched)
+      preEvolved = Some((base, meta)), carryFiles = untouched)
   }
 
   /** Row-level UPDATE (SET columns WHERE condition), copy-on-write on
     * possibly-matching files only; unmatched rows in touched files are
     * rewritten unchanged, untouched files carry verbatim. */
   def update(set: Map[String, Column], condition: Column): Unit = {
-    val meta = metadata
+    val (base, meta) = metadataAt
     set.keys.foreach(k => require(meta.schema.fieldNames.contains(k),
       s"UPDATE of unknown column '$k'"))
     val files = meta.currentSnapshot.map(_.files).getOrElse(Nil)
@@ -437,7 +478,7 @@ final class LakeTable private (spark: SparkSession, val location: String) {
         }
       }.toIndexedSeq: _*)
     commitData(updated, "update", keepExisting = false, Map.empty,
-      preEvolved = Some(meta), carryFiles = untouched)
+      preEvolved = Some((base, meta)), carryFiles = untouched)
   }
 
   /** (possibly-matching, provably-unmatched) split of `files` for a
@@ -529,15 +570,25 @@ final class LakeTable private (spark: SparkSession, val location: String) {
     Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(10)
       .map(_.getMessage).toSeq
 
-  private def evolveIfNeeded(incoming: StructType): TableMetadata = {
-    val meta = metadata
-    SchemaEvolution.evolve(meta.schema, incoming) match {
-      case Some(newSchema) =>
-        val newMeta = meta.copy(schema = newSchema)
-        commit(newMeta)
-        newMeta
-      case None => meta
+  /** Add-only schema evolution before a write; returns the (version,
+    * metadata) the subsequent data commit must CAS against. */
+  private def evolveIfNeeded(incoming: StructType): (Int, TableMetadata) = {
+    var attempt = 0
+    while (true) {
+      val (base, meta) = metadataAt
+      SchemaEvolution.evolve(meta.schema, incoming) match {
+        case Some(newSchema) =>
+          val newMeta = meta.copy(schema = newSchema)
+          try { commitCas(base, newMeta); return (base + 1, newMeta) }
+          catch {
+            case e: ConcurrentCommitException =>
+              attempt += 1
+              if (attempt > LakeTable.MaxCommitRetries) throw e
+          }
+        case None => return (base, meta)
+      }
     }
+    sys.error("unreachable")
   }
 
   /** Null-fill columns of `schema` missing from df, in schema order. */
@@ -549,11 +600,21 @@ final class LakeTable private (spark: SparkSession, val location: String) {
 
   private def commitData(df: DataFrame, op: String, keepExisting: Boolean,
                          properties: Map[String, String],
-                         preEvolved: Option[TableMetadata] = None,
+                         preEvolved: Option[(Int, TableMetadata)] = None,
                          carryFiles: Seq[DataFile] = Nil): Unit = {
-    val meta = preEvolved.getOrElse(evolveIfNeeded(df.schema))
+    val (base, meta) = preEvolved.getOrElse(evolveIfNeeded(df.schema))
     val snapId = meta.currentSnapshotId + 1
-    val snapRel = s"data/snap-$snapId"
+    val snapRel = writeSnapshotDir(df, op, meta, snapId)
+    commitDataFiles(op, keepExisting, properties, carryFiles,
+      base, meta, snapRel)
+  }
+
+  /** Write the delta under a `data/snap-N` directory (uniquified only
+    * when a concurrent writer already claimed the deterministic name) and
+    * return the relative path. Our own failed partial writes are cleaned
+    * up; a pre-existing directory belongs to someone else and is not. */
+  private def writeSnapshotDir(df: DataFrame, op: String,
+                               meta: TableMetadata, snapId: Long): String = {
     val aligned = alignTo(df, meta.schema)
 
     // Derived partition columns + write-layout sort (sort is write-layout
@@ -579,28 +640,82 @@ final class LakeTable private (spark: SparkSession, val location: String) {
           if (s.ascending) col(s.column).asc else col(s.column).desc): _*)
       else distributed
 
-    val writer = sorted.write.mode("errorifexists")
-    try (if (partCols.nonEmpty) writer.partitionBy(partCols: _*) else writer)
-      .parquet(s"$location/$snapRel")
-    catch {
+    // claim the output directory ATOMICALLY before the Spark write — a
+    // plain errorifexists write races (two writers can both pass the
+    // existence check and then clobber each other's _temporary files).
+    // mkdir is the CAS; a loser (or a crashed writer's leftover) shunts
+    // to a uniquified name — the manifest stores the path either way.
+    def claim(rel: String): Boolean = {
+      Files.createDirectories(dataDir)
+      try { Files.createDirectory(Paths.get(location, rel)); true }
+      catch { case _: java.nio.file.FileAlreadyExistsException => false }
+    }
+    val rel0 = s"data/snap-$snapId"
+    val rel =
+      if (claim(rel0)) rel0
+      else {
+        val alt = s"$rel0-${java.util.UUID.randomUUID().toString.take(8)}"
+        require(claim(alt), s"Could not claim snapshot directory $alt")
+        alt
+      }
+    // append mode: the claimed directory exists (and is empty, it's ours)
+    val writer = sorted.write.mode("append")
+    try {
+      (if (partCols.nonEmpty) writer.partitionBy(partCols: _*) else writer)
+        .parquet(s"$location/$rel")
+      rel
+    } catch {
       case e: Throwable =>
         // a failed write must not leave a partial directory squatting on
-        // the next snapshot id (the writer errors on existing paths)
-        deleteRecursively(Paths.get(location, snapRel))
+        // the claimed snapshot path
+        deleteRecursively(Paths.get(location, rel))
         throw e
     }
+  }
 
-    val newFiles = newFileEntries(snapRel, meta)
-    val oldFiles =
-      if (keepExisting) meta.currentSnapshot.map(_.files).getOrElse(Nil) else Nil
-    // carryFiles: untouched files a copy-on-write merge carries forward
-    // verbatim (manifest entries, bounds and all)
-    val snap = Snapshot(snapId, System.currentTimeMillis(), op,
-      carryFiles ++ oldFiles ++ newFiles, Some(meta.schema.json))
-    commit(metadata.copy( // re-read: evolveIfNeeded may have bumped version
-      snapshots = metadata.snapshots :+ snap,
-      currentSnapshotId = snapId,
-      properties = metadata.properties ++ properties))
+  /** Manifest commit of a written snapshot directory, CASed against the
+    * base version. Appends rebase on conflict (re-read, recompute the
+    * kept file list, re-CAS — the delta is order-independent); every
+    * other op computed its output FROM the base state, so a conflict
+    * aborts with the snapshot directory cleaned up. */
+  private def commitDataFiles(op: String, keepExisting: Boolean,
+                              properties: Map[String, String],
+                              carryFiles: Seq[DataFile],
+                              base0: Int, meta0: TableMetadata,
+                              snapRel: String): Unit = {
+    val newFiles = newFileEntries(snapRel, meta0)
+    var base = base0
+    var meta = meta0
+    var attempt = 0
+    while (true) {
+      val oldFiles =
+        if (keepExisting) meta.currentSnapshot.map(_.files).getOrElse(Nil) else Nil
+      // carryFiles: untouched files a copy-on-write merge carries forward
+      // verbatim (manifest entries, bounds and all)
+      val snap = Snapshot(meta.currentSnapshotId + 1, System.currentTimeMillis(),
+        op, carryFiles ++ oldFiles ++ newFiles, Some(meta0.schema.json))
+      try {
+        commitCas(base, meta.copy(
+          snapshots = meta.snapshots :+ snap,
+          currentSnapshotId = snap.id,
+          properties = meta.properties ++ properties))
+        return
+      } catch {
+        case e: ConcurrentCommitException =>
+          attempt += 1
+          val (b2, m2) = metadataAt
+          // appends rebase (onto an unchanged schema); everything else read
+          // table state that has since moved — abort, clean our data up
+          if (!keepExisting || attempt > LakeTable.MaxCommitRetries ||
+              m2.schema != meta0.schema) {
+            deleteRecursively(Paths.get(location, snapRel))
+            throw new ConcurrentCommitException(
+              s"$op on '$location' lost a commit race and cannot rebase " +
+                s"(base version $base moved to $b2): ${e.getMessage}")
+          }
+          base = b2; meta = m2
+      }
+    }
   }
 
   /** Manifest entries for the files just written under `snapRel`: partition
@@ -670,7 +785,7 @@ final class LakeTable private (spark: SparkSession, val location: String) {
     // preEvolved: an internal rewrite of existing data never re-validates
     // schema compatibility (parquet reads relax nullability).
     commitData(current.coalesce(math.max(1, targetFiles)), "compact",
-      keepExisting = false, Map.empty, preEvolved = Some(metadata))
+      keepExisting = false, Map.empty, preEvolved = Some(metadataAt))
   }
 
   /** Incremental compaction: bin-pack only files SMALLER than
@@ -683,7 +798,7 @@ final class LakeTable private (spark: SparkSession, val location: String) {
     * qualifies or the small set is already a single file. */
   def compactSmallFiles(minFileSizeBytes: Long,
                         targetFiles: Int = 1): Unit = {
-    val meta = metadata
+    val (base, meta) = metadataAt
     val files = meta.currentSnapshot.map(_.files).getOrElse(Nil)
     val (small, big) = files.partition(f =>
       f.sizeBytes < 0 || f.sizeBytes < minFileSizeBytes)
@@ -691,19 +806,18 @@ final class LakeTable private (spark: SparkSession, val location: String) {
     val smallData = readWithPartitions(meta, Some(small))
       .select(meta.schema.fieldNames.map(col).toIndexedSeq: _*)
     commitData(smallData.coalesce(math.max(1, targetFiles)), "compact",
-      keepExisting = false, Map.empty, preEvolved = Some(meta),
+      keepExisting = false, Map.empty, preEvolved = Some((base, meta)),
       carryFiles = big)
   }
 
   /** Drop snapshot entries older than the retention window (current snapshot
     * always kept). */
-  def expireSnapshots(olderThanMs: Long, nowMs: Long = System.currentTimeMillis()): Unit = {
-    val meta = metadata
-    val cutoff = nowMs - olderThanMs
-    val kept = meta.snapshots.filter(s =>
-      s.id == meta.currentSnapshotId || s.timestampMs >= cutoff)
-    commit(meta.copy(snapshots = kept))
-  }
+  def expireSnapshots(olderThanMs: Long, nowMs: Long = System.currentTimeMillis()): Unit =
+    commitRetry { meta =>
+      val cutoff = nowMs - olderThanMs
+      meta.copy(snapshots = meta.snapshots.filter(s =>
+        s.id == meta.currentSnapshotId || s.timestampMs >= cutoff))
+    }
 
   /** Delete data files not referenced by any retained snapshot. */
   def removeOrphanFiles(): Seq[String] = {
@@ -717,9 +831,17 @@ final class LakeTable private (spark: SparkSession, val location: String) {
   }
 }
 
+/** An optimistic commit lost its compare-and-swap race and could not be
+  * rebased; the table is untouched — callers may re-run the operation
+  * against the new table state. */
+final class ConcurrentCommitException(msg: String) extends RuntimeException(msg)
+
 object LakeTable {
   /** Marker threaded through the in-plan duplicate-merge-key guard. */
   private[tables] val DupMarker = "Duplicate rows in merge source"
+
+  /** Rebase attempts before a retriable commit gives up. */
+  private[tables] val MaxCommitRetries = 5
 
   /** Max distinct merge-key values collected for transform-partition
     * keyset pruning; beyond this the delta plausibly touches most
@@ -782,8 +904,9 @@ object LakeTable {
     identifierFields.foreach(f => require(schema.fieldNames.contains(f),
       s"Identifier field '$f' not in schema"))
     val t = new LakeTable(spark, location)
-    t.commit(TableMetadata.empty(schema, partitionSpec, sortOrder, properties,
-      identifierFields))
+    try t.commitCas(0, TableMetadata.empty(schema, partitionSpec, sortOrder,
+      properties, identifierFields))
+    catch { case _: ConcurrentCommitException => () } // another creator won
     t
   }
 

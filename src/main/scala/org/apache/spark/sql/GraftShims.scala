@@ -20,4 +20,21 @@ object GraftShims {
   def resetCatalogs(session: SparkSession): Unit =
     session.asInstanceOf[classic.SparkSession]
       .sessionState.catalogManager.reset()
+
+  /** Streaming-tagged DataFrame over a file relation — what a v1
+    * streaming Source's `getBatch` must return (MicroBatchExecution
+    * asserts `isStreaming`; FileStreamSource builds its batches the same
+    * way). */
+  def streamingDfFromRelation(session: SparkSession,
+                              rel: sources.BaseRelation): DataFrame =
+    classic.Dataset.ofRows(session.asInstanceOf[classic.SparkSession],
+      execution.datasources.LogicalRelation(rel, isStreaming = true))
+
+  /** Empty streaming-tagged DataFrame with the given schema. */
+  def emptyStreamingDf(session: SparkSession,
+                       schema: types.StructType): DataFrame = {
+    val cs = session.asInstanceOf[classic.SparkSession]
+    cs.internalCreateDataFrame(
+      cs.sparkContext.emptyRDD[catalyst.InternalRow], schema, isStreaming = true)
+  }
 }

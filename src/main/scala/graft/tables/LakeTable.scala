@@ -810,6 +810,72 @@ final class LakeTable private (spark: SparkSession, val location: String) {
       carryFiles = big)
   }
 
+  /** Z-order rewrite: cluster the table by the interleaved bit pattern of
+    * several numeric columns so manifest min/max bounds become selective
+    * on EVERY listed column (a lexicographic sort only helps the first).
+    * Trino's `ALTER TABLE EXECUTE optimize` + Delta's `OPTIMIZE ZORDER BY`
+    * role for multi-dimensional pruning.
+    *
+    * Each column normalizes to 16 bits against its table-wide min/max
+    * (one O(table) stats job), the bits interleave into a single z-value,
+    * and the rewrite range-partitions + sorts on it — so each output
+    * file covers a small hyper-rectangle of the key space and a point or
+    * range predicate on ANY z-column skips most files via the ordinary
+    * bounds check. O(table) like any clustering rewrite; run it as a
+    * maintenance pass, the way the engines above do. */
+  def zorderBy(cols: Seq[String], targetFiles: Int = 16): Unit = {
+    require(cols.size >= 2, "zorderBy needs at least two columns " +
+      "(use sortOrder for one)")
+    require(cols.size * 16 <= 63, s"Too many z-order columns: ${cols.size}")
+    val (base, meta) = metadataAt
+    cols.foreach { c =>
+      val dt = meta.schema(c).dataType
+      require(dt.isInstanceOf[org.apache.spark.sql.types.NumericType],
+        s"zorderBy supports numeric columns, '$c' is $dt")
+    }
+    if (meta.currentSnapshot.forall(_.files.isEmpty)) return
+    val data = readWithPartitions(meta, None)
+      .select(meta.schema.fieldNames.map(col).toIndexedSeq: _*)
+    // table-wide [min,max] per column, one job
+    val aggs = cols.flatMap(c => Seq(
+      min(col(c).cast("double")).as(s"__min_$c"),
+      max(col(c).cast("double")).as(s"__max_$c")))
+    val row = data.agg(aggs.head, aggs.tail: _*).head()
+    val bounds = cols.zipWithIndex.map { case (c, i) =>
+      val lo = if (row.isNullAt(2 * i)) 0.0 else row.getDouble(2 * i)
+      val hi = if (row.isNullAt(2 * i + 1)) 0.0 else row.getDouble(2 * i + 1)
+      c -> (lo, math.max(hi - lo, java.lang.Double.MIN_VALUE))
+    }.toMap
+    // 16-bit normalized rank per column (nulls sort first at 0)
+    def norm16(c: String): Column = {
+      val (lo, range) = bounds(c)
+      least(greatest(((col(c).cast("double") - lo) / range * 65535.0)
+        .cast("long"), lit(0L)), lit(65535L))
+    }
+    val n = cols.size
+    val zv = (0 until 16).flatMap(j => cols.zipWithIndex.map { case (c, i) =>
+      shiftleft(shiftright(norm16(c), j).bitwiseAND(lit(1L)), j * n + i)
+    }).reduce(_ + _)
+    // range-partition on the QUANTIZED z-cell id, not the raw z-value:
+    // range boundaries then always align to whole cells of the key space
+    // (the sampling-picked raw-z boundaries would straddle cell borders,
+    // smearing one cell's rows across two files and widening both files'
+    // bounds to the union)
+    val files = math.max(1, targetFiles)
+    val cellBits = 64 - java.lang.Long.numberOfLeadingZeros(
+      math.max(1L, files.toLong - 1))
+    val shift = math.max(0, 16 * n - cellBits.toInt)
+    val arranged = data
+      .withColumn("__zv", zv)
+      .withColumn("__zq", shiftright(col("__zv"), shift))
+      .repartitionByRange(files, col("__zq"))
+      .sortWithinPartitions("__zv")
+    // commitData aligns to the declared schema (dropping __zv) without
+    // disturbing the physical row order
+    commitData(arranged, "compact", keepExisting = false, Map.empty,
+      preEvolved = Some((base, meta)))
+  }
+
   /** Drop snapshot entries older than the retention window (current snapshot
     * always kept). */
   def expireSnapshots(olderThanMs: Long, nowMs: Long = System.currentTimeMillis()): Unit =

@@ -609,6 +609,37 @@ class LakeTableSpec extends AnyFunSuite with SparkSpec {
     assert(scanOf(one).metrics("numFiles").value == 1)
   }
 
+  test("zorderBy clusters so bounds prune on EVERY z-column") {
+    val loc = tmpDir("lt_zorder")
+    // 64x64 grid, written in hash-shuffled order: every file's x and y
+    // ranges initially span the whole domain (bounds prune nothing)
+    val grid = (0 until 64).flatMap(x => (0 until 64).map(y =>
+      (x.toLong * 64 + y, x.toLong, y.toLong)))
+    val df = grid.toDF("id", "x", "y").repartition(8, col("id"))
+    val t = LakeTable.ensure(spark, loc, df.schema)
+    t.write(df, "append")
+    val preFiles = t.metadata.currentSnapshot.get.files
+    def scanned(filter: org.apache.spark.sql.Column): Long = {
+      val q = t.read().filter(filter)
+      q.collect()
+      scanOf(q).metrics("numFiles").value
+    }
+    // shuffled layout: an x filter reads everything
+    assert(scanned(col("x") < 32) == preFiles.size)
+    t.zorderBy(Seq("x", "y"), targetFiles = 4)
+    assert(t.read().count() == 64 * 64)
+    val files = t.metadata.currentSnapshot.get.files
+    assert(files.size <= 4 && files.nonEmpty)
+    // z-clustered quadrant-aligned files: BOTH dimensions prune (a
+    // lexicographic (x, y) sort would only ever prune on x). Range
+    // boundaries align to whole quadrants, so a single-dimension filter
+    // skips at least the opposite quadrant's file(s).
+    assert(scanned(col("x") < 32) <= 3)
+    assert(scanned(col("y") < 32) <= 3)
+    assert(scanned(col("x") >= 32 && col("y") >= 32) <= 2)
+    assert(t.read().filter(col("x") === 5 && col("y") === 7).count() == 1)
+  }
+
   test("compactSmallFiles bin-packs only small files, carries big ones verbatim") {
     val loc = tmpDir("lt_compact_small")
     def batch(ids: Range) = ids.map(i => (i.toLong, "x" * 100)).toDF("id", "pad")

@@ -1,0 +1,105 @@
+package graft.sql
+
+import java.util.{Collections, Iterator => JIterator}
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.Identifier
+import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
+import org.apache.spark.sql.connector.read.{LocalScan, Scan}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.tables.{LakeTable, Maintenance}
+
+/** Maintenance procedures on the SQL surface — the role Trino's
+  * `ALTER TABLE EXECUTE optimize` / Iceberg's `CALL catalog.system.*`
+  * play for the reference's maintenance cron
+  * (`iceberg/maintenance/__init__.py:28-101`, `iceberg/trino.py:63-83`):
+  *
+  * {{{
+  * CALL lake.system.compact(`table` => 'ns.t', target_files => 2)
+  * CALL lake.system.compact_small_files(`table` => 'ns.t', min_file_size_bytes => 1048576)
+  * CALL lake.system.expire_snapshots(`table` => 'ns.t', retention => '7d')
+  * CALL lake.system.remove_orphan_files(`table` => 'ns.t')
+  * CALL lake.system.zorder(`table` => 'ns.t', columns => 'x,y', target_files => 16)
+  * }}}
+  *
+  * Each returns a one-row result describing what happened.
+  */
+object LakeProcedures {
+
+  val Namespace: Array[String] = Array("system")
+
+  def names: Seq[String] = Seq("compact", "compact_small_files",
+    "expire_snapshots", "remove_orphan_files", "zorder")
+
+  def load(root: String, name: String): Option[UnboundProcedure] = {
+    def p(ps: Seq[ProcedureParameter])(run: (LakeTable, InternalRow) => String) =
+      Some(new LakeProcedure(root, name, ps.toArray, run))
+    val table = ProcedureParameter.in("table", StringType)
+      .comment("table identifier under this catalog, e.g. 'ns.t'").build()
+    def intArg(n: String, dflt: String) =
+      ProcedureParameter.in(n, IntegerType).defaultValue(dflt).build()
+    name match {
+      case "compact" => p(Seq(table, intArg("target_files", "1"))) { (t, in) =>
+        t.compact(in.getInt(1)); s"compacted to <= ${in.getInt(1)} file(s)"
+      }
+      case "compact_small_files" => p(Seq(table,
+        ProcedureParameter.in("min_file_size_bytes", LongType).build(),
+        intArg("target_files", "1"))) { (t, in) =>
+        t.compactSmallFiles(in.getLong(1), in.getInt(2))
+        s"bin-packed files under ${in.getLong(1)} bytes"
+      }
+      case "expire_snapshots" => p(Seq(table,
+        ProcedureParameter.in("retention", StringType)
+          .defaultValue("'7d'").build())) { (t, in) =>
+        val retention = in.getUTF8String(1).toString
+        t.expireSnapshots(Maintenance.parseRetention(retention))
+        s"expired snapshots older than $retention"
+      }
+      case "remove_orphan_files" => p(Seq(table)) { (t, _) =>
+        val removed = t.removeOrphanFiles()
+        s"removed ${removed.size} orphan file(s)"
+      }
+      case "zorder" => p(Seq(table,
+        ProcedureParameter.in("columns", StringType)
+          .comment("comma-separated numeric columns").build(),
+        intArg("target_files", "16"))) { (t, in) =>
+        val cols = in.getUTF8String(1).toString.split(",").map(_.trim).toSeq
+        t.zorderBy(cols, in.getInt(2))
+        s"z-ordered by ${cols.mkString(", ")}"
+      }
+      case _ => None
+    }
+  }
+}
+
+/** A bound-on-construction procedure: resolves the table under the
+  * catalog root, runs the table-layer op, returns one result row. */
+final class LakeProcedure(
+    root: String,
+    procName: String,
+    params: Array[ProcedureParameter],
+    run: (LakeTable, InternalRow) => String)
+  extends UnboundProcedure with BoundProcedure {
+
+  override def name(): String = procName
+  override def description(): String = s"lake maintenance procedure $procName"
+  override def bind(inputType: StructType): BoundProcedure = this
+  override def parameters(): Array[ProcedureParameter] = params
+  override def isDeterministic: Boolean = false
+
+  override def call(input: InternalRow): JIterator[Scan] = {
+    val tableIdent = input.getUTF8String(0).toString
+    val loc = (root +: tableIdent.split('.').toSeq).mkString("/")
+    val table = LakeTable.load(SparkSession.active, loc)
+    val result = run(table, input)
+    val schema = StructType(Seq(StructField("result", StringType, nullable = false)))
+    Collections.singletonList[Scan](new LocalScan {
+      override def rows(): Array[InternalRow] =
+        Array(InternalRow(UTF8String.fromString(result)))
+      override def readSchema(): StructType = schema
+    }).iterator()
+  }
+}

@@ -36,7 +36,8 @@ import graft.tables.{LakeTable, PartitionField}
   * two-level namespace). Tables are directories holding a `metadata/`
   * commit log.
   */
-class LakeSparkCatalog extends TableCatalog with SupportsNamespaces {
+class LakeSparkCatalog extends TableCatalog with SupportsNamespaces
+    with ProcedureCatalog {
 
   private var catalogName: String = _
   private var root: String = _
@@ -192,6 +193,26 @@ class LakeSparkCatalog extends TableCatalog with SupportsNamespaces {
     Files.createDirectories(nsPath(newIdent.namespace))
     Files.move(Paths.get(tablePath(oldIdent)), Paths.get(tablePath(newIdent)))
   }
+
+  // ---- procedures (CALL lake.system.<proc>) ---------------------------
+
+  override def loadProcedure(ident: Identifier):
+      org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure = {
+    if (!ident.namespace.sameElements(LakeProcedures.Namespace))
+      throw new UnsupportedOperationException(
+        s"Procedures live under the 'system' namespace: " +
+          s"CALL $catalogName.system.${ident.name}(...)")
+    LakeProcedures.load(root, ident.name).getOrElse(
+      throw new UnsupportedOperationException(
+        s"Unknown procedure '${ident.name}'. Available: " +
+          LakeProcedures.names.mkString(", ")))
+  }
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    if (namespace.sameElements(LakeProcedures.Namespace))
+      LakeProcedures.names.map(n =>
+        Identifier.of(LakeProcedures.Namespace, n)).toArray
+    else Array.empty
 
   // ---- namespaces -----------------------------------------------------
 

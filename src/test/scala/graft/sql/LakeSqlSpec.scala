@@ -75,6 +75,30 @@ class LakeSqlSpec extends AnyFunSuite with SparkSpec {
     assert(scan.metrics("numFiles").value == 1)
   }
 
+  test("CALL lake.system.* runs maintenance procedures through SQL") {
+    root
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lake.nsp")
+    spark.sql("CREATE TABLE lake.nsp.m (id BIGINT, name STRING)")
+    spark.sql("INSERT INTO lake.nsp.m SELECT id, concat('n', id) FROM range(1, 50)")
+    spark.sql("INSERT INTO lake.nsp.m SELECT id, concat('n', id) FROM range(50, 100)")
+    val t = LakeTable.load(spark, s"$root/nsp/m")
+    assert(t.metadata.currentSnapshot.get.files.size > 1)
+    val res = spark.sql(
+      "CALL lake.system.compact(`table` => 'nsp.m', target_files => 1)")
+    assert(res.collect().map(_.getString(0)).head.contains("compacted"))
+    assert(t.metadata.currentSnapshot.get.files.size == 1)
+    assert(spark.sql("SELECT count(*) FROM lake.nsp.m").head.getLong(0) == 99)
+    // replace leaves orphan candidates once snapshots expire
+    spark.sql("INSERT OVERWRITE lake.nsp.m SELECT id, 'x' FROM range(1, 10)")
+    spark.sql("CALL lake.system.expire_snapshots(`table` => 'nsp.m', retention => '0s')")
+    val orph = spark.sql("CALL lake.system.remove_orphan_files(`table` => 'nsp.m')")
+      .head.getString(0)
+    assert(orph.matches("removed [1-9]\\d* orphan file\\(s\\)"), orph)
+    assert(spark.sql("SELECT count(*) FROM lake.nsp.m").head.getLong(0) == 9)
+    val e = intercept[Exception](spark.sql("CALL lake.system.nope()"))
+    assert(e.getMessage.contains("Failed to load routine"), e.getMessage)
+  }
+
   test("ALTER TABLE ADD/DROP COLUMN are metadata-only schema commits") {
     root
     spark.sql("CREATE NAMESPACE IF NOT EXISTS lake.nsd")

@@ -538,6 +538,33 @@ object SparkEntry {
 
     // K1: salted equi-join — result identical to the plain join (the salt
     // only changes the shuffle layout), so it oracle-gates directly.
+    // D13: corpus vocabulary build (term frequency + document frequency,
+    // the stats stage of tokenizer training) — explode -> one token
+    // shuffle with map-side partial aggs; total-order tie-break makes the
+    // top-100 deterministic.
+    "d13_vocab" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      d.select(col("doc_id"), explode(TF.cleanTokens(col("text"))).as("token"))
+        .groupBy("token")
+        .agg(count(lit(1)).as("tf"), count_distinct(col("doc_id")).as("df"))
+        .orderBy(col("tf").desc, col("token")).limit(100)
+    }),
+
+    // K2: deterministic stratified sampling — k docs per (lang, source)
+    // stratum ranked by a content-independent hash, the "N examples per
+    // domain" op of training-data curation. One shuffle on the strata;
+    // per-group state is bounded by k.
+    "k02_group_sample" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("lang", "source")
+        .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+      d.select(col("lang"), col("source"), col("doc_id"))
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .where(col("rk") <= 3)
+        .orderBy("lang", "source", "rk")
+    }),
+
     "k01_salted_skew_join" -> ((s, dir) => {
       val o = t(s, dir, "orders")
         .select(col("o_orderkey"), col("o_custkey").as("c_custkey"),
@@ -1256,6 +1283,21 @@ object SparkEntry {
     "d03_simhash" -> simhashOracle,
 
     "d11_corpus_clean" -> corpusCleanOracle,
+
+    "d13_vocab" ->
+      """WITH toks AS (
+           SELECT doc_id, unnest([x for x in string_split(text, ' ')
+                                  if length(x) > 0]) AS token
+           FROM documents)
+         SELECT token, COUNT(*) AS tf, COUNT(DISTINCT doc_id) AS df
+         FROM toks GROUP BY 1 ORDER BY tf DESC, token LIMIT 100""",
+
+    "k02_group_sample" ->
+      """SELECT lang, source, doc_id, rk FROM (
+           SELECT lang, source, doc_id,
+             ROW_NUMBER() OVER (PARTITION BY lang, source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+           FROM documents) WHERE rk <= 3 ORDER BY lang, source, rk""",
 
     "d12_repetition" ->
       """WITH toks AS (

@@ -19,7 +19,8 @@ object Bench {
     "d08_winnow_fingerprints", "d10_winnow_containment",
     "e01_knn_bruteforce", "e02_ann_ivf",
     "e05_kmeans_ivf_cells", "e06_kmeans_ivf_topk",
-    "e07_hyperplane_lsh_near_dup", "sql02_catalog_join")
+    "e07_hyperplane_lsh_near_dup", "sql02_catalog_join",
+    "d11_corpus_clean", "d12_repetition", "d13_vocab")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -616,11 +616,14 @@ object SparkEntry {
     // Integer floor-scaled fractions for bit-exact cross-engine compare.
     "d12_repetition" -> ((s, dir) => {
       val d = t(s, dir, "documents")
+      // scalars and the gram explosion run as SEPARATE branches from the
+      // scan: the join then shuffles only (doc_id, long) rows — carrying
+      // the per-doc gram ARRAY through a join shuffle is a 10x regression
       val base = d.select(col("doc_id"),
         TF.tokenCount(col("text")).as("n_tokens"),
-        size(array_distinct(TF.cleanTokens(col("text")))).cast("long").as("n_distinct"),
-        TF.wordBigrams(col("text")).as("grams"))
-      val top = base.select(col("doc_id"), explode(col("grams")).as("g"))
+        size(array_distinct(TF.cleanTokens(col("text")))).cast("long").as("n_distinct"))
+      val top = d.select(col("doc_id"),
+          explode(TF.wordBigrams(col("text"))).as("g"))
         .groupBy("doc_id", "g").count()
         .groupBy("doc_id").agg(max(col("count")).as("top2_cnt"))
       base.join(top, Seq("doc_id"), "left")

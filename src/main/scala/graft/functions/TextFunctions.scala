@@ -127,11 +127,17 @@ object TextFunctions {
   def cleanTokens(c: Column): Column = filter(tokens(c), t => length(t) > 0)
 
   /** Word 2-grams ("w1 w2") over the non-empty tokens, duplicates
-    * preserved — the unit of Gopher's top-n-gram repetition rule. */
+    * preserved — the unit of Gopher's top-n-gram repetition rule.
+    * Built as `zip_with` of two slices so the lambda touches only its
+    * bound variables: an `element_at(w, i)` body re-evaluates the whole
+    * tokenization per OUTPUT ELEMENT (O(tokens^2) per document — a
+    * measured ~3x regression at sf0.1). */
   def wordBigrams(c: Column): Column = {
     val w = cleanTokens(c)
     when(size(w) < 2, array().cast("array<string>"))
-      .otherwise(transform(sequence(lit(0), size(w) - 2),
-        i => concat(element_at(w, i + 1), lit(" "), element_at(w, i + 2))))
+      .otherwise(zip_with(
+        slice(w, lit(1), size(w) - 1),
+        slice(w, lit(2), size(w) - 1),
+        (a, b) => concat(a, lit(" "), b)))
   }
 }

@@ -43,6 +43,17 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
     assert(!p.contains("Union")) // one scan node over the lake table
   }
 
+  test("repetition and vocab stats stay codegen'd with partial aggregation") {
+    for (q <- Seq("d12_repetition", "d13_vocab")) {
+      val p = plan(q)
+      assert(!p.contains("ScalaUDF"), s"$q fell out of codegen")
+      // token/gram counting must combine map-side before the shuffle
+      assert(p.contains("partial_count") || p.contains("partial count") ||
+        "HashAggregate.*partial".r.findFirstIn(p).isDefined, p.take(800))
+      assert(!p.contains("CartesianProduct"))
+    }
+  }
+
   test("centroid assignment is a partial-aggregated min_by, not a window") {
     // assignCells runs once per Lloyd iteration: the argmin must carry
     // partial aggregation (map-side k-fold reduction before the shuffle),

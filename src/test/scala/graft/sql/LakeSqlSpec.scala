@@ -75,6 +75,19 @@ class LakeSqlSpec extends AnyFunSuite with SparkSpec {
     assert(scan.metrics("numFiles").value == 1)
   }
 
+  test("DESCRIBE / SHOW TBLPROPERTIES / SHOW CREATE work on lake tables") {
+    val t = ensureTable("ns1", "meta1")
+    t.writeProperties(Map("owner_team" -> "ops"))
+    val desc = spark.sql("DESCRIBE TABLE lake.ns1.meta1").collect()
+      .map(r => (r.getString(0), r.getString(1))).toMap
+    assert(desc.get("id").contains("bigint") && desc.get("score").contains("double"))
+    val props = spark.sql("SHOW TBLPROPERTIES lake.ns1.meta1").collect()
+      .map(r => (r.getString(0), r.getString(1))).toMap
+    assert(props.get("owner_team").contains("ops"))
+    val ddl = spark.sql("SHOW CREATE TABLE lake.ns1.meta1").head.getString(0)
+    assert(ddl.contains("meta1") && ddl.contains("id BIGINT"), ddl)
+  }
+
   test("CALL lake.system.* runs maintenance procedures through SQL") {
     root
     spark.sql("CREATE NAMESPACE IF NOT EXISTS lake.nsp")

@@ -52,6 +52,37 @@ object StreamingIngest {
     query.awaitTermination()
   }
 
+  /** Lake-to-lake incremental pipeline (the medallion bronze->silver hop):
+    * stream the source TABLE's append commits ([[LakeStreamSource]] —
+    * snapshot-id offsets, manifest file diffs), apply a transform, and
+    * upsert each micro-batch into the target table through the
+    * copy-on-write merge. Exactly-once effective: offsets are
+    * checkpointed, and a replayed batch re-merges the same keys
+    * idempotently. Each drain is O(new files + touched target files) —
+    * at 100 TB neither table is ever rescanned. */
+  def drainTableToTable(spark: SparkSession, sourceLocation: String,
+                        targetLocation: String, checkpointDir: String,
+                        mergeOn: Seq[String],
+                        transform: DataFrame => DataFrame = identity): Unit = {
+    require(mergeOn.nonEmpty, "drainTableToTable requires mergeOn keys")
+    val stream = spark.readStream
+      .format(classOf[LakeStreamProvider].getName)
+      .option("path", sourceLocation)
+      .load()
+    val query: StreamingQuery = transform(stream).writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val table = LakeTable.ensure(batch.sparkSession, targetLocation,
+            batch.schema, identifierFields = mergeOn)
+          table.write(batch, "merge", mergeOn)
+        }
+      }
+      .start()
+    query.awaitTermination()
+  }
+
   /** Watermarked tumbling-window aggregation over an event stream — the
     * streaming form of the sessionize/window analytics, with late events
     * beyond the watermark dropped by the engine. */

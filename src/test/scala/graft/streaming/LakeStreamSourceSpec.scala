@@ -86,6 +86,33 @@ class LakeStreamSourceSpec extends AnyFunSuite with SparkSpec {
     } finally q2.stop()
   }
 
+  test("lake-to-lake medallion hop: incremental upsert with a transform") {
+    val bronze = tmpDir("lss_med") + "/bronze"
+    val silver = tmpDir("lss_med2") + "/silver"
+    val ckpt = tmpDir("lss_med_ck")
+    val b = LakeTable.ensure(spark, bronze,
+      Seq((1L, "a", 1.0)).toDF("id", "name", "score").schema)
+    b.write(Seq((1L, "a", 1.0), (2L, "b", 2.0)).toDF("id", "name", "score"), "append")
+
+    def hop(): Unit = StreamingIngest.drainTableToTable(spark, bronze, silver,
+      ckpt, mergeOn = Seq("id"),
+      transform = df => df.withColumn("score", col("score") * 10))
+    hop()
+    assert(LakeTable.load(spark, silver).read().as[(Long, String, Double)]
+      .collect().sorted.toSeq == Seq((1L, "a", 10.0), (2L, "b", 20.0)))
+
+    // CDC rows land in bronze (one update via merge would be non-append —
+    // use append + keyed upsert downstream, the usual bronze contract)
+    b.write(Seq((2L, "B", 5.0), (3L, "c", 3.0)).toDF("id", "name", "score"), "append")
+    hop()
+    val got = LakeTable.load(spark, silver).read().as[(Long, String, Double)]
+      .collect().sorted.toSeq
+    assert(got == Seq((1L, "a", 10.0), (2L, "B", 50.0), (3L, "c", 30.0)))
+    // idempotent re-drain: nothing new, nothing changes
+    hop()
+    assert(LakeTable.load(spark, silver).read().count() == 3)
+  }
+
   test("empty table streams nothing until the first commit") {
     val loc = tmpDir("lss_empty") + "/t"
     LakeTable.ensure(spark, loc, Seq((1L, "a")).toDF("id", "name").schema)

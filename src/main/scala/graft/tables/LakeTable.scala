@@ -528,10 +528,11 @@ final class LakeTable private (spark: SparkSession, val location: String) {
       if (rows.length <= MergeKeysetCap) {
         val conv = org.apache.spark.sql.catalyst.CatalystTypeConverters
           .createToCatalystConverter(dt)
+        // null keys project through the transform too (bucket puts them
+        // in the seed-hash bucket, NOT the null partition)
         val proj: Seq[Option[Option[String]]] = rows.toSeq.map { r =>
-          if (r.isNullAt(0)) Some(None) // null key lives in the null partition
-          else TransformPruning.projectValue(p.parsed, conv(r.get(0)), dt, zone)
-            .map(Option(_))
+          TransformPruning.projectValue(p.parsed,
+            if (r.isNullAt(0)) null else conv(r.get(0)), dt, zone)
         }
         if (!proj.exists(_.isEmpty)) allowed += p.fieldName -> proj.flatten.toSet
       }

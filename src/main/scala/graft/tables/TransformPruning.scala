@@ -27,14 +27,20 @@ import org.apache.spark.sql.types._
   */
 object TransformPruning {
 
-  /** Directory-string encoding of `transform(value)` for a catalyst
-    * INTERNAL `value` of the source column; None = cannot evaluate (no
-    * pruning on this predicate). The directory string is the external
-    * `toString` of the transform output (Int / Long / String for every
-    * non-identity transform), matching the writer's Hive-style paths. */
+  /** Partition value of `transform(value)` for a catalyst INTERNAL
+    * `value` (null allowed) of the source column:
+    * `None` = cannot evaluate (no pruning on this predicate);
+    * `Some(None)` = the null partition; `Some(Some(dir))` = that value.
+    * The directory string is the external `toString` of the transform
+    * output (Int / Long / String for every non-identity transform),
+    * matching the writer's Hive-style paths.
+    *
+    * A null source value is projected through THE SAME expression, never
+    * assumed to land in the null partition: `xxhash64(null)` returns the
+    * seed hash, so bucket transforms put null keys in a REGULAR bucket
+    * (only the null-propagating transforms produce a null partition). */
   def projectValue(t: PartitionTransform, value: Any, dt: DataType,
-                   zoneId: String): Option[String] = {
-    if (value == null) return None
+                   zoneId: String): Option[Option[String]] = {
     val l = Literal(value, dt)
     val expr: Option[Expression] = t match {
       case PartitionTransform.Bucket(n) =>
@@ -58,8 +64,7 @@ object TransformPruning {
       }
       case PartitionTransform.Identity => None // dir-encoded, Spark prunes it
     }
-    expr.flatMap(e => Try(Option(e.eval(null))).toOption.flatten)
-      .map(_.toString)
+    expr.flatMap(e => Try(Option(e.eval(null)).map(_.toString)).toOption)
   }
 
   /** Per partition FIELD name: the set of manifest partition values
@@ -86,24 +91,44 @@ object TransformPruning {
         Some(a.name -> hset.toSeq.filter(_ != null))
       case _ => None
     }
-    val byCol = conjuncts.flatMap(splitConjuncts).flatMap(points)
-      .groupBy(_._1).view.mapValues(_.map(_._2))
+    val split = conjuncts.flatMap(splitConjuncts)
+    val byCol = split.flatMap(points).groupBy(_._1).view.mapValues(_.map(_._2))
+    // IS NULL pins a single partition value too — whichever one the
+    // transform maps null to (the null partition for null-propagating
+    // transforms, the seed-hash bucket for bucket[n])
+    val isNullCols = split.collect {
+      case IsNull(a: AttributeReference) => a.name
+    }.toSet
+    // a StartsWith prefix at least as wide as a truncate[w] pins that
+    // partition value exactly
+    val prefixByCol = split.collect {
+      case StartsWith(a: AttributeReference, Literal(p, StringType))
+          if p != null => a.name -> p.toString
+    }.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
 
     fields.flatMap { p =>
-      byCol.get(p.column).map { valueSets =>
-        val dt = meta.schema(p.column).dataType
-        // each conjunct's value set projects independently; any value that
-        // fails to project poisons THAT conjunct (no constraint from it).
-        // A null source value (from <=> NULL) lives in the null partition.
-        val projected = valueSets.map { vs =>
-          val proj: Seq[Option[Option[String]]] = vs.map {
-            case null => Some(None)
-            case v => projectValue(p.parsed, v, dt, zoneId).map(Option(_))
-          }
+      val dt = meta.schema(p.column).dataType
+      // each conjunct's value set projects independently; any value that
+      // fails to project poisons THAT conjunct (no constraint from it)
+      val projected: Seq[Option[Set[Option[String]]]] =
+        byCol.getOrElse(p.column, Seq.empty).map { vs =>
+          val proj = vs.map(projectValue(p.parsed, _, dt, zoneId))
           if (proj.exists(_.isEmpty)) None else Some(proj.flatten.toSet)
         }
-        p.fieldName -> projected.flatten.reduceOption(_ intersect _)
-      }.collect { case (name, Some(allowed)) => name -> allowed }
+      val nullConstraint: Seq[Set[Option[String]]] =
+        if (isNullCols.contains(p.column))
+          projectValue(p.parsed, null, dt, zoneId).map(Set(_)).toSeq
+        else Seq.empty
+      val prefixConstraint: Seq[Set[Option[String]]] = p.parsed match {
+        case PartitionTransform.Truncate(w) =>
+          prefixByCol.getOrElse(p.column, Seq.empty).filter(_.length >= w)
+            .map(pre => Set[Option[String]](Some(pre.substring(0, w))))
+        case _ => Seq.empty
+      }
+      // a poisoned conjunct contributes no constraint (dropping one side
+      // of an intersection is conservative)
+      val all = projected.flatten ++ nullConstraint ++ prefixConstraint
+      all.reduceOption(_ intersect _).map(p.fieldName -> _)
     }.toMap
   }
 

@@ -607,6 +607,38 @@ class LakeTableSpec extends AnyFunSuite with SparkSpec {
     val one = t.read().filter(col("id") === 57L)
     assert(one.collect().map(_.getString(1)).toSeq == Seq("k57"))
     assert(scanOf(one).metrics("numFiles").value == 1)
+
+    // string truncate: a startsWith prefix >= the truncate width pins
+    // the partition (the string bounds would keep several files)
+    val sloc = tmpDir("lt_trunc_str")
+    val sdf = Seq("apple", "apric", "bana", "banjo", "cherry", "chess")
+      .zipWithIndex.map { case (s, i) => (i.toLong, s) }.toDF("id", "name")
+    val st = LakeTable.ensure(spark, sloc, sdf.schema,
+      partitionSpec = Seq(PartitionField("name", "truncate[2]")))
+    st.write(sdf.coalesce(1), "append")
+    assert(st.metadata.currentSnapshot.get.files.size == 3) // ap, ba, ch
+    val pre = st.read().filter(col("name").startsWith("ban"))
+    assert(pre.collect().map(_.getLong(0)).toSeq.sorted == Seq(2L, 3L))
+    assert(scanOf(pre).metrics("numFiles").value == 1)
+  }
+
+  test("IS NULL on a bucket column reads only the seed-hash bucket") {
+    // xxhash64 skips null inputs, so a bucket transform sends null keys
+    // to the SEED-HASH bucket, not a null partition — the projection must
+    // follow the writer's expression, not assume null propagation
+    val loc = tmpDir("lt_bucket_null")
+    val rows = (1 to 40).map(i => (i.toLong, s"n$i")) :+ ((0L, "nullrow"))
+    val df = rows.toDF("id", "name")
+      .select(when(col("id") === 0L, lit(null)).otherwise(col("id")).as("id"),
+        col("name"))
+    val t = LakeTable.ensure(spark, loc, df.schema,
+      partitionSpec = Seq(PartitionField("id", "bucket[8]")))
+    t.write(df.coalesce(1), "append")
+    assert(t.metadata.currentSnapshot.get.files
+      .forall(_.partitionValues.get("id_bucket").exists(_.isDefined)))
+    val nulls = t.read().filter(col("id").isNull)
+    assert(nulls.collect().map(_.getString(1)).toSeq == Seq("nullrow"))
+    assert(scanOf(nulls).metrics("numFiles").value == 1)
   }
 
   test("zorderBy clusters so bounds prune on EVERY z-column") {

@@ -32,7 +32,8 @@ class TransformPruningPropertySpec extends AnyFunSuite with SparkSpec {
                               PartitionTransform.Truncate(50))) {
       val expected = viaDataFrame(t, v, LongType)
       val got = TransformPruning.projectValue(t, v, LongType, zone)
-      assert(got.contains(expected), s"$t($v): got $got want $expected")
+      assert(got.map(_.getOrElse("null")).contains(expected),
+        s"$t($v): got $got want $expected")
     }
 
     val strings = Seq.fill(30)(rnd.alphanumeric.take(rnd.nextInt(20)).mkString) ++
@@ -42,7 +43,8 @@ class TransformPruningPropertySpec extends AnyFunSuite with SparkSpec {
       val expected = viaDataFrame(t, v, StringType)
       val got = TransformPruning.projectValue(t,
         org.apache.spark.unsafe.types.UTF8String.fromString(v), StringType, zone)
-      assert(got.contains(expected), s"$t('$v'): got $got want $expected")
+      assert(got.map(_.getOrElse("null")).contains(expected),
+        s"$t('$v'): got $got want $expected")
     }
 
     // dates: internal rep is epoch-day Int
@@ -53,7 +55,8 @@ class TransformPruningPropertySpec extends AnyFunSuite with SparkSpec {
       val external = java.time.LocalDate.ofEpochDay(d.toLong)
       val expected = viaDataFrame(t, external, DateType)
       val got = TransformPruning.projectValue(t, d, DateType, zone)
-      assert(got.contains(expected), s"$t(date $external): got $got want $expected")
+      assert(got.map(_.getOrElse("null")).contains(expected),
+        s"$t(date $external): got $got want $expected")
     }
 
     // timestamps: internal rep is epoch-micros Long (session-zone semantics)
@@ -66,7 +69,33 @@ class TransformPruningPropertySpec extends AnyFunSuite with SparkSpec {
         Math.floorDiv(us, 1000000L), Math.floorMod(us, 1000000L) * 1000L)
       val expected = viaDataFrame(t, external, TimestampType)
       val got = TransformPruning.projectValue(t, us, TimestampType, zone)
-      assert(got.contains(expected), s"$t(ts $external): got $got want $expected")
+      assert(got.map(_.getOrElse("null")).contains(expected),
+        s"$t(ts $external): got $got want $expected")
     }
+  }
+
+  test("null inputs project to whatever the writer's expression yields") {
+    import org.apache.spark.sql.types._
+    val zone = spark.sessionState.conf.sessionLocalTimeZone
+    // bucket maps null to the seed-hash bucket (xxhash64 skips nulls);
+    // the null-propagating transforms map it to the null partition
+    val combos: Seq[(PartitionTransform, DataType)] = Seq(
+      PartitionTransform.Bucket(8) -> LongType,
+      PartitionTransform.Bucket(16) -> StringType,
+      PartitionTransform.Truncate(10) -> LongType,
+      PartitionTransform.Truncate(3) -> StringType,
+      PartitionTransform.Year -> DateType,
+      PartitionTransform.Month -> TimestampType,
+      PartitionTransform.Day -> DateType,
+      PartitionTransform.Hour -> TimestampType)
+    for ((t, dt) <- combos) {
+      val expected = viaDataFrame(t, null, dt)
+      val got = TransformPruning.projectValue(t, null, dt, zone)
+      assert(got.map(_.getOrElse("null")).contains(expected),
+        s"$t(null: $dt): got $got want $expected")
+    }
+    // and the bucket null projection is NOT the null partition
+    assert(TransformPruning.projectValue(
+      PartitionTransform.Bucket(8), null, LongType, zone).exists(_.isDefined))
   }
 }

@@ -78,8 +78,9 @@ object TransformPruning {
     if (fields.isEmpty || conjuncts.isEmpty) return Map.empty
 
     // point-value sets per SOURCE column from the predicate conjuncts:
-    // Some(set) = column restricted to these internal values (null element
-    // encodes "matches the null row"); absent = unconstrained
+    // Some(set) = column restricted to these internal values (a null
+    // element, from `<=> NULL`, projects through the transform like any
+    // other value); absent = unconstrained
     def points(e: Expression): Option[(String, Seq[Any])] = e match {
       case EqualTo(a: AttributeReference, Literal(v, _)) if v != null => Some(a.name -> Seq(v))
       case EqualTo(Literal(v, _), a: AttributeReference) if v != null => Some(a.name -> Seq(v))

@@ -75,6 +75,18 @@ class LakeSqlSpec extends AnyFunSuite with SparkSpec {
     assert(scan.metrics("numFiles").value == 1)
   }
 
+  test("INSERT INTO with explicit column lists null-fills the rest") {
+    root
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lake.nsi")
+    spark.sql("CREATE TABLE lake.nsi.cl (id BIGINT, name STRING, score DOUBLE)")
+    spark.sql("INSERT INTO lake.nsi.cl (id, name) VALUES (1, 'a')")
+    spark.sql("INSERT INTO lake.nsi.cl (score, id) VALUES (2.5, 2)")
+    val got = spark.sql("SELECT * FROM lake.nsi.cl ORDER BY id").collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toSeq
+    assert(got == Seq((1L, Some("a"), None), (2L, None, Some(2.5))))
+  }
+
   test("DESCRIBE / SHOW TBLPROPERTIES / SHOW CREATE work on lake tables") {
     val t = ensureTable("ns1", "meta1")
     t.writeProperties(Map("owner_team" -> "ops"))

@@ -93,8 +93,17 @@ final case class TableMetadata(
              s.min.map(m => "min" -> JString(m)).toList ++
              s.max.map(m => "max" -> JString(m)).toList)
          }))))
+    // Format v2: snapshots share one deduplicated file registry and
+    // reference entries by index. Complete-file-list snapshots otherwise
+    // re-inline every carried file per retained snapshot — O(snapshots x
+    // files) metadata where the table itself is O(files); at 100 TB with
+    // a 7-day retention that amplification is the difference between a
+    // manifest and a runaway JSON (Iceberg's shared manifest files solve
+    // the same problem the same way).
+    val registry = snapshots.flatMap(_.files).distinct
+    val indexOf: Map[DataFile, Int] = registry.zipWithIndex.toMap
     val j = JObject(
-      "formatVersion" -> JInt(formatVersion),
+      "formatVersion" -> JInt(2),
       "schema" -> JsonMethods.parse(schema.json),
       "partitionSpec" -> JArray(partitionSpec.toList.map(p =>
         JObject("column" -> JString(p.column), "transform" -> JString(p.transform)))),
@@ -102,11 +111,12 @@ final case class TableMetadata(
         JObject("column" -> JString(s.column), "ascending" -> JBool(s.ascending)))),
       "identifierFields" -> JArray(identifierFields.toList.map(JString(_))),
       "properties" -> JObject(properties.toList.map { case (k, v) => k -> JString(v) }),
+      "fileRegistry" -> JArray(registry.toList.map(fileJson)),
       "snapshots" -> JArray(snapshots.toList.map(s => JObject(List(
         "id" -> JInt(s.id),
         "timestampMs" -> JInt(s.timestampMs),
         "operation" -> JString(s.operation),
-        "files" -> JArray(s.files.toList.map(fileJson))) ++
+        "files" -> JArray(s.files.toList.map(f => JInt(indexOf(f))))) ++
         s.schemaJson.map(sj => "schema" -> JsonMethods.parse(sj)).toList))),
       "currentSnapshotId" -> JInt(currentSnapshotId))
     JsonMethods.pretty(JsonMethods.render(j))
@@ -169,6 +179,18 @@ object TableMetadata {
         }
         DataFile(str(obj \ "path"), long(obj \ "rowCount"), pvs, stats, size)
     }
+    // v2 registry: snapshot file entries are indices into it; v1 inlined
+    // full objects (or bare path strings in the earliest format) — all
+    // three shapes parse, so any on-disk table keeps loading
+    val registry: IndexedSeq[DataFile] = (j \ "fileRegistry") match {
+      case JArray(items) => items.map(dataFile).toIndexedSeq
+      case _ => IndexedSeq.empty
+    }
+    def fileRef(v: JValue): DataFile = v match {
+      case JInt(idx) => registry(idx.toInt)
+      case JLong(idx) => registry(idx.toInt)
+      case other => dataFile(other)
+    }
     val snaps = (j \ "snapshots") match {
       case JArray(items) => items.map { i =>
         Snapshot(
@@ -176,7 +198,7 @@ object TableMetadata {
           long(i \ "timestampMs"),
           str(i \ "operation"),
           (i \ "files") match {
-            case JArray(fs) => fs.map(dataFile)
+            case JArray(fs) => fs.map(fileRef)
             case _ => Nil
           },
           (i \ "schema") match {

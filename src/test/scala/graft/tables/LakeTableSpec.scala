@@ -641,6 +641,27 @@ class LakeTableSpec extends AnyFunSuite with SparkSpec {
     assert(scanOf(nulls).metrics("numFiles").value == 1)
   }
 
+  test("metadata v2: snapshots share one file registry (no O(snapshots x files) blowup)") {
+    val loc = tmpDir("lt_registry")
+    def batch(i: Int) = Seq((i.toLong, s"n$i")).toDF("id", "name")
+    val t = LakeTable.ensure(spark, loc, batch(0).schema)
+    (1 to 10).foreach(i => t.write(batch(i).coalesce(1), "append"))
+    val json = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(loc, "metadata", s"v${t.version}.json")))
+    val meta = t.metadata
+    assert(meta.snapshots.size == 10)
+    // snapshot 10 carries all 10 files; snapshot 1 has 1 — but each file's
+    // manifest entry (path + stats) appears in the JSON exactly ONCE
+    meta.currentSnapshot.get.files.foreach { f =>
+      assert(json.sliding(f.path.length).count(_ == f.path) == 1, f.path)
+    }
+    // round trip preserves every snapshot's file list
+    val back = TableMetadata.fromJson(json)
+    assert(back.snapshots.map(s => s.id -> s.files).toMap ==
+      meta.snapshots.map(s => s.id -> s.files).toMap)
+    assert(t.read().count() == 10)
+  }
+
   test("zorderBy clusters so bounds prune on EVERY z-column") {
     val loc = tmpDir("lt_zorder")
     // 64x64 grid, written in hash-shuffled order: every file's x and y

@@ -644,6 +644,39 @@ object SparkEntry {
       Dedup.winnowFingerprintRows(t(s, dir, "documents"), "doc_id", "text")
         .orderBy("doc_id", "fingerprint")),
 
+    // D14: benchmark decontamination — drop training documents sharing any
+    // winnowing fingerprint with the held-out set (the eval-overlap purge
+    // every LLM data pipeline runs). The benchmark fingerprint set is
+    // small by construction -> broadcast; training side streams once.
+    "d14_decontaminate" -> ((s, dir) => {
+      val fps = Dedup.winnowFingerprintRows(
+        t(s, dir, "documents"), "doc_id", "text")
+      val bench = fps.where(col("doc_id") % 97 === 0)
+        .select("fingerprint").distinct()
+      fps.where(col("doc_id") % 97 =!= 0)
+        .join(broadcast(bench), "fingerprint")
+        .select("doc_id").distinct().orderBy("doc_id")
+    }),
+
+    // K3: mixture sampling — per-source quotas (data mixing): named
+    // sources get their weight, the long tail a default; rank by a
+    // content-independent hash so the draw is deterministic and the
+    // shuffle is one exchange on the source key.
+    "k03_mixture_sample" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val quota = when(col("source") === "src0", 12)
+        .when(col("source") === "src1", 8)
+        .when(col("source") === "src5", 5)
+        .otherwise(2)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("source")
+        .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+      d.select(col("source"), col("doc_id"))
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .where(col("rk") <= quota)
+        .orderBy("source", "rk")
+    }),
+
     "d10_winnow_containment" -> ((s, dir) =>
       Dedup.winnowContainmentPairs(t(s, dir, "documents"), "doc_id", "text")
         .orderBy("doc_a", "doc_b")),
@@ -1385,6 +1418,35 @@ object SparkEntry {
            FROM h WHERE len(hs) > 0)
          SELECT doc_id, CAST(unnest(fps) AS BIGINT) AS fingerprint
          FROM fp ORDER BY doc_id, fingerprint""",
+
+    "d14_decontaminate" ->
+      s"""WITH h AS MATERIALIZED (
+           SELECT doc_id,
+                  [${duckHash("g")} for g in
+                   [substring(text, i, 3)
+                    for i in range(1, greatest(length(text)-2, 0)+1)]] AS hs
+           FROM documents),
+         fp AS (
+           SELECT doc_id,
+                  list_sort(list_distinct(
+                    [list_min(hs[i:i+7])
+                     for i in range(1, greatest(len(hs)-7, 1)+1)])) AS fps
+           FROM h WHERE len(hs) > 0),
+         rows_ AS (SELECT doc_id, unnest(fps) AS f FROM fp),
+         bench AS (SELECT DISTINCT f FROM rows_ WHERE doc_id % 97 = 0)
+         SELECT DISTINCT doc_id FROM rows_
+         WHERE doc_id % 97 <> 0 AND f IN (SELECT f FROM bench)
+         ORDER BY doc_id""",
+
+    "k03_mixture_sample" ->
+      """SELECT source, doc_id, rk FROM (
+           SELECT source, doc_id,
+             ROW_NUMBER() OVER (PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+           FROM documents)
+         WHERE rk <= (CASE source WHEN 'src0' THEN 12 WHEN 'src1' THEN 8
+                      WHEN 'src5' THEN 5 ELSE 2 END)
+         ORDER BY source, rk""",
 
     "d10_winnow_containment" ->
       s"""WITH h AS MATERIALIZED (

@@ -782,11 +782,16 @@ final class LakeTable private (spark: SparkSession, val location: String) {
   /** Rewrite the table into ~targetFiles files per partition dir (small-file
     * compaction; Trino `ALTER TABLE EXECUTE optimize` equivalent). */
   def compact(targetFiles: Int = 1): Unit = {
-    val current = read()
+    // capture (base, meta) FIRST: the data plan and the CAS base must
+    // come from the same version, or a commit landing in between would
+    // be silently dropped by the rewrite
+    val (base, meta) = metadataAt
+    val current = readWithPartitions(meta, None)
+      .select(meta.schema.fieldNames.map(col).toIndexedSeq: _*)
     // preEvolved: an internal rewrite of existing data never re-validates
     // schema compatibility (parquet reads relax nullability).
     commitData(current.coalesce(math.max(1, targetFiles)), "compact",
-      keepExisting = false, Map.empty, preEvolved = Some(metadataAt))
+      keepExisting = false, Map.empty, preEvolved = Some((base, meta)))
   }
 
   /** Incremental compaction: bin-pack only files SMALLER than

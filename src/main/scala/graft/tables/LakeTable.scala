@@ -356,6 +356,40 @@ final class LakeTable private (spark: SparkSession, val location: String) {
         }
       if (touched.isEmpty && notMatched.isEmpty) return
 
+      // insert-if-absent fast path: with no matched / by-source clauses,
+      // no target row can change — anti-join the source against a
+      // KEY-COLUMN-ONLY scan of the touched files and append the
+      // surviving inserts (O(delta) write, zero files rewritten)
+      if (matched.isEmpty && notMatchedBySource.isEmpty) {
+        val existingKeys = readWithPartitions(meta, Some(touched))
+          .select(keys.map(k => col(k).as(TargetPrefix + k)).toIndexedSeq: _*)
+        val sFrame0 = srcK.select(srcK.columns.map(c =>
+          col(c).as(SourcePrefix + c)).toIndexedSeq: _*)
+        // null-safe key match, like the general clause frame
+        val fresh = sFrame0.join(existingKeys,
+          keys.map(k => col(SourcePrefix + k) <=> col(TargetPrefix + k))
+            .reduce(_ && _), "left_anti")
+        def firstInsertIdx: Column =
+          notMatched.zipWithIndex.foldRight(lit(-1)) { case ((cl, i), acc) =>
+            when(coalesce(cl.condition.getOrElse(lit(true)), lit(false)), lit(i))
+              .otherwise(acc)
+          }
+        val rows = fresh.withColumn("__ni", firstInsertIdx)
+          .where(col("__ni") =!= -1)
+          .select(meta.schema.fields.map { f =>
+            notMatched.zipWithIndex.foldLeft(lit(null).cast(f.dataType)) {
+              case (acc, (ins, j)) => ins.values.get(f.name) match {
+                case Some(v) => when(col("__ni") === j, v.cast(f.dataType)).otherwise(acc)
+                case None => acc
+              }
+            }.as(f.name)
+          }.toIndexedSeq: _*)
+        if (!rows.isEmpty)
+          commitData(rows, "merge", keepExisting = true, Map.empty,
+            preEvolved = Some((base, meta)))
+        return
+      }
+
       val target = readWithPartitions(meta, Some(touched))
         .select(meta.schema.fieldNames.map(col).toIndexedSeq: _*)
       val tFrame = target

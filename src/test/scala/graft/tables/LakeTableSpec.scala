@@ -553,6 +553,33 @@ class LakeTableSpec extends AnyFunSuite with SparkSpec {
     assert(tbl.version == versionBefore)
   }
 
+  test("insert-if-absent merge appends without rewriting any file") {
+    import MergeClauses._
+    val loc = tmpDir("lt_merge_ins_only")
+    def batch(ids: Range) = ids.map(i => (i.toLong, s"n$i")).toDF("id", "name")
+    val tbl = LakeTable.ensure(spark, loc, batch(1 to 2).schema)
+    tbl.write(batch(1 to 10).coalesce(1), "append")
+    tbl.write(batch(11 to 20).coalesce(1), "append")
+    val before = tbl.metadata.currentSnapshot.get.files.map(_.path).toSet
+    // keys 5, 15 exist (skipped); 25, 26 are new; 26 fails the condition
+    tbl.mergeClauses(
+      Seq((5L, "x"), (15L, "x"), (25L, "y"), (26L, "z")).toDF("id", "name"),
+      Seq("id"),
+      notMatched = Seq(Insert(Some(s("name") =!= "z"),
+        Map("id" -> s("id"), "name" -> s("name")))))
+    val after = tbl.metadata.currentSnapshot.get.files.map(_.path).toSet
+    assert(before.subsetOf(after), "insert-only merge must not rewrite files")
+    assert(tbl.metadata.currentSnapshot.get.operation == "merge")
+    val got = tbl.read().as[(Long, String)].collect().sortBy(_._1).toSeq
+    assert(got.map(_._1) == ((1L to 20L) :+ 25L))
+    assert(got.find(_._1 == 5L).get._2 == "n5") // existing row untouched
+    // all-matched source: nothing to insert, no commit at all
+    val v = tbl.version
+    tbl.mergeClauses(Seq((5L, "q")).toDF("id", "name"), Seq("id"),
+      notMatched = Seq(Insert(None, Map("id" -> s("id"), "name" -> s("name")))))
+    assert(tbl.version == v)
+  }
+
   test("bucket-partition pruning: equality predicates read/rewrite one bucket") {
     val loc = tmpDir("lt_bucket_prune")
     def batch(ids: Range) = ids.map(i => (i.toLong, s"n$i")).toDF("id", "name")

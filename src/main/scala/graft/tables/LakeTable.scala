@@ -946,8 +946,9 @@ object LakeTable {
   /** Marker threaded through the in-plan duplicate-merge-key guard. */
   private[tables] val DupMarker = "Duplicate rows in merge source"
 
-  /** Rebase attempts before a retriable commit gives up. */
-  private[tables] val MaxCommitRetries = 5
+  /** Rebase attempts before a retriable commit gives up (rebases are
+    * metadata-only and fast — the bound only guards against livelock). */
+  private[tables] val MaxCommitRetries = 10
 
   /** Max distinct merge-key values collected for transform-partition
     * keyset pruning; beyond this the delta plausibly touches most

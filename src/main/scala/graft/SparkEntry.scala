@@ -658,6 +658,14 @@ object SparkEntry {
         .select("doc_id").distinct().orderBy("doc_id")
     }),
 
+    // D15: LSH pairs -> per-cluster canonical keeper via distributed
+    // connected components (min-label propagation over the pair graph).
+    "d15_dup_clusters" -> ((s, dir) =>
+      Dedup.duplicateClusters(
+        Dedup.minhashNearDupPairs(t(s, dir, "documents"), "doc_id", "text")
+          .select("doc_a", "doc_b"))
+        .orderBy("doc_id")),
+
     // K3: mixture sampling — per-source quotas (data mixing): named
     // sources get their weight, the long tail a default; rank by a
     // content-independent hash so the draw is deterministic and the
@@ -1437,6 +1445,22 @@ object SparkEntry {
          SELECT DISTINCT doc_id FROM rows_
          WHERE doc_id % 97 <> 0 AND f IN (SELECT f FROM bench)
          ORDER BY doc_id""",
+
+    // Transitive closure of the LSH pair graph via a recursive CTE, then
+    // component id = min reachable doc id — mirrors min-label propagation.
+    "d15_dup_clusters" ->
+      s"""WITH RECURSIVE ${minhashCtes("documents")},
+         pairs AS (SELECT doc_a, doc_b FROM ver WHERE i * 5 >= u * 4),
+         e AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+               UNION ALL SELECT doc_b, doc_a FROM pairs),
+         reach(doc_id, r) AS (
+           SELECT DISTINCT src, src FROM e
+           UNION
+           SELECT re.doc_id, e.dst FROM reach re JOIN e ON re.r = e.src),
+         lab AS (SELECT doc_id, MIN(r) AS cluster_id FROM reach GROUP BY doc_id),
+         siz AS (SELECT cluster_id, COUNT(*) AS cluster_size FROM lab GROUP BY cluster_id)
+         SELECT l.doc_id, l.cluster_id, s.cluster_size
+         FROM lab l JOIN siz s USING (cluster_id) ORDER BY l.doc_id""",
 
     "k03_mixture_sample" ->
       """SELECT source, doc_id, rk FROM (

@@ -229,4 +229,68 @@ object Dedup {
       .groupBy("simhash")
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("group_size"))
       .where(col("group_size") > 1)
+
+  /** Connected components over a near-duplicate pair list: the step that
+    * turns pairwise LSH output into per-CLUSTER keep/drop decisions. Pair
+    * lists are not enough for corpus pruning — if A~B and B~C but A!~C,
+    * dropping every doc_b of a pair can drop both B and C while a
+    * cluster-aware prune keeps one canonical doc per component.
+    *
+    * Algorithm: distributed min-label propagation (hash-to-min). Every doc
+    * starts labeled with its own id; each round pushes labels across the
+    * symmetric edge list and keeps the per-doc minimum. Labels only
+    * decrease, so SUM(label) is a strictly decreasing convergence measure —
+    * one scalar action per round, no change-join. Rounds needed = graph
+    * diameter; near-dup components are shallow (dup chains, boilerplate
+    * stars), so the practical bound is small, and `maxIters` guards
+    * pathological inputs.
+    *
+    * Scale shape: each round is one shuffle-join of labels against the
+    * (pre-partitioned, persisted) edge list plus one partial-aggregated
+    * groupBy min — O(E) per round, never materializing components as rows.
+    * Each round's labels are `localCheckpoint`ed: the plan references the
+    * previous round twice, so without lineage truncation the logical plan
+    * doubles per round (2^rounds nodes — OOM well before round 20).
+    *
+    * Output: (doc_id, cluster_id, cluster_size) for every doc that appears
+    * in at least one pair; cluster_id = min doc id in the component (the
+    * canonical keeper), deterministic for the SQL oracle.
+    */
+  def duplicateClusters(pairs: DataFrame, maxIters: Int = 25): DataFrame = {
+    val edges = pairs
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .repartition(col("src"))
+      .persist()
+
+    // Overflow-proof convergence measure: labels only decrease, so the
+    // decimal-accumulated label sum strictly decreases until fixpoint.
+    def labelSumOf(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("cluster_id").cast("decimal(38,0)"))).head().getDecimal(0)
+
+    var labels = edges.select(col("src").as("doc_id")).distinct()
+      .withColumn("cluster_id", col("doc_id"))
+      .localCheckpoint()
+    var labelSum = labelSumOf(labels)
+    var converged = false
+    var iters = 0
+    while (!converged && iters < maxIters) {
+      val pushed = edges.join(labels, edges("src") === labels("doc_id"))
+        .select(col("dst").as("doc_id"), col("cluster_id"))
+      val next = labels.select("doc_id", "cluster_id").union(pushed)
+        .groupBy("doc_id").agg(min("cluster_id").as("cluster_id"))
+        .localCheckpoint()
+      val nextSum = labelSumOf(next)
+      labels = next
+      converged = nextSum.compareTo(labelSum) == 0
+      labelSum = nextSum
+      iters += 1
+    }
+    edges.unpersist()
+
+    val sizes = labels.groupBy("cluster_id")
+      .agg(count(lit(1)).as("cluster_size"))
+    labels.join(sizes, "cluster_id")
+      .select("doc_id", "cluster_id", "cluster_size")
+  }
 }

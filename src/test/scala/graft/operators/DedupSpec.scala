@@ -45,4 +45,55 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     val pairs = Dedup.minhashNearDupPairs(docs, "doc_id", "text").collect()
     assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((1L, 2L)))
   }
+
+  private def clustersOf(pairs: Seq[(Long, Long)]): Map[Long, (Long, Long)] =
+    Dedup.duplicateClusters(pairs.toDF("doc_a", "doc_b")).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+
+  /** In-test union-find reference for cross-checking the distributed CC. */
+  private def unionFind(pairs: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    parent.keys.map(k => k -> find(k)).toMap
+  }
+
+  test("duplicate clusters: chain needs multi-round propagation") {
+    // a 12-node chain has diameter 11 — exercises the iteration loop
+    val chain = (1L to 11L).map(i => (i, i + 1))
+    val got = clustersOf(chain)
+    assert(got.keySet == (1L to 12L).toSet)
+    assert(got.values.forall(_ == (1L, 12L)))
+  }
+
+  test("duplicate clusters: separate components, star, singleton excluded") {
+    val pairs = Seq((5L, 3L), (3L, 9L),       // component {3,5,9}
+      (20L, 21L), (20L, 22L), (20L, 23L),     // star {20..23}
+      (40L, 41L))                             // pair {40,41}
+    val got = clustersOf(pairs)
+    assert(got(5L) == (3L, 3L) && got(9L) == (3L, 3L) && got(3L) == (3L, 3L))
+    assert(got(22L) == (20L, 4L) && got(23L) == (20L, 4L))
+    assert(got(40L) == (40L, 2L) && got(41L) == (40L, 2L))
+    assert(!got.contains(1L)) // docs with no pair never appear
+  }
+
+  test("duplicate clusters match a union-find reference on a random graph") {
+    val rnd = new scala.util.Random(42)
+    val pairs = Seq.fill(120)((rnd.nextInt(80).toLong, rnd.nextInt(80).toLong))
+      .filter { case (a, b) => a != b }
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.distinct
+    val got = clustersOf(pairs)
+    val ref = unionFind(pairs)
+    assert(got.view.mapValues(_._1).toMap == ref)
+    val refSizes = ref.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    got.foreach { case (doc, (cid, size)) =>
+      assert(size == refSizes(cid), s"doc $doc cluster $cid")
+    }
+  }
 }

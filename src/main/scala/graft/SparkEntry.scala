@@ -666,6 +666,23 @@ object SparkEntry {
           .select("doc_a", "doc_b"))
         .orderBy("doc_id")),
 
+    // D16: PII scrub — deterministic synthetic addresses/numbers appended
+    // per doc exercise the regex machinery cross-engine; counts are taken
+    // on the pre-redaction text, the redacted text is md5-compared.
+    "d16_pii_redact" -> ((s, dir) => {
+      val aug = concat(col("text"),
+        lit(" contact user"), col("doc_id").cast("string"), lit("@example.com"),
+        lit(" or 555-867-5309 from 10.0."),
+        (col("doc_id") % 256).cast("string"), lit(".7"))
+      t(s, dir, "documents").select(col("doc_id"), aug.as("aug"))
+        .select(col("doc_id"),
+          TF.piiCount(col("aug"), TF.EmailPattern).as("n_emails"),
+          TF.piiCount(col("aug"), TF.PhonePattern).as("n_phones"),
+          TF.piiCount(col("aug"), TF.Ipv4Pattern).as("n_ips"),
+          md5(TF.piiRedact(col("aug")).cast("binary")).as("redacted_md5"))
+        .orderBy("doc_id")
+    }),
+
     // K3: mixture sampling — per-source quotas (data mixing): named
     // sources get their weight, the long tail a default; rank by a
     // content-independent hash so the draw is deterministic and the
@@ -1461,6 +1478,25 @@ object SparkEntry {
          siz AS (SELECT cluster_id, COUNT(*) AS cluster_size FROM lab GROUP BY cluster_id)
          SELECT l.doc_id, l.cluster_id, s.cluster_size
          FROM lab l JOIN siz s USING (cluster_id) ORDER BY l.doc_id""",
+
+    // DuckDB regexp_replace replaces only the FIRST match without the 'g'
+    // flag — the one cross-engine semantic difference to pin down.
+    "d16_pii_redact" ->
+      s"""WITH aug AS (
+           SELECT doc_id,
+                  text || ' contact user' || CAST(doc_id AS VARCHAR) ||
+                  '@example.com' || ' or 555-867-5309 from 10.0.' ||
+                  CAST(doc_id % 256 AS VARCHAR) || '.7' AS aug
+           FROM documents)
+         SELECT doc_id,
+           CAST(len(regexp_extract_all(aug, '${TF.EmailPattern}')) AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(aug, '${TF.PhonePattern}')) AS BIGINT) AS n_phones,
+           CAST(len(regexp_extract_all(aug, '${TF.Ipv4Pattern}')) AS BIGINT) AS n_ips,
+           md5(regexp_replace(regexp_replace(regexp_replace(aug,
+             '${TF.EmailPattern}', '[EMAIL]', 'g'),
+             '${TF.PhonePattern}', '[PHONE]', 'g'),
+             '${TF.Ipv4Pattern}', '[IP]', 'g')) AS redacted_md5
+         FROM aug ORDER BY doc_id""",
 
     "k03_mixture_sample" ->
       """SELECT source, doc_id, rk FROM (

@@ -140,4 +140,35 @@ object TextFunctions {
         slice(w, lit(2), size(w) - 1),
         (a, b) => concat(a, lit(" "), b)))
   }
+
+  // ---- PII detection / redaction ---------------------------------------
+  // ASCII-only character classes and word boundaries: the patterns mean
+  // the same thing under Java regex (Spark codegen'd regexp_*) and RE2
+  // (the DuckDB oracle), so counts and replacements are cross-engine
+  // reproducible. Linear scans, no UDFs — stays in whole-stage codegen.
+
+  /** RFC-ish email address (the pragmatic crawl-scrubbing form). */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+
+  /** NANP-style phone number: 3-3-4 digit groups with `-` or `.`. */
+  val PhonePattern = "\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b"
+
+  /** Dotted-quad IPv4 (no octet range check — scrubbing favors recall). */
+  val Ipv4Pattern = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+  /** Non-overlapping match count for one PII pattern. */
+  def piiCount(c: Column, pattern: String): Column =
+    regexp_count(c, lit(pattern)).cast("long")
+
+  /** Redact all three PII categories with typed placeholders. Email runs
+    * first (an address contains dots and digits that the narrower patterns
+    * could half-match); phone before IPv4 so `555-867-5309` never donates
+    * digits to a dotted-quad. Replacements introduce no digits, so the
+    * passes are order-independent beyond that. */
+  def piiRedact(c: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(c, EmailPattern, "[EMAIL]"),
+        PhonePattern, "[PHONE]"),
+      Ipv4Pattern, "[IP]")
 }

@@ -737,6 +737,58 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // D17: SemDeDup (Abbas et al. 2023) — semantic dedup through the trained
+    // quantizer: k-means clusters bound the pair space, within-cluster
+    // cosine >= τ marks the higher vec_id a duplicate of the lower. The
+    // oracle unrolls the identical Lloyd iterations and mirrors the rule.
+    "d17_semdedup" -> ((s, dir) =>
+      Similarity.semDedupKeep(t(s, dir, "embeddings"), 8, 2, 0.35)
+        .orderBy("vec_id")),
+
+    // D18: distinctive-term extraction — the deterministic core of tf-idf
+    // keyword tagging without float logs: per doc, the term maximizing
+    // (tf DESC, df ASC, term ASC). Two shuffles (term df, doc argmax) with
+    // map-side partial aggregation; the argmax is a min_by on a composite
+    // key, NOT a window over the exploded token stream.
+    "d18_keyterms" -> ((s, dir) => {
+      val toks = t(s, dir, "documents")
+        .select(col("doc_id"), explode(TF.cleanTokens(col("text"))).as("term"))
+      val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val df = toks.select("doc_id", "term").distinct()
+        .groupBy("term").agg(count(lit(1)).as("df"))
+      tf.join(df, "term")
+        .groupBy("doc_id")
+        .agg(min_by(struct(col("term"), col("tf"), col("df")),
+          struct((-col("tf")).as("ntf"), col("df"), col("term"))).as("kt"))
+        .select(col("doc_id"), col("kt.term").as("term"),
+          col("kt.tf").as("tf"), col("kt.df").as("df"))
+        .orderBy("doc_id")
+    }),
+
+    // D19: per-language corpus length statistics with EXACT nearest-rank
+    // percentiles computed from the value histogram: one shuffle on
+    // (lang, n_chars) with map-side partial counts, then a running sum
+    // over the (small) distinct-value rows per language — never a global
+    // sort of the documents. Nearest-rank p = smallest value whose
+    // cumulative count reaches ceil(p*n/100), in pure integer arithmetic.
+    "d19_corpus_stats" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+        .select(col("lang"), length(col("text")).cast("long").as("n_chars"))
+      val hist = d.groupBy("lang", "n_chars").agg(count(lit(1)).as("c"))
+      val wCum = Window.partitionBy("lang").orderBy("n_chars")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = hist
+        .withColumn("cum", sum("c").over(wCum))
+        .withColumn("n", sum("c").over(Window.partitionBy("lang")))
+      cum.groupBy("lang").agg(
+          sum(col("c")).as("n_docs"),
+          sum(col("c") * col("n_chars")).as("total_chars"),
+          min(when(col("cum") >= expr("(n*50 + 99) div 100"), col("n_chars"))).as("p50_chars"),
+          min(when(col("cum") >= expr("(n*90 + 99) div 100"), col("n_chars"))).as("p90_chars"),
+          min(when(col("cum") >= expr("(n*99 + 99) div 100"), col("n_chars"))).as("p99_chars"))
+        .orderBy("lang")
+    }),
+
     // Composite quality scoring: punct/digit ratios, mean word length, and a
     // Gopher-style keep heuristic — all in floor-scaled integer arithmetic
     // so any partial-aggregation order reproduces the oracle bit-for-bit.
@@ -1020,6 +1072,23 @@ object SparkEntry {
         SELECT query_id, rank, neighbor_id, score
         FROM ranked WHERE rank <= $topK ORDER BY query_id, rank"""
 
+  /** d17: SemDeDup keep set — the k-means unroll's final assignment plus
+    * the mirrored within-cluster pair/drop rule (higher vec_id of any
+    * cosine>=τ same-cell pair is dropped). */
+  private def semDedupOracle(k: Int, iters: Int, threshold: Double): String =
+    s"""${kmeansOracle(k, iters)},
+        drops AS (
+          SELECT DISTINCT b.vec_id
+          FROM embeddings a
+          JOIN afin ca ON ca.vec_id = a.vec_id
+          JOIN embeddings b ON b.vec_id > a.vec_id
+          JOIN afin cb ON cb.vec_id = b.vec_id AND cb.cell = ca.cell
+          WHERE ${duckCos("a.embedding", "b.embedding")} >= $threshold)
+        SELECT e.vec_id, ca.cell
+        FROM embeddings e JOIN afin ca ON ca.vec_id = e.vec_id
+        WHERE e.vec_id NOT IN (SELECT vec_id FROM drops)
+        ORDER BY e.vec_id"""
+
   /** e07: same plane constants inlined as list literals; bucket arithmetic,
     * dot fold order, and the cosine verify mirror the Spark plan exactly. */
   private def hyperplaneLshOracle(dim: Int, numPlanes: Int, threshold: Double): String = {
@@ -1042,6 +1111,35 @@ object SparkEntry {
     "e05_kmeans_ivf_cells" -> kmeansCellsOracle(8, 2),
     "e06_kmeans_ivf_topk" -> kmeansTopkOracle(8, 2, 5),
     "e07_hyperplane_lsh_near_dup" -> hyperplaneLshOracle(64, 8, 0.35),
+    "d17_semdedup" -> semDedupOracle(8, 2, 0.35),
+
+    "d18_keyterms" ->
+      """WITH toks AS (
+           SELECT doc_id,
+                  unnest([x for x in string_split(text, ' ') if length(x) > 0]) AS term
+           FROM documents),
+         tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+         df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
+         r AS (SELECT tf.doc_id, tf.term, tf.tf, df.df,
+                 ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+                                    ORDER BY tf.tf DESC, df.df ASC, tf.term ASC) AS rn
+               FROM tf JOIN df USING (term))
+         SELECT doc_id, term, tf, df FROM r WHERE rn = 1 ORDER BY doc_id""",
+
+    "d19_corpus_stats" ->
+      """WITH d AS (SELECT lang, CAST(length(text) AS BIGINT) AS n_chars FROM documents),
+         h AS (SELECT lang, n_chars, COUNT(*) AS c FROM d GROUP BY 1, 2),
+         r AS (SELECT lang, n_chars, c,
+                 SUM(c) OVER (PARTITION BY lang ORDER BY n_chars
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+                 SUM(c) OVER (PARTITION BY lang) AS n
+               FROM h)
+         SELECT lang, CAST(SUM(c) AS BIGINT) AS n_docs,
+           CAST(SUM(c * n_chars) AS BIGINT) AS total_chars,
+           MIN(CASE WHEN cum >= (n*50 + 99) // 100 THEN n_chars END) AS p50_chars,
+           MIN(CASE WHEN cum >= (n*90 + 99) // 100 THEN n_chars END) AS p90_chars,
+           MIN(CASE WHEN cum >= (n*99 + 99) // 100 THEN n_chars END) AS p99_chars
+         FROM r GROUP BY lang ORDER BY lang""",
     "q01_agg_pushdown" ->
       """SELECT l_returnflag, l_linestatus,
            CAST(SUM(CAST(l_quantity AS DECIMAL(27,4))) AS DOUBLE) AS sum_qty,

@@ -121,6 +121,28 @@ object Similarity {
       .where(col("score") >= threshold)
   }
 
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    * arXiv:2303.09540): cluster the embeddings with the trained k-means
+    * quantizer, form cosine pairs ONLY within a cluster, and drop every
+    * vector that has a more-canonical (lower-id) near-duplicate at
+    * `threshold` or above. Returns the kept `(vec_id, cell)` rows.
+    *
+    * Scale: the pair space is bounded by cluster sizes — the same
+    * no-cross-join discipline as the text dedup modalities. Cost is one
+    * k-means train (sample-able), one broadcast-k assignment pass, one
+    * self-equi-join shuffling on the cell id, and one anti-join on vec_id.
+    * At 100 TB, raise k so clusters stay executor-sized; the drop rule is
+    * per-pair and needs no global state. */
+  def semDedupKeep(corpus: DataFrame, k: Int, iters: Int,
+                   threshold: Double): DataFrame = {
+    val cents = trainCentroids(corpus, k, iters)
+    val withCell = corpus.join(assignCells(corpus, cents), "vec_id")
+    val drop = cosineNearDupPairs(withCell, "cell", threshold)
+      .select(col("vec_b").as("vec_id")).distinct()
+    withCell.join(drop, Seq("vec_id"), "left_anti")
+      .select("vec_id", "cell")
+  }
+
   // ---- trained IVF (Lloyd's k-means, fully deterministic) ---------------
 
   /** Nearest-centroid assignment: the k-row centroid table broadcasts, the

@@ -79,6 +79,86 @@ case class SimhashExpression(child: Expression, bits: Int = 20)
   override def prettyName: String = "graft_simhash"
 }
 
+/** Shared shape of the binary vector expressions: double-typed, nullable
+  * (ragged or null-element inputs yield SQL null, mirroring the HOF
+  * reference), element width resolved from the child array types, codegen
+  * emitting ONE static kernel call. */
+abstract class VectorBinaryExpression extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  /** "dot" | "cosine" | "sqDist" — the [[VectorKernels]] method. */
+  protected def kernel: String
+
+  protected final def isFloat(e: Expression): Boolean =
+    e.dataType match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    }
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    def ok(e: Expression) = e.dataType match {
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
+      case _ => false
+    }
+    if (ok(left) && ok(right))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects array<float>/array<double> inputs, " +
+          s"got ${left.dataType.sql} and ${right.dataType.sql}")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val r = kernel match {
+      case "dot" => VectorKernels.dot(a.asInstanceOf[ArrayData],
+        b.asInstanceOf[ArrayData], isFloat(left), isFloat(right))
+      case "cosine" => VectorKernels.cosine(a.asInstanceOf[ArrayData],
+        b.asInstanceOf[ArrayData], isFloat(left), isFloat(right))
+      case "sqDist" => VectorKernels.sqDist(a.asInstanceOf[ArrayData],
+        b.asInstanceOf[ArrayData], isFloat(left), isFloat(right))
+    }
+    r
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val tmp = ctx.freshName("vecKernel")
+      s"""
+         |java.lang.Double $tmp = graft.expressions.VectorKernels.$kernel(
+         |  $a, $b, ${isFloat(left)}, ${isFloat(right)});
+         |if ($tmp == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $tmp.doubleValue(); }
+       """.stripMargin
+    })
+}
+
+/** Double-precision dot product of two embedding arrays. */
+case class DotExpression(left: Expression, right: Expression)
+    extends VectorBinaryExpression {
+  override protected def kernel: String = "dot"
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): DotExpression =
+    copy(left = l, right = r)
+  override def prettyName: String = "graft_dot"
+}
+
+/** Cosine similarity of two embedding arrays (one fused pass). */
+case class CosineExpression(left: Expression, right: Expression)
+    extends VectorBinaryExpression {
+  override protected def kernel: String = "cosine"
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): CosineExpression =
+    copy(left = l, right = r)
+  override def prettyName: String = "graft_cosine"
+}
+
+/** Squared L2 distance of two embedding arrays. */
+case class SqDistExpression(left: Expression, right: Expression)
+    extends VectorBinaryExpression {
+  override protected def kernel: String = "sqDist"
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): SqDistExpression =
+    copy(left = l, right = r)
+  override def prettyName: String = "graft_sqdist"
+}
+
 /** `spark.sql.extensions=graft.expressions.GraftSparkSessionExtensions` */
 class GraftSparkSessionExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
@@ -102,6 +182,18 @@ class GraftSparkSessionExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_winnow"),
       new ExpressionInfo(classOf[WinnowExpression].getName, "graft_winnow"),
       (children: Seq[Expression]) => WinnowExpression(children.head)))
+    ext.injectFunction((
+      FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(classOf[DotExpression].getName, "graft_dot"),
+      (children: Seq[Expression]) => DotExpression(children(0), children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_cosine"),
+      new ExpressionInfo(classOf[CosineExpression].getName, "graft_cosine"),
+      (children: Seq[Expression]) => CosineExpression(children(0), children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_sqdist"),
+      new ExpressionInfo(classOf[SqDistExpression].getName, "graft_sqdist"),
+      (children: Seq[Expression]) => SqDistExpression(children(0), children(1))))
     // SQL surface over lake tables: catalog reads of graft.sql.LakeSqlTable
     // become manifest-backed file relations (see graft.sql.LakeRelationRule),
     // and upsert-shaped MERGE INTO statements run the transactional

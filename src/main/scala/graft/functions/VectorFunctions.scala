@@ -6,24 +6,41 @@ import org.apache.spark.sql.functions._
 /** Dense-vector primitives over `array<float>` embedding columns, computed in
   * double precision with strictly sequential (left-to-right) summation so an
   * external oracle evaluating the same formula reproduces the result bitwise.
-  * All codegen'd higher-order functions — no UDFs.
+  *
+  * The default entry points route to the native codegen Catalyst expressions
+  * registered by [[graft.expressions.GraftSparkSessionExtensions]] (one
+  * static kernel call inside whole-stage codegen). The higher-order-function
+  * formulations are kept as `*Hof` reference implementations — bitwise
+  * identical by construction ([[graft.expressions.VectorKernels]] mirrors
+  * their fold order), cross-checked in `VectorKernelsSpec`.
   */
 object VectorFunctions {
 
-  /** Dot product of two array columns in double precision. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+  /** Dot product of two array columns in double precision (native kernel). */
+  def dot(a: Column, b: Column): Column = call_function("graft_dot", a, b)
 
   /** Euclidean norm (double). */
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  /** Cosine similarity (double); NaN-free for zero vectors via nullif. */
-  def cosine(a: Column, b: Column): Column =
-    dot(a, b) / (norm(a) * norm(b))
+  /** Cosine similarity (double, native fused kernel). */
+  def cosine(a: Column, b: Column): Column = call_function("graft_cosine", a, b)
 
-  /** Squared L2 distance (double), strictly sequential summation. */
-  def sqDist(a: Column, b: Column): Column =
+  /** Squared L2 distance (double, native kernel). */
+  def sqDist(a: Column, b: Column): Column = call_function("graft_sqdist", a, b)
+
+  // ---- higher-order-function reference implementations -------------------
+
+  /** HOF reference for [[dot]]. */
+  def dotHof(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** HOF reference for [[cosine]]. */
+  def cosineHof(a: Column, b: Column): Column =
+    dotHof(a, b) / (sqrt(dotHof(a, a)) * sqrt(dotHof(b, b)))
+
+  /** HOF reference for [[sqDist]]. */
+  def sqDistHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b,
         (x, y) => (x.cast("double") - y.cast("double")) *
           (x.cast("double") - y.cast("double"))),

@@ -1,0 +1,39 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSpec
+
+/** Behavioral contract of [[Similarity.semDedupKeep]] (SemDeDup): exact
+  * duplicate vectors always share a k-means cell (identical distances →
+  * identical tie-break), so the higher id is always dropped; orthogonal
+  * vectors are never dropped regardless of how the clusters land. */
+class SimilaritySpec extends AnyFunSuite with SparkSpec {
+
+  private def emb(rows: (Long, Seq[Float])*) = {
+    import spark.implicits._
+    rows.toDF("vec_id", "embedding")
+  }
+
+  test("semDedupKeep drops exact duplicates, keeps the lowest id and all non-dups") {
+    val corpus = emb(
+      0L -> Seq(1f, 0f, 0f, 0f),
+      1L -> Seq(1f, 0f, 0f, 0f), // exact dup of 0 -> dropped
+      2L -> Seq(0f, 1f, 0f, 0f),
+      3L -> Seq(0f, 1f, 0f, 0f), // exact dup of 2 -> dropped
+      4L -> Seq(0f, 0f, 1f, 0f), // orthogonal to everything -> kept
+      5L -> Seq(0f, 0f, 0f, 1f)) // orthogonal to everything -> kept
+    val kept = Similarity.semDedupKeep(corpus, k = 2, iters = 1, threshold = 0.9)
+      .select("vec_id").collect().map(_.getLong(0)).sorted
+    assert(kept.toSeq == Seq(0L, 2L, 4L, 5L))
+  }
+
+  test("semDedupKeep at an unreachable threshold keeps every vector") {
+    val corpus = emb(
+      0L -> Seq(1f, 0f), 1L -> Seq(0.9f, 0.1f), 2L -> Seq(0f, 1f))
+    val kept = Similarity.semDedupKeep(corpus, k = 1, iters = 1, threshold = 1.1)
+      .select("vec_id").collect().map(_.getLong(0)).sorted
+    assert(kept.toSeq == Seq(0L, 1L, 2L))
+  }
+}

@@ -2,7 +2,7 @@ package graft.expressions
 
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, TernaryExpression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.SparkSessionExtensions
@@ -159,6 +159,67 @@ case class SqDistExpression(left: Expression, right: Expression)
   override def prettyName: String = "graft_sqdist"
 }
 
+/** Fused nearest-centroid argmin: `graft_nearest_cell(emb, cells, cents)`
+  * where `cells` is a foldable `array<bigint>` of cell ids and `cents` the
+  * k×dim centroid matrix flattened row-major as a foldable `array<double>`.
+  * Exactly `min_by(cell, struct(sqDist(emb, c_emb), cell))` over the k-row
+  * centroid table, fused per row — the Lloyd-iteration assignment becomes a
+  * shuffle-free projection (the centroid constants ride along as a codegen
+  * reference object, the per-row cost is one k×dim loop). */
+case class NearestCellExpression(emb: Expression, cellsLit: Expression,
+                                 centsLit: Expression) extends TernaryExpression {
+  override def first: Expression = emb
+  override def second: Expression = cellsLit
+  override def third: Expression = centsLit
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+
+  private def embIsFloat: Boolean = emb.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+  @transient private lazy val cells: Array[Long] =
+    cellsLit.eval().asInstanceOf[ArrayData].toLongArray()
+  @transient private lazy val cents: Array[Double] =
+    centsLit.eval().asInstanceOf[ArrayData].toDoubleArray()
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val embOk = emb.dataType match {
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
+      case _ => false
+    }
+    if (!embOk)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects an array<float>/array<double> embedding, got ${emb.dataType.sql}")
+    else if (!cellsLit.foldable || !centsLit.foldable)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects foldable cell-id and centroid arrays")
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+  }
+
+  override def nullSafeEval(e: Any, c1: Any, c2: Any): Any =
+    VectorKernels.nearestCell(e.asInstanceOf[ArrayData], cells, cents, embIsFloat)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cellsRef = ctx.addReferenceObj("nearestCells", cells, "long[]")
+    val centsRef = ctx.addReferenceObj("nearestCents", cents, "double[]")
+    nullSafeCodeGen(ctx, ev, (e, _, _) => {
+      val tmp = ctx.freshName("nearestCell")
+      s"""
+         |java.lang.Long $tmp = graft.expressions.VectorKernels.nearestCell(
+         |  $e, $cellsRef, $centsRef, $embIsFloat);
+         |if ($tmp == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $tmp.longValue(); }
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(f: Expression, s: Expression,
+                                                 t: Expression): NearestCellExpression =
+    copy(emb = f, cellsLit = s, centsLit = t)
+  override def prettyName: String = "graft_nearest_cell"
+}
+
 /** `spark.sql.extensions=graft.expressions.GraftSparkSessionExtensions` */
 class GraftSparkSessionExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
@@ -194,6 +255,11 @@ class GraftSparkSessionExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_sqdist"),
       new ExpressionInfo(classOf[SqDistExpression].getName, "graft_sqdist"),
       (children: Seq[Expression]) => SqDistExpression(children(0), children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_nearest_cell"),
+      new ExpressionInfo(classOf[NearestCellExpression].getName, "graft_nearest_cell"),
+      (children: Seq[Expression]) =>
+        NearestCellExpression(children(0), children(1), children(2))))
     // SQL surface over lake tables: catalog reads of graft.sql.LakeSqlTable
     // become manifest-backed file relations (see graft.sql.LakeRelationRule),
     // and upsert-shaped MERGE INTO statements run the transactional

@@ -61,6 +61,41 @@ object VectorKernels {
     ab / (math.sqrt(aa) * math.sqrt(bb))
   }
 
+  /** Nearest-centroid argmin: index into `cells` of the centroid minimizing
+    * squared L2 distance to `emb`, ties broken on the LOWEST cell id —
+    * exactly `min_by(cell, struct(sqDist, cell))` over a k-row centroid
+    * table, fused into one per-row loop so the assignment needs neither the
+    * k-fold crossJoin blowup nor the argmin shuffle. `cents` is the k
+    * centroid matrix flattened row-major (k * dim doubles). */
+  def nearestCell(emb: ArrayData, cells: Array[Long], cents: Array[Double],
+                  ef: Boolean): java.lang.Long = {
+    val k = cells.length
+    if (k == 0) return null
+    val dim = cents.length / k
+    if (emb.numElements() != dim) return null
+    var bestCell = 0L
+    var bestD = Double.MaxValue
+    var first = true
+    var c = 0
+    while (c < k) {
+      var acc = 0.0
+      var i = 0
+      val off = c * dim
+      while (i < dim) {
+        if (emb.isNullAt(i)) return null
+        val d = elem(emb, i, ef) - cents(off + i)
+        acc += d * d
+        i += 1
+      }
+      val cell = cells(c)
+      if (first || acc < bestD || (acc == bestD && cell < bestCell)) {
+        bestD = acc; bestCell = cell; first = false
+      }
+      c += 1
+    }
+    bestCell
+  }
+
   /** Squared L2 distance, sequential summation. */
   def sqDist(a: ArrayData, b: ArrayData, af: Boolean, bf: Boolean): java.lang.Double = {
     val n = a.numElements()

@@ -145,21 +145,22 @@ object Similarity {
 
   // ---- trained IVF (Lloyd's k-means, fully deterministic) ---------------
 
-  /** Nearest-centroid assignment: the k-row centroid table broadcasts, the
-    * corpus streams once (broadcast nested loop), ties break on the lowest
-    * cell id. The argmin is a `min_by` aggregation, NOT a window: partial
-    * aggregation reduces each vec_id's k scored rows map-side before the
-    * shuffle, so the exchange carries one row per vector instead of k —
-    * this runs once per Lloyd iteration, so the k-fold reduction matters. */
+  /** Nearest-centroid assignment, fused: the k-row centroid table (tiny by
+    * contract — it is the trained quantizer) is collected once and rides
+    * into every task as a codegen reference object; the per-row argmin
+    * (`min_by(cell, struct(sqDist, cell))` semantics, ties to the lowest
+    * cell id) runs as ONE native expression inside whole-stage codegen.
+    * ZERO shuffle and zero row blowup — this runs once per Lloyd
+    * iteration, where the previous formulation (k-fold crossJoin + min_by
+    * aggregation exchange) paid a full shuffle of N rows each pass. */
   def assignCells(corpus: DataFrame, centroids: DataFrame): DataFrame = {
-    val scored = corpus.select(col("vec_id"), col("embedding"))
-      .crossJoin(broadcast(centroids))
-      .select(col("vec_id"), col("cell"),
-        sqDist(col("embedding"), col("c_emb")).as("d"))
-    // struct(d, cell) is unique per (vec_id, cell): no ordering ties
-    scored.groupBy("vec_id")
-      .agg(min_by(col("cell"), struct(col("d"), col("cell"))).as("cell"))
-      .select("vec_id", "cell")
+    val rows = centroids.select(col("cell"), col("c_emb")).collect()
+      .sortBy(_.getLong(0))
+    val cells = rows.map(_.getLong(0))
+    val cents = rows.flatMap(_.getSeq[Double](1).toArray)
+    corpus.select(col("vec_id"),
+      call_function("graft_nearest_cell", col("embedding"),
+        lit(cells), lit(cents)).as("cell"))
   }
 
   /** Lloyd's k-means over the embedding column — the trained coarse
@@ -170,9 +171,9 @@ object Similarity {
     * train on a sample via `sampleFraction` (seed-deterministic for a
     * given input layout): centroid quality needs only a representative
     * subset, and each Lloyd iteration then passes over fraction*corpus
-    * instead of the full table. The assignment join broadcasts only k
-    * centroids; each iteration is one training-set pass + one shuffle on
-    * cell/dim. */
+    * instead of the full table. The assignment carries only the k
+    * centroids into each task; each iteration is one shuffle-free
+    * training-set pass + one shuffle on cell/dim for the means. */
   def trainCentroids(corpus: DataFrame, k: Int, iters: Int,
                      sampleFraction: Double = 1.0,
                      sampleSeed: Long = 20260812L): DataFrame = {

@@ -54,10 +54,10 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
-  test("centroid assignment is a partial-aggregated min_by, not a window") {
-    // assignCells runs once per Lloyd iteration: the argmin must carry
-    // partial aggregation (map-side k-fold reduction before the shuffle),
-    // never a full N*k-row window shuffle
+  test("centroid assignment is a shuffle-free fused projection") {
+    // assignCells runs once per Lloyd iteration: the argmin must stay a
+    // map-side projection (fused nearest-cell kernel) — never a window or
+    // aggregation shuffle of the corpus
     val emb = Tables.t(spark, dir, "embeddings")
     // materialize the (tiny) centroid table so only the assignment itself
     // is in the audited plan
@@ -66,8 +66,11 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
       java.util.Arrays.asList(trained.collect(): _*), trained.schema)
     val p = graft.operators.Similarity.assignCells(emb, cents)
       .queryExecution.executedPlan.toString
+    // fused argmin: a pure projection — no window, no exchange, no join
     assert(!p.contains("Window"), p.take(800))
-    assert(p.contains("partial_min_by") || p.contains("partial_minby"), p.take(800))
+    assert(!p.contains("Exchange"), p.take(800))
+    assert(!p.contains("Join"), p.take(800))
+    assert(p.contains("graft_nearest_cell"), p.take(800))
   }
 
   test("semi-join extract plans as a real semi join") {

@@ -895,7 +895,50 @@ object SparkEntry {
         .join(c, Seq("user_id"), "left_outer")
         .join(p, Seq("user_id"), "left_outer")
         .orderBy("user_id")
-    })
+    }),
+
+    // EV05: backward as-of join — every click attributed to the user's
+    // most recent view at-or-before it (point-in-time lookup). The oracle
+    // is DuckDB's NATIVE ASOF JOIN, cross-validating our sort-based
+    // operator against an independent implementation of the semantics.
+    "ev05_asof_join" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val clicks = ev.where(col("event_type") === "click")
+        .select("event_id", "user_id", "ts_us")
+      val views = ev.where(col("event_type") === "view")
+        .groupBy(col("user_id"), col("ts_us"))
+        .agg(max(col("value")).as("view_value")) // unique per (key, time)
+      graft.operators.AsOfJoin
+        .asofBackward(clicks, views, "user_id", "ts_us", Seq("view_value"))
+        .orderBy("event_id")
+    }),
+
+    // EV06: weekly cohort retention — users bucketed by first-seen week,
+    // distinct-active counts per (cohort, week). Two key-shuffles (first
+    // week, cohort grid), both with partial aggregation; the user_id join
+    // reuses the first shuffle's key.
+    "ev06_retention" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"), date_trunc("week", col("ts")).as("wk"))
+      val first = ev.groupBy("user_id").agg(min(col("wk")).as("cohort_wk"))
+      ev.join(first, "user_id")
+        .groupBy(col("cohort_wk"), col("wk"))
+        .agg(countDistinct(col("user_id")).as("n_active"))
+        .select(col("cohort_wk").cast("long").as("cohort_epoch"),
+          col("wk").cast("long").as("week_epoch"), col("n_active"))
+        .orderBy("cohort_epoch", "week_epoch")
+    }),
+
+    // Q29: ROLLUP grouping sets — subtotal lattice in one pass (Catalyst
+    // expands the sets; the exchange is still a single hash partitioning).
+    "q29_rollup" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("cnt"), TR.sumExact(col("l_quantity")).as("sum_qty"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+          col("cnt"), col("sum_qty"))
+        .orderBy("rf", "ls"))
   )
 
   // ------------------------------------------------------------------
@@ -1674,6 +1717,35 @@ object SparkEntry {
          FROM u LEFT JOIN v USING (user_id) LEFT JOIN c USING (user_id)
                 LEFT JOIN p USING (user_id)
          ORDER BY user_id""",
+
+    "ev05_asof_join" ->
+      """WITH ev AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us, value
+                     FROM events),
+         clicks AS (SELECT event_id, user_id, ts_us FROM ev WHERE event_type = 'click'),
+         views AS (SELECT user_id, ts_us, MAX(value) AS view_value FROM ev
+                   WHERE event_type = 'view' GROUP BY 1, 2)
+         SELECT c.event_id, c.user_id, c.ts_us,
+                v.ts_us AS asof_ts_us, v.view_value AS asof_view_value
+         FROM clicks c ASOF LEFT JOIN views v
+           ON c.user_id = v.user_id AND c.ts_us >= v.ts_us
+         ORDER BY c.event_id""",
+
+    "ev06_retention" ->
+      """WITH ev AS (SELECT user_id, date_trunc('week', ts) AS wk FROM events),
+         f AS (SELECT user_id, MIN(wk) AS cohort_wk FROM ev GROUP BY 1)
+         SELECT CAST(epoch(cohort_wk) AS BIGINT) AS cohort_epoch,
+                CAST(epoch(wk) AS BIGINT) AS week_epoch,
+                COUNT(DISTINCT e.user_id) AS n_active
+         FROM ev e JOIN f USING (user_id)
+         GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "q29_rollup" ->
+      """SELECT COALESCE(l_returnflag, 'ALL') AS rf,
+                COALESCE(l_linestatus, 'ALL') AS ls,
+                COUNT(*) AS cnt,
+                CAST(SUM(CAST(l_quantity AS DECIMAL(27,4))) AS DOUBLE) AS sum_qty
+         FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+         ORDER BY rf, ls""",
 
     "e01_knn_bruteforce" -> knnOracle(""),
     "e02_ann_ivf" -> knnOracle("AND e.label = q.q_label"),

@@ -1,0 +1,51 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Backward as-of join — for every left row, the single right row with the
+  * greatest right time at-or-before the left row's time for the same key
+  * (the temporal-join primitive behind point-in-time feature lookups,
+  * slowly-changing-dimension attribution, and tick-data enrichment).
+  *
+  * Spark-first plan: a per-row range probe would be a BroadcastNestedLoop
+  * (quadratic hot keys) and Spark has no native ASOF operator, so the two
+  * sides are tagged and UNIONed, shuffled ONCE on the key, sorted within
+  * each partition by (time, side) and the last-seen right payload carried
+  * forward by a running `last(ignoreNulls)` frame — one exchange, no row
+  * blowup, O(n log n) per partition, skew bounded by the hottest key (the
+  * same event-time-sorted discipline as a streaming temporal join). At
+  * 100 TB both sides shuffle on the key exactly once; nothing is
+  * broadcast and no pair space is ever formed.
+  */
+object AsOfJoin {
+
+  /** `right` must be unique per (key, time) — pre-aggregate it otherwise
+    * (equal-time right rows would make the match nondeterministic). Left
+    * rows with no right row at-or-before keep null `asof_*` columns.
+    * Ties at equal time DO match (right sorts before left at the same
+    * instant). Output: every left column, then `asof_<timeCol>` and
+    * `asof_<p>` for each payload column. */
+  def asofBackward(left: DataFrame, right: DataFrame, keyCol: String,
+                   timeCol: String, payloadCols: Seq[String]): DataFrame = {
+    val leftCols = left.columns.toSeq
+    val rightCols = timeCol +: payloadCols
+    val lType = StructType(leftCols.map(n => left.schema(n)))
+    val rType = StructType(rightCols.map(n => right.schema(n)))
+    val l = left.select(col(keyCol).as("_k"), col(timeCol).as("_t"),
+      lit(1).as("_side"), struct(leftCols.map(col): _*).as("_l"),
+      lit(null).cast(rType).as("_r"))
+    val r = right.select(col(keyCol).as("_k"), col(timeCol).as("_t"),
+      lit(0).as("_side"), lit(null).cast(lType).as("_l"),
+      struct(rightCols.map(col): _*).as("_r"))
+    val w = Window.partitionBy("_k").orderBy(col("_t"), col("_side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    l.unionByName(r)
+      .withColumn("_match", last(col("_r"), ignoreNulls = true).over(w))
+      .where(col("_side") === 1)
+      .select(leftCols.map(n => col(s"_l.$n").as(n)) ++
+        rightCols.map(n => col(s"_match.$n").as(s"asof_$n")): _*)
+  }
+}

@@ -1,0 +1,49 @@
+package graft.operators
+
+import org.apache.spark.sql.Row
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSpec
+
+/** Backward as-of semantics: greatest right time at-or-before, per key;
+  * equal-time rows match; no-prior rows keep nulls; later right rows never
+  * leak backward. */
+class AsOfJoinSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  private val left = Seq(
+    (1L, 10L, 10L),  // key 10: right rows at t=5, t=9 -> matches t=9
+    (2L, 10L, 5L),   // equal time -> matches t=5
+    (3L, 10L, 4L),   // before every right row -> null
+    (4L, 20L, 50L),  // key 20: only right row at t=50 -> matches
+    (5L, 30L, 7L))   // key with no right rows at all -> null
+    .toDF("event_id", "k", "t")
+
+  private val right = Seq(
+    (10L, 5L, "a"), (10L, 9L, "b"), (10L, 11L, "c"), // c is later than every left
+    (20L, 50L, "d"))
+    .toDF("k", "t", "payload")
+
+  test("asofBackward picks the greatest at-or-before right row per key") {
+    val out = AsOfJoin.asofBackward(left, right, "k", "t", Seq("payload"))
+      .orderBy("event_id").collect()
+    assert(out.map(r => (r.getLong(0), Option(r.get(3)), Option(r.get(4)))).toSeq == Seq(
+      (1L, Some(9L), Some("b")),
+      (2L, Some(5L), Some("a")),
+      (3L, None, None),
+      (4L, Some(50L), Some("d")),
+      (5L, None, None)))
+  }
+
+  test("output keeps every left column, adds asof_ columns") {
+    val out = AsOfJoin.asofBackward(left, right, "k", "t", Seq("payload"))
+    assert(out.columns.toSeq == Seq("event_id", "k", "t", "asof_t", "asof_payload"))
+  }
+
+  test("one exchange, no join node, no row blowup in the plan") {
+    val p = AsOfJoin.asofBackward(left, right, "k", "t", Seq("payload"))
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Join"), p.take(600))
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 2, p.take(600))
+  }
+}

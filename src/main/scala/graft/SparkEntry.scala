@@ -789,6 +789,16 @@ object SparkEntry {
         .orderBy("lang")
     }),
 
+    // E08: product-quantization ANN — per-subspace trained codebooks,
+    // shuffle-free encode, asymmetric-distance top-k. The oracle unrolls
+    // all m sub-quantizers' Lloyd iterations and mirrors the ADC sum.
+    "e08_pq_adc_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.pqTopK(emb, emb.where(col("vec_id") < 10),
+          m = 4, dim = 64, k = 8, iters = 1, topK = 5)
+        .orderBy("query_id", "rank")
+    }),
+
     // Composite quality scoring: punct/digit ratios, mean word length, and a
     // Gopher-style keep heuristic — all in floor-scaled integer arithmetic
     // so any partial-aggregation order reproduces the oracle bit-for-bit.
@@ -1053,42 +1063,53 @@ object SparkEntry {
         SELECT query_id, rank, neighbor_id, score
         FROM ranked WHERE rank <= 5 ORDER BY query_id, rank"""
 
-  /** DuckDB mirror of [[graft.operators.Similarity.trainCentroids]] +
-    * final assignment: Lloyd iterations unrolled as CTE pairs (assign a_i,
-    * means c_i), every float->double cast, fold order, tie-break, and
-    * decimal accumulation identical to the Spark plan. */
-  private def kmeansOracle(k: Int, iters: Int): String = {
-    val dist = "list_reduce([(CAST(p[1] AS DOUBLE) - p[2]) * " +
-      "(CAST(p[1] AS DOUBLE) - p[2]) for p in list_zip(e.embedding, c.c_emb)], " +
+  /** DuckDB squared-L2 between two list expressions — the same
+    * left-to-right fold as [[graft.expressions.VectorKernels.sqDist]]. */
+  private def duckSqDist(a: String, b: String): String =
+    s"list_reduce([(CAST(p[1] AS DOUBLE) - p[2]) * " +
+      s"(CAST(p[1] AS DOUBLE) - p[2]) for p in list_zip($a, $b)], " +
       "(x, y) -> x + y)"
+
+  /** DuckDB mirror of [[graft.operators.Similarity.trainCentroids]] +
+    * final assignment as a CTE list (no WITH): Lloyd iterations unrolled
+    * as CTE pairs (assign a_i, means c_i), every float->double cast, fold
+    * order, tie-break, and decimal accumulation identical to the Spark
+    * plan. `src` is the (vec_id, embedding) relation; CTE names carry
+    * `prefix` so multiple unrolls (PQ subspaces) compose in one WITH. */
+  private def kmeansCtes(k: Int, iters: Int, src: String = "embeddings",
+                         prefix: String = ""): String = {
+    val dist = duckSqDist("e.embedding", "c.c_emb")
     def assign(name: String, cents: String) =
       s"""$name AS (
           SELECT vec_id, cell FROM (
             SELECT e.vec_id, c.cell,
                    ROW_NUMBER() OVER (PARTITION BY e.vec_id
                                       ORDER BY $dist ASC, c.cell ASC) AS rn
-            FROM embeddings e, $cents c) WHERE rn = 1)"""
+            FROM $src e, $cents c) WHERE rn = 1)"""
     val init =
-      s"""c0 AS (
+      s"""${prefix}c0 AS (
           SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cell,
                  [CAST(x AS DOUBLE) for x in embedding] AS c_emb
-          FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT $k))"""
+          FROM (SELECT vec_id, embedding FROM $src ORDER BY vec_id LIMIT $k))"""
     val steps = (1 to iters).map { i =>
-      assign(s"a$i", s"c${i - 1}") + s""",
-        c$i AS (
+      assign(s"${prefix}a$i", s"${prefix}c${i - 1}") + s""",
+        ${prefix}c$i AS (
           SELECT cell, list(m ORDER BY dim) AS c_emb FROM (
             SELECT a.cell, x.dim,
                    CAST(SUM(CAST(CAST(x.v AS DOUBLE) AS DECIMAL(27,10))) AS DOUBLE)
                      / COUNT(*) AS m
-            FROM a$i a JOIN (SELECT vec_id, unnest(embedding) AS v,
+            FROM ${prefix}a$i a JOIN (SELECT vec_id, unnest(embedding) AS v,
                                     generate_subscripts(embedding, 1) AS dim
-                             FROM embeddings) x ON x.vec_id = a.vec_id
+                             FROM $src) x ON x.vec_id = a.vec_id
             GROUP BY a.cell, x.dim) GROUP BY cell)"""
     }
-    s"""WITH $init,
+    s"""$init,
         ${steps.mkString(",\n")},
-        ${assign("afin", s"c$iters")}"""
+        ${assign(s"${prefix}afin", s"${prefix}c$iters")}"""
   }
+
+  private def kmeansOracle(k: Int, iters: Int): String =
+    s"WITH ${kmeansCtes(k, iters)}"
 
   /** e05: final-assignment cell sizes. */
   private def kmeansCellsOracle(k: Int, iters: Int): String =
@@ -1132,6 +1153,39 @@ object SparkEntry {
         WHERE e.vec_id NOT IN (SELECT vec_id FROM drops)
         ORDER BY e.vec_id"""
 
+  /** e08: product quantization — m per-subspace k-means unrolls (sliced
+    * source CTEs), ADC = left-to-right sum of per-subspace squared
+    * distances from the full-precision query slice to the coded
+    * sub-centroid. */
+  private def pqOracle(m: Int, subDim: Int, k: Int, iters: Int, topK: Int): String = {
+    val srcs = (0 until m).map { s =>
+      s"src$s AS (SELECT vec_id, embedding[${s * subDim + 1}:${(s + 1) * subDim}] " +
+        s"AS embedding FROM embeddings)"
+    }
+    val kms = (0 until m).map(s => kmeansCtes(k, iters, s"src$s", s"s${s}_"))
+    val adc = (0 until m).map { s =>
+      duckSqDist(s"q.q_emb[${s * subDim + 1}:${(s + 1) * subDim}]", s"cs$s.c_emb")
+    }.mkString(" + ")
+    val codeJoins = (0 until m).map { s =>
+      s"JOIN s${s}_afin av$s ON av$s.vec_id = v.vec_id " +
+        s"JOIN s${s}_c$iters cs$s ON cs$s.cell = av$s.cell"
+    }.mkString("\n           ")
+    s"""WITH ${srcs.mkString(",\n")},
+        ${kms.mkString(",\n")},
+        q AS (SELECT vec_id AS query_id, embedding AS q_emb
+              FROM embeddings WHERE vec_id < 10),
+        scored AS (
+          SELECT q.query_id, v.vec_id AS neighbor_id, ROUND($adc, 6) AS dist
+          FROM q JOIN embeddings v ON v.vec_id <> q.query_id
+           $codeJoins),
+        ranked AS (SELECT query_id, neighbor_id, dist,
+                          ROW_NUMBER() OVER (PARTITION BY query_id
+                                             ORDER BY dist ASC, neighbor_id ASC) AS rank
+                   FROM scored)
+        SELECT query_id, rank, neighbor_id, dist
+        FROM ranked WHERE rank <= $topK ORDER BY query_id, rank"""
+  }
+
   /** e07: same plane constants inlined as list literals; bucket arithmetic,
     * dot fold order, and the cosine verify mirror the Spark plan exactly. */
   private def hyperplaneLshOracle(dim: Int, numPlanes: Int, threshold: Double): String = {
@@ -1155,6 +1209,7 @@ object SparkEntry {
     "e06_kmeans_ivf_topk" -> kmeansTopkOracle(8, 2, 5),
     "e07_hyperplane_lsh_near_dup" -> hyperplaneLshOracle(64, 8, 0.35),
     "d17_semdedup" -> semDedupOracle(8, 2, 0.35),
+    "e08_pq_adc_topk" -> pqOracle(4, 16, 8, 1, 5),
 
     "d18_keyterms" ->
       """WITH toks AS (

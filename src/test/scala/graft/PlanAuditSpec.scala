@@ -30,10 +30,33 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
 
   test("LSH dedup and IVF ANN never form a cartesian product") {
     for (q <- Seq("d02_minhash_lsh", "d07_ngram_jaccard", "e02_ann_ivf",
-        "e04_embedding_near_dup", "e07_hyperplane_lsh_near_dup")) {
+        "e04_embedding_near_dup", "e07_hyperplane_lsh_near_dup",
+        "d17_semdedup")) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q has a cartesian product")
     }
+  }
+
+  test("PQ encode is a fused projection; ADC scan streams the coded corpus") {
+    val p = plan("e08_pq_adc_topk")
+    // encoding runs the nearest-cell kernel (no per-subspace joins), and
+    // the only pairing is the broadcast of the tiny query set
+    assert(p.contains("graft_nearest_cell"), p.take(800))
+    assert(!p.contains("CartesianProduct"), p.take(800))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      p.take(800))
+  }
+
+  test("chunking explodes in place — no join, no hash exchange before the sort") {
+    val p = plan("d20_chunking")
+    assert(!p.contains("Join"), p.take(800))
+    assert(!p.contains("Exchange hashpartitioning"), p.take(800))
+  }
+
+  test("sequence packing shuffles once, on the shard key") {
+    val p = plan("d22_sequence_pack")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p.take(800))
+    assert(!p.contains("Join"), p.take(800))
   }
 
   test("SQL catalog reads push filters into the parquet scan") {

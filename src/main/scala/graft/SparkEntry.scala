@@ -590,24 +590,23 @@ object SparkEntry {
     // D11: the end-to-end corpus-clean composition — quality filter ->
     // exact dedup -> MinHash near-dup prune, each stage the already-gated
     // operator, chained the way a real training-data pipeline runs them.
-    "d11_corpus_clean" -> ((s, dir) => {
-      val d = t(s, dir, "documents")
-      val quality = d.select(col("doc_id"), col("text"),
-          length(col("text")).cast("long").as("n_chars"),
-          TF.punctCount(col("text")).as("n_punct"),
-          TF.tokenCount(col("text")).as("n_tokens"),
-          TF.stopwordCount(col("text")).as("n_stop"))
-        .where(expr("""n_tokens >= 5 AND n_stop >= 1 AND
-            (CASE WHEN n_chars > 0 THEN (n_punct * 1000000) div n_chars ELSE 0 END)
-              <= 200000"""))
-        .select("doc_id", "text")
-      val keepIds = Dedup.exactDedup(quality, "doc_id", "text")
-        .select(col("keep_id").as("doc_id"))
-      val deduped = quality.join(keepIds, "doc_id")
-      val nearDrop = Dedup.minhashNearDupPairs(deduped, "doc_id", "text")
-        .select(col("doc_b").as("doc_id")).distinct()
-      deduped.join(nearDrop, Seq("doc_id"), "left_anti")
-        .select("doc_id").orderBy("doc_id")
+    "d11_corpus_clean" -> ((s, dir) =>
+      cleanStages(s, dir)._3.select("doc_id").orderBy("doc_id")),
+
+    // D24: pipeline observability — surviving-doc counts after every stage
+    // of the corpus-clean composition (the per-stage drop accounting every
+    // production cleaning run reports). Four distributed counts, no
+    // collect beyond the 4-row result.
+    "d24_clean_report" -> ((s, dir) => {
+      val (quality, deduped, cleaned) = cleanStages(s, dir)
+      def cnt(df: DataFrame, id: Long, name: String) =
+        df.agg(count(lit(1)).as("n_docs"))
+          .select(lit(id).as("stage_id"), lit(name).as("stage"), col("n_docs"))
+      cnt(t(s, dir, "documents"), 0L, "raw")
+        .unionByName(cnt(quality, 1L, "quality"))
+        .unionByName(cnt(deduped, 2L, "exact_dedup"))
+        .unionByName(cnt(cleaned, 3L, "near_dedup"))
+        .orderBy("stage_id")
     }),
 
     // D12: Gopher-style repetition quality rules — duplicate-word fraction
@@ -705,6 +704,16 @@ object SparkEntry {
     "d10_winnow_containment" -> ((s, dir) =>
       Dedup.winnowContainmentPairs(t(s, dir, "documents"), "doc_id", "text")
         .orderBy("doc_a", "doc_b")),
+
+    // D23: incremental dedup — the daily-ingest probe: "new" docs
+    // (id % 10 == 0 stands in for today's batch) checked against the
+    // indexed corpus via the banded LSH index; band keys and the bucket
+    // cap span the full corpus (the cap guards the index, not a batch).
+    "d23_incremental_dedup" -> ((s, dir) =>
+      Dedup.incrementalNearDup(
+        t(s, dir, "documents").withColumn("is_new", col("doc_id") % 10 === 0),
+        "doc_id", "text", "is_new")
+        .orderBy("doc_id")),
 
     // Trained IVF: deterministic Lloyd's k-means (init = k lowest vec_ids,
     // tie-break on cell id, decimal-accumulated means) then a final
@@ -1037,6 +1046,29 @@ object SparkEntry {
         .orderBy("rf", "ls"))
   )
 
+  /** The corpus-clean stages shared by d11 (final keep set) and d24 (per-
+    * stage counts): d09 quality rule -> exact dedup (keep lowest id per
+    * digest) -> MinHash near-dup prune (drop every doc_b of a pair). */
+  private def cleanStages(s: SparkSession, dir: String): (DataFrame, DataFrame, DataFrame) = {
+    val d = t(s, dir, "documents")
+    val quality = d.select(col("doc_id"), col("text"),
+        length(col("text")).cast("long").as("n_chars"),
+        TF.punctCount(col("text")).as("n_punct"),
+        TF.tokenCount(col("text")).as("n_tokens"),
+        TF.stopwordCount(col("text")).as("n_stop"))
+      .where(expr("""n_tokens >= 5 AND n_stop >= 1 AND
+          (CASE WHEN n_chars > 0 THEN (n_punct * 1000000) div n_chars ELSE 0 END)
+            <= 200000"""))
+      .select("doc_id", "text")
+    val keepIds = Dedup.exactDedup(quality, "doc_id", "text")
+      .select(col("keep_id").as("doc_id"))
+    val deduped = quality.join(keepIds, "doc_id")
+    val nearDrop = Dedup.minhashNearDupPairs(deduped, "doc_id", "text")
+      .select(col("doc_b").as("doc_id")).distinct()
+    val cleaned = deduped.join(nearDrop, Seq("doc_id"), "left_anti")
+    (quality, deduped, cleaned)
+  }
+
   // ------------------------------------------------------------------
   // DuckDB oracle SQL — identical semantics, dialect-translated.
   // ------------------------------------------------------------------
@@ -1103,10 +1135,10 @@ object SparkEntry {
         SELECT doc_a, doc_b, CAST((i * 1000000) // u AS BIGINT) AS jaccard_e6
         FROM ver WHERE i * 5 >= u * 4 ORDER BY doc_a, doc_b"""
 
-  /** d11: the d09 quality rule -> exact dedup (keep lowest id per digest)
-    * -> MinHash near-dup prune (drop every doc_b of a surviving pair). */
-  private def corpusCleanOracle: String =
-    s"""WITH qbase AS (
+  /** d11/d24 shared CTE chain: the d09 quality rule -> exact dedup (keep
+    * lowest id per digest) -> MinHash near-dup prune. */
+  private def corpusCleanCtes: String =
+    s"""qbase AS (
           SELECT doc_id, text, CAST(length(text) AS BIGINT) AS n_chars,
             CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9 ]')) AS BIGINT) AS n_punct,
             [x for x in string_split(text, ' ') if length(x) > 0] AS toks
@@ -1123,10 +1155,38 @@ object SparkEntry {
         ex AS (SELECT MIN(doc_id) AS doc_id FROM q GROUP BY md5(text)),
         clean1 AS (SELECT q.doc_id, q.text FROM q JOIN ex USING (doc_id)),
         ${minhashCtes("clean1")},
-        neardrop AS (SELECT DISTINCT doc_b FROM ver WHERE i * 5 >= u * 4)
+        neardrop AS (SELECT DISTINCT doc_b FROM ver WHERE i * 5 >= u * 4)"""
+
+  private def corpusCleanOracle: String =
+    s"""WITH $corpusCleanCtes
         SELECT doc_id FROM clean1
         WHERE doc_id NOT IN (SELECT doc_b FROM neardrop)
         ORDER BY doc_id"""
+
+  /** d24: surviving-doc counts per corpus-clean stage. */
+  private def cleanReportOracle: String =
+    s"""WITH $corpusCleanCtes
+        SELECT CAST(0 AS BIGINT) AS stage_id, 'raw' AS stage,
+               (SELECT COUNT(*) FROM documents) AS n_docs
+        UNION ALL SELECT 1, 'quality', (SELECT COUNT(*) FROM q)
+        UNION ALL SELECT 2, 'exact_dedup', (SELECT COUNT(*) FROM clean1)
+        UNION ALL SELECT 3, 'near_dedup',
+          (SELECT COUNT(*) FROM clean1
+           WHERE doc_id NOT IN (SELECT doc_b FROM neardrop))
+        ORDER BY stage_id"""
+
+  /** d23: verified pairs with exactly one "new" side (id % 10 = 0),
+    * aggregated per new doc — band keys and cap span the full corpus, so
+    * the shared minhash CTEs apply unchanged. */
+  private def incrementalDedupOracle: String =
+    s"""WITH ${minhashCtes("documents")},
+        inc AS (SELECT CASE WHEN doc_a % 10 = 0 THEN doc_a ELSE doc_b END AS doc_id,
+                       CAST((i * 1000000) // u AS BIGINT) AS j
+                FROM ver
+                WHERE i * 5 >= u * 4
+                  AND ((doc_a % 10 = 0) <> (doc_b % 10 = 0)))
+        SELECT doc_id, COUNT(*) AS n_matches, MAX(j) AS best_jaccard_e6
+        FROM inc GROUP BY 1 ORDER BY doc_id"""
 
   /** Sequential double dot product / norms — DuckDB list_reduce mirrors
     * Spark's left-fold exactly. */
@@ -1683,6 +1743,8 @@ object SparkEntry {
     "d03_simhash" -> simhashOracle,
 
     "d11_corpus_clean" -> corpusCleanOracle,
+    "d23_incremental_dedup" -> incrementalDedupOracle,
+    "d24_clean_report" -> cleanReportOracle,
 
     "d13_vocab" ->
       """WITH toks AS (

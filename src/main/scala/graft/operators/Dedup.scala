@@ -79,12 +79,52 @@ object Dedup {
         expr("CAST((i * 1000000) div u AS BIGINT)").as("jaccard_e6"))
   }
 
+  /** Incremental near-dup check — which NEW documents near-duplicate ANY
+    * already-indexed document (the daily-ingest form of
+    * [[minhashNearDupPairs]]: a production pipeline persists the indexed
+    * side's band keys as its LSH index and probes each incoming batch
+    * against it). `docs` carries a boolean `isNewCol`; band keys and the
+    * bucket-size cap are computed over the FULL corpus (the cap guards the
+    * index, not a batch), and candidates pair new x indexed only — batch-
+    * internal duplicates are [[minhashNearDupPairs]]'s job. Returns one row
+    * per matched new doc: (doc_id, n_matches, best_jaccard_e6). */
+  def incrementalNearDup(docs: DataFrame, idCol: String, textCol: String,
+                         isNewCol: String,
+                         thresholdNum: Int = 4, thresholdDen: Int = 5,
+                         maxBandBucket: Int = DefaultMaxBandBucket): DataFrame = {
+    val bands = cappedBandKeys(docs, idCol, textCol, maxBandBucket,
+      extraCols = Seq(isNewCol))
+    val cand = bands.where(col(isNewCol)).as("a")
+      .join(bands.where(!col(isNewCol)).as("b"),
+        col("a.band_id") === col("b.band_id") &&
+          col("a.band_key") === col("b.band_key"))
+      .select(col("a.doc_id").as("doc_new"), col("b.doc_id").as("doc_idx"))
+      .distinct()
+    val shs = repartitionedDocs(docs, idCol, textCol)
+      .select(col("doc_id"), expr("graft_shingle_hash_set(text)").as("shs"))
+    cand
+      .join(shs.select(col("doc_id").as("doc_new"), col("shs").as("shs_a")), "doc_new")
+      .join(shs.select(col("doc_id").as("doc_idx"), col("shs").as("shs_b")), "doc_idx")
+      .where(least(size(col("shs_a")), size(col("shs_b"))) * thresholdDen >=
+        greatest(size(col("shs_a")), size(col("shs_b"))) * thresholdNum)
+      .withColumn("iu", expr("graft_sorted_iu(shs_a, shs_b)"))
+      .select(col("doc_new"), col("doc_idx"),
+        col("iu").getItem(0).as("i"), col("iu").getItem(1).as("u"))
+      .where(col("i") * thresholdDen >= col("u") * thresholdNum)
+      .select(col("doc_new"),
+        expr("CAST((i * 1000000) div u AS BIGINT)").as("j"))
+      .groupBy(col("doc_new").as("doc_id"))
+      .agg(count(lit(1)).as("n_matches"), max(col("j")).as("best_jaccard_e6"))
+  }
+
   /** Spread the signature compute across the cluster: source files may be
     * few/unsplittable (single row group) and the kernel is the heavy step,
     * so a cheap shuffle of the raw docs buys full parallelism. */
   private def repartitionedDocs(docs: DataFrame, idCol: String,
-                                textCol: String): DataFrame =
-    docs.select(col(idCol).as("doc_id"), col(textCol).as("text"))
+                                textCol: String,
+                                extraCols: Seq[String] = Nil): DataFrame =
+    docs.select(col(idCol).as("doc_id") +: col(textCol).as("text") +:
+        extraCols.map(col): _*)
       .repartition(docs.sparkSession.sparkContext.defaultParallelism, col(idCol))
 
   /** Banded LSH keys with the bucket-size guard: the 200-perm signature is
@@ -96,19 +136,23 @@ object Dedup {
     * standard guard against degenerate/boilerplate bands exploding one
     * bucket into O(m^2) candidates at corpus scale. */
   private def bandKeyRows(docs: DataFrame, idCol: String,
-                          textCol: String): DataFrame = {
+                          textCol: String,
+                          extraCols: Seq[String] = Nil): DataFrame = {
     import graft.functions.TextFunctions.{LshBands, LshRows}
-    val sig = repartitionedDocs(docs, idCol, textCol)
-      .select(col("doc_id"), expr("graft_minhash_sig(text)").as("sig"))
+    val sig = repartitionedDocs(docs, idCol, textCol, extraCols)
+      .select(col("doc_id") +: expr("graft_minhash_sig(text)").as("sig") +:
+        extraCols.map(col): _*)
     val bandKeys = transform(sequence(lit(0), lit(LshBands - 1)), i =>
       concat_ws(",", transform(
         slice(col("sig"), i * LshRows + 1, lit(LshRows)), x => x.cast("string"))))
-    sig.select(col("doc_id"), posexplode(bandKeys).as(Seq("band_id", "band_key")))
+    sig.select(col("doc_id") +: posexplode(bandKeys).as(Seq("band_id", "band_key")) +:
+      extraCols.map(col): _*)
   }
 
   private def cappedBandKeys(docs: DataFrame, idCol: String, textCol: String,
-                             maxBandBucket: Int): DataFrame = {
-    val rows = bandKeyRows(docs, idCol, textCol)
+                             maxBandBucket: Int,
+                             extraCols: Seq[String] = Nil): DataFrame = {
+    val rows = bandKeyRows(docs, idCol, textCol, extraCols)
     if (maxBandBucket == Int.MaxValue) return rows // uncapped: no window pass
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("band_id"), col("band_key"))

@@ -825,12 +825,7 @@ object SparkEntry {
         .join(qq, "query_id")
         .select(col("query_id"), col("neighbor_id"),
           round(VF.cosine(col("q_emb"), col("n_emb")), 6).as("score"))
-      val w = Window.partitionBy("query_id")
-        .orderBy(col("score").desc, col("neighbor_id").asc)
-      scored.withColumn("rank", row_number().over(w).cast("long"))
-        .where(col("rank") <= 5)
-        .select("query_id", "rank", "neighbor_id", "score")
-        .orderBy("query_id", "rank")
+      Similarity.topK(scored, 5).orderBy("query_id", "rank")
     }),
 
     // D20: document chunking — fixed token windows (64) with stride 48
@@ -1060,13 +1055,18 @@ object SparkEntry {
           (CASE WHEN n_chars > 0 THEN (n_punct * 1000000) div n_chars ELSE 0 END)
             <= 200000"""))
       .select("doc_id", "text")
-    val keepIds = Dedup.exactDedup(quality, "doc_id", "text")
+    // quality feeds the digest group AND the keep-join; deduped feeds the
+    // pair generation AND the anti-join (d24 additionally counts each) —
+    // persist both so each stage evaluates once per query, mirroring the
+    // oracle's MATERIALIZED CTEs
+    val qp = quality.persist()
+    val keepIds = Dedup.exactDedup(qp, "doc_id", "text")
       .select(col("keep_id").as("doc_id"))
-    val deduped = quality.join(keepIds, "doc_id")
+    val deduped = qp.join(keepIds, "doc_id").persist()
     val nearDrop = Dedup.minhashNearDupPairs(deduped, "doc_id", "text")
       .select(col("doc_b").as("doc_id")).distinct()
     val cleaned = deduped.join(nearDrop, Seq("doc_id"), "left_anti")
-    (quality, deduped, cleaned)
+    (qp, deduped, cleaned)
   }
 
   // ------------------------------------------------------------------

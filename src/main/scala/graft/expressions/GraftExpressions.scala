@@ -194,6 +194,17 @@ case class NearestCellExpression(emb: Expression, cellsLit: Expression,
     else if (!cellsLit.foldable || !centsLit.foldable)
       org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
         s"$prettyName expects foldable cell-id and centroid arrays")
+    else if (cellsLit.dataType != ArrayType(LongType, containsNull = false) &&
+        cellsLit.dataType != ArrayType(LongType, containsNull = true))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects array<bigint> cell ids, got ${cellsLit.dataType.sql}")
+    else if (centsLit.dataType != ArrayType(DoubleType, containsNull = false) &&
+        centsLit.dataType != ArrayType(DoubleType, containsNull = true))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects array<double> centroids, got ${centsLit.dataType.sql}")
+    else if (cellsLit.eval() == null || centsLit.eval() == null)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName cell-id and centroid arrays must not be null")
     else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
   }
 
@@ -258,8 +269,11 @@ class GraftSparkSessionExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       FunctionIdentifier("graft_nearest_cell"),
       new ExpressionInfo(classOf[NearestCellExpression].getName, "graft_nearest_cell"),
-      (children: Seq[Expression]) =>
-        NearestCellExpression(children(0), children(1), children(2))))
+      (children: Seq[Expression]) => {
+        require(children.length == 3,
+          s"graft_nearest_cell(emb, cells, cents) takes 3 arguments, got ${children.length}")
+        NearestCellExpression(children(0), children(1), children(2))
+      }))
     // SQL surface over lake tables: catalog reads of graft.sql.LakeSqlTable
     // become manifest-backed file relations (see graft.sql.LakeRelationRule),
     // and upsert-shaped MERGE INTO statements run the transactional

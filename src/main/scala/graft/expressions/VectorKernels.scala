@@ -88,7 +88,12 @@ object VectorKernels {
         i += 1
       }
       val cell = cells(c)
-      if (first || acc < bestD || (acc == bestD && cell < bestCell)) {
+      // IEEE total order via Double.compare: NaN sorts GREATER than every
+      // finite distance, exactly like the min_by(struct(d, cell)) ordering
+      // (and the oracle's ORDER BY dist ASC) this kernel replaces — a NaN
+      // centroid must never capture the argmin over a finite one.
+      val cmp = java.lang.Double.compare(acc, bestD)
+      if (first || cmp < 0 || (cmp == 0 && cell < bestCell)) {
         bestD = acc; bestCell = cell; first = false
       }
       c += 1

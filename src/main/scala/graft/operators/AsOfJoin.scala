@@ -37,9 +37,15 @@ object AsOfJoin {
     val l = left.select(col(keyCol).as("_k"), col(timeCol).as("_t"),
       lit(1).as("_side"), struct(leftCols.map(col): _*).as("_l"),
       lit(null).cast(rType).as("_r"))
-    val r = right.select(col(keyCol).as("_k"), col(timeCol).as("_t"),
-      lit(0).as("_side"), lit(null).cast(lType).as("_l"),
-      struct(rightCols.map(col): _*).as("_r"))
+    // SQL join semantics: a NULL key never matches (NULL = NULL is not
+    // true). Window.partitionBy would group null keys into ONE partition,
+    // so drop null-key right rows — null-key left rows then sit in a
+    // partition with no right rows and keep null asof_* columns, exactly
+    // the ASOF LEFT JOIN result.
+    val r = right.where(col(keyCol).isNotNull)
+      .select(col(keyCol).as("_k"), col(timeCol).as("_t"),
+        lit(0).as("_side"), lit(null).cast(lType).as("_l"),
+        struct(rightCols.map(col): _*).as("_r"))
     val w = Window.partitionBy("_k").orderBy(col("_t"), col("_side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     l.unionByName(r)

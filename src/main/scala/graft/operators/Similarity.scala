@@ -48,7 +48,9 @@ object Similarity {
     topK(scored, k)
   }
 
-  private def topK(scored: DataFrame, k: Int): DataFrame = {
+  /** Per-query top-k by (score desc, neighbor asc) — the shared ranking
+    * contract of every similarity search entry point. */
+  def topK(scored: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy("query_id")
       .orderBy(col("score").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w).cast("long"))

@@ -40,6 +40,19 @@ class AsOfJoinSpec extends AnyFunSuite with SparkSpec {
     assert(out.columns.toSeq == Seq("event_id", "k", "t", "asof_t", "asof_payload"))
   }
 
+  test("null keys never match (SQL join semantics, like ASOF LEFT JOIN)") {
+    val l = Seq((Some(1L), Some(5L), 10L), (Some(2L), None, 10L))
+      .map { case (id, k, t) => (id.get, k, t) }
+      .toDF("event_id", "k", "t")
+    val r = Seq((Option(5L), 1L, "x"), (Option.empty[Long], 2L, "null-key"))
+      .toDF("k", "t", "payload")
+    val out = AsOfJoin.asofBackward(l, r, "k", "t", Seq("payload"))
+      .orderBy("event_id").collect()
+    // key 5 matches; the null-key left row must NOT pick up the null-key right row
+    assert(Option(out(0).get(4)) == Some("x"))
+    assert(out(1).isNullAt(3) && out(1).isNullAt(4))
+  }
+
   test("one exchange, no join node, no row blowup in the plan") {
     val p = AsOfJoin.asofBackward(left, right, "k", "t", Seq("payload"))
       .queryExecution.executedPlan.toString

@@ -94,17 +94,29 @@ object Dedup {
                          maxBandBucket: Int = DefaultMaxBandBucket): DataFrame = {
     val bands = cappedBandKeys(docs, idCol, textCol, maxBandBucket,
       extraCols = Seq(isNewCol))
-    val cand = bands.where(col(isNewCol)).as("a")
-      .join(bands.where(!col(isNewCol)).as("b"),
+    val shs = repartitionedDocs(docs, idCol, textCol)
+      .select(col("doc_id"), expr("graft_shingle_hash_set(text)").as("shs"))
+    verifiedMatches(bands.where(col(isNewCol)), bands.where(!col(isNewCol)),
+      shs, shs, thresholdNum, thresholdDen)
+  }
+
+  /** Asymmetric band-candidate join + exact-Jaccard verify shared by the
+    * batch and streaming incremental probes: candidates pair new x indexed
+    * band agreements, verification merges the two sides' precomputed
+    * sorted shingle-hash sets. Returns (doc_id, n_matches, best_jaccard_e6)
+    * per matched new doc. */
+  private def verifiedMatches(newBands: DataFrame, idxBands: DataFrame,
+                              newShs: DataFrame, idxShs: DataFrame,
+                              thresholdNum: Int, thresholdDen: Int): DataFrame = {
+    val cand = newBands.as("a")
+      .join(idxBands.as("b"),
         col("a.band_id") === col("b.band_id") &&
           col("a.band_key") === col("b.band_key"))
       .select(col("a.doc_id").as("doc_new"), col("b.doc_id").as("doc_idx"))
       .distinct()
-    val shs = repartitionedDocs(docs, idCol, textCol)
-      .select(col("doc_id"), expr("graft_shingle_hash_set(text)").as("shs"))
     cand
-      .join(shs.select(col("doc_id").as("doc_new"), col("shs").as("shs_a")), "doc_new")
-      .join(shs.select(col("doc_id").as("doc_idx"), col("shs").as("shs_b")), "doc_idx")
+      .join(newShs.select(col("doc_id").as("doc_new"), col("shs").as("shs_a")), "doc_new")
+      .join(idxShs.select(col("doc_id").as("doc_idx"), col("shs").as("shs_b")), "doc_idx")
       .where(least(size(col("shs_a")), size(col("shs_b"))) * thresholdDen >=
         greatest(size(col("shs_a")), size(col("shs_b"))) * thresholdNum)
       .withColumn("iu", expr("graft_sorted_iu(shs_a, shs_b)"))
@@ -115,6 +127,33 @@ object Dedup {
         expr("CAST((i * 1000000) div u AS BIGINT)").as("j"))
       .groupBy(col("doc_new").as("doc_id"))
       .agg(count(lit(1)).as("n_matches"), max(col("j")).as("best_jaccard_e6"))
+  }
+
+  /** Persisted LSH probe index over an indexed corpus: (capped band keys,
+    * sorted shingle-hash sets) — what a streaming dedup gate holds
+    * resident between micro-batches. Caller unpersists both when done. */
+  def buildLshIndex(indexed: DataFrame, idCol: String, textCol: String,
+                    maxBandBucket: Int = DefaultMaxBandBucket): (DataFrame, DataFrame) = {
+    val bands = cappedBandKeys(indexed, idCol, textCol, maxBandBucket).persist()
+    val shs = repartitionedDocs(indexed, idCol, textCol)
+      .select(col("doc_id"), expr("graft_shingle_hash_set(text)").as("shs"))
+      .persist()
+    (bands, shs)
+  }
+
+  /** Probe one (micro-)batch of incoming docs against a prebuilt
+    * [[buildLshIndex]]: incoming band keys are computed uncapped (the cap
+    * guards the resident index; a batch is small by construction) and
+    * joined against the index bands. Batch-internal duplicates are out of
+    * scope — run [[minhashNearDupPairs]] within the batch for those. */
+  def probeLshIndex(batch: DataFrame, idCol: String, textCol: String,
+                    indexBands: DataFrame, indexShs: DataFrame,
+                    thresholdNum: Int = 4, thresholdDen: Int = 5): DataFrame = {
+    val newBands = bandKeyRows(batch, idCol, textCol)
+    val newShs = repartitionedDocs(batch, idCol, textCol)
+      .select(col("doc_id"), expr("graft_shingle_hash_set(text)").as("shs"))
+    verifiedMatches(newBands, indexBands, newShs, indexShs,
+      thresholdNum, thresholdDen)
   }
 
   /** Spread the signature compute across the cluster: source files may be

@@ -50,6 +50,32 @@ class VectorKernelsSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("nearest-cell kernel == brute-force argmin with min_by tie-break, incl. NaN") {
+    val rnd = new scala.util.Random(42)
+    val k = 6
+    val dim = 8
+    // one centroid poisoned with NaN: it must never win over a finite one
+    val cents: Array[Array[Double]] = Array.tabulate(k)(c =>
+      Array.fill(dim)(if (c == 3) Double.NaN else rnd.nextDouble() * 2 - 1))
+    val cells = (0L until k.toLong).toArray
+    val flat = cents.flatten
+    val vecs = Seq.fill(50)(Seq.fill(dim)(rnd.nextFloat() * 2 - 1))
+    val df = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF("vec_id", "embedding")
+    val got = df.select(col("vec_id"),
+        call_function("graft_nearest_cell", col("embedding"),
+          lit(cells), lit(flat)).as("cell"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    vecs.zipWithIndex.foreach { case (v, i) =>
+      val dists = cents.map(c =>
+        v.zip(c).map { case (x, y) => (x.toDouble - y) * (x.toDouble - y) }.sum)
+      // min_by(struct(d, cell)) ordering: NaN sorts greatest
+      val best = cells.minBy(c => (dists(c.toInt), c))(
+        Ordering.Tuple2(Ordering.Double.TotalOrdering, Ordering.Long))
+      assert(got(i.toLong) == best, s"vec $i")
+    }
+  }
+
   test("ragged lengths and null arrays yield SQL null like zip_with padding") {
     val ragged = Seq((Seq(1f, 2f, 3f), Seq(1f, 2f))).toDF("a", "b")
     val r = ragged.select(VF.dot(col("a"), col("b")).as("k"),

@@ -798,6 +798,17 @@ object SparkEntry {
         .orderBy("lang")
     }),
 
+    // E10: multi-probe trained IVF — each query probes its 2 nearest
+    // k-means cells (the recall knob: more cells, more recall, linear
+    // cost). Cell ranking on the tiny q x k set; corpus joined by cell.
+    "e10_ivf_multiprobe" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val cents = Similarity.trainCentroids(emb, 8, 2)
+      Similarity.knnIvfMultiProbe(emb, emb.where(col("vec_id") < 10), cents,
+          nprobe = 2, k = 5)
+        .orderBy("query_id", "rank")
+    }),
+
     // E08: product-quantization ANN — per-subspace trained codebooks,
     // shuffle-free encode, asymmetric-distance top-k. The oracle unrolls
     // all m sub-quantizers' Lloyd iterations and mirrors the ADC sum.
@@ -1351,6 +1362,32 @@ object SparkEntry {
         SELECT query_id, rank, neighbor_id, score
         FROM rr WHERE rank <= $topK ORDER BY query_id, rank"""
 
+  /** e10: multi-probe IVF — the kmeans unroll plus a per-query cell
+    * ranking (nprobe nearest centroids) and a cell-restricted scan. */
+  private def ivfMultiProbeOracle(k: Int, iters: Int, nprobe: Int,
+                                  topK: Int): String =
+    s"""${kmeansOracle(k, iters)},
+        qp AS (SELECT query_id, cell FROM (
+          SELECT q.vec_id AS query_id, c.cell,
+                 ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                                    ORDER BY ${duckSqDist("q.embedding", "c.c_emb")} ASC,
+                                             c.cell ASC) AS pr
+          FROM (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10) q,
+               c$iters c) WHERE pr <= $nprobe),
+        scored AS (
+          SELECT qp.query_id, e.vec_id AS neighbor_id,
+                 ${duckCos("q.embedding", "e.embedding")} AS score
+          FROM qp JOIN embeddings q ON q.vec_id = qp.query_id
+               JOIN afin a ON a.cell = qp.cell
+               JOIN embeddings e ON e.vec_id = a.vec_id
+                    AND e.vec_id <> qp.query_id),
+        ranked AS (SELECT query_id, neighbor_id, score,
+                          ROW_NUMBER() OVER (PARTITION BY query_id
+                                             ORDER BY score DESC, neighbor_id ASC) AS rank
+                   FROM scored)
+        SELECT query_id, rank, neighbor_id, score
+        FROM ranked WHERE rank <= $topK ORDER BY query_id, rank"""
+
   /** e07: same plane constants inlined as list literals; bucket arithmetic,
     * dot fold order, and the cosine verify mirror the Spark plan exactly. */
   private def hyperplaneLshOracle(dim: Int, numPlanes: Int, threshold: Double): String = {
@@ -1376,6 +1413,7 @@ object SparkEntry {
     "d17_semdedup" -> semDedupOracle(8, 2, 0.35),
     "e08_pq_adc_topk" -> pqOracle(4, 16, 8, 1, 5),
     "e09_pq_rerank" -> pqRerankOracle(4, 16, 8, 1, 20, 5),
+    "e10_ivf_multiprobe" -> ivfMultiProbeOracle(8, 2, 2, 5),
 
     "d20_chunking" ->
       """WITH d AS (

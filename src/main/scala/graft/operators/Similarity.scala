@@ -123,6 +123,36 @@ object Similarity {
       .where(col("score") >= threshold)
   }
 
+  /** Multi-probe trained-IVF top-k: each query probes its `nprobe` nearest
+    * coarse cells instead of one — the standard IVF recall knob (recall
+    * grows with nprobe at proportional scan cost; nprobe = nCells is exact
+    * search). The per-query cell ranking happens on the tiny q x k pair
+    * set (queries are broadcast-small by contract); the corpus is touched
+    * only through the cell equi-join, nprobe/nCells of it per query wave. */
+  def knnIvfMultiProbe(corpus: DataFrame, queries: DataFrame,
+                       centroids: DataFrame, nprobe: Int, k: Int): DataFrame = {
+    val cells = assignCells(corpus, centroids)
+    val withCell = corpus.join(cells, "vec_id")
+    val qCells = queries.select(col("vec_id").as("query_id"),
+        col("embedding").as("q_emb"))
+      .crossJoin(broadcast(centroids))
+      .select(col("query_id"), col("q_emb"), col("cell"),
+        sqDist(col("q_emb"), col("c_emb")).as("d"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("d").asc, col("cell").asc)
+    val probes = qCells.withColumn("pr", row_number().over(w))
+      .where(col("pr") <= nprobe)
+      .select(col("query_id"), col("q_emb"), col("cell"))
+    val scored = withCell
+      .select(col("vec_id").as("neighbor_id"), col("cell"),
+        col("embedding").as("c_emb2"))
+      .join(broadcast(probes), "cell")
+      .where(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(cosine(col("q_emb"), col("c_emb2")), 6).as("score"))
+    topK(scored, k)
+  }
+
   /** Product-quantization ANN (Jégou/Douze/Schmid, TPAMI 2011): split the
     * embedding into `m` subspaces, train a deterministic Lloyd codebook per
     * subspace, encode each corpus vector as `m` sub-centroid indices, and

@@ -31,7 +31,7 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
   test("LSH dedup and IVF ANN never form a cartesian product") {
     for (q <- Seq("d02_minhash_lsh", "d07_ngram_jaccard", "e02_ann_ivf",
         "e04_embedding_near_dup", "e07_hyperplane_lsh_near_dup",
-        "d17_semdedup", "d23_incremental_dedup")) {
+        "d17_semdedup", "d23_incremental_dedup", "e10_ivf_multiprobe")) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q has a cartesian product")
     }

@@ -29,6 +29,19 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     assert(kept.toSeq == Seq(0L, 2L, 4L, 5L))
   }
 
+  test("multi-probe IVF with nprobe = nCells degenerates to exact search") {
+    val rnd = new scala.util.Random(7)
+    val corpus = emb((0L until 40L).map(i =>
+      i -> Seq.fill(8)(rnd.nextFloat() * 2 - 1)): _*)
+    val queries = corpus.where(col("vec_id") < 4)
+    val cents = Similarity.trainCentroids(corpus, 4, 1)
+    val exact = Similarity.knnBruteForce(corpus, queries, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+    val probed = Similarity.knnIvfMultiProbe(corpus, queries, cents, 4, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+    assert(probed.toSeq == exact.toSeq)
+  }
+
   test("semDedupKeep at an unreachable threshold keeps every vector") {
     val corpus = emb(
       0L -> Seq(1f, 0f), 1L -> Seq(0.9f, 0.1f), 2L -> Seq(0f, 1f))

@@ -428,6 +428,39 @@ object SparkEntry {
     // (dbt->Trino `transform/profiles.yml:1-16`, DuckDB attach
     // `infra/scripts/duckdb-attach-lakehouses.sh`); these route reads and
     // writes through `graft.sql.LakeSparkCatalog`.
+    // Q30: moving RANGE-frame window — trailing 1-hour per-user event
+    // aggregates (count + exact decimal sum). The range frame includes
+    // peers at equal timestamps in both engines, so results are
+    // deterministic even under timestamp collisions; one shuffle on the
+    // user key.
+    "q30_moving_window" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("ts_us")
+        .rangeBetween(-3600000000L, 0L)
+      Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"), col("ts_us"), col("value"))
+        .withColumn("cnt_1h", count(lit(1)).over(w))
+        .withColumn("sum_1h",
+          sum(col("value").cast("decimal(27,6)")).over(w).cast("double"))
+        .select("event_id", "user_id", "ts_us", "cnt_1h", "sum_1h")
+        .orderBy("event_id")
+    }),
+
+    // SQL08: window function through the SQL catalog surface — top-3
+    // orders per status by price, ranked in SQL over a lake table.
+    "sql08_catalog_window" -> ((s, dir) => {
+      val root = sqlCatalogRoot(s)
+      val o = t(s, dir, "orders")
+      LakeTable.ensure(s, s"$root/sql08/orders", o.schema).write(o, "replace")
+      s.sql(
+        """SELECT o_orderstatus, rk, o_orderkey, o_totalprice FROM (
+          |  SELECT o_orderstatus, o_orderkey, o_totalprice,
+          |    CAST(ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+          |                            ORDER BY o_totalprice DESC, o_orderkey)
+          |         AS BIGINT) AS rk
+          |  FROM graftlake.sql08.orders)
+          |WHERE rk <= 3 ORDER BY o_orderstatus, rk""".stripMargin)
+    }),
+
     "sql01_catalog_agg" -> ((s, dir) => {
       val root = sqlCatalogRoot(s)
       val o = t(s, dir, "orders")
@@ -1707,6 +1740,23 @@ object SparkEntry {
          FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
          WHERE c.c_acctbal > 0
          GROUP BY c.c_mktsegment ORDER BY c_mktsegment""",
+
+    "sql08_catalog_window" ->
+      """SELECT o_orderstatus, rk, o_orderkey, o_totalprice FROM (
+           SELECT o_orderstatus, o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rk
+           FROM orders)
+         WHERE rk <= 3 ORDER BY o_orderstatus, rk""",
+
+    "q30_moving_window" ->
+      """SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+           COUNT(*) OVER w AS cnt_1h,
+           CAST(SUM(CAST(value AS DECIMAL(27,6))) OVER w AS DOUBLE) AS sum_1h
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                      RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+         ORDER BY event_id""",
 
     "sql03_sql_insert" ->
       """SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders

@@ -773,8 +773,7 @@ object SparkEntry {
     "e06_kmeans_ivf_topk" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       val cents = Similarity.trainCentroids(emb, 8, 2)
-      val cells = Similarity.assignCells(emb, cents)
-      val withCell = emb.join(cells, "vec_id")
+      val withCell = Similarity.withAssignedCells(emb, cents)
       Similarity.knnIvf(withCell, withCell.where(col("vec_id") < 10), "cell", 5)
         .orderBy("query_id", "rank")
     }),

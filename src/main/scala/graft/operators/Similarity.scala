@@ -131,8 +131,7 @@ object Similarity {
     * only through the cell equi-join, nprobe/nCells of it per query wave. */
   def knnIvfMultiProbe(corpus: DataFrame, queries: DataFrame,
                        centroids: DataFrame, nprobe: Int, k: Int): DataFrame = {
-    val cells = assignCells(corpus, centroids)
-    val withCell = corpus.join(cells, "vec_id")
+    val withCell = withAssignedCells(corpus, centroids)
     val qCells = queries.select(col("vec_id").as("query_id"),
         col("embedding").as("q_emb"))
       .crossJoin(broadcast(centroids))
@@ -221,7 +220,7 @@ object Similarity {
   def semDedupKeep(corpus: DataFrame, k: Int, iters: Int,
                    threshold: Double): DataFrame = {
     val cents = trainCentroids(corpus, k, iters)
-    val withCell = corpus.join(assignCells(corpus, cents), "vec_id")
+    val withCell = withAssignedCells(corpus, cents)
     val drop = cosineNearDupPairs(withCell, "cell", threshold)
       .select(col("vec_b").as("vec_id")).distinct()
     withCell.join(drop, Seq("vec_id"), "left_anti")
@@ -238,14 +237,25 @@ object Similarity {
     * ZERO shuffle and zero row blowup — this runs once per Lloyd
     * iteration, where the previous formulation (k-fold crossJoin + min_by
     * aggregation exchange) paid a full shuffle of N rows each pass. */
-  def assignCells(corpus: DataFrame, centroids: DataFrame): DataFrame = {
+  def assignCells(corpus: DataFrame, centroids: DataFrame): DataFrame =
+    corpus.select(col("vec_id"), nearestCellCol(centroids).as("cell"))
+
+  /** The corpus plus its `cell` assignment in the SAME projection — use
+    * instead of joining [[assignCells]] back by vec_id when downstream
+    * needs the embeddings (a full-corpus self-join just to attach a
+    * column the scan can compute in place). */
+  def withAssignedCells(corpus: DataFrame, centroids: DataFrame): DataFrame =
+    corpus.withColumn("cell", nearestCellCol(centroids))
+
+  /** Fused argmin column over a collected centroid table (tiny by
+    * contract): `min_by(cell, struct(sqDist, cell))` semantics as one
+    * codegen kernel call, centroid matrix as a reference object. */
+  private def nearestCellCol(centroids: DataFrame): org.apache.spark.sql.Column = {
     val rows = centroids.select(col("cell"), col("c_emb")).collect()
       .sortBy(_.getLong(0))
     val cells = rows.map(_.getLong(0))
     val cents = rows.flatMap(_.getSeq[Double](1).toArray)
-    corpus.select(col("vec_id"),
-      call_function("graft_nearest_cell", col("embedding"),
-        lit(cells), lit(cents)).as("cell"))
+    call_function("graft_nearest_cell", col("embedding"), lit(cells), lit(cents))
   }
 
   /** Lloyd's k-means over the embedding column — the trained coarse

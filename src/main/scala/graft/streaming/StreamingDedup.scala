@@ -1,11 +1,9 @@
 package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.streaming.Trigger
 import org.apache.spark.sql.types.StructType
 
 import graft.operators.Dedup
-import graft.tables.LakeTable
 
 /** Streaming near-duplicate gate: incoming documents stream in (new parquet
   * files per trigger), each micro-batch is probed against a RESIDENT LSH
@@ -25,30 +23,22 @@ import graft.tables.LakeTable
 object StreamingDedup {
 
   /** Drain new parquet files under `sourceDir`, probe each micro-batch
-    * against `indexed`, and append verified matches
-    * (doc_id, n_matches, best_jaccard_e6) to the lake table at
-    * `matchesLocation`. Blocks until available data is processed. */
+    * against `indexed`, and MERGE verified matches
+    * (doc_id, n_matches, best_jaccard_e6) into the lake table at
+    * `matchesLocation`, keyed on doc_id — a replayed micro-batch (commit
+    * landed, checkpoint didn't) re-merges identical rows idempotently
+    * instead of double-counting, and a doc re-arriving in a later file
+    * updates its row. Blocks until available data is processed. */
   def gateToTable(spark: SparkSession, sourceDir: String, schema: StructType,
                   indexed: DataFrame, matchesLocation: String,
                   checkpointDir: String,
                   idCol: String = "doc_id", textCol: String = "text"): Unit = {
     val (indexBands, indexShs) = Dedup.buildLshIndex(indexed, idCol, textCol)
     try {
-      val stream = spark.readStream.schema(schema).parquet(sourceDir)
-      stream.writeStream
-        .trigger(Trigger.AvailableNow())
-        .option("checkpointLocation", checkpointDir)
-        .foreachBatch { (batch: DataFrame, _: Long) =>
-          if (!batch.isEmpty) {
-            val matches = Dedup.probeLshIndex(batch, idCol, textCol,
-              indexBands, indexShs)
-            val table = LakeTable.ensure(batch.sparkSession, matchesLocation,
-              matches.schema)
-            table.write(matches, "append")
-          }
-        }
-        .start()
-        .awaitTermination()
+      StreamingIngest.drainToTable(spark, sourceDir, schema, matchesLocation,
+        checkpointDir, writeMode = "merge", mergeOn = Seq("doc_id"),
+        batchTransform = batch =>
+          Dedup.probeLshIndex(batch, idCol, textCol, indexBands, indexShs))
     } finally {
       indexBands.unpersist()
       indexShs.unpersist()

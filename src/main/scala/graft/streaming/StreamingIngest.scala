@@ -30,7 +30,8 @@ object StreamingIngest {
                    tableLocation: String, checkpointDir: String,
                    transform: DataFrame => DataFrame = identity,
                    writeMode: String = "append",
-                   mergeOn: Seq[String] = Nil): Unit = {
+                   mergeOn: Seq[String] = Nil,
+                   batchTransform: DataFrame => DataFrame = identity): Unit = {
     require(writeMode == "append" || writeMode == "merge",
       s"Streaming drain supports append or merge, got '$writeMode'")
     require(writeMode != "merge" || mergeOn.nonEmpty,
@@ -38,14 +39,18 @@ object StreamingIngest {
     val stream = spark.readStream
       .schema(schema)
       .parquet(sourceDir)
+    // `transform` is a streaming-plan transform (stateless projections /
+    // filters); `batchTransform` runs INSIDE foreachBatch where batch-only
+    // operators (aggregations, joins against static indexes) are legal.
     val query: StreamingQuery = transform(stream).writeStream
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        if (!batch.isEmpty) {
+        val out = batchTransform(batch)
+        if (!out.isEmpty) {
           val table = LakeTable.ensure(batch.sparkSession, tableLocation,
-            batch.schema, identifierFields = mergeOn)
-          table.write(batch, writeMode, mergeOn)
+            out.schema, identifierFields = mergeOn)
+          table.write(out, writeMode, mergeOn)
         }
       }
       .start()

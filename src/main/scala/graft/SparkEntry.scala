@@ -738,6 +738,19 @@ object SparkEntry {
       Dedup.winnowContainmentPairs(t(s, dir, "documents"), "doc_id", "text")
         .orderBy("doc_a", "doc_b")),
 
+    // D25: deterministic train/val/test split — bucket by the portable
+    // content-independent hash of the doc id (90/5/5), so membership is
+    // stable under corpus growth and reproducible in any engine; pure
+    // projection, no shuffle.
+    "d25_dataset_split" -> ((s, dir) => {
+      val bucket = TF.portableHash(col("doc_id").cast("string")) % 100
+      t(s, dir, "documents")
+        .select(col("doc_id"), bucket.as("bucket"),
+          when(bucket < 90, "train").when(bucket < 95, "val")
+            .otherwise("test").as("split"))
+        .orderBy("doc_id")
+    }),
+
     // D23: incremental dedup — the daily-ingest probe: "new" docs
     // (id % 10 == 0 stands in for today's batch) checked against the
     // indexed corpus via the banded LSH index; band keys and the bucket
@@ -1136,7 +1149,7 @@ object SparkEntry {
           FROM documents),
         th AS (SELECT doc_id, ${duckHash("t")} AS h FROM tok),
         bits AS (SELECT doc_id, $bitSums FROM th GROUP BY doc_id)
-        SELECT doc_id, $fp AS simhash FROM bits ORDER BY doc_id"""
+        SELECT doc_id, CAST($fp AS BIGINT) AS simhash FROM bits ORDER BY doc_id"""
   }
 
   /** The MinHash-LSH candidate+verify pipeline as a reusable CTE body over
@@ -1832,6 +1845,15 @@ object SparkEntry {
     "d11_corpus_clean" -> corpusCleanOracle,
     "d23_incremental_dedup" -> incrementalDedupOracle,
     "d24_clean_report" -> cleanReportOracle,
+    "d25_dataset_split" ->
+      s"""WITH b AS (
+           SELECT doc_id,
+                  CAST(${duckHash("CAST(doc_id AS VARCHAR)")} % 100 AS BIGINT) AS bucket
+           FROM documents)
+         SELECT doc_id, bucket,
+           CASE WHEN bucket < 90 THEN 'train'
+                WHEN bucket < 95 THEN 'val' ELSE 'test' END AS split
+         FROM b ORDER BY doc_id""",
 
     "d13_vocab" ->
       """WITH toks AS (

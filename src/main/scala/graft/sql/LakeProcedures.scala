@@ -32,7 +32,7 @@ object LakeProcedures {
   val Namespace: Array[String] = Array("system")
 
   def names: Seq[String] = Seq("compact", "compact_small_files",
-    "expire_snapshots", "remove_orphan_files", "zorder")
+    "expire_snapshots", "remove_orphan_files", "zorder", "history")
 
   def load(root: String, name: String): Option[UnboundProcedure] = {
     def p(ps: Seq[ProcedureParameter])(run: (LakeTable, InternalRow) => String) =
@@ -70,8 +70,47 @@ object LakeProcedures {
         t.zorderBy(cols, in.getInt(2))
         s"z-ordered by ${cols.mkString(", ")}"
       }
+      case "history" => Some(new LakeHistoryProcedure(root))
       case _ => None
     }
+  }
+}
+
+/** `CALL lake.system.history(`table` => 'ns.t')` — the commit log as a
+  * result set (Delta's DESCRIBE HISTORY / Iceberg's snapshots metadata
+  * table): one row per snapshot, oldest first, with the snapshot id
+  * usable in `VERSION AS OF`. Metadata-only (no data files read). */
+final class LakeHistoryProcedure(root: String)
+  extends UnboundProcedure with BoundProcedure {
+
+  override def name(): String = "history"
+  override def description(): String = "table commit history, oldest first"
+  override def bind(inputType: StructType): BoundProcedure = this
+  override def parameters(): Array[ProcedureParameter] = Array(
+    ProcedureParameter.in("table", StringType)
+      .comment("table identifier under this catalog, e.g. 'ns.t'").build())
+  override def isDeterministic: Boolean = false
+
+  override def call(input: InternalRow): JIterator[Scan] = {
+    val tableIdent = input.getUTF8String(0).toString
+    val loc = (root +: tableIdent.split('.').toSeq).mkString("/")
+    val meta = LakeTable.load(SparkSession.active, loc).metadata
+    val schema = StructType(Seq(
+      StructField("version", IntegerType, nullable = false),
+      StructField("snapshot_id", LongType, nullable = false),
+      StructField("operation", StringType, nullable = false),
+      StructField("n_files", IntegerType, nullable = false),
+      StructField("timestamp_ms", LongType, nullable = false),
+      StructField("is_current", BooleanType, nullable = false)))
+    val historyRows = meta.snapshots.zipWithIndex.map { case (s, i) =>
+      InternalRow(i, s.id, UTF8String.fromString(s.operation),
+        s.files.size, s.timestampMs,
+        meta.currentSnapshot.exists(_.id == s.id))
+    }.toArray
+    Collections.singletonList[Scan](new LocalScan {
+      override def rows(): Array[InternalRow] = historyRows
+      override def readSchema(): StructType = schema
+    }).iterator()
   }
 }
 

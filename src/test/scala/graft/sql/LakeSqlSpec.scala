@@ -124,6 +124,24 @@ class LakeSqlSpec extends AnyFunSuite with SparkSpec {
     assert(e.getMessage.contains("Failed to load routine"), e.getMessage)
   }
 
+  test("CALL lake.system.history lists the commit log; ids work in VERSION AS OF") {
+    root
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lake.nsh")
+    spark.sql("CREATE TABLE lake.nsh.h (id BIGINT)")
+    spark.sql("INSERT INTO lake.nsh.h SELECT id FROM range(0, 5)")
+    spark.sql("INSERT INTO lake.nsh.h SELECT id FROM range(5, 9)")
+    val hist = spark.sql("CALL lake.system.history(`table` => 'nsh.h')")
+      .collect()
+    assert(hist.map(_.getString(2)).toSeq == Seq("append", "append"))
+    assert(hist.map(_.getInt(0)).toSeq == Seq(0, 1))
+    assert(hist.last.getBoolean(5) && !hist.head.getBoolean(5))
+    // time travel to the first snapshot id listed
+    val firstId = hist.head.getLong(1)
+    val n = spark.sql(s"SELECT count(*) FROM lake.nsh.h VERSION AS OF $firstId")
+      .head.getLong(0)
+    assert(n == 5)
+  }
+
   test("ALTER TABLE ADD/DROP COLUMN are metadata-only schema commits") {
     root
     spark.sql("CREATE NAMESPACE IF NOT EXISTS lake.nsd")

@@ -1069,6 +1069,38 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    // EV07: tolerance-bounded as-of join (pandas merge_asof semantics):
+    // the greatest at-or-before view either falls within the 30-minute
+    // lookback or the click keeps nulls — never a further-back substitute.
+    "ev07_asof_tolerance" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val clicks = ev.where(col("event_type") === "click")
+        .select("event_id", "user_id", "ts_us")
+      val views = ev.where(col("event_type") === "view")
+        .groupBy(col("user_id"), col("ts_us"))
+        .agg(max(col("value")).as("view_value"))
+      graft.operators.AsOfJoin
+        .asofBackward(clicks, views, "user_id", "ts_us", Seq("view_value"),
+          tolerance = Some(1800000000L))
+        .orderBy("event_id")
+    }),
+
+    // D26: cross-source duplication matrix — verified near-dup pairs
+    // rolled up to unordered (source, source) cells: which corpora
+    // duplicate each other (the provenance-overlap report run before
+    // mixing sources into a training set).
+    "d26_source_overlap" -> ((s, dir) => {
+      val src = t(s, dir, "documents").select(col("doc_id"), col("source"))
+      Dedup.minhashNearDupPairs(t(s, dir, "documents"), "doc_id", "text")
+        .select("doc_a", "doc_b")
+        .join(src.select(col("doc_id").as("doc_a"), col("source").as("src_a")), "doc_a")
+        .join(src.select(col("doc_id").as("doc_b"), col("source").as("src_b")), "doc_b")
+        .groupBy(least(col("src_a"), col("src_b")).as("source_x"),
+          greatest(col("src_a"), col("src_b")).as("source_y"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy("source_x", "source_y")
+    }),
+
     // EV06: weekly cohort retention — users bucketed by first-seen week,
     // distinct-active counts per (cohort, week). Two key-shuffles (first
     // week, cohort grid), both with partial aggregation; the user_id join
@@ -2098,6 +2130,29 @@ object SparkEntry {
          FROM clicks c ASOF LEFT JOIN views v
            ON c.user_id = v.user_id AND c.ts_us >= v.ts_us
          ORDER BY c.event_id""",
+
+    "ev07_asof_tolerance" ->
+      """WITH ev AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us, value
+                     FROM events),
+         clicks AS (SELECT event_id, user_id, ts_us FROM ev WHERE event_type = 'click'),
+         views AS (SELECT user_id, ts_us, MAX(value) AS view_value FROM ev
+                   WHERE event_type = 'view' GROUP BY 1, 2)
+         SELECT c.event_id, c.user_id, c.ts_us,
+                CASE WHEN c.ts_us - v.ts_us <= 1800000000 THEN v.ts_us END AS asof_ts_us,
+                CASE WHEN c.ts_us - v.ts_us <= 1800000000 THEN v.view_value END AS asof_view_value
+         FROM clicks c ASOF LEFT JOIN views v
+           ON c.user_id = v.user_id AND c.ts_us >= v.ts_us
+         ORDER BY c.event_id""",
+
+    "d26_source_overlap" ->
+      s"""WITH ${minhashCtes("documents")},
+         vp AS (SELECT doc_a, doc_b FROM ver WHERE i * 5 >= u * 4),
+         lab AS (SELECT vp.doc_a, vp.doc_b, da.source AS src_a, db.source AS src_b
+                 FROM vp JOIN documents da ON da.doc_id = vp.doc_a
+                         JOIN documents db ON db.doc_id = vp.doc_b)
+         SELECT LEAST(src_a, src_b) AS source_x, GREATEST(src_a, src_b) AS source_y,
+                COUNT(*) AS n_pairs
+         FROM lab GROUP BY 1, 2 ORDER BY source_x, source_y""",
 
     "ev06_retention" ->
       """WITH ev AS (SELECT user_id, date_trunc('week', ts) AS wk FROM events),

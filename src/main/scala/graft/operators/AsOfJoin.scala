@@ -26,10 +26,14 @@ object AsOfJoin {
     * (equal-time right rows would make the match nondeterministic). Left
     * rows with no right row at-or-before keep null `asof_*` columns.
     * Ties at equal time DO match (right sorts before left at the same
-    * instant). Output: every left column, then `asof_<timeCol>` and
-    * `asof_<p>` for each payload column. */
+    * instant). `tolerance` (in `timeCol`'s units; requires a numeric time
+    * column) bounds the lookback like pandas `merge_asof`: the greatest
+    * at-or-before row either falls within the window or the left row
+    * keeps nulls — never a further-back substitute. Output: every left
+    * column, then `asof_<timeCol>` and `asof_<p>` per payload column. */
   def asofBackward(left: DataFrame, right: DataFrame, keyCol: String,
-                   timeCol: String, payloadCols: Seq[String]): DataFrame = {
+                   timeCol: String, payloadCols: Seq[String],
+                   tolerance: Option[Long] = None): DataFrame = {
     val leftCols = left.columns.toSeq
     val rightCols = timeCol +: payloadCols
     val lType = StructType(leftCols.map(n => left.schema(n)))
@@ -48,8 +52,14 @@ object AsOfJoin {
         struct(rightCols.map(col): _*).as("_r"))
     val w = Window.partitionBy("_k").orderBy(col("_t"), col("_side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    l.unionByName(r)
-      .withColumn("_match", last(col("_r"), ignoreNulls = true).over(w))
+    val matched = l.unionByName(r)
+      .withColumn("_m0", last(col("_r"), ignoreNulls = true).over(w))
+    val withTol = tolerance match {
+      case Some(tol) => matched.withColumn("_match",
+        when(col("_t") - col("_m0").getField(timeCol) <= tol, col("_m0")))
+      case None => matched.withColumn("_match", col("_m0"))
+    }
+    withTol
       .where(col("_side") === 1)
       .select(leftCols.map(n => col(s"_l.$n").as(n)) ++
         rightCols.map(n => col(s"_match.$n").as(s"asof_$n")): _*)

@@ -40,6 +40,23 @@ class AsOfJoinSpec extends AnyFunSuite with SparkSpec {
     assert(out.columns.toSeq == Seq("event_id", "k", "t", "asof_t", "asof_payload"))
   }
 
+  test("tolerance nulls matches outside the lookback, never substitutes further back") {
+    val out = AsOfJoin.asofBackward(left, right, "k", "t", Seq("payload"),
+        tolerance = Some(1L))
+      .orderBy("event_id").collect()
+    // event 1 (t=10): greatest at-or-before is t=9, within 1 -> kept;
+    // event 2 (t=5): match at t=5, delta 0 -> kept;
+    // event 4 (t=50): match at t=50 -> kept; others null
+    assert(out.map(r => (r.getLong(0), Option(r.get(3)))).toSeq == Seq(
+      (1L, Some(9L)), (2L, Some(5L)), (3L, None), (4L, Some(50L)), (5L, None)))
+    val tight = AsOfJoin.asofBackward(left, right, "k", "t", Seq("payload"),
+        tolerance = Some(0L))
+      .orderBy("event_id").collect()
+    // event 1's t=9 match now exceeds the 0 lookback -> null, NOT t=5
+    assert(tight.map(r => (r.getLong(0), Option(r.get(3)))).toSeq == Seq(
+      (1L, None), (2L, Some(5L)), (3L, None), (4L, Some(50L)), (5L, None)))
+  }
+
   test("null keys never match (SQL join semantics, like ASOF LEFT JOIN)") {
     val l = Seq((Some(1L), Some(5L), 10L), (Some(2L), None, 10L))
       .map { case (id, k, t) => (id.get, k, t) }

@@ -42,13 +42,14 @@ object Bench {
         // first-touch classloading; then time a full materialization.
         try {
           fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          SparkEntry.releaseCaches()
           val t0 = System.nanoTime()
           fn(spark, sfDir).write.format("noop").mode("overwrite").save()
           name -> (System.nanoTime() - t0) / 1e9
         } catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
           name -> -1.0
-        }
+        } finally SparkEntry.releaseCaches()
       }
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }

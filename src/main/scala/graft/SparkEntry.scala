@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.{TextFunctions => TF, TrinoFunctions => TR, VectorFunctions => VF}
@@ -22,6 +22,28 @@ import graft.tables.{LakeCatalog, LakeTable, PartitionField}
   */
 object SparkEntry {
   import Tables.t
+
+  /** DataFrames persisted while BUILDING a query (cleanStages' shared
+    * stages). The persists must outlive the lambda — materialization
+    * happens later in the harness — so harnesses (Verify/Bench/specs)
+    * call [[releaseCaches]] after consuming each query's result to keep
+    * long sessions from accumulating cached stages. */
+  private val cacheHandles =
+    new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
+
+  private def registerCache(df: DataFrame): DataFrame = {
+    cacheHandles.add(df.persist())
+    df
+  }
+
+  /** Unpersist every cache registered while building queries so far. */
+  def releaseCaches(): Unit = {
+    var df = cacheHandles.poll()
+    while (df != null) {
+      df.unpersist()
+      df = cacheHandles.poll()
+    }
+  }
 
   /** Register the `graftlake` SQL catalog once per session (Spark caches
     * catalog instances by name, so the root is pinned at first use);
@@ -807,9 +829,12 @@ object SparkEntry {
     "d18_keyterms" -> ((s, dir) => {
       val toks = t(s, dir, "documents")
         .select(col("doc_id"), explode(TF.cleanTokens(col("text"))).as("term"))
-      val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-      val df = toks.select("doc_id", "term").distinct()
-        .groupBy("term").agg(count(lit(1)).as("df"))
+      // df derives FROM tf (tf rows are exactly the distinct (doc, term)
+      // pairs): the token stream explodes and shuffles once, cached, instead
+      // of a second full explode + distinct pass for the df branch.
+      val tf = registerCache(
+        toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf")))
+      val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
       tf.join(df, "term")
         .groupBy("doc_id")
         .agg(min_by(struct(col("term"), col("tf"), col("df")),
@@ -1101,6 +1126,99 @@ object SparkEntry {
         .orderBy("source_x", "source_y")
     }),
 
+    // D27: C4-style boilerplate segment removal — documents segment into
+    // non-overlapping 8-token windows; any segment text occurring >= 2
+    // times ACROSS the corpus is boilerplate (the C4 "line appears 3+
+    // times" rule over a deterministic segmenter, since this corpus has no
+    // newlines). Per doc: segment counts and the md5 of the kept text.
+    // Scale shape: one explode pass -> groupBy(segment) with map-side
+    // partial counts -> join back on the segment key -> per-doc agg; three
+    // key shuffles, no pair space, no window over the segment stream.
+    "d27_segment_dedup" -> ((s, dir) => {
+      val segLen = 8
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"), TF.cleanTokens(col("text")).as("toks"))
+        .withColumn("n", size(col("toks")).cast("long"))
+        .where(col("n") > 0)
+      val segs = d.select(col("doc_id"),
+          explode(sequence(lit(0L), col("n") - 1L, lit(segLen.toLong))).as("tok_start"),
+          col("toks"))
+        .select(col("doc_id"),
+          (col("tok_start") / segLen).cast("long").as("seg_idx"),
+          concat_ws(" ",
+            slice(col("toks"), col("tok_start").cast("int") + 1, lit(segLen))).as("seg"))
+      val counts = segs.groupBy("seg").agg(count(lit(1)).as("n_occ"))
+      segs.join(counts, "seg")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_segs"),
+          sum(when(col("n_occ") >= 2, 1L).otherwise(0L)).as("n_boiler"),
+          array_join(transform(
+            array_sort(collect_list(when(col("n_occ") < 2,
+              struct(col("seg_idx"), col("seg"))))),
+            x => x.getField("seg")), " ").as("kept_text"))
+        .select(col("doc_id"), col("n_segs"), col("n_boiler"),
+          when(col("n_segs") > col("n_boiler"),
+            md5(col("kept_text").cast("binary"))).as("kept_md5"))
+        .orderBy("doc_id")
+    }),
+
+    // D28: n-gram-overlap decontamination report — the GPT-3-style variant
+    // of d14: instead of a binary any-shared-fingerprint drop, score each
+    // training document by the FRACTION of its distinct word 3-grams that
+    // appear anywhere in the held-out benchmark set, and flag docs above
+    // 5%. The benchmark gram set is small by construction -> broadcast;
+    // the training side streams once.
+    "d28_overlap_decontaminate" -> ((s, dir) => {
+      val gramN = 3
+      val words = filter(split(col("text"), " "), w => length(w) > 0)
+      val grams = t(s, dir, "documents")
+        .select(col("doc_id"), words.as("__w"))
+        .where(size(col("__w")) >= gramN)
+        .select(col("doc_id"), explode(array_distinct(transform(
+          sequence(lit(0), size(col("__w")) - gramN), i =>
+            concat_ws(" ", slice(col("__w"), i + 1, lit(gramN)))))).as("gram"))
+      val bench = grams.where(col("doc_id") % 97 === 0)
+        .select("gram").distinct().withColumn("hit", lit(1L))
+      grams.where(col("doc_id") % 97 =!= 0)
+        .join(broadcast(bench), Seq("gram"), "left")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_grams"),
+          sum(when(col("hit").isNotNull, 1L).otherwise(0L)).as("n_overlap"))
+        .select(col("doc_id"), col("n_grams"), col("n_overlap"),
+          expr("(n_overlap * 1000000) div n_grams").as("overlap_frac_e6"),
+          (expr("(n_overlap * 1000000) div n_grams") <= lit(50000L)).as("keep"))
+        .orderBy("doc_id")
+    }),
+
+    // K4: temperature-scaled mixture sampling — per-language quotas
+    // proportional to count^(1/2) (the standard temperature flattening
+    // that up-weights low-resource slices when mixing corpora). Integer-
+    // exact: isqrt via floor(sqrt) with a +-1 fp correction, quota =
+    // (T * isqrt(c)) div sum(isqrt); the draw is the deterministic
+    // hash-rank (one exchange on the language key, quota table broadcast).
+    "k04_temperature_mixture" -> ((s, dir) => {
+      def isqrt(c: Column): Column = {
+        val r0 = floor(sqrt(c.cast("double"))).cast("long")
+        when(r0 * r0 > c, r0 - 1L)
+          .when((r0 + 1L) * (r0 + 1L) <= c, r0 + 1L)
+          .otherwise(r0)
+      }
+      val d = t(s, dir, "documents").select(col("doc_id"), col("lang"))
+      val wts = d.groupBy("lang").agg(count(lit(1)).as("c"))
+        .withColumn("w", isqrt(col("c")))
+      val tot = wts.agg(sum(col("w")).as("tot_w"))
+      val quotas = wts.crossJoin(tot)
+        .select(col("lang"), expr("(100 * w) div tot_w").as("quota"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("lang")
+        .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+      d.withColumn("rk", row_number().over(w).cast("long"))
+        .join(broadcast(quotas), "lang")
+        .where(col("rk") <= col("quota"))
+        .select(col("lang"), col("doc_id"), col("rk"))
+        .orderBy("lang", "rk")
+    }),
+
     // EV06: weekly cohort retention — users bucketed by first-seen week,
     // distinct-active counts per (cohort, week). Two key-shuffles (first
     // week, cohort grid), both with partial aggregation; the user_id join
@@ -1146,11 +1264,12 @@ object SparkEntry {
     // quality feeds the digest group AND the keep-join; deduped feeds the
     // pair generation AND the anti-join (d24 additionally counts each) —
     // persist both so each stage evaluates once per query, mirroring the
-    // oracle's MATERIALIZED CTEs
-    val qp = quality.persist()
+    // oracle's MATERIALIZED CTEs. Handles are registered for
+    // releaseCaches() so harness loops don't accumulate session caches.
+    val qp = registerCache(quality)
     val keepIds = Dedup.exactDedup(qp, "doc_id", "text")
       .select(col("keep_id").as("doc_id"))
-    val deduped = qp.join(keepIds, "doc_id").persist()
+    val deduped = registerCache(qp.join(keepIds, "doc_id"))
     val nearDrop = Dedup.minhashNearDupPairs(deduped, "doc_id", "text")
       .select(col("doc_b").as("doc_id")).distinct()
     val cleaned = deduped.join(nearDrop, Seq("doc_id"), "left_anti")
@@ -2153,6 +2272,67 @@ object SparkEntry {
          SELECT LEAST(src_a, src_b) AS source_x, GREATEST(src_a, src_b) AS source_y,
                 COUNT(*) AS n_pairs
          FROM lab GROUP BY 1, 2 ORDER BY source_x, source_y""",
+
+    "d27_segment_dedup" ->
+      """WITH d AS (
+           SELECT doc_id, [x for x in string_split(text, ' ') if length(x) > 0] AS toks
+           FROM documents),
+         s AS (SELECT doc_id, toks,
+                 unnest(range(0, CAST(len(toks) AS BIGINT), 8)) AS tok_start
+               FROM d WHERE len(toks) > 0),
+         segs AS (SELECT doc_id, tok_start // 8 AS seg_idx,
+                    array_to_string(toks[tok_start + 1 : tok_start + 8], ' ') AS seg
+                  FROM s),
+         c AS (SELECT seg, COUNT(*) AS n_occ FROM segs GROUP BY 1),
+         j AS (SELECT segs.doc_id, segs.seg_idx, segs.seg, c.n_occ
+               FROM segs JOIN c USING (seg))
+         SELECT doc_id, COUNT(*) AS n_segs,
+           CAST(SUM(CASE WHEN n_occ >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler,
+           CASE WHEN COUNT(*) > SUM(CASE WHEN n_occ >= 2 THEN 1 ELSE 0 END)
+             THEN md5(string_agg(seg, ' ' ORDER BY seg_idx)
+                      FILTER (WHERE n_occ < 2)) END AS kept_md5
+         FROM j GROUP BY doc_id ORDER BY doc_id""",
+
+    "d28_overlap_decontaminate" ->
+      """WITH d AS (
+           SELECT doc_id, [x for x in string_split(text, ' ') if length(x) > 0] AS toks
+           FROM documents),
+         g AS (SELECT doc_id,
+                 unnest(list_distinct([array_to_string(toks[i:i+2], ' ')
+                   for i in range(1, len(toks) - 1)])) AS gram
+               FROM d WHERE len(toks) >= 3),
+         b AS (SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0),
+         t AS (SELECT g.doc_id, COUNT(*) AS n_grams,
+                 CAST(COUNT(b.gram) AS BIGINT) AS n_overlap
+               FROM g LEFT JOIN b ON b.gram = g.gram
+               WHERE g.doc_id % 97 != 0 GROUP BY 1)
+         SELECT doc_id, n_grams, n_overlap,
+           (n_overlap * 1000000) // n_grams AS overlap_frac_e6,
+           ((n_overlap * 1000000) // n_grams) <= 50000 AS keep
+         FROM t ORDER BY doc_id""",
+
+    "k04_temperature_mixture" ->
+      """WITH cnt AS (SELECT lang, COUNT(*) AS c FROM documents GROUP BY 1),
+         w AS (SELECT lang, c,
+                 (CASE
+                   WHEN CAST(floor(sqrt(CAST(c AS DOUBLE))) AS BIGINT)
+                        * CAST(floor(sqrt(CAST(c AS DOUBLE))) AS BIGINT) > c
+                     THEN CAST(floor(sqrt(CAST(c AS DOUBLE))) AS BIGINT) - 1
+                   WHEN (CAST(floor(sqrt(CAST(c AS DOUBLE))) AS BIGINT) + 1)
+                        * (CAST(floor(sqrt(CAST(c AS DOUBLE))) AS BIGINT) + 1) <= c
+                     THEN CAST(floor(sqrt(CAST(c AS DOUBLE))) AS BIGINT) + 1
+                   ELSE CAST(floor(sqrt(CAST(c AS DOUBLE))) AS BIGINT)
+                  END) AS w
+               FROM cnt),
+         q AS (SELECT lang, (100 * w) // (SELECT SUM(w) FROM w) AS quota FROM w),
+         r AS (SELECT lang, doc_id,
+                 ROW_NUMBER() OVER (PARTITION BY lang
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+               FROM documents)
+         SELECT r.lang, r.doc_id, r.rk
+         FROM r JOIN q ON q.lang = r.lang
+         WHERE r.rk <= q.quota
+         ORDER BY r.lang, r.rk""",
 
     "ev06_retention" ->
       """WITH ev AS (SELECT user_id, date_trunc('week', ts) AS wk FROM events),

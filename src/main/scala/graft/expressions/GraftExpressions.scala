@@ -205,7 +205,15 @@ case class NearestCellExpression(emb: Expression, cellsLit: Expression,
     else if (cellsLit.eval() == null || centsLit.eval() == null)
       org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
         s"$prettyName cell-id and centroid arrays must not be null")
-    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else {
+      val nCells = cellsLit.eval().asInstanceOf[ArrayData].numElements()
+      val nCents = centsLit.eval().asInstanceOf[ArrayData].numElements()
+      if (nCells > 0 && nCents % nCells != 0)
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName centroid matrix length $nCents is not a multiple of " +
+            s"the $nCells cell ids — wrong dim/m configuration")
+      else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    }
   }
 
   override def nullSafeEval(e: Any, c1: Any, c2: Any): Any =

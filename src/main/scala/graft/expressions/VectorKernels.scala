@@ -72,7 +72,12 @@ object VectorKernels {
     val k = cells.length
     if (k == 0) return null
     val dim = cents.length / k
-    if (emb.numElements() != dim) return null
+    // A dimension mismatch is a misconfiguration (wrong dim/m passed to the
+    // caller), not a data condition — failing beats an all-null cell column.
+    if (emb.numElements() != dim)
+      throw new IllegalArgumentException(
+        s"graft_nearest_cell: embedding has ${emb.numElements()} dims but " +
+          s"the centroid table is $k x $dim")
     var bestCell = 0L
     var bestD = Double.MaxValue
     var first = true

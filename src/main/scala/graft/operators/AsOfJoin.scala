@@ -31,37 +31,53 @@ object AsOfJoin {
     * at-or-before row either falls within the window or the left row
     * keeps nulls — never a further-back substitute. Output: every left
     * column, then `asof_<timeCol>` and `asof_<p>` per payload column. */
+  /** Internal working-column names. Reserved: inputs carrying any of these
+    * (or a left column colliding with an `asof_*` output) are rejected up
+    * front — silent shadowing would corrupt the match otherwise. */
+  private val Reserved =
+    Seq("__asof_k", "__asof_t", "__asof_side", "__asof_l", "__asof_r",
+      "__asof_m0", "__asof_match")
+
   def asofBackward(left: DataFrame, right: DataFrame, keyCol: String,
                    timeCol: String, payloadCols: Seq[String],
                    tolerance: Option[Long] = None): DataFrame = {
     val leftCols = left.columns.toSeq
     val rightCols = timeCol +: payloadCols
+    val clashL = leftCols.filter(Reserved.contains)
+    val clashR = right.columns.filter(Reserved.contains)
+    require(clashL.isEmpty && clashR.isEmpty,
+      s"asofBackward reserves internal column names ${(clashL ++ clashR).distinct.mkString(", ")} — rename the input columns")
+    val outClash = leftCols.filter(n => rightCols.map("asof_" + _).contains(n))
+    require(outClash.isEmpty,
+      s"asofBackward output columns ${outClash.mkString(", ")} collide with left columns — rename or drop them on the left side")
     val lType = StructType(leftCols.map(n => left.schema(n)))
     val rType = StructType(rightCols.map(n => right.schema(n)))
-    val l = left.select(col(keyCol).as("_k"), col(timeCol).as("_t"),
-      lit(1).as("_side"), struct(leftCols.map(col): _*).as("_l"),
-      lit(null).cast(rType).as("_r"))
+    val l = left.select(col(keyCol).as("__asof_k"), col(timeCol).as("__asof_t"),
+      lit(1).as("__asof_side"), struct(leftCols.map(col): _*).as("__asof_l"),
+      lit(null).cast(rType).as("__asof_r"))
     // SQL join semantics: a NULL key never matches (NULL = NULL is not
     // true). Window.partitionBy would group null keys into ONE partition,
     // so drop null-key right rows — null-key left rows then sit in a
     // partition with no right rows and keep null asof_* columns, exactly
     // the ASOF LEFT JOIN result.
     val r = right.where(col(keyCol).isNotNull)
-      .select(col(keyCol).as("_k"), col(timeCol).as("_t"),
-        lit(0).as("_side"), lit(null).cast(lType).as("_l"),
-        struct(rightCols.map(col): _*).as("_r"))
-    val w = Window.partitionBy("_k").orderBy(col("_t"), col("_side"))
+      .select(col(keyCol).as("__asof_k"), col(timeCol).as("__asof_t"),
+        lit(0).as("__asof_side"), lit(null).cast(lType).as("__asof_l"),
+        struct(rightCols.map(col): _*).as("__asof_r"))
+    val w = Window.partitionBy("__asof_k")
+      .orderBy(col("__asof_t"), col("__asof_side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val matched = l.unionByName(r)
-      .withColumn("_m0", last(col("_r"), ignoreNulls = true).over(w))
+      .withColumn("__asof_m0", last(col("__asof_r"), ignoreNulls = true).over(w))
     val withTol = tolerance match {
-      case Some(tol) => matched.withColumn("_match",
-        when(col("_t") - col("_m0").getField(timeCol) <= tol, col("_m0")))
-      case None => matched.withColumn("_match", col("_m0"))
+      case Some(tol) => matched.withColumn("__asof_match",
+        when(col("__asof_t") - col("__asof_m0").getField(timeCol) <= tol,
+          col("__asof_m0")))
+      case None => matched.withColumn("__asof_match", col("__asof_m0"))
     }
     withTol
-      .where(col("_side") === 1)
-      .select(leftCols.map(n => col(s"_l.$n").as(n)) ++
-        rightCols.map(n => col(s"_match.$n").as(s"asof_$n")): _*)
+      .where(col("__asof_side") === 1)
+      .select(leftCols.map(n => col(s"__asof_l.$n").as(n)) ++
+        rightCols.map(n => col(s"__asof_match.$n").as(s"asof_$n")): _*)
   }
 }

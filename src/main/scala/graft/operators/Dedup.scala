@@ -164,7 +164,8 @@ object Dedup {
                                 extraCols: Seq[String] = Nil): DataFrame =
     docs.select(col(idCol).as("doc_id") +: col(textCol).as("text") +:
         extraCols.map(col): _*)
-      .repartition(docs.sparkSession.sparkContext.defaultParallelism, col(idCol))
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism,
+        col("doc_id"))
 
   /** Banded LSH keys with the bucket-size guard: the 200-perm signature is
     * sliced into 25 bands of 8 rows; a band key is the comma-joined row

@@ -278,16 +278,32 @@ object Similarity {
       if (sampleFraction < 1.0)
         corpus.sample(withReplacement = false, sampleFraction, sampleSeed)
       else corpus
-    var cents = training.select(col("vec_id"), col("embedding"))
-      .orderBy("vec_id").limit(k)
+    // Init = the k lowest vec_ids, cell id = rank within that set. The k
+    // rows are collected (TakeOrdered — never a global sort) and rebuilt as
+    // a literal DataFrame on the driver: no global-window ranking pass, and
+    // iteration plans start from literal rows.
+    val spark = training.sparkSession
+    val centSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("cell",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("c_emb",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.DoubleType), nullable = true)))
+    val initRows = training
       .select(col("vec_id"),
         transform(col("embedding"), x => x.cast("double")).as("c_emb"))
-      .withColumn("cell",
-        row_number().over(Window.orderBy("vec_id")).cast("long") - 1)
-      .select("cell", "c_emb")
+      .orderBy("vec_id").limit(k).collect()
+      .sortBy(_.getLong(0)).zipWithIndex
+      .map { case (r, i) =>
+        org.apache.spark.sql.Row(i.toLong, r.getSeq[Double](1)) }
+    var cents = spark.createDataFrame(
+      java.util.Arrays.asList(initRows: _*), centSchema)
     for (_ <- 1 to iters) {
-      val assigned = assignCells(training, cents)
-      val next = training.join(assigned, "vec_id")
+      // Assignment rides IN the training-set scan (fused nearest-cell
+      // kernel) — the previous join of assignCells back on vec_id paid a
+      // full corpus shuffle per iteration for a column the scan computes
+      // in place.
+      val next = withAssignedCells(training, cents)
         .select(col("cell"), posexplode(col("embedding")).as(Seq("dim", "v")))
         .groupBy("cell", "dim")
         .agg((sum(col("v").cast("double").cast("decimal(27,10)")).cast("double") /

@@ -46,12 +46,18 @@ object StreamingIngest {
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val out = batchTransform(batch)
-        if (!out.isEmpty) {
-          val table = LakeTable.ensure(batch.sparkSession, tableLocation,
-            out.schema, identifierFields = mergeOn)
-          table.write(out, writeMode, mergeOn)
-        }
+        // Persist before the isEmpty probe: for a heavy batchTransform (the
+        // streaming dedup gate runs a full LSH probe) the emptiness check
+        // would otherwise materialize the whole result once and the write
+        // would recompute it from scratch.
+        val out = batchTransform(batch).persist()
+        try {
+          if (!out.isEmpty) {
+            val table = LakeTable.ensure(batch.sparkSession, tableLocation,
+              out.schema, identifierFields = mergeOn)
+            table.write(out, writeMode, mergeOn)
+          }
+        } finally out.unpersist()
       }
       .start()
     query.awaitTermination()

@@ -1,70 +1,73 @@
 #!/usr/bin/env python3
-"""Local pre-check mirroring the driver's correctness gate: run each oracle
-SQL in DuckDB over the same parquet tables and compare (rows, schema-ish,
-values) against the Verify output parquet. Usage:
+"""Local replica of the driver's correctness compare: for each query name,
+read the Spark parquet dump and run the DuckDB oracle SQL over the same sf
+tables; compare row count, column names, and a sorted-by-column-name value
+hash."""
+import sys, json, glob
+import duckdb, pandas as pd
+import hashlib
 
-    python3 tools/oracle_check.py <sfDir> <verifyOutDir>
-"""
-import json, sys, math
-import duckdb
-import pyarrow.parquet as pq
+sf_dir, out_dir = sys.argv[1], sys.argv[2]
+names = sys.argv[3].split(",") if len(sys.argv) > 3 else None
 
-TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
-          "lineitem", "events", "documents", "embeddings"]
-
-def norm(v):
-    if isinstance(v, float):
-        if math.isnan(v):
-            return "NaN"
-        return f"{v:.10g}"
-    return str(v)
-
-def main(sf_dir, out_dir):
-    con = duckdb.connect()
-    for t in TABLES:
+oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+con = duckdb.connect()
+for t in ["region","nation","customer","supplier","part","orders","lineitem",
+          "events","documents","embeddings"]:
+    try:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
-    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
-    n_pass = n_fail = 0
-    for name, sql in sorted(oracle.items()):
-        try:
-            spark_tbl = pq.read_table(f"{out_dir}/{name}")
-            duck = con.execute(sql).fetch_arrow_table()
-        except Exception as e:
-            print(f"FAIL {name}: {type(e).__name__}: {str(e)[:300]}")
-            n_fail += 1
-            continue
-        # column-name sets
-        sc, dc = sorted(spark_tbl.column_names), sorted(duck.column_names)
-        if sc != dc:
-            print(f"FAIL {name}: columns spark={sc} duck={dc}")
-            n_fail += 1
-            continue
-        if spark_tbl.num_rows != duck.num_rows:
-            print(f"FAIL {name}: rows spark={spark_tbl.num_rows} duck={duck.num_rows}")
-            n_fail += 1
-            continue
-        srows = list(zip(*[spark_tbl.column(c).to_pylist() for c in sc]))
-        drows = list(zip(*[duck.column(c).to_pylist() for c in sc]))
-        mismatch = None
-        for i, (a, b) in enumerate(zip(srows, drows)):
-            na, nb = tuple(map(norm, a)), tuple(map(norm, b))
-            if na != nb:
-                mismatch = (i, na, nb)
-                break
-        if mismatch:
-            i, a, b = mismatch
-            print(f"FAIL {name}: row {i} spark={a} duck={b}")
-            n_fail += 1
-        else:
-            # type-level sanity: warn (not fail) on arrow type differences
-            st = {c: str(spark_tbl.schema.field(c).type) for c in sc}
-            dt = {c: str(duck.schema.field(c).type) for c in sc}
-            warn = {c: (st[c], dt[c]) for c in sc if st[c] != dt[c]}
-            extra = f"  [type-diff {warn}]" if warn else ""
-            print(f"PASS {name} ({spark_tbl.num_rows} rows){extra}")
-            n_pass += 1
-    print(f"\n{n_pass} pass / {n_fail} fail")
-    return 1 if n_fail else 0
+    except Exception:
+        pass
 
-if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+def norm(df):
+    df = df.reindex(sorted(df.columns), axis=1)
+    # Canonicalize date-typed columns: Spark parquet DATE loads as python
+    # date objects, DuckDB DATE as datetime64 — both render as ISO dates.
+    # (SparkEntry's output conventions forbid raw timestamps, so any
+    # datetime column here is a date.)
+    for c in df.columns:
+        if pd.api.types.is_datetime64_any_dtype(df[c]):
+            df[c] = df[c].dt.strftime("%Y-%m-%d")
+        elif df[c].dtype == object and df[c].map(
+                lambda x: hasattr(x, "isoformat") or x is None).all() \
+                and df[c].notna().any():
+            df[c] = df[c].map(lambda x: None if x is None else x.isoformat()[:10])
+    return df
+
+def h(df):
+    s = df.to_csv(index=False, float_format="%.9g")
+    return hashlib.md5(s.encode()).hexdigest()
+
+ok = bad = 0
+for name, sql in sorted(oracle.items()):
+    if names and name not in names:
+        continue
+    files = glob.glob(f"{out_dir}/{name}/*.parquet")
+    if not files:
+        print(f"{name}: NO SPARK OUTPUT"); bad += 1; continue
+    try:
+        spark_df = norm(pd.concat([pd.read_parquet(f) for f in files]))
+        ora_df = norm(con.execute(sql).df())
+    except Exception as e:
+        print(f"{name}: ERROR {e}"); bad += 1; continue
+    rows = len(spark_df) == len(ora_df)
+    cols = list(spark_df.columns) == list(ora_df.columns)
+    # align dtypes the way the driver's value-hash effectively does
+    for c in spark_df.columns.intersection(ora_df.columns):
+        try:
+            ora_df[c] = ora_df[c].astype(spark_df[c].dtype)
+        except Exception:
+            pass
+    hm = rows and cols and h(spark_df) == h(ora_df)
+    if rows and cols and hm:
+        ok += 1
+    else:
+        bad += 1
+        print(f"{name}: rows={rows}({len(spark_df)}/{len(ora_df)}) cols={cols} hash={hm}")
+        if not cols:
+            print("  spark:", list(spark_df.columns), "\n  ora:  ", list(ora_df.columns))
+        if rows and cols and not hm:
+            merged = spark_df.compare(ora_df) if len(spark_df)==len(ora_df) else None
+            if merged is not None and not merged.empty:
+                print(merged.head(5))
+print(f"OK={ok} BAD={bad}")

@@ -22,7 +22,8 @@ object Bench {
     "e07_hyperplane_lsh_near_dup", "sql02_catalog_join",
     "d11_corpus_clean", "d12_repetition", "d13_vocab",
     "d14_decontaminate", "d15_dup_clusters", "d17_semdedup", "d18_keyterms",
-    "e08_pq_adc_topk", "ev05_asof_join")
+    "e08_pq_adc_topk", "ev05_asof_join",
+    "d27_segment_dedup", "d28_overlap_decontaminate")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

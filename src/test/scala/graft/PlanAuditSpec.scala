@@ -144,4 +144,31 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
     assert(!readSchema.contains("o_totalprice") &&
       !readSchema.contains("o_orderdate"), readSchema)
   }
+
+  test("segment dedup joins on the segment key — no window, no cartesian") {
+    val p = plan("d27_segment_dedup")
+    assert(!p.contains("Window"), p.take(800))
+    assert(!p.contains("CartesianProduct"), p.take(800))
+  }
+
+  test("overlap decontamination broadcasts the benchmark gram set") {
+    val p = plan("d28_overlap_decontaminate")
+    assert(p.contains("BroadcastHashJoin"), p.take(800))
+    assert(!p.contains("CartesianProduct"), p.take(800))
+  }
+
+  test("temperature mixture broadcasts the quota table; one exchange on lang") {
+    val p = plan("k04_temperature_mixture")
+    assert(p.contains("BroadcastHashJoin"), p.take(800))
+    assert(!p.contains("CartesianProduct") ||
+      p.contains("BroadcastNestedLoopJoin"), p.take(800))
+  }
+
+  test("trained-quantizer paths contain no per-iteration corpus join") {
+    // Round-5 regression lock: trainCentroids must attach assignments in
+    // the training-set scan (fused kernel), never by self-joining the
+    // corpus on vec_id — e05's plan would show a SortMergeJoin otherwise.
+    val p = plan("e05_kmeans_ivf_cells")
+    assert(!p.contains("SortMergeJoin"), p.take(800))
+  }
 }

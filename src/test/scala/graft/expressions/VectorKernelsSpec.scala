@@ -76,6 +76,26 @@ class VectorKernelsSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("nearest-cell fails loudly on dimension mismatch, not all-null cells") {
+    val df2 = Seq((1L, Seq(1f, 2f))).toDF("vec_id", "embedding")
+    // per-row embedding width != centroid width: runtime error
+    val e = intercept[Exception] {
+      df2.select(call_function("graft_nearest_cell", col("embedding"),
+        lit(Array(0L, 1L)), lit(Array(1.0, 2.0, 3.0, 4.0, 5.0, 6.0))))
+        .collect()
+    }
+    assert(e.getMessage != null &&
+      (e.getMessage.contains("dims") || Option(e.getCause).exists(
+        c => c.getMessage != null && c.getMessage.contains("dims"))))
+    // centroid matrix not a multiple of the cell count: analysis-time error
+    val e2 = intercept[Exception] {
+      df2.select(call_function("graft_nearest_cell", col("embedding"),
+        lit(Array(0L, 1L)), lit(Array(1.0, 2.0, 3.0)))).collect()
+    }
+    assert(e2.getMessage.contains("multiple") ||
+      e2.getMessage.contains("DATATYPE_MISMATCH"))
+  }
+
   test("ragged lengths and null arrays yield SQL null like zip_with padding") {
     val ragged = Seq((Seq(1f, 2f, 3f), Seq(1f, 2f))).toDF("a", "b")
     val r = ragged.select(VF.dot(col("a"), col("b")).as("k"),

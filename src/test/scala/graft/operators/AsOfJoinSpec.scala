@@ -76,4 +76,25 @@ class AsOfJoinSpec extends AnyFunSuite with SparkSpec {
     assert(!p.contains("Join"), p.take(600))
     assert("Exchange hashpartitioning".r.findAllIn(p).size <= 2, p.take(600))
   }
+
+  test("inputs carrying reserved internal names are rejected up front") {
+    val clash = left.withColumn("__asof_t", left("t"))
+    val e = intercept[IllegalArgumentException] {
+      AsOfJoin.asofBackward(clash, right, "k", "t", Seq("payload"))
+    }
+    assert(e.getMessage.contains("__asof_t"))
+    val clashR = right.withColumn("__asof_m0", right("t"))
+    val e2 = intercept[IllegalArgumentException] {
+      AsOfJoin.asofBackward(left, clashR, "k", "t", Seq("payload"))
+    }
+    assert(e2.getMessage.contains("__asof_m0"))
+  }
+
+  test("left columns colliding with asof_ outputs are rejected, not shadowed") {
+    val clash = left.withColumn("asof_payload", left("t"))
+    val e = intercept[IllegalArgumentException] {
+      AsOfJoin.asofBackward(clash, right, "k", "t", Seq("payload"))
+    }
+    assert(e.getMessage.contains("asof_payload"))
+  }
 }

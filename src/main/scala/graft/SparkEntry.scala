@@ -712,6 +712,16 @@ object SparkEntry {
         .select("doc_id").distinct().orderBy("doc_id")
     }),
 
+    // D29: Bloom-prefiltered decontamination — identical OUTPUT to d14,
+    // different 100 TB plan: the benchmark fingerprint set becomes a
+    // compact Bloom sketch probed inside the training-side scan (codegen),
+    // and the exact verify join sees only the sketch survivors. The gate
+    // proves the prefilter is lossless (same oracle as d14).
+    "d29_bloom_decontaminate" -> ((s, dir) =>
+      Dedup.bloomDecontaminate(t(s, dir, "documents"), "doc_id", "text",
+          isBench = col("doc_id") % 97 === 0)
+        .orderBy("doc_id")),
+
     // D15: LSH pairs -> per-cluster canonical keeper via distributed
     // connected components (min-label propagation over the pair graph).
     "d15_dup_clusters" -> ((s, dir) =>
@@ -1289,6 +1299,28 @@ object SparkEntry {
   private def duckHash(e: String): String =
     s"list_reduce([ascii($e[k]) for k in range(1, length($e)+1)], " +
       s"(a,c) -> (CAST(a AS BIGINT)*31+c) % $P)"
+
+  /** Shared by d14 (exact join) and d29 (Bloom prefilter + exact verify):
+    * both compute the same training-docs-sharing-a-benchmark-fingerprint
+    * set — d29's sketch can only add candidates the verify join removes. */
+  private def decontaminateOracle: String =
+    s"""WITH h AS MATERIALIZED (
+         SELECT doc_id,
+                [${duckHash("g")} for g in
+                 [substring(text, i, 3)
+                  for i in range(1, greatest(length(text)-2, 0)+1)]] AS hs
+         FROM documents),
+       fp AS (
+         SELECT doc_id,
+                list_sort(list_distinct(
+                  [list_min(hs[i:i+7])
+                   for i in range(1, greatest(len(hs)-7, 1)+1)])) AS fps
+         FROM h WHERE len(hs) > 0),
+       rows_ AS (SELECT doc_id, unnest(fps) AS f FROM fp),
+       bench AS (SELECT DISTINCT f FROM rows_ WHERE doc_id % 97 = 0)
+       SELECT DISTINCT doc_id FROM rows_
+       WHERE doc_id % 97 <> 0 AND f IN (SELECT f FROM bench)
+       ORDER BY doc_id"""
 
   private def simhashOracle: String = {
     val bitSums = (0 until 20).map(j =>
@@ -2105,24 +2137,11 @@ object SparkEntry {
          SELECT doc_id, CAST(unnest(fps) AS BIGINT) AS fingerprint
          FROM fp ORDER BY doc_id, fingerprint""",
 
-    "d14_decontaminate" ->
-      s"""WITH h AS MATERIALIZED (
-           SELECT doc_id,
-                  [${duckHash("g")} for g in
-                   [substring(text, i, 3)
-                    for i in range(1, greatest(length(text)-2, 0)+1)]] AS hs
-           FROM documents),
-         fp AS (
-           SELECT doc_id,
-                  list_sort(list_distinct(
-                    [list_min(hs[i:i+7])
-                     for i in range(1, greatest(len(hs)-7, 1)+1)])) AS fps
-           FROM h WHERE len(hs) > 0),
-         rows_ AS (SELECT doc_id, unnest(fps) AS f FROM fp),
-         bench AS (SELECT DISTINCT f FROM rows_ WHERE doc_id % 97 = 0)
-         SELECT DISTINCT doc_id FROM rows_
-         WHERE doc_id % 97 <> 0 AND f IN (SELECT f FROM bench)
-         ORDER BY doc_id""",
+    "d14_decontaminate" -> decontaminateOracle,
+
+    // The Bloom prefilter is lossless (exact verify join downstream), so
+    // the oracle is d14's exact-join formulation verbatim.
+    "d29_bloom_decontaminate" -> decontaminateOracle,
 
     // Transitive closure of the LSH pair graph via a recursive CTE, then
     // component id = min reachable doc id — mirrors min-label propagation.

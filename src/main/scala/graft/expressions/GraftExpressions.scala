@@ -239,6 +239,54 @@ case class NearestCellExpression(emb: Expression, cellsLit: Expression,
   override def prettyName: String = "graft_nearest_cell"
 }
 
+/** Broadcast-sketch membership probe: `graft_bloom_might_contain(value,
+  * bits)` where `bits` is a foldable serialized
+  * `org.apache.spark.util.sketch.BloomFilter` and `value` a long key.
+  * False positives possible (the caller MUST follow with an exact verify
+  * join — the standard sketch-prefilter discipline), false negatives
+  * impossible. The filter deserializes once per task via a codegen
+  * reference object; the per-row probe stays inside whole-stage codegen.
+  * At 100 TB this is what replaces broadcasting an exact key set: a 10M-key
+  * 1%-fpp filter is ~12 MB, and the exact join downstream only sees the
+  * prefiltered survivors. */
+case class BloomMightContainExpression(value: Expression, bitsLit: Expression)
+    extends BinaryExpression {
+  override def left: Expression = value
+  override def right: Expression = bitsLit
+  override def dataType: DataType = BooleanType
+  override def nullable: Boolean = true
+
+  @transient private lazy val filter: org.apache.spark.util.sketch.BloomFilter =
+    org.apache.spark.util.sketch.BloomFilter.readFrom(
+      new java.io.ByteArrayInputStream(bitsLit.eval().asInstanceOf[Array[Byte]]))
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    if (value.dataType != LongType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects a BIGINT probe value, got ${value.dataType.sql}")
+    else if (!bitsLit.foldable || bitsLit.dataType != BinaryType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects a foldable BINARY serialized Bloom filter")
+    else if (bitsLit.eval() == null)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName Bloom filter bits must not be null")
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+  }
+
+  override def nullSafeEval(v: Any, b: Any): Any =
+    filter.mightContainLong(v.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bloomFilter", filter,
+      "org.apache.spark.util.sketch.BloomFilter")
+    nullSafeCodeGen(ctx, ev, (v, _) => s"${ev.value} = $ref.mightContainLong($v);")
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): BloomMightContainExpression =
+    copy(value = l, bitsLit = r)
+  override def prettyName: String = "graft_bloom_might_contain"
+}
+
 /** `spark.sql.extensions=graft.expressions.GraftSparkSessionExtensions` */
 class GraftSparkSessionExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
@@ -274,6 +322,15 @@ class GraftSparkSessionExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_sqdist"),
       new ExpressionInfo(classOf[SqDistExpression].getName, "graft_sqdist"),
       (children: Seq[Expression]) => SqDistExpression(children(0), children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_bloom_might_contain"),
+      new ExpressionInfo(classOf[BloomMightContainExpression].getName,
+        "graft_bloom_might_contain"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2,
+          s"graft_bloom_might_contain(value, bits) takes 2 arguments, got ${children.length}")
+        BloomMightContainExpression(children(0), children(1))
+      }))
     ext.injectFunction((
       FunctionIdentifier("graft_nearest_cell"),
       new ExpressionInfo(classOf[NearestCellExpression].getName, "graft_nearest_cell"),

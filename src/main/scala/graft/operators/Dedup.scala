@@ -302,6 +302,34 @@ object Dedup {
           .as("containment_e6"))
   }
 
+  /** Benchmark decontamination with a broadcast Bloom-sketch prefilter —
+    * the 100 TB form of the fingerprint-overlap purge: instead of
+    * broadcasting (or shuffling) the exact benchmark fingerprint set into
+    * the join, a compact Bloom filter over it rides into the training-side
+    * scan (`graft_bloom_might_contain`, codegen'd) and drops the vast
+    * majority of fingerprints map-side; the EXACT join then runs only on
+    * the sketch survivors, so false positives cannot leak into the result
+    * — output is identical to the exact-join formulation, row for row.
+    * `isBench` is a predicate over the renamed `doc_id` column. */
+  def bloomDecontaminate(docs: DataFrame, idCol: String, textCol: String,
+                         isBench: org.apache.spark.sql.Column,
+                         fpp: Double = 0.01,
+                         expectedItems: Option[Long] = None): DataFrame = {
+    val fps = winnowFingerprintRows(docs, idCol, textCol)
+    val bench = fps.where(isBench).select("fingerprint").distinct()
+    // Sizing action on the (small by construction) benchmark side only —
+    // production callers pass expectedItems to skip it.
+    val n = expectedItems.getOrElse(math.max(bench.count(), 1L))
+    val bf = bench.stat.bloomFilter("fingerprint", n, fpp)
+    val bos = new java.io.ByteArrayOutputStream()
+    bf.writeTo(bos)
+    val prefiltered = fps.where(!isBench)
+      .where(call_function("graft_bloom_might_contain",
+        col("fingerprint"), lit(bos.toByteArray)))
+    prefiltered.join(bench, "fingerprint")
+      .select("doc_id").distinct()
+  }
+
   /** SimHash fingerprint per document (near-identical docs collide). */
   def simhashFingerprints(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs.select(col(idCol).as("doc_id"),

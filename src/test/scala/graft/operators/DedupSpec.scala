@@ -96,4 +96,42 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
       assert(size == refSizes(cid), s"doc $doc cluster $cid")
     }
   }
+
+  test("bloom decontamination is lossless vs the exact-join formulation") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.docsLike((0L until 120L).map { i =>
+      // overlapping shingle structure: every 7th doc reuses doc (i-7)'s text
+      val base = if (i % 7 == 0 && i >= 7) i - 7 else i
+      (i, s"alpha beta gamma delta text body number $base repeated terms here")
+    })
+    val isBench = col("doc_id") % 11 === 0
+    val bloom = Dedup.bloomDecontaminate(docs, "doc_id", "text", isBench)
+      .orderBy("doc_id").collect().map(_.getLong(0)).toSeq
+    // exact reference: d14's formulation without the sketch
+    val fps = Dedup.winnowFingerprintRows(docs, "doc_id", "text")
+    val bench = fps.where(isBench).select("fingerprint").distinct()
+    val exact = fps.where(!isBench).join(bench, "fingerprint")
+      .select("doc_id").distinct().orderBy("doc_id")
+      .collect().map(_.getLong(0)).toSeq
+    assert(bloom == exact)
+    assert(exact.nonEmpty) // the fixture actually exercises overlap
+  }
+
+  test("bloom probe plan: codegen sketch filter before the verify join, no UDF") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.docsLike((0L until 40L).map(i =>
+      (i, s"some shared corpus text body $i with common phrasing")))
+    val p = Dedup.bloomDecontaminate(docs, "doc_id", "text",
+        col("doc_id") % 5 === 0)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("graft_bloom_might_contain"), p.take(800))
+    assert(!p.contains("ScalaUDF") && !p.contains("CartesianProduct"), p.take(800))
+  }
+
+  private object Tables {
+    def docsLike(rows: Seq[(Long, String)]) = {
+      import spark.implicits._
+      rows.toDF("doc_id", "text")
+    }
+  }
 }

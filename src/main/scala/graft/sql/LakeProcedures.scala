@@ -23,6 +23,7 @@ import graft.tables.{LakeTable, Maintenance}
   * CALL lake.system.expire_snapshots(`table` => 'ns.t', retention => '7d')
   * CALL lake.system.remove_orphan_files(`table` => 'ns.t')
   * CALL lake.system.zorder(`table` => 'ns.t', columns => 'x,y', target_files => 16)
+  * CALL lake.system.rollback_to_snapshot(`table` => 'ns.t', snapshot_id => 3)
   * }}}
   *
   * Each returns a one-row result describing what happened.
@@ -32,7 +33,8 @@ object LakeProcedures {
   val Namespace: Array[String] = Array("system")
 
   def names: Seq[String] = Seq("compact", "compact_small_files",
-    "expire_snapshots", "remove_orphan_files", "zorder", "history")
+    "expire_snapshots", "remove_orphan_files", "zorder", "history",
+    "rollback_to_snapshot")
 
   def load(root: String, name: String): Option[UnboundProcedure] = {
     def p(ps: Seq[ProcedureParameter])(run: (LakeTable, InternalRow) => String) =
@@ -69,6 +71,12 @@ object LakeProcedures {
         val cols = in.getUTF8String(1).toString.split(",").map(_.trim).toSeq
         t.zorderBy(cols, in.getInt(2))
         s"z-ordered by ${cols.mkString(", ")}"
+      }
+      case "rollback_to_snapshot" => p(Seq(table,
+        ProcedureParameter.in("snapshot_id", LongType)
+          .comment("retained snapshot id (see lake.system.history)").build())) { (t, in) =>
+        t.rollbackTo(in.getLong(1))
+        s"rolled back to snapshot ${in.getLong(1)}"
       }
       case "history" => Some(new LakeHistoryProcedure(root))
       case _ => None

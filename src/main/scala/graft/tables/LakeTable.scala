@@ -128,6 +128,42 @@ final class LakeTable private (spark: SparkSession, val location: String) {
       .select(snapSchema.fieldNames.map(col).toIndexedSeq: _*)
   }
 
+  /** Appended rows between two retained snapshots — Iceberg's incremental
+    * (CDC-lite) read as a batch DataFrame: the file-list diff of the two
+    * complete-file-list snapshots, read through the manifest-backed scan.
+    * O(manifest) planning; executors touch only the appended files. If any
+    * file present at `fromSnapshotId` is gone by `toSnapshotId` (replace /
+    * merge / delete in the range), a file diff no longer means "new rows",
+    * so this fails unless `ignoreChanges = true` (Delta's contract:
+    * rewritten files may re-emit old rows). Reads with `toSnapshotId`'s
+    * schema, like [[readAt]]. */
+  def changesBetween(fromSnapshotId: Long, toSnapshotId: Long,
+                     ignoreChanges: Boolean = false): DataFrame = {
+    val meta = metadata
+    def snapOf(id: Long): Snapshot = meta.snapshots.find(_.id == id).getOrElse(
+      throw new IllegalArgumentException(
+        s"Snapshot $id not found (retained: ${meta.snapshots.map(_.id).mkString(", ")})"))
+    val from = snapOf(fromSnapshotId)
+    val to = snapOf(toSnapshotId)
+    require(meta.snapshots.indexWhere(_.id == fromSnapshotId) <=
+      meta.snapshots.indexWhere(_.id == toSnapshotId),
+      s"Snapshot $fromSnapshotId is newer than $toSnapshotId")
+    val fromPaths = from.paths.toSet
+    val removed = fromPaths -- to.paths.toSet
+    if (removed.nonEmpty && !ignoreChanges) {
+      throw new IllegalStateException(
+        s"Table at '$location' had ${removed.size} file(s) rewritten or " +
+          s"removed between snapshots $fromSnapshotId and $toSnapshotId — " +
+          "a file diff no longer means new rows. Pass ignoreChanges=true " +
+          "to accept re-emitted rows.")
+    }
+    val newFiles = to.files.filterNot(f => fromPaths.contains(f.path))
+    val snapSchema = to.schema.getOrElse(meta.schema)
+    readWithPartitions(meta.copy(schema = snapSchema, currentSnapshotId = to.id),
+        filesOverride = Some(newFiles))
+      .select(snapSchema.fieldNames.map(col).toIndexedSeq: _*)
+  }
+
   private def readWithPartitions(meta: TableMetadata,
                                  filesOverride: Option[Seq[DataFile]] = None): DataFrame = {
     val derived = meta.partitionSpec.filterNot(_.parsed == PartitionTransform.Identity)
@@ -915,6 +951,33 @@ final class LakeTable private (spark: SparkSession, val location: String) {
     commitData(arranged, "compact", keepExisting = false, Map.empty,
       preEvolved = Some((base, meta)))
   }
+
+  /** Roll the table back to a retained snapshot (Iceberg
+    * `rollback_to_snapshot` / Delta RESTORE): a NEW "rollback" commit whose
+    * file list is the target snapshot's. History is preserved — the
+    * rolled-past commits stay in the log for audit (and expire later) —
+    * and the rollback itself is one atomic metadata swap; no data files
+    * move. The CURRENT schema is kept (Iceberg semantics): files written
+    * before later column adds read with null fill, and a rollback cannot
+    * resurrect dropped columns. */
+  def rollbackTo(snapshotId: Long,
+                 nowMs: Long = System.currentTimeMillis()): Unit =
+    commitRetry { meta =>
+      val snap = meta.snapshots.find(_.id == snapshotId).getOrElse(
+        throw new IllegalArgumentException(
+          s"Snapshot $snapshotId not found (retained: ${meta.snapshots.map(_.id).mkString(", ")})"))
+      // Files dropped since the target snapshot may already be GC'd by
+      // removeOrphanFiles — refuse to commit a snapshot pointing at them.
+      val missing = snap.files.filterNot(f =>
+        Files.exists(Paths.get(location, f.path)))
+      require(missing.isEmpty,
+        s"Cannot roll back to snapshot $snapshotId: ${missing.size} of its " +
+          s"data file(s) were garbage-collected (first: ${missing.headOption.map(_.path).getOrElse("")})")
+      meta.copy(
+        snapshots = meta.snapshots :+ Snapshot(meta.currentSnapshotId + 1,
+          nowMs, "rollback", snap.files, Some(meta.schema.json)),
+        currentSnapshotId = meta.currentSnapshotId + 1)
+    }
 
   /** Drop snapshot entries older than the retention window (current snapshot
     * always kept). */

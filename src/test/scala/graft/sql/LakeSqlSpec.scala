@@ -142,6 +142,23 @@ class LakeSqlSpec extends AnyFunSuite with SparkSpec {
     assert(n == 5)
   }
 
+  test("CALL lake.system.rollback_to_snapshot restores through SQL") {
+    root
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lake.nsr")
+    spark.sql("CREATE TABLE lake.nsr.rb (id BIGINT)")
+    spark.sql("INSERT INTO lake.nsr.rb SELECT id FROM range(0, 5)")
+    val good = spark.sql("CALL lake.system.history(`table` => 'nsr.rb')")
+      .collect().last.getLong(1)
+    spark.sql("INSERT INTO lake.nsr.rb SELECT id FROM range(100, 200)")
+    assert(spark.sql("SELECT count(*) FROM lake.nsr.rb").head.getLong(0) == 105)
+    spark.sql(
+      s"CALL lake.system.rollback_to_snapshot(`table` => 'nsr.rb', snapshot_id => $good)")
+    assert(spark.sql("SELECT count(*) FROM lake.nsr.rb").head.getLong(0) == 5)
+    val ops = spark.sql("CALL lake.system.history(`table` => 'nsr.rb')")
+      .collect().map(_.getString(2)).toSeq
+    assert(ops == Seq("append", "append", "rollback"))
+  }
+
   test("ALTER TABLE ADD/DROP COLUMN are metadata-only schema commits") {
     root
     spark.sql("CREATE NAMESPACE IF NOT EXISTS lake.nsd")

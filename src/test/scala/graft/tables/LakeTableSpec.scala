@@ -71,6 +71,65 @@ class LakeTableSpec extends AnyFunSuite with SparkSpec {
     intercept[IllegalArgumentException](LakeTable.load(spark, loc).readAt(snap1))
   }
 
+  test("rollback: new commit restores the old file list; no data moves") {
+    val loc = tmpDir("lt_rollback")
+    val t = LakeTable.ensure(spark, loc, Seq((1L, "a")).toDF("id", "name").schema)
+    t.write(Seq((1L, "a")).toDF("id", "name"), "append")
+    val good = LakeTable.load(spark, loc).metadata.currentSnapshotId
+    t.write(Seq((2L, "junk")).toDF("id", "name"), "append")
+    t.write(Seq((3L, "junk2")).toDF("id", "name"), "append")
+    assert(LakeTable.load(spark, loc).read().count() == 3)
+    LakeTable.load(spark, loc).rollbackTo(good)
+    val after = LakeTable.load(spark, loc)
+    assert(after.read().collect().map(_.getString(1)).toSeq == Seq("a"))
+    // history preserved: rollback is a NEW commit, bad commits stay for audit
+    val meta = after.metadata
+    assert(meta.snapshots.map(_.operation) ==
+      Seq("append", "append", "append", "rollback"))
+    assert(meta.currentSnapshot.get.files ==
+      meta.snapshots.find(_.id == good).get.files)
+    // unknown snapshot raises; GC'd data fails loudly instead of committing
+    intercept[IllegalArgumentException](after.rollbackTo(999L))
+  }
+
+  test("rollback keeps the current schema (later column adds stay)") {
+    val loc = tmpDir("lt_rollback_schema")
+    val t = LakeTable.ensure(spark, loc, Seq((1L, "a")).toDF("id", "name").schema)
+    t.write(Seq((1L, "a")).toDF("id", "name"), "append")
+    val good = LakeTable.load(spark, loc).metadata.currentSnapshotId
+    t.addColumns(Seq(org.apache.spark.sql.types.StructField("extra",
+      org.apache.spark.sql.types.LongType)))
+    LakeTable.load(spark, loc).rollbackTo(good)
+    val out = LakeTable.load(spark, loc).read()
+    assert(out.columns.toSeq == Seq("id", "name", "extra"))
+    assert(out.collect().head.isNullAt(2)) // old file null-fills
+  }
+
+  test("changesBetween reads exactly the appended files; rewrites fail loudly") {
+    val loc = tmpDir("lt_changes")
+    val t = LakeTable.ensure(spark, loc, Seq((1L, "a")).toDF("id", "name").schema)
+    t.write(Seq((1L, "a")).toDF("id", "name"), "append")
+    val s1 = LakeTable.load(spark, loc).metadata.currentSnapshotId
+    t.write(Seq((2L, "b"), (3L, "c")).toDF("id", "name"), "append")
+    val s2 = LakeTable.load(spark, loc).metadata.currentSnapshotId
+    val delta = LakeTable.load(spark, loc).changesBetween(s1, s2)
+    assert(delta.collect().map(_.getLong(0)).sorted.toSeq == Seq(2L, 3L))
+    // same snapshot on both sides: empty, with the table schema
+    val none = LakeTable.load(spark, loc).changesBetween(s2, s2)
+    assert(none.count() == 0 && none.columns.toSeq == Seq("id", "name"))
+    // reversed order is rejected
+    intercept[IllegalArgumentException](
+      LakeTable.load(spark, loc).changesBetween(s2, s1))
+    // a replace rewrites files -> diff no longer means new rows
+    t.write(Seq((9L, "z")).toDF("id", "name"), "replace")
+    val s3 = LakeTable.load(spark, loc).metadata.currentSnapshotId
+    intercept[IllegalStateException](
+      LakeTable.load(spark, loc).changesBetween(s1, s3))
+    val forced = LakeTable.load(spark, loc).changesBetween(s1, s3,
+      ignoreChanges = true)
+    assert(forced.collect().map(_.getLong(0)).toSeq == Seq(9L))
+  }
+
   test("snapshot manifests carry per-file bounds, null counts and partition values") {
     val loc = tmpDir("lt_stats")
     val df1 = Seq((1L, Some("a"), "x"), (3L, None, "x")).toDF("id", "name", "grp")

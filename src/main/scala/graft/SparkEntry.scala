@@ -770,6 +770,22 @@ object SparkEntry {
       Dedup.winnowContainmentPairs(t(s, dir, "documents"), "doc_id", "text")
         .orderBy("doc_a", "doc_b")),
 
+    // K5: training-export sharding — the deterministic "global shuffle"
+    // every trainer wants: docs land in hash shards, and the within-shard
+    // read order is a content-independent hash rank (reproducible in any
+    // engine, stable under re-runs). One exchange on the shard key; the
+    // per-shard ordering cost is bounded by corpus/nShards.
+    "k05_shard_export" -> ((s, dir) => {
+      val nShards = 8
+      val d = t(s, dir, "documents").select(col("doc_id"),
+        (TF.portableHash(col("doc_id").cast("string")) % nShards).as("shard"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("shard")
+        .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+      d.withColumn("pos", row_number().over(w).cast("long"))
+        .orderBy("shard", "pos")
+    }),
+
     // D25: deterministic train/val/test split — bucket by the portable
     // content-independent hash of the doc id (90/5/5), so membership is
     // stable under corpus growth and reproducible in any engine; pure
@@ -2037,6 +2053,16 @@ object SparkEntry {
            CASE WHEN bucket < 90 THEN 'train'
                 WHEN bucket < 95 THEN 'val' ELSE 'test' END AS split
          FROM b ORDER BY doc_id""",
+
+    "k05_shard_export" ->
+      s"""WITH b AS (
+           SELECT doc_id,
+                  CAST(${duckHash("CAST(doc_id AS VARCHAR)")} % 8 AS BIGINT) AS shard
+           FROM documents)
+         SELECT doc_id, shard,
+           ROW_NUMBER() OVER (PARTITION BY shard
+             ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS pos
+         FROM b ORDER BY shard, pos""",
 
     "d13_vocab" ->
       """WITH toks AS (

@@ -114,6 +114,12 @@ object Cli {
       built.toSeq.sortBy(_._1).foreach { case (m, df) =>
         println(s"$m: ${df.count()} rows")
       }
+    // dbt --full-refresh: incremental models rebuild from scratch instead
+    // of merging their delta (views/tables are unaffected — they rebuild
+    // every run anyway).
+    case Seq("transform", root, "--full-refresh") =>
+      runTransform(spark, root, fullRefresh = true).keys.toSeq.sorted
+        .foreach(m => println(s"$m: built (full refresh)"))
 
     // `dbt test` equivalent: data tests over the built models (§5.4).
     case Seq("test", root) =>
@@ -144,7 +150,7 @@ object Cli {
            |Usage:
            |  ls <root>
            |  run <root> <job> [--backfill]
-           |  transform <root> [--counts]
+           |  transform <root> [--counts|--full-refresh]
            |  test <root>
            |  sql <root> "<query>"   (tables as lake.<warehouse>.<namespace>.<table>)
            |  maintain <root> <warehouse> <namespace> [-r <N><d|h|m|s>]""".stripMargin)
@@ -166,8 +172,8 @@ object Cli {
   /** Run the model graph over whatever landing tables exist; targets are
     * the models whose sources are all present (dbt builds the subgraph the
     * sources support). */
-  private def runTransform(spark: SparkSession,
-                           root: String): Map[String, org.apache.spark.sql.DataFrame] = {
+  private def runTransform(spark: SparkSession, root: String,
+                           fullRefresh: Boolean = false): Map[String, org.apache.spark.sql.DataFrame] = {
     val catalog = new LakeCatalog(s"$root/warehouses")
     val wh = "facility_ops_landing"
     val sourceTables = Seq(
@@ -194,7 +200,7 @@ object Cli {
     if (buildable.isEmpty) Map.empty
     else OpralogModels.graph.run(spark, sources,
       catalog = Some((catalog, "facility_ops", "accelerator")),
-      targets = buildable)
+      targets = buildable, fullRefresh = fullRefresh)
   }
 
   private def maintain(spark: SparkSession, root: String, warehouse: String,

@@ -14,10 +14,22 @@ final case class Model(
     name: String,
     deps: Seq[String],
     build: (SparkSession, String => DataFrame) => DataFrame,
-    materialized: String = "view", // view | table
+    materialized: String = "view", // view | table | incremental
     partitionSpec: Seq[PartitionField] = Nil,
     sortOrder: Seq[SortField] = Nil,
-    schema: Option[String] = None) // dbt +schema override (marts per domain)
+    schema: Option[String] = None, // dbt +schema override (marts per domain)
+    // Incremental materialization (dbt's `materialized='incremental'`):
+    // `incrementalBuild(spark, resolve, thisTable)` receives
+    // Some(existing target contents) on incremental runs — the model
+    // filters its sources against it (dbt's `{{ this }}` /
+    // `is_incremental()`) and returns only the DELTA — or None on the
+    // first run / full refresh, where it returns the full build. The
+    // delta merges on `uniqueKey` (dbt merge strategy) through the
+    // copy-on-write file-pruned merge, or appends when no key is set:
+    // each scheduled run costs O(delta + touched files), never a mart
+    // rebuild — the only materialization that survives a 100 TB mart.
+    uniqueKey: Seq[String] = Nil,
+    incrementalBuild: Option[(SparkSession, String => DataFrame, Option[DataFrame]) => DataFrame] = None)
 
 final class ModelGraph(models: Seq[Model]) {
   private val byName = models.map(m => m.name -> m).toMap
@@ -63,7 +75,8 @@ final class ModelGraph(models: Seq[Model]) {
     * re-read from storage (CTAS). */
   def run(spark: SparkSession, sources: Map[String, DataFrame],
           catalog: Option[(LakeCatalog, String, String)] = None,
-          targets: Seq[String] = Nil): Map[String, DataFrame] = {
+          targets: Seq[String] = Nil,
+          fullRefresh: Boolean = false): Map[String, DataFrame] = {
     val built = scala.collection.mutable.Map.empty[String, DataFrame]
     def resolve(name: String): DataFrame =
       built.getOrElse(name, sources.getOrElse(name,
@@ -86,14 +99,35 @@ final class ModelGraph(models: Seq[Model]) {
         built(name) = sources(name) // fixture splice
       } else {
       m.deps.foreach(resolve) // fail fast on missing inputs
-      val df = m.build(spark, resolve)
       val result = (m.materialized, catalog) match {
+        case ("incremental", Some((cat, wh, ns))) =>
+          val inc = m.incrementalBuild.getOrElse(throw new IllegalStateException(
+            s"Model '${m.name}' is materialized='incremental' but has no incrementalBuild"))
+          val tgtNs = m.schema.getOrElse(ns)
+          val existing =
+            if (fullRefresh || !cat.tableExists(wh, tgtNs, m.name)) None
+            else Some(cat.loadTable(spark, wh, tgtNs, m.name))
+          existing match {
+            case None => // first run / --full-refresh: complete build
+              val df = inc(spark, resolve, None)
+              val table = cat.ensureTable(spark, wh, m.schema.getOrElse(ns),
+                m.name, df.schema, m.partitionSpec, m.sortOrder)
+              table.write(df, "replace")
+              table.read()
+            case Some(table) =>
+              val delta = inc(spark, resolve, Some(table.read()))
+              if (m.uniqueKey.nonEmpty) table.write(delta, "merge", m.uniqueKey)
+              else table.write(delta, "append")
+              table.read()
+          }
         case ("table", Some((cat, wh, ns))) =>
+          val df = m.build(spark, resolve)
           val table = cat.ensureTable(spark, wh, m.schema.getOrElse(ns), m.name,
             df.schema, m.partitionSpec, m.sortOrder)
           table.write(df, "replace") // on_table_exists = 'drop'/'replace'
           table.read()
         case _ =>
+          val df = m.build(spark, resolve)
           df.createOrReplaceTempView(s"graft_model_$name")
           df
       }

@@ -54,4 +54,70 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
     // image rows produce no frames
     assert(frames.where(col("media_id") === 1).count() == 0)
   }
+
+  // ---- real header decode (no codec library involved) -------------------
+
+  /** A structurally valid minimal PNG header: signature + IHDR with the
+    * given dimensions (checksum/pixels irrelevant to the sniffer, as they
+    * are to real header readers). */
+  private def pngBytes(w: Int, h: Int): Array[Byte] = {
+    val b = java.nio.ByteBuffer.allocate(26)
+    b.put(Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte))
+    b.putInt(13).put("IHDR".getBytes).putInt(w).putInt(h).put(8.toByte).put(6.toByte)
+    b.array()
+  }
+
+  /** Minimal JPEG: SOI, an APP0 segment to skip, then SOF0 with dims. */
+  private def jpegBytes(w: Int, h: Int): Array[Byte] = {
+    val b = java.nio.ByteBuffer.allocate(2 + 4 + 16 + 9)
+    b.put(Array(0xff, 0xd8).map(_.toByte)) // SOI
+    b.put(Array(0xff, 0xe0).map(_.toByte)).putShort(16.toShort) // APP0 len 16
+    b.put(new Array[Byte](14)) // APP0 body (16 - the 2 length bytes)
+    b.put(Array(0xff, 0xc0).map(_.toByte)).putShort(11.toShort) // SOF0
+    b.put(8.toByte).putShort(h.toShort).putShort(w.toShort) // precision, h, w
+    b.array()
+  }
+
+  private def gifBytes(w: Int, h: Int): Array[Byte] = {
+    val b = java.nio.ByteBuffer.allocate(10).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put("GIF89a".getBytes).putShort(w.toShort).putShort(h.toShort)
+    b.array()
+  }
+
+  test("sniffImageHeader reads real PNG/JPEG/GIF headers, rejects junk") {
+    assert(Multimodal.sniffImageHeader(pngBytes(640, 480)) ==
+      Some(("png", 640, 480)))
+    assert(Multimodal.sniffImageHeader(jpegBytes(1024, 768)) ==
+      Some(("jpeg", 1024, 768)))
+    assert(Multimodal.sniffImageHeader(gifBytes(32, 16)) ==
+      Some(("gif", 32, 16)))
+    assert(Multimodal.sniffImageHeader(Array[Byte](1, 2, 3, 4)).isEmpty)
+    // truncated PNG signature only
+    assert(Multimodal.sniffImageHeader(pngBytes(8, 8).take(10)).isEmpty)
+    // desynced JPEG marker stream
+    assert(Multimodal.sniffImageHeader(
+      Array(0xff, 0xd8, 0x00, 0x10).map(_.toByte)).isEmpty)
+  }
+
+  test("withSniffedHeaders validates payloads against declared metadata") {
+    val rows = Seq(
+      Row(1L, pngBytes(64, 48), Row("image", "png", 64, 48, null)),
+      Row(2L, jpegBytes(20, 10), Row("image", "png", 20, 10, null)), // mislabeled
+      Row(3L, null, Row("image", "png", 8, 8, null)),
+      Row(4L, Array[Byte](9, 9, 9), Row("image", "gif", 1, 1, null)))
+    val media = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows), Multimodal.MediaSchema)
+    val out = Multimodal.withSniffedHeaders(media)
+      .select("media_id", "sniffed_format", "sniffed_width", "header_ok")
+      .collect().map(r => (r.getLong(0), Option(r.get(1)), Option(r.get(2)),
+        r.getBoolean(3))).sortBy(_._1)
+    assert(out(0) == ((1L, Some("png"), Some(64), true)))
+    assert(out(1) == ((2L, Some("jpeg"), Some(20), false))) // caught mislabel
+    assert(out(2) == ((3L, None, None, false)))
+    assert(out(3) == ((4L, None, None, false)))
+    // shuffle-free: one projection, no exchange, no join
+    val p = Multimodal.withSniffedHeaders(media)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange") && !p.contains("Join"), p.take(500))
+  }
 }

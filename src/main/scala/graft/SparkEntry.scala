@@ -1223,15 +1223,9 @@ object SparkEntry {
     // (T * isqrt(c)) div sum(isqrt); the draw is the deterministic
     // hash-rank (one exchange on the language key, quota table broadcast).
     "k04_temperature_mixture" -> ((s, dir) => {
-      def isqrt(c: Column): Column = {
-        val r0 = floor(sqrt(c.cast("double"))).cast("long")
-        when(r0 * r0 > c, r0 - 1L)
-          .when((r0 + 1L) * (r0 + 1L) <= c, r0 + 1L)
-          .otherwise(r0)
-      }
       val d = t(s, dir, "documents").select(col("doc_id"), col("lang"))
       val wts = d.groupBy("lang").agg(count(lit(1)).as("c"))
-        .withColumn("w", isqrt(col("c")))
+        .withColumn("w", TR.isqrt(col("c")))
       val tot = wts.agg(sum(col("w")).as("tot_w"))
       val quotas = wts.crossJoin(tot)
         .select(col("lang"), expr("(100 * w) div tot_w").as("quota"))

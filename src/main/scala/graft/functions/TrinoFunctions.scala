@@ -58,4 +58,15 @@ object TrinoFunctions {
     * result, then widen back to double. Used by oracle-checked aggregates. */
   def sumExact(c: Column, scale: Int = 4): Column =
     sum(c.cast(s"decimal(27,$scale)")).cast("double")
+
+  /** Exact integer square root of a non-negative BIGINT column: floor(sqrt)
+    * in doubles, then a +-1 correction for the values where the fp sqrt
+    * rounds across the integer boundary — bit-reproducible in any engine
+    * with the same CASE, unlike a bare floor(sqrt(x)). */
+  def isqrt(c: Column): Column = {
+    val r0 = floor(sqrt(c.cast("double"))).cast("long")
+    when(r0 * r0 > c, r0 - 1L)
+      .when((r0 + 1L) * (r0 + 1L) <= c, r0 + 1L)
+      .otherwise(r0)
+  }
 }

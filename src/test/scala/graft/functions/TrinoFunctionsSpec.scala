@@ -49,4 +49,22 @@ class TrinoFunctionsSpec extends AnyFunSuite with SparkSpec {
         "Europe/London").cast("long").as("r")).collect().head.getLong(0)
     assert(r == 962449200L) // 11:00 UTC (BST)
   }
+
+  test("isqrt is exact across fp-rounding boundaries") {
+    // small exhaustive range + the treacherous cases: perfect squares,
+    // squares +-1, and huge values where sqrt's double rounding drifts
+    val boundary = Seq(0L, 1L, 2L, 3L, 4L, 8L, 9L, 15L, 16L, 24L, 25L) ++
+      (1L to 2000L) ++
+      Seq(67108864L, 67108865L, // 8192^2, +1
+        4503599627370496L, 4503599627370495L, // 2^52, -1
+        (1L << 31) * (1L << 31) - 1L, // (2^31)^2 - 1
+        999999999999999999L)
+    val df = boundary.toDF("x")
+      .select(col("x"), TrinoFunctions.isqrt(col("x")).as("r"))
+    df.collect().foreach { row =>
+      val (x, r) = (row.getLong(0), row.getLong(1))
+      val expected = java.math.BigInteger.valueOf(x).sqrt().longValueExact()
+      assert(r == expected, s"isqrt($x) = $r, want $expected")
+    }
+  }
 }

@@ -839,6 +839,32 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // E11: ANN recall measurement — recall@5 of the trained IVF against
+    // brute-force ground truth, per query: the index-quality gate a real
+    // pipeline runs BEFORE deploying an approximate index. Membership-
+    // based (rank sets, not scores), so the comparison is integer-exact;
+    // the truth pass streams the corpus once against the broadcast query
+    // set, the IVF pass touches one cell per query.
+    "e11_ivf_recall" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val cents = Similarity.trainCentroids(emb, 8, 2)
+      val withCell = Similarity.withAssignedCells(emb, cents)
+      val q = emb.where(col("vec_id") < 10)
+      val truth = Similarity.knnBruteForce(emb, q, 5)
+        .select("query_id", "neighbor_id")
+      val approx = Similarity.knnIvf(withCell,
+          withCell.where(col("vec_id") < 10), "cell", 5)
+        .select("query_id", "neighbor_id")
+      val hits = truth.join(approx, Seq("query_id", "neighbor_id"))
+        .groupBy("query_id").agg(count(lit(1)).as("n_hits"))
+      q.select(col("vec_id").as("query_id"))
+        .join(hits, Seq("query_id"), "left")
+        .select(col("query_id"),
+          coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+          expr("(coalesce(n_hits, 0) * 1000000) div 5").as("recall_e6"))
+        .orderBy("query_id")
+    }),
+
     // D17: SemDeDup (Abbas et al. 2023) — semantic dedup through the trained
     // quantizer: k-means clusters bound the pair space, within-cluster
     // cosine >= τ marks the higher vec_id a duplicate of the lower. The
@@ -1531,6 +1557,43 @@ object SparkEntry {
         SELECT query_id, rank, neighbor_id, score
         FROM ranked WHERE rank <= $topK ORDER BY query_id, rank"""
 
+  /** e11: recall@topK of the trained IVF vs brute force — the e06 unroll's
+    * cell-restricted ranking intersected with the unrestricted ranking;
+    * membership-only compare, so integer-exact. */
+  private def ivfRecallOracle(k: Int, iters: Int, topK: Int): String =
+    s"""${kmeansOracle(k, iters)},
+        q AS (SELECT e.vec_id AS query_id, a.cell AS q_cell, e.embedding AS q_emb
+              FROM embeddings e JOIN afin a ON a.vec_id = e.vec_id
+              WHERE e.vec_id < 10),
+        iscored AS (
+          SELECT q.query_id, e.vec_id AS neighbor_id,
+                 ${duckCos("q.q_emb", "e.embedding")} AS score
+          FROM q JOIN embeddings e ON e.vec_id <> q.query_id
+                 JOIN afin ac ON ac.vec_id = e.vec_id AND ac.cell = q.q_cell),
+        ivf AS (SELECT query_id, neighbor_id FROM (
+                  SELECT query_id, neighbor_id,
+                         ROW_NUMBER() OVER (PARTITION BY query_id
+                           ORDER BY score DESC, neighbor_id ASC) AS rank
+                  FROM iscored) WHERE rank <= $topK),
+        bscored AS (
+          SELECT q.query_id, e.vec_id AS neighbor_id,
+                 ${duckCos("q.q_emb", "e.embedding")} AS score
+          FROM q JOIN embeddings e ON e.vec_id <> q.query_id),
+        truth AS (SELECT query_id, neighbor_id FROM (
+                    SELECT query_id, neighbor_id,
+                           ROW_NUMBER() OVER (PARTITION BY query_id
+                             ORDER BY score DESC, neighbor_id ASC) AS rank
+                    FROM bscored) WHERE rank <= $topK),
+        hits AS (SELECT t.query_id, COUNT(*) AS n_hits
+                 FROM truth t JOIN ivf i
+                   ON i.query_id = t.query_id AND i.neighbor_id = t.neighbor_id
+                 GROUP BY 1)
+        SELECT q.query_id, COALESCE(h.n_hits, 0) AS n_hits,
+               (COALESCE(h.n_hits, 0) * 1000000) // $topK AS recall_e6
+        FROM (SELECT vec_id AS query_id FROM embeddings WHERE vec_id < 10) q
+        LEFT JOIN hits h ON h.query_id = q.query_id
+        ORDER BY q.query_id"""
+
   /** d17: SemDeDup keep set — the k-means unroll's final assignment plus
     * the mirrored within-cluster pair/drop rule (higher vec_id of any
     * cosine>=τ same-cell pair is dropped). */
@@ -1647,6 +1710,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "e05_kmeans_ivf_cells" -> kmeansCellsOracle(8, 2),
     "e06_kmeans_ivf_topk" -> kmeansTopkOracle(8, 2, 5),
+    "e11_ivf_recall" -> ivfRecallOracle(8, 2, 5),
     "e07_hyperplane_lsh_near_dup" -> hyperplaneLshOracle(64, 8, 0.35),
     "d17_semdedup" -> semDedupOracle(8, 2, 0.35),
     "e08_pq_adc_topk" -> pqOracle(4, 16, 8, 1, 5),

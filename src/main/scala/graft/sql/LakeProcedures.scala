@@ -34,7 +34,7 @@ object LakeProcedures {
 
   def names: Seq[String] = Seq("compact", "compact_small_files",
     "expire_snapshots", "remove_orphan_files", "zorder", "history",
-    "rollback_to_snapshot")
+    "rollback_to_snapshot", "files")
 
   def load(root: String, name: String): Option[UnboundProcedure] = {
     def p(ps: Seq[ProcedureParameter])(run: (LakeTable, InternalRow) => String) =
@@ -79,6 +79,7 @@ object LakeProcedures {
         s"rolled back to snapshot ${in.getLong(1)}"
       }
       case "history" => Some(new LakeHistoryProcedure(root))
+      case "files" => Some(new LakeFilesProcedure(root))
       case _ => None
     }
   }
@@ -117,6 +118,55 @@ final class LakeHistoryProcedure(root: String)
     }.toArray
     Collections.singletonList[Scan](new LocalScan {
       override def rows(): Array[InternalRow] = historyRows
+      override def readSchema(): StructType = schema
+    }).iterator()
+  }
+}
+
+/** `CALL lake.system.files(`table` => 'ns.t')` — the current snapshot's
+  * manifest as a result set (Iceberg's `files` metadata table role): one
+  * row per live data file with row count, size, partition values, and the
+  * per-column bounds the scan pruner uses. Metadata-only — what an
+  * operator reads to judge compaction need and pruning effectiveness. */
+final class LakeFilesProcedure(root: String)
+  extends UnboundProcedure with BoundProcedure {
+
+  override def name(): String = "files"
+  override def description(): String = "current-snapshot data files, manifest view"
+  override def bind(inputType: StructType): BoundProcedure = this
+  override def parameters(): Array[ProcedureParameter] = Array(
+    ProcedureParameter.in("table", StringType)
+      .comment("table identifier under this catalog, e.g. 'ns.t'").build())
+  override def isDeterministic: Boolean = false
+
+  override def call(input: InternalRow): JIterator[Scan] = {
+    val tableIdent = input.getUTF8String(0).toString
+    val loc = (root +: tableIdent.split('.').toSeq).mkString("/")
+    val meta = LakeTable.load(SparkSession.active, loc).metadata
+    val schema = StructType(Seq(
+      StructField("file", StringType, nullable = false),
+      StructField("row_count", LongType, nullable = false),
+      StructField("size_bytes", LongType, nullable = false),
+      StructField("partition", StringType, nullable = true),
+      StructField("bounds", StringType, nullable = true)))
+    val fileRows = meta.currentSnapshot.map(_.files).getOrElse(Nil)
+      .sortBy(_.path).map { f =>
+        val part =
+          if (f.partitionValues.isEmpty) null
+          else UTF8String.fromString(f.partitionValues.toSeq.sortBy(_._1)
+            .map { case (k, v) => s"$k=${v.getOrElse("null")}" }.mkString(","))
+        val bounds =
+          if (f.stats.isEmpty) null
+          else UTF8String.fromString(f.stats.toSeq.sortBy(_._1)
+            .map { case (c, s) =>
+              s"$c:[${s.min.getOrElse("")}..${s.max.getOrElse("")}]" +
+                (if (s.nullCount > 0) s" nulls=${s.nullCount}" else "")
+            }.mkString("; "))
+        InternalRow(UTF8String.fromString(f.path), f.rowCount, f.sizeBytes,
+          part, bounds)
+      }.toArray
+    Collections.singletonList[Scan](new LocalScan {
+      override def rows(): Array[InternalRow] = fileRows
       override def readSchema(): StructType = schema
     }).iterator()
   }

@@ -142,6 +142,21 @@ class LakeSqlSpec extends AnyFunSuite with SparkSpec {
     assert(n == 5)
   }
 
+  test("CALL lake.system.files exposes the manifest: rows, sizes, bounds") {
+    root
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lake.nsf")
+    spark.sql("CREATE TABLE lake.nsf.f (id BIGINT, v STRING)")
+    spark.sql("INSERT INTO lake.nsf.f VALUES (1, 'a'), (2, 'b')")
+    spark.sql("INSERT INTO lake.nsf.f VALUES (30, 'z')")
+    val files = spark.sql("CALL lake.system.files(`table` => 'nsf.f')").collect()
+    assert(files.length >= 2)
+    assert(files.map(_.getLong(1)).sum == 3) // row counts
+    assert(files.forall(_.getLong(2) > 0)) // real byte sizes
+    // bounds string carries the id range the pruner uses
+    val allBounds = files.map(_.getString(4)).mkString(" ")
+    assert(allBounds.contains("id:[") && allBounds.contains("30"))
+  }
+
   test("CALL lake.system.rollback_to_snapshot restores through SQL") {
     root
     spark.sql("CREATE NAMESPACE IF NOT EXISTS lake.nsr")

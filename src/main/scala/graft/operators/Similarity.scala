@@ -168,26 +168,53 @@ object Similarity {
     * once; per-pair cost is m table lookups + m subDim-length loops. */
   def pqTopK(corpus: DataFrame, queries: DataFrame, m: Int, dim: Int,
              k: Int, iters: Int, topK: Int): DataFrame = {
+    val codebooks = trainPqCodebooks(corpus, m, dim, k, iters)
+    pqAdcSearch(encodePq(corpus, codebooks), codebooks, queries, topK)
+  }
+
+  /** Per-subspace trained PQ codebooks, collected in cell-id order; the
+    * encode step uses POSITIONS 0..n-1 (order-isomorphic to cell ids, so
+    * the argmin tie-break is preserved) to keep literal lookups dense even
+    * if a Lloyd iteration emptied a cell. `codebooks(s)(c)` is subspace
+    * s's centroid c (subDim doubles) — m×k×subDim total, driver-tiny. */
+  def trainPqCodebooks(corpus: DataFrame, m: Int, dim: Int,
+                       k: Int, iters: Int): Seq[Array[Array[Double]]] = {
     require(dim % m == 0, s"dim $dim must divide into $m subspaces")
     val subDim = dim / m
-    // per-subspace trained codebooks, collected in cell-id order; encode
-    // uses POSITIONS 0..n-1 (order-isomorphic to cell ids, so the argmin
-    // tie-break is preserved) to keep literal lookups dense even if a
-    // Lloyd iteration emptied a cell
-    val codebooks = (0 until m).map { s =>
+    (0 until m).map { s =>
       val sliced = corpus.select(col("vec_id"),
         slice(col("embedding"), s * subDim + 1, subDim).as("embedding"))
       trainCentroids(sliced, k, iters).select("cell", "c_emb")
         .collect().sortBy(_.getLong(0))
         .map(_.getSeq[Double](1).toArray)
     }
-    val encoded = corpus.select(col("vec_id").as("neighbor_id"),
+  }
+
+  /** Encode the corpus against trained codebooks: `(neighbor_id, codes)`
+    * where codes is m small ints — a SHUFFLE-FREE projection (m fused
+    * nearest-cell kernels per row). This is the persistable index: ~64x
+    * smaller than the raw vectors. */
+  def encodePq(corpus: DataFrame,
+               codebooks: Seq[Array[Array[Double]]]): DataFrame = {
+    val m = codebooks.size
+    val subDim = codebooks.head.head.length
+    corpus.select(col("vec_id").as("neighbor_id"),
       array((0 until m).map { s =>
         call_function("graft_nearest_cell",
           slice(col("embedding"), s * subDim + 1, subDim),
           lit(codebooks(s).indices.map(_.toLong).toArray),
           lit(codebooks(s).flatten))
       }: _*).as("codes"))
+  }
+
+  /** Asymmetric-distance top-k over an encoded corpus: broadcast queries,
+    * stream the coded rows once; per-pair cost is m lookups + m subDim
+    * loops. `encoded` may come straight from [[encodePq]] or be read back
+    * from a persisted index table. */
+  def pqAdcSearch(encoded: DataFrame, codebooks: Seq[Array[Array[Double]]],
+                  queries: DataFrame, topK: Int): DataFrame = {
+    val m = codebooks.size
+    val subDim = codebooks.head.head.length
     val q = broadcast(queries.select(col("vec_id").as("query_id"),
       col("embedding").as("q_emb")))
     val adc = (0 until m).map { s =>

@@ -719,7 +719,7 @@ object SparkEntry {
     // proves the prefilter is lossless (same oracle as d14).
     "d29_bloom_decontaminate" -> ((s, dir) =>
       Dedup.bloomDecontaminate(t(s, dir, "documents"), "doc_id", "text",
-          isBench = col("doc_id") % 97 === 0)
+          isBench = col("doc_id") % 97 === 0, cacheHook = registerCache)
         .orderBy("doc_id")),
 
     // D15: LSH pairs -> per-cluster canonical keeper via distributed

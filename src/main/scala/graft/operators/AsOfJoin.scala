@@ -31,12 +31,14 @@ object AsOfJoin {
     * at-or-before row either falls within the window or the left row
     * keeps nulls — never a further-back substitute. Output: every left
     * column, then `asof_<timeCol>` and `asof_<p>` per payload column. */
-  /** Internal working-column names. Reserved: inputs carrying any of these
-    * (or a left column colliding with an `asof_*` output) are rejected up
-    * front — silent shadowing would corrupt the match otherwise. */
+  /** Internal working-column names that appear in the initial selects.
+    * Inputs carrying any of these (or a left column colliding with an
+    * `asof_*` output) are rejected up front — silent shadowing would
+    * corrupt the match otherwise. (`__asof_m0`/`__asof_match` are added
+    * only AFTER the inputs are reduced to these five columns, so user
+    * columns with those names can never collide and are not reserved.) */
   private val Reserved =
-    Seq("__asof_k", "__asof_t", "__asof_side", "__asof_l", "__asof_r",
-      "__asof_m0", "__asof_match")
+    Seq("__asof_k", "__asof_t", "__asof_side", "__asof_l", "__asof_r")
 
   def asofBackward(left: DataFrame, right: DataFrame, keyCol: String,
                    timeCol: String, payloadCols: Seq[String],

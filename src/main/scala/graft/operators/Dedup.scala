@@ -314,11 +314,15 @@ object Dedup {
   def bloomDecontaminate(docs: DataFrame, idCol: String, textCol: String,
                          isBench: org.apache.spark.sql.Column,
                          fpp: Double = 0.01,
-                         expectedItems: Option[Long] = None): DataFrame = {
+                         expectedItems: Option[Long] = None,
+                         cacheHook: DataFrame => DataFrame = _.persist()): DataFrame = {
     val fps = winnowFingerprintRows(docs, idCol, textCol)
-    val bench = fps.where(isBench).select("fingerprint").distinct()
-    // Sizing action on the (small by construction) benchmark side only —
-    // production callers pass expectedItems to skip it.
+    // The benchmark fingerprint set (small by construction) feeds THREE
+    // consumers — the sizing count, the filter build, and the exact verify
+    // join — so it is cached through `cacheHook` (default: plain persist;
+    // harnesses pass their tracked-handle variant) rather than re-running
+    // the winnowing scan per consumer.
+    val bench = cacheHook(fps.where(isBench).select("fingerprint").distinct())
     val n = expectedItems.getOrElse(math.max(bench.count(), 1L))
     val bf = bench.stat.bloomFilter("fingerprint", n, fpp)
     val bos = new java.io.ByteArrayOutputStream()

@@ -91,6 +91,9 @@ object Multimodal {
       var i = 2
       while (i + 3 < p.length) {
         if (u8(i) != 0xff) return None // desynced marker stream
+        // spec-legal 0xFF fill bytes may pad before any marker
+        if (u8(i + 1) == 0xff) { i += 1 }
+        else {
         val m = u8(i + 1)
         if (m == 0xd8 || (m >= 0xd0 && m <= 0xd7) || m == 0x01) {
           i += 2 // standalone markers carry no length
@@ -104,6 +107,7 @@ object Multimodal {
           val len = be16(i + 2)
           if (len < 2) return None
           i += 2 + len
+        }
         }
       }
       return None

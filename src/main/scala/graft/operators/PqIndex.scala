@@ -26,16 +26,17 @@ object PqIndex {
     StructField("c_emb", ArrayType(DoubleType), nullable = false)))
 
   /** Train codebooks and encode `corpus`; persist both under
-    * `location/codes` and `location/codebooks` (replace semantics —
-    * rebuilding an index is atomic). Returns the trained codebooks. */
+    * `location/codes` and `location/codebooks`. The two tables are
+    * separate transactions, so cross-table consistency comes from a
+    * shared `pq.build_id` stamp: codebooks commit FIRST, codes last, and
+    * [[search]] refuses to serve when the stamps disagree — a crash or
+    * concurrent read between the two commits fails loudly instead of
+    * silently decoding codes against the wrong centroids. Returns the
+    * trained codebooks. */
   def build(spark: SparkSession, corpus: DataFrame, location: String,
             m: Int, dim: Int, k: Int, iters: Int): Seq[Array[Array[Double]]] = {
     val codebooks = Similarity.trainPqCodebooks(corpus, m, dim, k, iters)
-    val codes = Similarity.encodePq(corpus, codebooks)
-    val codesTable = LakeTable.ensure(spark, s"$location/codes", codes.schema)
-    codesTable.write(codes, "replace",
-      properties = Map("pq.m" -> m.toString, "pq.dim" -> dim.toString,
-        "pq.k" -> k.toString))
+    val buildId = java.util.UUID.randomUUID().toString
     val cbRows = for {
       (cb, s) <- codebooks.zipWithIndex
       (cent, c) <- cb.zipWithIndex
@@ -43,25 +44,45 @@ object PqIndex {
     val cbDf = spark.createDataFrame(
       java.util.Arrays.asList(cbRows: _*), CodebookSchema)
     LakeTable.ensure(spark, s"$location/codebooks", CodebookSchema)
-      .write(cbDf, "replace")
+      .write(cbDf, "replace", properties = Map("pq.build_id" -> buildId))
+    val codes = Similarity.encodePq(corpus, codebooks)
+    val codesTable = LakeTable.ensure(spark, s"$location/codes", codes.schema)
+    codesTable.write(codes, "replace",
+      properties = Map("pq.m" -> m.toString, "pq.dim" -> dim.toString,
+        "pq.k" -> k.toString, "pq.build_id" -> buildId))
     codebooks
   }
 
-  /** Read the codebooks back from the persisted index (driver-tiny). */
-  def loadCodebooks(spark: SparkSession, location: String): Seq[Array[Array[Double]]] = {
-    val rows = LakeTable.load(spark, s"$location/codebooks").read()
+  /** Read the codebooks back from the persisted index (driver-tiny),
+    * with the build id they were committed under. */
+  def loadCodebooks(spark: SparkSession, location: String): Seq[Array[Array[Double]]] =
+    loadCodebooksStamped(spark, location)._1
+
+  private def loadCodebooksStamped(spark: SparkSession,
+                                   location: String): (Seq[Array[Array[Double]]], String) = {
+    val table = LakeTable.load(spark, s"$location/codebooks")
+    val rows = table.read()
       .collect().map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
-    rows.groupBy(_._1).toSeq.sortBy(_._1).map { case (_, cells) =>
+    val cbs = rows.groupBy(_._1).toSeq.sortBy(_._1).map { case (_, cells) =>
       cells.sortBy(_._2).map(_._3)
     }
+    (cbs, table.metadata.properties.getOrElse("pq.build_id", ""))
   }
 
   /** Serve top-k from the persisted index: the coded corpus streams from
-    * the lake table's manifest-backed scan; raw embeddings are never read. */
+    * the lake table's manifest-backed scan; raw embeddings are never read.
+    * Fails if the codes and codebook tables carry different build stamps
+    * (interrupted or in-flight rebuild). */
   def search(spark: SparkSession, location: String, queries: DataFrame,
              topK: Int): DataFrame = {
-    val codebooks = loadCodebooks(spark, location)
-    val encoded = LakeTable.load(spark, s"$location/codes").read()
-    Similarity.pqAdcSearch(encoded, codebooks, queries, topK)
+    val (codebooks, cbBuild) = loadCodebooksStamped(spark, location)
+    val codesTable = LakeTable.load(spark, s"$location/codes")
+    val codesBuild = codesTable.metadata.properties.getOrElse("pq.build_id", "")
+    if (cbBuild != codesBuild)
+      throw new IllegalStateException(
+        s"PQ index at '$location' is inconsistent: codes build '$codesBuild' " +
+          s"vs codebooks build '$cbBuild' — a rebuild is in flight or failed " +
+          "between its two commits; re-run build()")
+    Similarity.pqAdcSearch(codesTable.read(), codebooks, queries, topK)
   }
 }

@@ -120,6 +120,12 @@ final class ModelGraph(models: Seq[Model]) {
               else table.write(delta, "append")
               table.read()
           }
+        case ("incremental", None) =>
+          // a silent fall-through to the view case would full-rebuild via
+          // m.build every run and ignore incrementalBuild entirely
+          throw new IllegalStateException(
+            s"Model '${m.name}' is materialized='incremental' but run() got " +
+              "no catalog — incremental materialization needs a target table")
         case ("table", Some((cat, wh, ns))) =>
           val df = m.build(spark, resolve)
           val table = cat.ensureTable(spark, wh, m.schema.getOrElse(ns), m.name,

@@ -83,11 +83,19 @@ class AsOfJoinSpec extends AnyFunSuite with SparkSpec {
       AsOfJoin.asofBackward(clash, right, "k", "t", Seq("payload"))
     }
     assert(e.getMessage.contains("__asof_t"))
-    val clashR = right.withColumn("__asof_m0", right("t"))
+    val clashR = right.withColumn("__asof_side", right("t"))
     val e2 = intercept[IllegalArgumentException] {
       AsOfJoin.asofBackward(left, clashR, "k", "t", Seq("payload"))
     }
-    assert(e2.getMessage.contains("__asof_m0"))
+    assert(e2.getMessage.contains("__asof_side"))
+    // __asof_m0/__asof_match are introduced only after the inputs are
+    // reduced to the five select-time columns — user columns with those
+    // names cannot collide, so they are NOT reserved
+    val fine = right.withColumn("__asof_m0", right("t"))
+    val out = AsOfJoin.asofBackward(left, fine, "k", "t", Seq("payload"))
+      .orderBy("event_id").collect()
+    assert(out.map(r => Option(r.get(4))).toSeq ==
+      Seq(Some("b"), Some("a"), None, Some("d"), None))
   }
 
   test("left columns colliding with asof_ outputs are rejected, not shadowed") {

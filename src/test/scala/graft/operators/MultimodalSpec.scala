@@ -97,6 +97,10 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
     // desynced JPEG marker stream
     assert(Multimodal.sniffImageHeader(
       Array(0xff, 0xd8, 0x00, 0x10).map(_.toByte)).isEmpty)
+    // spec-legal 0xFF fill bytes before a marker must not desync the walk
+    val jb = jpegBytes(40, 30)
+    val padded = jb.take(2) ++ Array(0xff.toByte, 0xff.toByte) ++ jb.drop(2)
+    assert(Multimodal.sniffImageHeader(padded) == Some(("jpeg", 40, 30)))
   }
 
   test("withSniffedHeaders validates payloads against declared metadata") {

@@ -61,4 +61,17 @@ class PqIndexSpec extends AnyFunSuite with SparkSpec {
       .orderBy("query_id", "rank").collect().toSeq
     assert(again == direct)
   }
+
+  test("mismatched build stamps fail serving instead of decoding wrong") {
+    val loc = tmpDir("pq_index_stamp")
+    PqIndex.build(spark, corpus, loc, m = 4, dim = dim, k = 8, iters = 1)
+    // simulate a rebuild that died between its two commits: the codes
+    // table carries a newer build id than the codebooks table
+    graft.tables.LakeTable.load(spark, s"$loc/codes")
+      .writeProperties(Map("pq.build_id" -> "in-flight-rebuild"))
+    val e = intercept[IllegalStateException] {
+      PqIndex.search(spark, loc, corpus.where(col("vec_id") < 2), topK = 3)
+    }
+    assert(e.getMessage.contains("inconsistent"))
+  }
 }

@@ -98,4 +98,14 @@ class IncrementalModelSpec extends AnyFunSuite with SparkSpec {
     }
     assert(e.getMessage.contains("incrementalBuild"))
   }
+
+  test("incremental without a catalog fails instead of view-rebuilding") {
+    val g = new ModelGraph(Seq(Model("m", Nil, (_, _) => events((1L, 1L, 1L)),
+      materialized = "incremental",
+      incrementalBuild = Some((_, _, _) => events((1L, 1L, 1L))))))
+    val e = intercept[IllegalStateException] {
+      g.run(spark, Map.empty, catalog = None)
+    }
+    assert(e.getMessage.contains("no catalog"))
+  }
 }

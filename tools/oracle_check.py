@@ -52,12 +52,23 @@ for name, sql in sorted(oracle.items()):
         print(f"{name}: ERROR {e}"); bad += 1; continue
     rows = len(spark_df) == len(ora_df)
     cols = list(spark_df.columns) == list(ora_df.columns)
-    # align dtypes the way the driver's value-hash effectively does
+    # Align numeric representations without masking real value drift:
+    # int-vs-int unifies to int64; float on either side compares both as
+    # float64 (rendered %.9g below, so 2 vs 2.7 still differs). Never cast
+    # a float oracle down to the Spark int dtype — that would truncate a
+    # genuine mismatch into a pass.
     for c in spark_df.columns.intersection(ora_df.columns):
-        try:
-            ora_df[c] = ora_df[c].astype(spark_df[c].dtype)
-        except Exception:
-            pass
+        s, o = spark_df[c], ora_df[c]
+        if pd.api.types.is_numeric_dtype(s) and pd.api.types.is_numeric_dtype(o):
+            if pd.api.types.is_integer_dtype(s) and pd.api.types.is_integer_dtype(o):
+                spark_df[c] = s.astype("int64")
+                ora_df[c] = o.astype("int64")
+            else:
+                spark_df[c] = s.astype("float64")
+                ora_df[c] = o.astype("float64")
+        elif pd.api.types.is_bool_dtype(s) or pd.api.types.is_bool_dtype(o):
+            spark_df[c] = s.astype("bool")
+            ora_df[c] = o.astype("bool")
     hm = rows and cols and h(spark_df) == h(ora_df)
     if rows and cols and hm:
         ok += 1
@@ -71,3 +82,4 @@ for name, sql in sorted(oracle.items()):
             if merged is not None and not merged.empty:
                 print(merged.head(5))
 print(f"OK={ok} BAD={bad}")
+sys.exit(1 if bad else 0)

@@ -60,9 +60,14 @@ object LakeProcedures {
         t.expireSnapshots(Maintenance.parseRetention(retention))
         s"expired snapshots older than $retention"
       }
-      case "remove_orphan_files" => p(Seq(table)) { (t, _) =>
-        val removed = t.removeOrphanFiles()
-        s"removed ${removed.size} orphan file(s)"
+      case "remove_orphan_files" => p(Seq(table,
+        ProcedureParameter.in("older_than", StringType)
+          .comment("grace window; unreferenced files younger than this " +
+            "may belong to in-flight commits and are kept")
+          .defaultValue("'3d'").build())) { (t, in) =>
+        val grace = in.getUTF8String(1).toString
+        val removed = t.removeOrphanFiles(Maintenance.parseRetention(grace))
+        s"removed ${removed.size} orphan file(s) older than $grace"
       }
       case "zorder" => p(Seq(table,
         ProcedureParameter.in("columns", StringType)

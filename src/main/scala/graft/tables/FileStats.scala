@@ -47,7 +47,10 @@ object FileStats {
     }
     case _: TimestampType => v match {
       case t: java.sql.Timestamp =>
-        Some((math.multiplyExact(t.getTime / 1000L, 1000000L) +
+        // floorDiv, not /: getTime truncates toward zero, so pre-epoch
+        // fractional seconds would otherwise encode non-monotonically
+        // (-0.5s as +0.5s) and mis-prune files
+        Some((math.multiplyExact(Math.floorDiv(t.getTime, 1000L), 1000000L) +
           t.getNanos / 1000L).toString)
       case t: java.time.Instant =>
         Some((math.multiplyExact(t.getEpochSecond, 1000000L) +

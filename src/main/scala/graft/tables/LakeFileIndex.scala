@@ -63,8 +63,15 @@ final class LakeFileIndex(
     if (partitionSchema.isEmpty)
       return Seq(PartitionDirectory(InternalRow.empty, kept.map(fileStatus).toArray))
 
+    // legacy bare-path manifest entries carry no partitionValues; re-parse
+    // them from the Hive-style path so their rows keep real partition
+    // values (grouping them under the null partition would both return
+    // nulls and let identity-partition filters prune their rows away)
+    def valuesOf(f: DataFile): Map[String, Option[String]] =
+      if (f.partitionValues.nonEmpty) f.partitionValues
+      else LakeTable.partitionValuesOf(f.path)
     val groups = kept.groupBy(f =>
-      partitionSchema.fieldNames.toSeq.map(f.partitionValues.getOrElse(_, None)))
+      partitionSchema.fieldNames.toSeq.map(valuesOf(f).getOrElse(_, None)))
     val dirs = groups.toSeq.map { case (vals, fs) => (partitionRow(vals), fs) }
     val pruned =
       if (partitionFilters.isEmpty) dirs

@@ -85,6 +85,21 @@ final class LakeTable private (spark: SparkSession, val location: String) {
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
   }
 
+  /** Re-create a missing VERSION hint: a creator crashing between the
+    * v1.json link and the hint write leaves the table committed but
+    * hint-less; any later load repairs it. Idempotent, racy-safe (the
+    * hint is advisory — readers probe past it anyway). */
+  private[tables] def repairVersionHint(): Unit = {
+    if (Files.exists(metadataDir.resolve("VERSION"))) return
+    val v = version
+    if (v <= 0) return
+    val vtmp = metadataDir.resolve(
+      s"VERSION.tmp-${java.util.UUID.randomUUID().toString.take(8)}")
+    Files.write(vtmp, v.toString.getBytes)
+    Files.move(vtmp, metadataDir.resolve("VERSION"),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
+
   /** Retry loop for metadata-only transactions (properties, DDL, snapshot
     * expiry): these rebase trivially — re-read, re-apply, re-CAS. */
   private def commitRetry(f: TableMetadata => TableMetadata): Unit = {
@@ -245,9 +260,12 @@ final class LakeTable private (spark: SparkSession, val location: String) {
   def write(df: DataFrame, mode: String,
             mergeOn: Seq[String] = Nil,
             properties: Map[String, String] = Map.empty): Unit = {
-    if (df.isEmpty) return // L4: skip-empty
     mode match {
+      // L4 skip-empty for appends is enforced AFTER the write (zero rows
+      // written -> no commit, directory cleaned): an isEmpty pre-probe
+      // would execute the source plan twice per INSERT
       case "append" => append(df, properties)
+      case _ if df.isEmpty => // L4: skip-empty (io.py:86-88)
       case "replace" => replace(df, properties)
       case "merge" =>
         // Keyless merge falls back to the table's stored identifier fields
@@ -755,6 +773,13 @@ final class LakeTable private (spark: SparkSession, val location: String) {
                               base0: Int, meta0: TableMetadata,
                               snapRel: String): Unit = {
     val newFiles = newFileEntries(snapRel, meta0)
+    // L4 skip-empty, enforced post-write: a zero-row append commits
+    // nothing and leaves no snapshot directory behind. (Post-write, not a
+    // df.isEmpty pre-probe, so the source plan executes exactly once.)
+    if (op == "append" && newFiles.forall(_.rowCount == 0)) {
+      deleteRecursively(Paths.get(location, snapRel))
+      return
+    }
     var base = base0
     var meta = meta0
     var attempt = 0
@@ -832,20 +857,17 @@ final class LakeTable private (spark: SparkSession, val location: String) {
     rels.map { rel =>
       statsByRel.get(rel) match {
         case Some((n, stats)) => DataFile(rel, n, partByRel(rel), stats, sizeByRel(rel))
-        case None => DataFile(rel, -1L, partByRel(rel), Map.empty, sizeByRel(rel))
+        case None =>
+          // absent from the grouped stats = the file contributed no rows
+          // (usually a zero-row part file) OR its URI didn't match back;
+          // count it directly — one tiny single-file job in a rare path —
+          // so the manifest rowCount stays trustworthy
+          val n = try spark.read.schema(StructType(fileFields))
+            .parquet(s"$location/$rel").count() catch { case _: Exception => -1L }
+          DataFile(rel, n, partByRel(rel), Map.empty, sizeByRel(rel))
       }
     }
   }
-
-  /** Hive-style partition values from a file's relative path
-    * (`data/snap-N/col=value/...`); `__HIVE_DEFAULT_PARTITION__` is null. */
-  private def partitionValuesOf(rel: String): Map[String, Option[String]] =
-    rel.split("/").dropRight(1).filter(_.contains("=")).map { seg =>
-      val eq = seg.indexOf('=')
-      val name = unescapePathName(seg.substring(0, eq))
-      val raw = unescapePathName(seg.substring(eq + 1))
-      name -> (if (raw == "__HIVE_DEFAULT_PARTITION__") None else Some(raw))
-    }.toMap
 
   // ---- maintenance (R9) ---------------------------------------------
 
@@ -988,13 +1010,24 @@ final class LakeTable private (spark: SparkSession, val location: String) {
         s.id == meta.currentSnapshotId || s.timestampMs >= cutoff))
     }
 
-  /** Delete data files not referenced by any retained snapshot. */
-  def removeOrphanFiles(): Seq[String] = {
+  /** Delete data files not referenced by any retained snapshot and older
+    * than the grace window. The window (Iceberg's `older_than`, default
+    * 3 days there too) is what makes GC safe against concurrent writers:
+    * a writer that has finished its parquet write but not yet CASed its
+    * metadata has files that look orphaned — deleting them would corrupt
+    * its commit. Only files whose mtime predates the window can be real
+    * orphans (crashed writers, lost commit races). */
+  def removeOrphanFiles(olderThanMs: Long = DefaultOrphanGraceMs,
+                        nowMs: Long = System.currentTimeMillis()): Seq[String] = {
     val meta = metadata
     val referenced = meta.snapshots.flatMap(_.paths).toSet
     if (!Files.exists(dataDir)) return Nil
+    val cutoff = nowMs - olderThanMs
     val all = listParquet(dataDir).map(p => Paths.get(location).relativize(p).toString)
-    val orphans = all.filterNot(referenced.contains)
+    val orphans = all.filterNot(referenced.contains).filter { f =>
+      try Files.getLastModifiedTime(Paths.get(location, f)).toMillis <= cutoff
+      catch { case _: Exception => false } // already gone / unreadable: skip
+    }
     orphans.foreach(f => Files.deleteIfExists(Paths.get(location, f)))
     orphans
   }
@@ -1023,6 +1056,16 @@ object LakeTable {
     * task per partition — Iceberg's `write.distribution-mode=hash`). */
   val PropDistributionMode = "write.distribution-mode"
 
+  /** Hive-style partition values from a file's relative path
+    * (`data/snap-N/col=value/...`); `__HIVE_DEFAULT_PARTITION__` is null. */
+  private[tables] def partitionValuesOf(rel: String): Map[String, Option[String]] =
+    rel.split("/").dropRight(1).filter(_.contains("=")).map { seg =>
+      val eq = seg.indexOf('=')
+      val name = unescapePathName(seg.substring(0, eq))
+      val raw = unescapePathName(seg.substring(eq + 1))
+      name -> (if (raw == "__HIVE_DEFAULT_PARTITION__") None else Some(raw))
+    }.toMap
+
   /** Reverse of Spark/Hive partition-path escaping (%XX sequences). */
   private[tables] def unescapePathName(s: String): String = {
     if (!s.contains('%')) return s
@@ -1047,12 +1090,21 @@ object LakeTable {
     finally s.close()
   }
 
+  /** Grace window before an unreferenced data file counts as an orphan. */
+  val DefaultOrphanGraceMs: Long = 3L * 86400000L
+
+  /** The VERSION hint is written AFTER the v1 commit link — a creator
+    * crashing in between leaves a durably committed table, so existence
+    * must also probe the commit log itself. */
   def exists(location: String): Boolean =
-    Files.exists(Paths.get(location, "metadata", "VERSION"))
+    Files.exists(Paths.get(location, "metadata", "VERSION")) ||
+      Files.exists(Paths.get(location, "metadata", "v1.json"))
 
   def load(spark: SparkSession, location: String): LakeTable = {
     require(exists(location), s"No such table: $location")
-    new LakeTable(spark, location)
+    val t = new LakeTable(spark, location)
+    t.repairVersionHint()
+    t
   }
 
   /** Create the table on first write with schema + specs, else load and

@@ -311,26 +311,39 @@ object Dedup {
     * the sketch survivors, so false positives cannot leak into the result
     * — output is identical to the exact-join formulation, row for row.
     * `isBench` is a predicate over the renamed `doc_id` column. */
+  /** Default cache for [[bloomDecontaminate]]'s benchmark set. Kept as a
+    * named sentinel so the function can tell "library-owned cache" (must
+    * be released before returning) from a harness-supplied hook (the
+    * harness owns the release). */
+  private val OwnedBenchCache: DataFrame => DataFrame = _.persist()
+
   def bloomDecontaminate(docs: DataFrame, idCol: String, textCol: String,
                          isBench: org.apache.spark.sql.Column,
                          fpp: Double = 0.01,
                          expectedItems: Option[Long] = None,
-                         cacheHook: DataFrame => DataFrame = _.persist()): DataFrame = {
+                         cacheHook: DataFrame => DataFrame = OwnedBenchCache): DataFrame = {
     val fps = winnowFingerprintRows(docs, idCol, textCol)
     // The benchmark fingerprint set (small by construction) feeds THREE
     // consumers — the sizing count, the filter build, and the exact verify
-    // join — so it is cached through `cacheHook` (default: plain persist;
-    // harnesses pass their tracked-handle variant) rather than re-running
-    // the winnowing scan per consumer.
-    val bench = cacheHook(fps.where(isBench).select("fingerprint").distinct())
+    // join. The first two are eager, so they always run against a cached
+    // copy. With the default (library-owned) cache, that copy is released
+    // as soon as the eager consumers are done and the lazy verify join
+    // recomputes the bench side once at materialization (a bench-only
+    // winnow scan) — direct callers never leak a persisted dataset. A
+    // harness-supplied hook keeps the cache through the join and owns its
+    // release.
+    val owned = cacheHook eq OwnedBenchCache
+    val benchSet = fps.where(isBench).select("fingerprint").distinct()
+    val bench = cacheHook(benchSet)
     val n = expectedItems.getOrElse(math.max(bench.count(), 1L))
     val bf = bench.stat.bloomFilter("fingerprint", n, fpp)
+    if (owned) bench.unpersist()
     val bos = new java.io.ByteArrayOutputStream()
     bf.writeTo(bos)
     val prefiltered = fps.where(!isBench)
       .where(call_function("graft_bloom_might_contain",
         col("fingerprint"), lit(bos.toByteArray)))
-    prefiltered.join(bench, "fingerprint")
+    prefiltered.join(if (owned) benchSet else bench, "fingerprint")
       .select("doc_id").distinct()
   }
 

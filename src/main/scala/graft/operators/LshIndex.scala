@@ -45,14 +45,20 @@ object LshIndex {
             thresholdNum: Int = 4, thresholdDen: Int = 5): DataFrame = {
     val bandsTable = LakeTable.load(spark, s"$location/bands")
     val shsTable = LakeTable.load(spark, s"$location/shingles")
-    val b1 = bandsTable.metadata.properties.getOrElse("lsh.build_id", "")
-    val b2 = shsTable.metadata.properties.getOrElse("lsh.build_id", "")
+    // One metadata read per table pins stamp + snapshot together; the scans
+    // below go through readAt so a rebuild landing mid-probe cannot pair
+    // old bands with new shingle sets (see PqIndex.search).
+    val bandsMeta = bandsTable.metadata
+    val shsMeta = shsTable.metadata
+    val b1 = bandsMeta.properties.getOrElse("lsh.build_id", "")
+    val b2 = shsMeta.properties.getOrElse("lsh.build_id", "")
     if (b1 != b2)
       throw new IllegalStateException(
         s"LSH index at '$location' is inconsistent: bands build '$b1' vs " +
           s"shingles build '$b2' — a rebuild is in flight or failed between " +
           "its two commits; re-run build()")
     Dedup.probeLshIndex(batch, idCol, textCol,
-      bandsTable.read(), shsTable.read(), thresholdNum, thresholdDen)
+      bandsTable.readAt(bandsMeta.currentSnapshotId),
+      shsTable.readAt(shsMeta.currentSnapshotId), thresholdNum, thresholdDen)
   }
 }

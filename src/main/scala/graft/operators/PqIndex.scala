@@ -61,12 +61,16 @@ object PqIndex {
   private def loadCodebooksStamped(spark: SparkSession,
                                    location: String): (Seq[Array[Array[Double]]], String) = {
     val table = LakeTable.load(spark, s"$location/codebooks")
-    val rows = table.read()
+    // One metadata read pins BOTH the stamp and the snapshot the rows come
+    // from — a rebuild committing between the two would otherwise pair old
+    // centroids with its new stamp (or vice versa).
+    val meta = table.metadata
+    val rows = table.readAt(meta.currentSnapshotId)
       .collect().map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
     val cbs = rows.groupBy(_._1).toSeq.sortBy(_._1).map { case (_, cells) =>
       cells.sortBy(_._2).map(_._3)
     }
-    (cbs, table.metadata.properties.getOrElse("pq.build_id", ""))
+    (cbs, meta.properties.getOrElse("pq.build_id", ""))
   }
 
   /** Serve top-k from the persisted index: the coded corpus streams from
@@ -77,12 +81,18 @@ object PqIndex {
              topK: Int): DataFrame = {
     val (codebooks, cbBuild) = loadCodebooksStamped(spark, location)
     val codesTable = LakeTable.load(spark, s"$location/codes")
-    val codesBuild = codesTable.metadata.properties.getOrElse("pq.build_id", "")
+    // Stamp check and data scan must come from ONE metadata read: a rebuild
+    // committing between them would serve new codes against the
+    // already-collected old codebooks — silent wrong decode. readAt pins
+    // the scan to the snapshot the stamp was read from.
+    val codesMeta = codesTable.metadata
+    val codesBuild = codesMeta.properties.getOrElse("pq.build_id", "")
     if (cbBuild != codesBuild)
       throw new IllegalStateException(
         s"PQ index at '$location' is inconsistent: codes build '$codesBuild' " +
           s"vs codebooks build '$cbBuild' — a rebuild is in flight or failed " +
           "between its two commits; re-run build()")
-    Similarity.pqAdcSearch(codesTable.read(), codebooks, queries, topK)
+    Similarity.pqAdcSearch(codesTable.readAt(codesMeta.currentSnapshotId),
+      codebooks, queries, topK)
   }
 }

@@ -265,7 +265,13 @@ final class LakeTable private (spark: SparkSession, val location: String) {
       // written -> no commit, directory cleaned): an isEmpty pre-probe
       // would execute the source plan twice per INSERT
       case "append" => append(df, properties)
-      case _ if df.isEmpty => // L4: skip-empty (io.py:86-88)
+      case "replace" | "merge" if df.isEmpty =>
+        // L4: skip-empty (io.py:86-88) — data is skipped, but the
+        // properties payload still commits: an index rebuild over an empty
+        // corpus must refresh its build stamp, not leave a stale one.
+        // Unknown mode strings fall through to the error below even when
+        // the frame is empty.
+        if (properties.nonEmpty) writeProperties(properties)
       case "replace" => replace(df, properties)
       case "merge" =>
         // Keyless merge falls back to the table's stored identifier fields

@@ -116,9 +116,14 @@ class LakeSqlSpec extends AnyFunSuite with SparkSpec {
     // replace leaves orphan candidates once snapshots expire
     spark.sql("INSERT OVERWRITE lake.nsp.m SELECT id, 'x' FROM range(1, 10)")
     spark.sql("CALL lake.system.expire_snapshots(`table` => 'nsp.m', retention => '0s')")
-    val orph = spark.sql("CALL lake.system.remove_orphan_files(`table` => 'nsp.m')")
+    // default 3d grace window keeps the fresh orphans
+    val kept = spark.sql("CALL lake.system.remove_orphan_files(`table` => 'nsp.m')")
       .head.getString(0)
-    assert(orph.matches("removed [1-9]\\d* orphan file\\(s\\)"), orph)
+    assert(kept.startsWith("removed 0 orphan"), kept)
+    val orph = spark.sql(
+      "CALL lake.system.remove_orphan_files(`table` => 'nsp.m', older_than => '0s')")
+      .head.getString(0)
+    assert(orph.matches("removed [1-9]\\d* orphan file\\(s\\).*"), orph)
     assert(spark.sql("SELECT count(*) FROM lake.nsp.m").head.getLong(0) == 9)
     val e = intercept[Exception](spark.sql("CALL lake.system.nope()"))
     assert(e.getMessage.contains("Failed to load routine"), e.getMessage)

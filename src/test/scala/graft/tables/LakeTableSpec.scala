@@ -2,6 +2,8 @@ package graft.tables
 
 import java.nio.file.{Files, Paths}
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.Row
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
@@ -517,9 +519,36 @@ class LakeTableSpec extends AnyFunSuite with SparkSpec {
     assert(t.metadata.snapshots.size == 2)
     t.expireSnapshots(olderThanMs = 0L, nowMs = System.currentTimeMillis() + 1000000)
     assert(t.metadata.snapshots.map(_.id) == Seq(1L))
-    val orphans = t.removeOrphanFiles()
+    // fresh orphans sit inside the default 3d grace window: kept
+    assert(t.removeOrphanFiles().isEmpty)
+    val orphans = t.removeOrphanFiles(olderThanMs = 0L)
     assert(orphans.nonEmpty) // snap-0 data files deleted
     assert(names(loc) == Seq("b")) // current data intact
+  }
+
+  test("orphan GC grace window keeps young files, deletes backdated ones") {
+    val loc = tmpDir("lt_grace")
+    val df = Seq((1L, "a")).toDF("id", "name")
+    val t = LakeTable.ensure(spark, loc, df.schema)
+    t.write(df, "append")
+    t.write(Seq((2L, "b")).toDF("id", "name"), "replace")
+    t.expireSnapshots(olderThanMs = 0L, nowMs = System.currentTimeMillis() + 1000000)
+    def diskParquet() = Files.walk(Paths.get(loc, "data")).iterator().asScala
+      .filter(_.toString.endsWith(".parquet")).toSeq
+    val before = diskParquet().size
+    // an unreferenced file younger than the grace window may belong to an
+    // in-flight commit — default GC must not touch it
+    assert(t.removeOrphanFiles().isEmpty)
+    assert(diskParquet().size == before)
+    // backdate the orphan past the window: now it is a real orphan
+    val orphan = diskParquet()
+      .find(p => !t.metadata.currentSnapshot.get.paths.exists(p.toString.endsWith)).get
+    Files.setLastModifiedTime(orphan,
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - LakeTable.DefaultOrphanGraceMs - 60000L))
+    assert(t.removeOrphanFiles().nonEmpty)
+    assert(diskParquet().size == before - 1)
+    assert(names(loc) == Seq("b"))
   }
 
   test("compact rewrites many small files into few") {

@@ -46,7 +46,11 @@ for name, sql in sorted(oracle.items()):
     if not files:
         print(f"{name}: NO SPARK OUTPUT"); bad += 1; continue
     try:
-        spark_df = norm(pd.concat([pd.read_parquet(f) for f in files]))
+        # sorted(files) + ignore_index: a query whose output spans >1 part
+        # file must not hash in arbitrary glob order or carry per-file
+        # indexes into the compare.
+        spark_df = norm(pd.concat(
+            [pd.read_parquet(f) for f in sorted(files)], ignore_index=True))
         ora_df = norm(con.execute(sql).df())
     except Exception as e:
         print(f"{name}: ERROR {e}"); bad += 1; continue
@@ -69,6 +73,12 @@ for name, sql in sorted(oracle.items()):
         elif pd.api.types.is_bool_dtype(s) or pd.api.types.is_bool_dtype(o):
             spark_df[c] = s.astype("bool")
             ora_df[c] = o.astype("bool")
+    if rows and cols:
+        # Row order across part files is not meaningful — sort both frames
+        # on all columns before hashing so a multi-file dump can't false-FAIL.
+        key = list(spark_df.columns)
+        spark_df = spark_df.sort_values(key, ignore_index=True)
+        ora_df = ora_df.sort_values(key, ignore_index=True)
     hm = rows and cols and h(spark_df) == h(ora_df)
     if rows and cols and hm:
         ok += 1
@@ -78,8 +88,11 @@ for name, sql in sorted(oracle.items()):
         if not cols:
             print("  spark:", list(spark_df.columns), "\n  ora:  ", list(ora_df.columns))
         if rows and cols and not hm:
-            merged = spark_df.compare(ora_df) if len(spark_df)==len(ora_df) else None
-            if merged is not None and not merged.empty:
-                print(merged.head(5))
+            try:  # diagnostic only — never abort the remaining compares
+                merged = spark_df.compare(ora_df)
+                if not merged.empty:
+                    print(merged.head(5))
+            except Exception as e:
+                print(f"  (diff diagnostic unavailable: {e})")
 print(f"OK={ok} BAD={bad}")
 sys.exit(1 if bad else 0)

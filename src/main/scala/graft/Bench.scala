@@ -28,6 +28,9 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // Local iteration aid: bench only a comma-separated subset.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -37,16 +40,23 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = headline.flatMap { name =>
+    val results = headline.filter(n => only.forall(_.contains(n))).flatMap { name =>
       SparkEntry.queries.get(name).map { fn =>
         // Warm the JVM/page cache once so numbers measure the engine, not
-        // first-touch classloading; then time a full materialization.
+        // first-touch classloading; then report the MEDIAN of three timed
+        // materializations — single-shot timings on a shared box have
+        // produced 2x phantom regressions round-over-round.
         try {
           fn(spark, sfDir).write.format("noop").mode("overwrite").save()
           SparkEntry.releaseCaches()
-          val t0 = System.nanoTime()
-          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-          name -> (System.nanoTime() - t0) / 1e9
+          val times = (1 to 3).map { _ =>
+            val t0 = System.nanoTime()
+            fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+            val t = (System.nanoTime() - t0) / 1e9
+            SparkEntry.releaseCaches()
+            t
+          }
+          name -> times.sorted.apply(1)
         } catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
           name -> -1.0

@@ -607,16 +607,16 @@ object SparkEntry {
 
     // K2: deterministic stratified sampling — k docs per (lang, source)
     // stratum ranked by a content-independent hash, the "N examples per
-    // domain" op of training-data curation. One shuffle on the strata;
-    // per-group state is bounded by k.
+    // domain" op of training-data curation. Salted two-level rank
+    // (BoundedRank): even a stratum holding half the corpus never sorts in
+    // one task; per-key final state is bounded by salts * k.
     "k02_group_sample" -> ((s, dir) => {
       val d = t(s, dir, "documents")
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("lang", "source")
-        .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
-      d.select(col("lang"), col("source"), col("doc_id"))
-        .withColumn("rk", row_number().over(w).cast("long"))
-        .where(col("rk") <= 3)
+      graft.operators.BoundedRank.topKPerKey(
+          d.select(col("lang"), col("source"), col("doc_id")),
+          Seq("lang", "source"),
+          Seq(md5(col("doc_id").cast("string")), col("doc_id")), k = 3)
+        .select(col("lang"), col("source"), col("doc_id"), col("rk"))
         .orderBy("lang", "source", "rk")
     }),
 
@@ -1247,7 +1247,10 @@ object SparkEntry {
     // that up-weights low-resource slices when mixing corpora). Integer-
     // exact: isqrt via floor(sqrt) with a +-1 fp correction, quota =
     // (T * isqrt(c)) div sum(isqrt); the draw is the deterministic
-    // hash-rank (one exchange on the language key, quota table broadcast).
+    // hash-rank, computed with the salted two-level BoundedRank (quota <=
+    // 100 = T, so ranking to T suffices) — at 100 TB the dominant language
+    // holds ~half the corpus and a plain per-language window would sort it
+    // in ONE task to keep <= 100 rows. Quota table broadcast.
     "k04_temperature_mixture" -> ((s, dir) => {
       val d = t(s, dir, "documents").select(col("doc_id"), col("lang"))
       val wts = d.groupBy("lang").agg(count(lit(1)).as("c"))
@@ -1255,10 +1258,8 @@ object SparkEntry {
       val tot = wts.agg(sum(col("w")).as("tot_w"))
       val quotas = wts.crossJoin(tot)
         .select(col("lang"), expr("(100 * w) div tot_w").as("quota"))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("lang")
-        .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
-      d.withColumn("rk", row_number().over(w).cast("long"))
+      graft.operators.BoundedRank.topKPerKey(d, Seq("lang"),
+          Seq(md5(col("doc_id").cast("string")), col("doc_id")), k = 100)
         .join(broadcast(quotas), "lang")
         .where(col("rk") <= col("quota"))
         .select(col("lang"), col("doc_id"), col("rk"))

@@ -302,6 +302,12 @@ object Dedup {
           .as("containment_e6"))
   }
 
+  /** Default cache for [[bloomDecontaminate]]'s benchmark set. Kept as a
+    * named sentinel so the function can tell "library-owned cache" (must
+    * be released before returning) from a harness-supplied hook (the
+    * harness owns the release). */
+  private val OwnedBenchCache: DataFrame => DataFrame = _.persist()
+
   /** Benchmark decontamination with a broadcast Bloom-sketch prefilter —
     * the 100 TB form of the fingerprint-overlap purge: instead of
     * broadcasting (or shuffling) the exact benchmark fingerprint set into
@@ -311,12 +317,6 @@ object Dedup {
     * the sketch survivors, so false positives cannot leak into the result
     * — output is identical to the exact-join formulation, row for row.
     * `isBench` is a predicate over the renamed `doc_id` column. */
-  /** Default cache for [[bloomDecontaminate]]'s benchmark set. Kept as a
-    * named sentinel so the function can tell "library-owned cache" (must
-    * be released before returning) from a harness-supplied hook (the
-    * harness owns the release). */
-  private val OwnedBenchCache: DataFrame => DataFrame = _.persist()
-
   def bloomDecontaminate(docs: DataFrame, idCol: String, textCol: String,
                          isBench: org.apache.spark.sql.Column,
                          fpp: Double = 0.01,

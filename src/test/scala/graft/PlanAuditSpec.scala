@@ -164,6 +164,20 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
       p.contains("BroadcastNestedLoopJoin"), p.take(800))
   }
 
+  test("sampler ranks never sort a whole key in one task (salted BoundedRank)") {
+    // The full-corpus window must partition by (key..., salt); only the
+    // bounded candidate set (<= salts * k rows per key) may be windowed by
+    // the bare key. A plain per-lang row_number here is the 100 TB
+    // one-task-sorts-half-the-corpus failure.
+    for (q <- Seq("k04_temperature_mixture", "k02_group_sample")) {
+      val p = plan(q)
+      val windows = "Window .*".r.findAllIn(p).toSeq
+      assert(windows.size == 2, s"$q: expected 2-level rank, got:\n$p")
+      assert(windows.count(_.contains("__brk_salt")) == 1,
+        s"$q: full-data window is not salted:\n${windows.mkString("\n")}")
+    }
+  }
+
   test("trained-quantizer paths contain no per-iteration corpus join") {
     // Round-5 regression lock: trainCentroids must attach assignments in
     // the training-set scan (fused kernel), never by self-joining the

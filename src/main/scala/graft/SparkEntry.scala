@@ -1266,6 +1266,41 @@ object SparkEntry {
         .orderBy("lang", "rk")
     }),
 
+    // M1: REAL raster decode round-trip, oracle-gated. Each doc becomes a
+    // 16x16 image whose pixel (x,y) carries a known per-channel formula;
+    // even ids encode as uncompressed BMP, odd ids as zlib-deflated PNG
+    // (RasterCodec — dependency-free). decodeRasterFeatures must recover
+    // the analytic per-channel sums EXACTLY through the full byte path:
+    // header parse, (for PNG) Inflater + scanline un-filter, BGR/padding/
+    // bottom-up handling for BMP. The oracle computes the same sums
+    // straight from the formula — any codec bug breaks the hash match.
+    "m01_raster_decode" -> ((s, dir) => {
+      import s.implicits._
+      val W = 16; val H = 16
+      val media = t(s, dir, "documents").select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { id =>
+          val rgb = new Array[Byte](W * H * 3)
+          var y = 0
+          while (y < H) {
+            var x = 0
+            while (x < W) {
+              val p = (y * W + x) * 3
+              rgb(p) = ((id + x) % 256).toByte
+              rgb(p + 1) = ((id + y) % 256).toByte
+              rgb(p + 2) = ((x * y + id) % 256).toByte
+              x += 1
+            }
+            y += 1
+          }
+          val payload =
+            if (id % 2 == 0) graft.operators.RasterCodec.encodeBmp(W, H, rgb)
+            else graft.operators.RasterCodec.encodePng(W, H, rgb)
+          (id, payload)
+        }).toDF("media_id", "payload")
+      graft.operators.Multimodal.decodeRasterFeatures(s, media).toDF()
+        .orderBy("media_id")
+    }),
+
     // EV06: weekly cohort retention — users bucketed by first-seen week,
     // distinct-active counts per (cohort, week). Two key-shuffles (first
     // week, cohort grid), both with partial aggregation; the user_id join
@@ -2437,6 +2472,18 @@ object SparkEntry {
          FROM r JOIN q ON q.lang = r.lang
          WHERE r.rk <= q.quota
          ORDER BY r.lang, r.rk""",
+
+    "m01_raster_decode" ->
+      """SELECT d.doc_id AS media_id,
+           CASE WHEN d.doc_id % 2 = 0 THEN 'bmp' ELSE 'png' END AS fmt,
+           16 AS width, 16 AS height,
+           CAST(SUM((d.doc_id + x.r) % 256) AS BIGINT) AS sum_r,
+           CAST(SUM((d.doc_id + y.r) % 256) AS BIGINT) AS sum_g,
+           CAST(SUM((x.r * y.r + d.doc_id) % 256) AS BIGINT) AS sum_b
+         FROM documents d
+         CROSS JOIN range(0, 16) x(r)
+         CROSS JOIN range(0, 16) y(r)
+         GROUP BY 1, 2 ORDER BY media_id""",
 
     "ev06_retention" ->
       """WITH ev AS (SELECT user_id, date_trunc('week', ts) AS wk FROM events),

@@ -49,7 +49,11 @@ object Multimodal {
   }
 
   /** Partition-parallel decode + feature extraction over the binary column
-    * (the Scala shape of a pandas-UDF `mapInPandas` batch fn). */
+    * (the Scala shape of a pandas-UDF `mapInPandas` batch fn). BMP and PNG
+    * payloads decode FOR REAL ([[RasterCodec]] — no media library needed)
+    * and pool a 16-bin grayscale pixel histogram with the true dimensions;
+    * payloads needing a codec (JPEG/GIF/audio/video) fall back to the
+    * deterministic stub over the raw bytes with the declared dimensions. */
   def decodeFeatures(spark: SparkSession, media: DataFrame): Dataset[DecodedFeatures] = {
     import spark.implicits._
     media
@@ -58,7 +62,64 @@ object Multimodal {
         coalesce(col("meta.width"), lit(0)).as("w"),
         coalesce(col("meta.height"), lit(0)).as("h"))
       .as[(Long, Array[Byte], Int, Int)]
-      .mapPartitions(_.map { case (id, bytes, w, h) => stubDecode(id, bytes, w, h) })
+      .mapPartitions(_.map { case (id, bytes, w, h) =>
+        RasterCodec.decode(bytes) match {
+          case Some(r) =>
+            val hist = new Array[Float](16)
+            var i = 0
+            val n = r.width * r.height
+            while (i < n) {
+              // integer luma (Rec.601 weights scaled by 256)
+              val base = i * r.channels
+              val gray =
+                if (r.channels >= 3)
+                  (77 * (r.data(base) & 0xff) + 150 * (r.data(base + 1) & 0xff) +
+                    29 * (r.data(base + 2) & 0xff)) >> 8
+                else r.data(base) & 0xff
+              hist(gray / 16) += 1f
+              i += 1
+            }
+            DecodedFeatures(id, r.width, r.height, bytes.length.toLong,
+              hist.map(_ / math.max(1, n)))
+          case None => stubDecode(id, bytes, w, h)
+        }
+      })
+  }
+
+  /** Integer-exact raster features from the REAL decode path: per-channel
+    * pixel sums + true dimensions, None for undecodable payloads. Exact
+    * integers make this oracle-checkable: a synthetic image built from a
+    * known formula must decode back to the formula's analytic sums. */
+  final case class RasterFeatures(media_id: Long, fmt: String,
+                                  width: Int, height: Int,
+                                  sum_r: Long, sum_g: Long, sum_b: Long)
+
+  def decodeRasterFeatures(spark: SparkSession, media: DataFrame): Dataset[RasterFeatures] = {
+    import spark.implicits._
+    media
+      .where(col("payload").isNotNull)
+      .select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        for {
+          (fmt, _, _) <- sniffImageHeader(bytes)
+          r <- RasterCodec.decode(bytes)
+        } yield {
+          val sums = new Array[Long](3)
+          var i = 0
+          val n = r.width * r.height
+          while (i < n) {
+            val base = i * r.channels
+            var c = 0
+            while (c < 3) {
+              sums(c) += (r.data(base + (if (r.channels >= 3) c else 0)) & 0xff)
+              c += 1
+            }
+            i += 1
+          }
+          RasterFeatures(id, fmt, r.width, r.height, sums(0), sums(1), sums(2))
+        }
+      })
   }
 
   /** REAL (dependency-free) header decode: container format and pixel

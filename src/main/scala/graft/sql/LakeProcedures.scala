@@ -34,7 +34,7 @@ object LakeProcedures {
 
   def names: Seq[String] = Seq("compact", "compact_small_files",
     "expire_snapshots", "remove_orphan_files", "zorder", "history",
-    "rollback_to_snapshot", "files")
+    "rollback_to_snapshot", "files", "expire_metadata")
 
   def load(root: String, name: String): Option[UnboundProcedure] = {
     def p(ps: Seq[ProcedureParameter])(run: (LakeTable, InternalRow) => String) =
@@ -76,6 +76,12 @@ object LakeProcedures {
         val cols = in.getUTF8String(1).toString.split(",").map(_.trim).toSeq
         t.zorderBy(cols, in.getInt(2))
         s"z-ordered by ${cols.mkString(", ")}"
+      }
+      case "expire_metadata" => p(Seq(table,
+        intArg("keep_versions", LakeTable.DefaultKeepMetadataVersions.toString))) { (t, in) =>
+        val removed = t.expireMetadataVersions(in.getInt(1))
+        s"removed ${removed.size} metadata version file(s), " +
+          s"kept last ${in.getInt(1)}"
       }
       case "rollback_to_snapshot" => p(Seq(table,
         ProcedureParameter.in("snapshot_id", LongType)

@@ -45,7 +45,26 @@ final class LakeTable private (spark: SparkSession, val location: String) {
     val vf = metadataDir.resolve("VERSION")
     var v = if (Files.exists(vf)) new String(Files.readAllBytes(vf)).trim.toInt else 0
     while (Files.exists(metadataDir.resolve(s"v${v + 1}.json"))) v += 1
-    v
+    if (v == 0 || Files.exists(metadataDir.resolve(s"v$v.json"))) v
+    else {
+      // A last-writer-wins hint regression can point below the floor that
+      // expireMetadataVersions trimmed to, breaking forward probing (the
+      // chain has a gap). The committed files are still the truth — recover
+      // from a directory listing.
+      val VFile = """v(\d+)\.json""".r
+      val stream = Files.list(metadataDir)
+      try {
+        val it = stream.iterator()
+        var best = 0
+        while (it.hasNext) {
+          it.next().getFileName.toString match {
+            case VFile(n) => best = math.max(best, n.toInt)
+            case _ =>
+          }
+        }
+        best
+      } finally stream.close()
+    }
   }
 
   def metadata: TableMetadata = metadataAt._2
@@ -1037,6 +1056,34 @@ final class LakeTable private (spark: SparkSession, val location: String) {
     orphans.foreach(f => Files.deleteIfExists(Paths.get(location, f)))
     orphans
   }
+
+  /** Metadata-history compaction — the single-level-manifest analog of the
+    * reference's Trino `optimize_manifests` pass (`elt-common/.../iceberg/
+    * maintenance/__init__.py:34-51`) combined with Iceberg's
+    * `write.metadata.previous-versions-max` cleanup: every commit leaves a
+    * complete `v{N}.json`, so a long-lived table accumulates one metadata
+    * file per commit while readers only ever need the chain from the
+    * VERSION hint forward. Deletes committed version files below the last
+    * `keepVersions`, hint-first so new readers never start probing below
+    * the retained floor. Like snapshot expiry, this trades time travel
+    * into the trimmed range for bounded metadata. Returns deleted names. */
+  def expireMetadataVersions(keepVersions: Int = LakeTable.DefaultKeepMetadataVersions): Seq[String] = {
+    require(keepVersions >= 1, s"keepVersions must be >= 1, got $keepVersions")
+    val cur = version
+    val floor = cur - keepVersions + 1 // retain [floor, cur]
+    if (floor <= 1) return Nil
+    // Refresh the hint BEFORE deleting: a reader that loads the hint after
+    // this point starts at `cur` and never touches the trimmed range.
+    val vtmp = metadataDir.resolve(
+      s"VERSION.tmp-${java.util.UUID.randomUUID().toString.take(8)}")
+    Files.write(vtmp, cur.toString.getBytes)
+    Files.move(vtmp, metadataDir.resolve("VERSION"),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    (1 until floor).flatMap { v =>
+      if (Files.deleteIfExists(metadataDir.resolve(s"v$v.json"))) Some(s"v$v.json")
+      else None
+    }
+  }
 }
 
 /** An optimistic commit lost its compare-and-swap race and could not be
@@ -1098,6 +1145,11 @@ object LakeTable {
 
   /** Grace window before an unreferenced data file counts as an orphan. */
   val DefaultOrphanGraceMs: Long = 3L * 86400000L
+
+  /** Committed metadata versions kept by [[LakeTable.expireMetadataVersions]]
+    * (Iceberg keeps 100 by default via previous-versions-max; the margin
+    * also absorbs hint regressions from slow concurrent writers). */
+  val DefaultKeepMetadataVersions: Int = 100
 
   /** The VERSION hint is written AFTER the v1 commit link — a creator
     * crashing in between leaves a durably committed table, so existence

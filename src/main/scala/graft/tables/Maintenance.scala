@@ -48,7 +48,9 @@ object Maintenance {
         }
         table.expireSnapshots(retentionMs)
         val orphans = table.removeOrphanFiles()
-        Result(t, ok = true, s"compacted; ${orphans.size} orphan files removed")
+        val trimmed = table.expireMetadataVersions()
+        Result(t, ok = true, s"compacted; ${orphans.size} orphan files removed; " +
+          s"${trimmed.size} metadata versions trimmed")
       } catch {
         case e: Exception => Result(t, ok = false, e.toString)
       }

@@ -127,6 +127,13 @@ class LakeSqlSpec extends AnyFunSuite with SparkSpec {
     assert(spark.sql("SELECT count(*) FROM lake.nsp.m").head.getLong(0) == 9)
     val e = intercept[Exception](spark.sql("CALL lake.system.nope()"))
     assert(e.getMessage.contains("Failed to load routine"), e.getMessage)
+    // metadata-history compaction: the INSERTs above left a v*.json per
+    // commit; keep only the last 2
+    val meta = spark.sql(
+      "CALL lake.system.expire_metadata(`table` => 'nsp.m', keep_versions => 2)")
+      .head.getString(0)
+    assert(meta.matches("removed [1-9]\\d* metadata version file\\(s\\).*"), meta)
+    assert(spark.sql("SELECT count(*) FROM lake.nsp.m").head.getLong(0) == 9)
   }
 
   test("CALL lake.system.history lists the commit log; ids work in VERSION AS OF") {

@@ -551,6 +551,25 @@ class LakeTableSpec extends AnyFunSuite with SparkSpec {
     assert(names(loc) == Seq("b"))
   }
 
+  test("expireMetadataVersions trims the commit-log chain, readers recover") {
+    val loc = tmpDir("lt_metagc")
+    val t = LakeTable.ensure(spark, loc, Seq((1L, "a")).toDF("id", "name").schema)
+    (1L to 6L).foreach(i => t.write(Seq((i, s"n$i")).toDF("id", "name"), "append"))
+    assert(t.version == 7) // create + 6 appends
+    val removed = t.expireMetadataVersions(keepVersions = 2)
+    assert(removed == (1 to 5).map(v => s"v$v.json"))
+    assert(!Files.exists(Paths.get(loc, "metadata", "v5.json")))
+    assert(Files.exists(Paths.get(loc, "metadata", "v6.json")))
+    assert(t.version == 7 && t.read().count() == 6) // current state intact
+    // keepVersions covering the whole chain is a no-op
+    assert(t.expireMetadataVersions(keepVersions = 50).isEmpty)
+    // a hint regressed below the trimmed floor still resolves via the
+    // directory-listing fallback
+    Files.write(Paths.get(loc, "metadata", "VERSION"), "1".getBytes)
+    assert(t.version == 7)
+    assert(t.read().count() == 6)
+  }
+
   test("compact rewrites many small files into few") {
     val loc = tmpDir("lt_compact")
     val df = (1L to 100L).map(i => (i, s"n$i")).toDF("id", "name").repartition(8)

@@ -1,15 +1,20 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Spreadsheet-style tabular reads (F4): the reference reads Excel exports
+/** Spreadsheet-style tabular reads (F4): the reference reads Excel workbooks
   * with `skiprows`, header-less sheets with explicit column names, forced
   * string dtypes (format drift protection), and column renames
   * (`accelerator_sharepoint.py:26-81`, `electricity_sharepoint.py:168-173`).
-  * There is no Excel reader on a Spark classpath by design — sheet exports
-  * are declared as CSV (SURVEY §2.2 F4) and this source reproduces the same
-  * read options over them.
+  * Two physical formats feed one logical read:
+  *
+  *   - CSV sheet exports (SURVEY §2.2 F4's declared form), and
+  *   - real `.xlsx` workbooks via [[XlsxReader]] (zip + JDK DOM, no new
+  *     dependency), whose cells are rendered to the same line shape.
+  *
+  * Both funnel through one Spark CSV parse, so every `SheetConfig` option
+  * behaves identically over either format.
   */
 object SheetSource {
 
@@ -17,18 +22,29 @@ object SheetSource {
       skipRows: Int = 0,
       columnNames: Seq[String] = Nil, // non-empty => header-less read
       forceString: Set[String] = Set.empty, // dtype=str overrides
-      rename: Map[String, String] = Map.empty)
+      rename: Map[String, String] = Map.empty,
+      sheet: Option[String] = None) // xlsx only: sheet name (default first)
 
   def read(spark: SparkSession, path: String, config: SheetConfig): DataFrame = {
     import spark.implicits._
-    // skiprows: drop the first N physical lines before parsing. coalesce(1)
-    // makes "first N lines" well-defined — monotonically_increasing_id is
-    // only line-ordered within one partition. Sheet exports are small
-    // single files by nature; this is not a big-data path.
-    val lines = spark.read.textFile(path).coalesce(1)
-      .withColumn("__idx", monotonically_increasing_id())
-    val body = lines.where(col("__idx") >= config.skipRows)
-      .orderBy("__idx").select("value").as[String]
+    val body: Dataset[String] =
+      if (path.toLowerCase.endsWith(".xlsx")) {
+        // Driver-side parse of a small single workbook (like pandas), then
+        // the rows join the distributed CSV parse below. skiprows counts
+        // sheet rows, same as physical lines on the CSV path.
+        val rows = XlsxReader.readRows(path, config.sheet).drop(config.skipRows)
+        spark.createDataset(rows.map(_.map(csvEscape).mkString(",")))
+      } else {
+        // skiprows: drop the first N physical lines before parsing.
+        // coalesce(1) makes "first N lines" well-defined —
+        // monotonically_increasing_id is only line-ordered within one
+        // partition. Sheet exports are small single files by nature; this
+        // is not a big-data path.
+        spark.read.textFile(path).coalesce(1)
+          .withColumn("__idx", monotonically_increasing_id())
+          .where(col("__idx") >= config.skipRows)
+          .orderBy("__idx").select("value").as[String]
+      }
 
     val hasHeader = config.columnNames.isEmpty
     var df = spark.read
@@ -46,4 +62,9 @@ object SheetSource {
     }
     config.rename.foldLeft(df) { case (d, (from, to)) => d.withColumnRenamed(from, to) }
   }
+
+  private def csvEscape(s: String): String =
+    if (s.exists(ch => ch == ',' || ch == '"' || ch == '\n' || ch == '\r'))
+      "\"" + s.replace("\"", "\"\"") + "\""
+    else s
 }

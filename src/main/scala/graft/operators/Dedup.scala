@@ -397,25 +397,45 @@ object Dedup {
     def labelSumOf(df: DataFrame): java.math.BigDecimal =
       df.agg(sum(col("cluster_id").cast("decimal(38,0)"))).head().getDecimal(0)
 
-    var labels = edges.select(col("src").as("doc_id")).distinct()
-      .withColumn("cluster_id", col("doc_id"))
-      .localCheckpoint()
+    // Checkpoint, keeping a handle to the persisted RDD: localCheckpoint
+    // buries it inside the resulting LogicalRDD where Dataset.unpersist
+    // can't reach (the cache manager has no entry), so each round's label
+    // blocks would sit in the block manager until a driver GC collects the
+    // dropped Dataset — N rounds of dead blocks on a long-lived app. With
+    // the handle, the loop frees round i as soon as round i+1 is
+    // materialized; live checkpoint state is ONE round's labels.
+    def checkpointOwned(df: DataFrame): (DataFrame, Option[org.apache.spark.rdd.RDD[_]]) = {
+      val ck = df.localCheckpoint() // eager: truncates next round's lineage
+      val handle = ck.queryExecution.logical match {
+        case lr: org.apache.spark.sql.execution.LogicalRDD => Some(lr.rdd)
+        case _ => None // plan shape changed across Spark versions: GC path
+      }
+      (ck, handle)
+    }
+
+    var (labels, labelsRdd) = checkpointOwned(
+      edges.select(col("src").as("doc_id")).distinct()
+        .withColumn("cluster_id", col("doc_id")))
     var labelSum = labelSumOf(labels)
     var converged = false
     var iters = 0
     while (!converged && iters < maxIters) {
       val pushed = edges.join(labels, edges("src") === labels("doc_id"))
         .select(col("dst").as("doc_id"), col("cluster_id"))
-      val next = labels.select("doc_id", "cluster_id").union(pushed)
-        .groupBy("doc_id").agg(min("cluster_id").as("cluster_id"))
-        .localCheckpoint()
+      val (next, nextRdd) = checkpointOwned(
+        labels.select("doc_id", "cluster_id").union(pushed)
+          .groupBy("doc_id").agg(min("cluster_id").as("cluster_id")))
       val nextSum = labelSumOf(next)
+      labelsRdd.foreach(_.unpersist(blocking = false)) // prev round: consumed
       labels = next
+      labelsRdd = nextRdd
       converged = nextSum.compareTo(labelSum) == 0
       labelSum = nextSum
       iters += 1
     }
     edges.unpersist()
+    // The FINAL round's checkpoint backs the returned frame and stays
+    // persisted; the ContextCleaner reclaims it once the result is dropped.
 
     val sizes = labels.groupBy("cluster_id")
       .agg(count(lit(1)).as("cluster_size"))

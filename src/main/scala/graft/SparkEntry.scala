@@ -61,7 +61,8 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     queries("q12_join_multi")(spark, "/root/testdata/sf0.001")
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    graft.streaming.StreamingGates.queries ++ Map(
 
     // ---- aggregation / scan layer ------------------------------------
     // TPC-H-Q1-shaped agg; reference pattern: EAV pivot + grouped measures
@@ -1329,6 +1330,11 @@ object SparkEntry {
         .orderBy("rf", "ls"))
   )
 
+  // the T1/T2 streaming paths driven end to end (readStream file source ->
+  // stateful agg / flatMapGroupsWithState -> sink) against batch SQL
+  // oracles; prepended so the literal above keeps its expected-type-driven
+  // lambda inference
+
   /** The corpus-clean stages shared by d11 (final keep set) and d24 (per-
     * stage counts): d09 quality rule -> exact dedup (keep lowest id per
     * digest) -> MinHash near-dup prune (drop every doc_b of a pair). */
@@ -1743,7 +1749,8 @@ object SparkEntry {
         ORDER BY vec_a, vec_b"""
   }
 
-  def oracleSql: Map[String, String] = Map(
+  def oracleSql: Map[String, String] =
+    graft.streaming.StreamingGates.oracleSql ++ Map(
     "e05_kmeans_ivf_cells" -> kmeansCellsOracle(8, 2),
     "e06_kmeans_ivf_topk" -> kmeansTopkOracle(8, 2, 5),
     "e11_ivf_recall" -> ivfRecallOracle(8, 2, 5),

@@ -1,0 +1,161 @@
+package graft.streaming
+
+import java.nio.file.{Files, Path}
+import java.nio.file.attribute.FileTime
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType, TimestampType}
+
+/** Oracle gates for the Structured-Streaming paths (T1/T2): the streaming
+  * machinery — file-source offsets, state store, watermark advance,
+  * event-time timeouts, append/complete sinks — driven end to end over the
+  * driver's events table and compared row-for-row against batch DuckDB SQL.
+  * The streams are deterministic by construction:
+  *
+  *  - t01 processes the whole table in ONE AvailableNow micro-batch with a
+  *    complete-mode aggregation (no watermark dependence at all);
+  *  - t02 pins micro-batch boundaries with `maxFilesPerTrigger=1` over
+  *    mtime-ordered files, so the watermark sequence (and therefore every
+  *    state timeout) is a pure function of the data: the real events land
+  *    in batch 1, then two far-future sentinel files advance the watermark
+  *    twice, flushing every open session (sessions ending within the gap of
+  *    batch N's max timestamp survive batch N+1's watermark, hence TWO
+  *    advances; the sentinel user is excluded from the output).
+  */
+object StreamingGates {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // T1: streaming tumbling aggregation — readStream over the events
+    // parquet, per-(hour, event_type) counts as a stateful streaming agg,
+    // complete mode into a memory sink. Same partial-agg shuffle shape as
+    // the batch plan; the state store holds one row per open group.
+    "t01_stream_window" -> ((s, dir) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val path = s"$dir/events.parquet"
+      val schema = s.read.parquet(path).schema // ts as LongType (nanos)
+      // the file source wants a DIRECTORY: stage the table as one symlink
+      val in = freshDir("graft_t01_in")
+      Files.createSymbolicLink(in.resolve("events.parquet"),
+        java.nio.file.Paths.get(path))
+      val sink = freshName("t01_sink")
+      val q = s.readStream.schema(schema).parquet(in.toString)
+        .select(expr("ts div 3600000000000").as("hour_bucket"), col("event_type"))
+        .groupBy("hour_bucket", "event_type")
+        .agg(count(lit(1)).as("n"))
+        .writeStream
+        .trigger(Trigger.AvailableNow())
+        .outputMode("complete")
+        .option("checkpointLocation", freshDir("graft_t01_ck").toString)
+        .format("memory").queryName(sink)
+        .start()
+      q.awaitTermination()
+      s.table(sink).orderBy("hour_bucket", "event_type")
+    }),
+
+    // T2: streaming gap-sessionization (flatMapGroupsWithState, event-time
+    // timeout) must reproduce the batch ev01 lag/gap/running-sum semantics
+    // EXACTLY — same oracle SQL. The stream runs in a scaled time domain
+    // (1 stream-ms = 1 real µs; gap and lateness scaled identically) so the
+    // ms-granular state arithmetic compares µs-exactly against the oracle.
+    "t02_stream_sessionize" -> ((s, dir) => {
+      import s.implicits._
+      val gapUs = 1800L * 1000000L
+      val ev = graft.Tables.events(s, dir)
+        .select(col("user_id"), col("ts_us"), col("value"))
+      val maxUs = ev.agg(max("ts_us")).head.getLong(0)
+      val in = freshDir("graft_t02_in")
+      val evScaled = ev.select(col("user_id"),
+        expr("timestamp_millis(ts_us)").as("ts"), col("value"))
+      writeWave(evScaled, in, "w1.parquet", mtimeSec = 1000)
+      val sentinelSchema = evScaled.schema
+      def sentinel(tsUs: Long): DataFrame =
+        s.createDataFrame(java.util.Arrays.asList(
+          org.apache.spark.sql.Row(-1L, new java.sql.Timestamp(tsUs), 0.0)),
+          sentinelSchema)
+      writeWave(sentinel(maxUs + 10 * gapUs), in, "w2.parquet", mtimeSec = 2000)
+      writeWave(sentinel(maxUs + 20 * gapUs), in, "w3.parquet", mtimeSec = 3000)
+
+      val schema = StructType(Seq(
+        StructField("user_id", LongType), StructField("ts", TimestampType),
+        StructField("value", DoubleType)))
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in.toString)
+        .as[StreamingSessionize.Event]
+      // gapSeconds in the scaled domain: 1 800 000 scaled-seconds = the
+      // real 1800 s gap expressed in µs-as-ms
+      val sessions = StreamingSessionize.sessionize(s, stream,
+        gapSeconds = 1800000L, lateness = "0 seconds")
+      val sink = freshName("t02_sink")
+      val q = sessions.toDF().writeStream
+        .trigger(Trigger.AvailableNow())
+        .outputMode("append")
+        .option("checkpointLocation", freshDir("graft_t02_ck").toString)
+        .format("memory").queryName(sink)
+        .start()
+      q.awaitTermination()
+      s.table(sink).where(col("user_id") >= 0L)
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_sessions"), sum("n_events").as("n_events"))
+        .orderBy("user_id")
+    })
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "t01_stream_window" ->
+      """SELECT epoch_ns(ts) // 3600000000000 AS hour_bucket, event_type,
+           COUNT(*) AS n
+         FROM events GROUP BY 1, 2 ORDER BY hour_bucket, event_type""",
+
+    // identical text to the batch ev01 oracle: the streaming path must
+    // reproduce batch sessionization row for row
+    "t02_stream_sessionize" ->
+      """WITH ev AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events),
+         lagged AS (
+           SELECT user_id, ts_us,
+                  LAG(ts_us, 1) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS prev_us
+           FROM ev),
+         flagged AS (
+           SELECT user_id, ts_us,
+                  CASE WHEN prev_us IS NULL OR ts_us - prev_us > 1800000000 THEN 1 ELSE 0 END AS new_sess
+           FROM lagged),
+         sess AS (
+           SELECT user_id,
+                  SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us
+                                      ROWS UNBOUNDED PRECEDING) AS sess_id
+           FROM flagged)
+         SELECT user_id, CAST(MAX(sess_id) AS BIGINT) AS n_sessions, COUNT(*) AS n_events
+         FROM sess GROUP BY user_id ORDER BY user_id"""
+  )
+
+  /** One wave = one parquet FILE with a pinned mtime, so
+    * `maxFilesPerTrigger=1` yields one micro-batch per wave in wave order
+    * (the file source orders by modification time). */
+  private def writeWave(df: DataFrame, dir: Path, name: String,
+                        mtimeSec: Long): Unit = {
+    val stage = freshDir("graft_wave")
+    df.coalesce(1).write.mode("overwrite").parquet(stage.toString)
+    val part = Files.list(stage).iterator()
+    var src: Path = null
+    while (part.hasNext) {
+      val p = part.next()
+      if (p.getFileName.toString.endsWith(".parquet")) src = p
+    }
+    require(src != null, s"no parquet part written under $stage")
+    val dst = dir.resolve(name)
+    Files.move(src, dst)
+    Files.setLastModifiedTime(dst, FileTime.fromMillis(mtimeSec * 1000L))
+  }
+
+  private def freshName(prefix: String): String =
+    prefix + "_" + java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+
+  private def freshDir(prefix: String): Path = {
+    val p = Files.createTempDirectory(prefix)
+    p.toFile.deleteOnExit()
+    p
+  }
+}

@@ -810,6 +810,23 @@ object SparkEntry {
         "doc_id", "text", "is_new")
         .orderBy("doc_id")),
 
+    // D30: the same probe THROUGH the persisted index — build lands the
+    // capped band keys + shingle sets as transactional lake tables, the
+    // batch probes the stored tables (band-key matches only). Unlike d23,
+    // the df-cap here spans the INDEXED corpus alone (the index guards
+    // itself; a batch is small by construction) — the oracle caps the
+    // indexed side only and leaves the new side uncapped, mirroring the
+    // build/probe split exactly.
+    "d30_lsh_index_probe" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val loc = java.nio.file.Files.createTempDirectory("graft_d30_idx").toString
+      graft.operators.LshIndex.build(s, docs.where(col("doc_id") % 10 =!= 0),
+        loc, "doc_id", "text")
+      graft.operators.LshIndex.probe(s, loc,
+        docs.where(col("doc_id") % 10 === 0), "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
     // Trained IVF: deterministic Lloyd's k-means (init = k lowest vec_ids,
     // tie-break on cell id, decimal-accumulated means) then a final
     // nearest-centroid assignment; the oracle unrolls the same iterations.
@@ -939,6 +956,18 @@ object SparkEntry {
       val emb = t(s, dir, "embeddings")
       Similarity.pqTopK(emb, emb.where(col("vec_id") < 10),
           m = 4, dim = 64, k = 8, iters = 1, topK = 5)
+        .orderBy("query_id", "rank")
+    }),
+
+    // E12: the same search THROUGH the persisted index — train + encode
+    // once into lake tables (codebooks + ~64x-smaller codes), then serve
+    // top-k reading ONLY the codes table. Same oracle as e08: the
+    // build/serve split must be invisible in the results.
+    "e12_pq_index_search" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val loc = java.nio.file.Files.createTempDirectory("graft_e12_idx").toString
+      graft.operators.PqIndex.build(s, emb, loc, m = 4, dim = 64, k = 8, iters = 1)
+      graft.operators.PqIndex.search(s, loc, emb.where(col("vec_id") < 10), topK = 5)
         .orderBy("query_id", "rank")
     }),
 
@@ -1416,8 +1445,13 @@ object SparkEntry {
   /** The MinHash-LSH candidate+verify pipeline as a reusable CTE body over
     * any (doc_id, text) relation `src` — shared by the d02 gate and the
     * d11 corpus-clean composition. */
-  private def minhashCtes(src: String): String = {
+  private def minhashCtes(src: String, candSql: String = ""): String = {
     val rows = TF.LshRows
+    // default candidate set: symmetric self-join over the capped band keys
+    val cand = if (candSql.nonEmpty) candSql
+      else """SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+              FROM bkc x JOIN bkc y ON x.band_id = y.band_id
+                AND x.band_key = y.band_key AND x.doc_id < y.doc_id"""
     s"""sh AS MATERIALIZED (
           SELECT doc_id,
                  list_distinct([substring(text, i, 3)
@@ -1436,9 +1470,7 @@ object SparkEntry {
           SELECT * FROM bk
           QUALIFY COUNT(*) OVER (PARTITION BY band_id, band_key)
                   <= ${graft.operators.Dedup.DefaultMaxBandBucket}),
-        cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-                 FROM bkc x JOIN bkc y ON x.band_id = y.band_id
-                   AND x.band_key = y.band_key AND x.doc_id < y.doc_id),
+        cand AS ($cand),
         hset AS MATERIALIZED (SELECT doc_id, list_sort(list_distinct(hs)) AS hset FROM h),
         ver AS (SELECT doc_a, doc_b,
                        len(list_intersect(ha.hset, hb.hset)) AS i,
@@ -1495,6 +1527,22 @@ object SparkEntry {
   /** d23: verified pairs with exactly one "new" side (id % 10 = 0),
     * aggregated per new doc — band keys and cap span the full corpus, so
     * the shared minhash CTEs apply unchanged. */
+  /** d30: probe-through-the-persisted-index semantics — the band-bucket
+    * cap spans the indexed corpus only; the incoming batch's band keys are
+    * uncapped (mirrors LshIndex.build/probe's split). */
+  private def lshIndexProbeOracle: String =
+    s"""WITH ${minhashCtes("documents", candSql =
+          s"""SELECT DISTINCT n.doc_id AS doc_a, i.doc_id AS doc_b
+              FROM bk n JOIN (SELECT * FROM bk WHERE doc_id % 10 <> 0
+                              QUALIFY COUNT(*) OVER (PARTITION BY band_id, band_key)
+                                      <= ${graft.operators.Dedup.DefaultMaxBandBucket}) i
+                ON n.band_id = i.band_id AND n.band_key = i.band_key
+              WHERE n.doc_id % 10 = 0""")}
+        SELECT doc_a AS doc_id, COUNT(*) AS n_matches,
+               MAX(CAST((i * 1000000) // u AS BIGINT)) AS best_jaccard_e6
+        FROM ver WHERE i * 5 >= u * 4
+        GROUP BY 1 ORDER BY doc_id"""
+
   private def incrementalDedupOracle: String =
     s"""WITH ${minhashCtes("documents")},
         inc AS (SELECT CASE WHEN doc_a % 10 = 0 THEN doc_a ELSE doc_b END AS doc_id,
@@ -1757,6 +1805,9 @@ object SparkEntry {
     "e07_hyperplane_lsh_near_dup" -> hyperplaneLshOracle(64, 8, 0.35),
     "d17_semdedup" -> semDedupOracle(8, 2, 0.35),
     "e08_pq_adc_topk" -> pqOracle(4, 16, 8, 1, 5),
+    // build/serve split is invisible: the persisted-index path shares e08's
+    // oracle verbatim
+    "e12_pq_index_search" -> pqOracle(4, 16, 8, 1, 5),
     "e09_pq_rerank" -> pqRerankOracle(4, 16, 8, 1, 20, 5),
     "e10_ivf_multiprobe" -> ivfMultiProbeOracle(8, 2, 2, 5),
 
@@ -2144,6 +2195,7 @@ object SparkEntry {
 
     "d11_corpus_clean" -> corpusCleanOracle,
     "d23_incremental_dedup" -> incrementalDedupOracle,
+    "d30_lsh_index_probe" -> lshIndexProbeOracle,
     "d24_clean_report" -> cleanReportOracle,
     "d25_dataset_split" ->
       s"""WITH b AS (

@@ -101,6 +101,27 @@ object StreamingGates {
         .groupBy("user_id")
         .agg(count(lit(1)).as("n_sessions"), sum("n_events").as("n_events"))
         .orderBy("user_id")
+    }),
+
+    // T1 (ingest side): streaming drain into a TRANSACTIONAL lake table —
+    // readStream -> stateless transform -> foreachBatch append through the
+    // commit protocol — then read the committed table back. The oracle is
+    // the same projection straight off the source: the streaming hop and
+    // the table layer must be lossless.
+    "t03_stream_lake_drain" -> ((s, dir) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val path = s"$dir/events.parquet"
+      val schema = s.read.parquet(path).schema
+      val in = freshDir("graft_t03_in")
+      Files.createSymbolicLink(in.resolve("events.parquet"),
+        java.nio.file.Paths.get(path))
+      val tableLoc = freshDir("graft_t03_tbl").resolve("events_lake").toString
+      StreamingIngest.drainToTable(s, in.toString, schema, tableLoc,
+        freshDir("graft_t03_ck").toString,
+        transform = _.select(col("event_id"),
+          expr("ts div 1000").as("ts_us"), col("user_id"),
+          col("event_type"), col("value")))
+      graft.tables.LakeTable.load(s, tableLoc).read().orderBy("event_id")
     })
   )
 
@@ -128,7 +149,11 @@ object StreamingGates {
                                       ROWS UNBOUNDED PRECEDING) AS sess_id
            FROM flagged)
          SELECT user_id, CAST(MAX(sess_id) AS BIGINT) AS n_sessions, COUNT(*) AS n_events
-         FROM sess GROUP BY user_id ORDER BY user_id"""
+         FROM sess GROUP BY user_id ORDER BY user_id""",
+
+    "t03_stream_lake_drain" ->
+      """SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type, value
+         FROM events ORDER BY event_id"""
   )
 
   /** One wave = one parquet FILE with a pinned mtime, so

@@ -122,6 +122,89 @@ object StreamingGates {
           expr("ts div 1000").as("ts_us"), col("user_id"),
           col("event_type"), col("value")))
       graft.tables.LakeTable.load(s, tableLoc).read().orderBy("event_id")
+    }),
+
+    // T4+T5: the medallion hop — events land in lake table A (batch
+    // append), then drainTableToTable streams A's commits (snapshot-id
+    // offsets over the commit log), filters/projects, and upserts each
+    // micro-batch into table B through the copy-on-write merge. The oracle
+    // is the same filter straight off the source.
+    "t04_stream_table_drain" -> ((s, dir) => {
+      val src = graft.Tables.events(s, dir)
+        .select(col("event_id"), col("ts_us"), col("user_id"),
+          col("event_type"), col("value"))
+      val aLoc = freshDir("graft_t04").resolve("bronze").toString
+      val bLoc = freshDir("graft_t04").resolve("silver").toString
+      graft.tables.LakeTable.ensure(s, aLoc, src.schema).write(src, "append")
+      StreamingIngest.drainTableToTable(s, aLoc, bLoc,
+        freshDir("graft_t04_ck").toString, mergeOn = Seq("event_id"),
+        transform = _.where(col("user_id") % 2 === 0)
+          .select(col("event_id"), col("ts_us"), col("user_id"), col("value")))
+      graft.tables.LakeTable.load(s, bLoc).read().orderBy("event_id")
+    }),
+
+    // T7: watermarked stream-stream interval join — impressions (even
+    // event ids) joined to the clicks (odd ids) landing within the
+    // attribution window. Both sides are one AvailableNow batch; an inner
+    // join emits on match, so the output is deterministic and the oracle is
+    // the plain SQL interval join.
+    "t05_stream_stream_join" -> ((s, dir) => {
+      val ev = graft.Tables.events(s, dir)
+      val impDir = freshDir("graft_t05_imp")
+      val clkDir = freshDir("graft_t05_clk")
+      writeWave(ev.where(col("event_id") % 2 === 0)
+        .select(expr("event_id div 2").as("imp_id"), col("user_id"),
+          expr("timestamp_micros(ts_us)").as("imp_ts")),
+        impDir, "imp.parquet", mtimeSec = 1000)
+      writeWave(ev.where(col("event_id") % 2 === 1)
+        .select(col("event_id").as("click_id"),
+          expr("event_id div 2").as("imp_id"),
+          expr("timestamp_micros(ts_us)").as("click_ts")),
+        clkDir, "clk.parquet", mtimeSec = 1000)
+      def streamOf(p: Path, sample: DataFrame): DataFrame =
+        s.readStream.schema(sample.schema).parquet(p.toString)
+      val imp = streamOf(impDir, s.read.parquet(impDir.toString))
+      val clk = streamOf(clkDir, s.read.parquet(clkDir.toString))
+      val joined = StreamJoin.attributedClicks(imp, clk, withinSeconds = 3600L)
+      val sink = freshName("t05_sink")
+      val q = joined
+        .select(col("imp_id"), col("user_id"),
+          unix_micros(col("imp_ts")).as("imp_us"),
+          col("click_id"), unix_micros(col("click_ts")).as("click_us"))
+        .writeStream
+        .trigger(Trigger.AvailableNow())
+        .outputMode("append")
+        .option("checkpointLocation", freshDir("graft_t05_ck").toString)
+        .format("memory").queryName(sink)
+        .start()
+      q.awaitTermination()
+      s.table(sink).orderBy("imp_id", "click_id")
+    }),
+
+    // T3: streaming exact dedup within the watermark — key state evicted
+    // as the watermark advances; over one batch the surviving key set is
+    // exactly DISTINCT.
+    "t06_stream_dedup" -> ((s, dir) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val path = s"$dir/events.parquet"
+      val schema = s.read.parquet(path).schema
+      val in = freshDir("graft_t06_in")
+      Files.createSymbolicLink(in.resolve("events.parquet"),
+        java.nio.file.Paths.get(path))
+      val sink = freshName("t06_sink")
+      val q = StreamingIngest.dedupWithinWatermark(
+          s.readStream.schema(schema).parquet(in.toString)
+            .select(col("user_id"), expr("timestamp_micros(ts div 1000)").as("ts")),
+          "ts", "1 hour", Seq("user_id"))
+        .select("user_id")
+        .writeStream
+        .trigger(Trigger.AvailableNow())
+        .outputMode("append")
+        .option("checkpointLocation", freshDir("graft_t06_ck").toString)
+        .format("memory").queryName(sink)
+        .start()
+      q.awaitTermination()
+      s.table(sink).orderBy("user_id")
     })
   )
 
@@ -153,7 +236,27 @@ object StreamingGates {
 
     "t03_stream_lake_drain" ->
       """SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type, value
-         FROM events ORDER BY event_id"""
+         FROM events ORDER BY event_id""",
+
+    "t04_stream_table_drain" ->
+      """SELECT event_id, epoch_us(ts) AS ts_us, user_id, value
+         FROM events WHERE user_id % 2 = 0 ORDER BY event_id""",
+
+    "t05_stream_stream_join" ->
+      """WITH imp AS (SELECT event_id // 2 AS imp_id, user_id,
+                             epoch_us(ts) AS imp_us
+                      FROM events WHERE event_id % 2 = 0),
+              clk AS (SELECT event_id AS click_id, event_id // 2 AS imp_id,
+                             epoch_us(ts) AS click_us
+                      FROM events WHERE event_id % 2 = 1)
+         SELECT i.imp_id, i.user_id, i.imp_us, c.click_id, c.click_us
+         FROM imp i JOIN clk c ON i.imp_id = c.imp_id
+           AND c.click_us >= i.imp_us
+           AND c.click_us <= i.imp_us + 3600000000
+         ORDER BY i.imp_id, c.click_id""",
+
+    "t06_stream_dedup" ->
+      """SELECT DISTINCT user_id FROM events ORDER BY user_id"""
   )
 
   /** One wave = one parquet FILE with a pinned mtime, so

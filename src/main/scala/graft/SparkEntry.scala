@@ -446,6 +446,21 @@ object SparkEntry {
       table.read().orderBy("o_orderkey")
     }),
 
+    // Z1: z-order maintenance rewrite — cluster by the interleaved bits of
+    // two numeric columns, then prove the rewrite is content-preserving
+    // (the pruning effect itself is file-level and locked by
+    // LakeTableSpec's both-dimension numFiles audit).
+    "z01_zorder_rewrite" -> ((s, dir) => {
+      val loc = java.nio.file.Files.createTempDirectory("graft_z01").toString + "/t"
+      val o = t(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+      val table = LakeTable.ensure(s, loc, o.schema)
+      table.write(o.where(col("o_orderkey") % 2 === 0), "append")
+      table.write(o.where(col("o_orderkey") % 2 === 1), "append")
+      table.zorderBy(Seq("o_custkey", "o_totalprice"), targetFiles = 4)
+      table.read().orderBy("o_orderkey")
+    }),
+
     // ---- SQL surface over lake tables (DSv2 catalog + relation rule) --
     // The reference's consumption layer is SQL over the Iceberg catalog
     // (dbt->Trino `transform/profiles.yml:1-16`, DuckDB attach
@@ -727,6 +742,16 @@ object SparkEntry {
     // connected components (min-label propagation over the pair graph).
     "d15_dup_clusters" -> ((s, dir) =>
       Dedup.duplicateClusters(
+        Dedup.minhashNearDupPairs(t(s, dir, "documents"), "doc_id", "text")
+          .select("doc_a", "doc_b"))
+        .orderBy("doc_id")),
+
+    // D31: the same duplicate-cluster semantics through alternating
+    // large-star/small-star rounds — O(log n) rounds instead of graph
+    // diameter, for corpora whose near-dup graph has long drift chains.
+    // Shares d15's oracle: both must produce identical canonical labels.
+    "d31_dup_clusters_star" -> ((s, dir) =>
+      Dedup.duplicateClustersStar(
         Dedup.minhashNearDupPairs(t(s, dir, "documents"), "doc_id", "text")
           .select("doc_a", "doc_b"))
         .orderBy("doc_id")),
@@ -1484,6 +1509,24 @@ object SparkEntry {
         SELECT doc_a, doc_b, CAST((i * 1000000) // u AS BIGINT) AS jaccard_e6
         FROM ver WHERE i * 5 >= u * 4 ORDER BY doc_a, doc_b"""
 
+  /** d15/d31 shared oracle: connected components of the verified near-dup
+    * pair graph via a recursive reachability CTE; canonical label = min
+    * doc id. Both the label-propagation and the large-star/small-star
+    * implementations must reproduce it exactly. */
+  private def dupClustersOracle: String =
+    s"""WITH RECURSIVE ${minhashCtes("documents")},
+         pairs AS (SELECT doc_a, doc_b FROM ver WHERE i * 5 >= u * 4),
+         e AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+               UNION ALL SELECT doc_b, doc_a FROM pairs),
+         reach(doc_id, r) AS (
+           SELECT DISTINCT src, src FROM e
+           UNION
+           SELECT re.doc_id, e.dst FROM reach re JOIN e ON re.r = e.src),
+         lab AS (SELECT doc_id, MIN(r) AS cluster_id FROM reach GROUP BY doc_id),
+         siz AS (SELECT cluster_id, COUNT(*) AS cluster_size FROM lab GROUP BY cluster_id)
+         SELECT l.doc_id, l.cluster_id, s.cluster_size
+         FROM lab l JOIN siz s USING (cluster_id) ORDER BY l.doc_id"""
+
   /** d11/d24 shared CTE chain: the d09 quality rule -> exact dedup (keep
     * lowest id per digest) -> MinHash near-dup prune. */
   private def corpusCleanCtes: String =
@@ -2185,6 +2228,10 @@ object SparkEntry {
          FROM orders WHERE o_orderkey % 2 = 1
          ORDER BY o_orderkey""",
 
+    "z01_zorder_rewrite" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice
+         FROM orders ORDER BY o_orderkey""",
+
     "d01_exact_dedup" ->
       """SELECT md5(text) AS content_md5, MIN(doc_id) AS keep_id, COUNT(*) AS dup_count
          FROM documents GROUP BY 1 ORDER BY keep_id""",
@@ -2324,19 +2371,9 @@ object SparkEntry {
 
     // Transitive closure of the LSH pair graph via a recursive CTE, then
     // component id = min reachable doc id — mirrors min-label propagation.
-    "d15_dup_clusters" ->
-      s"""WITH RECURSIVE ${minhashCtes("documents")},
-         pairs AS (SELECT doc_a, doc_b FROM ver WHERE i * 5 >= u * 4),
-         e AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
-               UNION ALL SELECT doc_b, doc_a FROM pairs),
-         reach(doc_id, r) AS (
-           SELECT DISTINCT src, src FROM e
-           UNION
-           SELECT re.doc_id, e.dst FROM reach re JOIN e ON re.r = e.src),
-         lab AS (SELECT doc_id, MIN(r) AS cluster_id FROM reach GROUP BY doc_id),
-         siz AS (SELECT cluster_id, COUNT(*) AS cluster_size FROM lab GROUP BY cluster_id)
-         SELECT l.doc_id, l.cluster_id, s.cluster_size
-         FROM lab l JOIN siz s USING (cluster_id) ORDER BY l.doc_id""",
+    "d15_dup_clusters" -> dupClustersOracle,
+
+    "d31_dup_clusters_star" -> dupClustersOracle,
 
     // DuckDB regexp_replace replaces only the FIRST match without the 'g'
     // flag — the one cross-engine semantic difference to pin down.

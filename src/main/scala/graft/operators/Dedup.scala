@@ -385,6 +385,22 @@ object Dedup {
     * in at least one pair; cluster_id = min doc id in the component (the
     * canonical keeper), deterministic for the SQL oracle.
     */
+  /** Checkpoint, keeping a handle to the persisted RDD: localCheckpoint
+    * buries it inside the resulting LogicalRDD where Dataset.unpersist
+    * can't reach (the cache manager has no entry), so each round's blocks
+    * would sit in the block manager until a driver GC collects the dropped
+    * Dataset — N rounds of dead blocks on a long-lived app. With the
+    * handle, an iterative loop frees round i as soon as round i+1 is
+    * materialized; live checkpoint state is ONE round's frame. */
+  private def checkpointOwned(df: DataFrame): (DataFrame, Option[org.apache.spark.rdd.RDD[_]]) = {
+    val ck = df.localCheckpoint() // eager: truncates next round's lineage
+    val handle = ck.queryExecution.logical match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => Some(lr.rdd)
+      case _ => None // plan shape changed across Spark versions: GC path
+    }
+    (ck, handle)
+  }
+
   def duplicateClusters(pairs: DataFrame, maxIters: Int = 25): DataFrame = {
     val edges = pairs
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
@@ -396,22 +412,6 @@ object Dedup {
     // decimal-accumulated label sum strictly decreases until fixpoint.
     def labelSumOf(df: DataFrame): java.math.BigDecimal =
       df.agg(sum(col("cluster_id").cast("decimal(38,0)"))).head().getDecimal(0)
-
-    // Checkpoint, keeping a handle to the persisted RDD: localCheckpoint
-    // buries it inside the resulting LogicalRDD where Dataset.unpersist
-    // can't reach (the cache manager has no entry), so each round's label
-    // blocks would sit in the block manager until a driver GC collects the
-    // dropped Dataset — N rounds of dead blocks on a long-lived app. With
-    // the handle, the loop frees round i as soon as round i+1 is
-    // materialized; live checkpoint state is ONE round's labels.
-    def checkpointOwned(df: DataFrame): (DataFrame, Option[org.apache.spark.rdd.RDD[_]]) = {
-      val ck = df.localCheckpoint() // eager: truncates next round's lineage
-      val handle = ck.queryExecution.logical match {
-        case lr: org.apache.spark.sql.execution.LogicalRDD => Some(lr.rdd)
-        case _ => None // plan shape changed across Spark versions: GC path
-      }
-      (ck, handle)
-    }
 
     var (labels, labelsRdd) = checkpointOwned(
       edges.select(col("src").as("doc_id")).distinct()
@@ -437,6 +437,101 @@ object Dedup {
     // The FINAL round's checkpoint backs the returned frame and stays
     // persisted; the ContextCleaner reclaims it once the result is dropped.
 
+    val sizes = labels.groupBy("cluster_id")
+      .agg(count(lit(1)).as("cluster_size"))
+    labels.join(sizes, "cluster_id")
+      .select("doc_id", "cluster_id", "cluster_size")
+  }
+
+  /** Connected components by alternating large-star / small-star rounds
+    * (Kiveris, Lattanzi, Mirrokni, Rastogi, Vassilvitskii — "Connected
+    * Components in MapReduce and Beyond", SoCC'14). Same output contract
+    * as [[duplicateClusters]]: (doc_id, cluster_id, cluster_size) with
+    * cluster_id = min doc id in the component.
+    *
+    * Why a second algorithm: label propagation needs DIAMETER rounds —
+    * fine for shallow near-dup graphs (dup chains, boilerplate stars),
+    * pathological for long chains (crawl snapshots that drift gradually:
+    * v1~v2~...~v1000 is a 1000-round graph). The star rounds contract
+    * long paths geometrically, converging in O(log n) rounds regardless
+    * of diameter.
+    *
+    * Each round is two phases, each ONE groupBy shuffle + ONE join — no
+    * per-node neighbor lists are ever collected, so a 10M-edge star
+    * component costs O(E) per round, not O(E) memory in one task:
+    *  - large-star: for every node u with neighborhood G(u), link each
+    *    strictly-larger neighbor to m = min(G(u) + u). Directed edges
+    *    point "down" toward smaller ids without ever lengthening paths.
+    *  - small-star: orient every edge big->small; link each neighbor
+    *    (all now <= u) and u itself to m. Flattens the short side.
+    *
+    * Convergence: the edge multiset is a fixpoint exactly when the graph
+    * is a forest of stars rooted at component minima. Detected by an
+    * order-invariant digest (count + decimal sum of xxhash64(a,b)) —
+    * one tiny aggregate per round, same cost shape as the label-sum
+    * check in [[duplicateClusters]]. Rounds are checkpoint-owned like
+    * label propagation: lineage truncated each round, previous round's
+    * blocks freed as soon as the next is materialized.
+    *
+    * Input contract: pairs (doc_a, doc_b) with doc_a != doc_b (self-pairs
+    * are dropped; a doc with only a self-pair has no duplicate partner).
+    */
+  def duplicateClustersStar(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+    // digest: (#edges, sum of per-edge hash) — equal across rounds iff the
+    // edge set is unchanged (64-bit collision odds are negligible and the
+    // check is deterministic for given data).
+    def digestOf(df: DataFrame): (Long, java.math.BigDecimal) = {
+      val r = df.agg(count(lit(1)),
+        sum(xxhash64(col("a"), col("b")).cast("decimal(38,0)"))).head()
+      (r.getLong(0), r.getDecimal(1))
+    }
+
+    // large-star: m(u) = min over u's symmetric neighborhood and u itself;
+    // every neighbor v > u re-links to m(u). Self-loops vanish.
+    def largeStar(edges: DataFrame): DataFrame = {
+      val sym = edges.select(col("a").as("u"), col("b").as("v"))
+        .union(edges.select(col("b").as("u"), col("a").as("v")))
+      val mins = sym.groupBy("u").agg(min(col("v")).as("mv"))
+        .select(col("u"), least(col("mv"), col("u")).as("m"))
+      sym.join(mins, "u")
+        .where(col("v") > col("u"))
+        .select(col("v").as("a"), col("m").as("b"))
+        .where(col("a") =!= col("b")).distinct()
+    }
+
+    // small-star: orient big->small so G(u) holds only smaller ids; both
+    // the neighbors and u itself re-link to m(u) = min(G(u)).
+    def smallStar(edges: DataFrame): DataFrame = {
+      val oriented = edges.select(
+        greatest(col("a"), col("b")).as("u"), least(col("a"), col("b")).as("v"))
+      val mins = oriented.groupBy("u").agg(min(col("v")).as("m"))
+      oriented.join(mins, "u")
+        .select(col("v").as("a"), col("m").as("b"))
+        .union(mins.select(col("u").as("a"), col("m").as("b")))
+        .where(col("a") =!= col("b")).distinct()
+    }
+
+    var (edges, edgesRdd) = checkpointOwned(
+      pairs.select(col("doc_a").as("a"), col("doc_b").as("b"))
+        .where(col("a") =!= col("b")).distinct())
+    var digest = digestOf(edges)
+    var converged = edges.isEmpty
+    var iters = 0
+    while (!converged && iters < maxIters) {
+      val (next, nextRdd) = checkpointOwned(smallStar(largeStar(edges)))
+      val nextDigest = digestOf(next)
+      edgesRdd.foreach(_.unpersist(blocking = false)) // prev round: consumed
+      edges = next
+      edgesRdd = nextRdd
+      converged = nextDigest == digest
+      digest = nextDigest
+      iters += 1
+    }
+
+    // Fixpoint edges form stars (a -> component-min root). Non-roots each
+    // appear exactly once on the a-side; roots only on the b-side.
+    val labels = edges.select(col("a").as("doc_id"), col("b").as("cluster_id"))
+      .union(edges.select(col("b").as("doc_id"), col("b").as("cluster_id")).distinct())
     val sizes = labels.groupBy("cluster_id")
       .agg(count(lit(1)).as("cluster_size"))
     labels.join(sizes, "cluster_id")

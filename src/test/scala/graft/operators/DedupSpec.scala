@@ -97,6 +97,41 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  private def starClustersOf(pairs: Seq[(Long, Long)],
+      maxIters: Int = 20): Map[Long, (Long, Long)] =
+    Dedup.duplicateClustersStar(pairs.toDF("doc_a", "doc_b"), maxIters).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+
+  test("star clusters: deep path converges within O(log n) rounds") {
+    // a 64-node path has diameter 63: label propagation needs 63 rounds,
+    // the star rounds contract it geometrically. maxIters=10 would leave
+    // a diameter-bound algorithm far from converged; the output equality
+    // below is therefore also a convergence-rate assertion.
+    val path = (1L to 63L).map(i => (i, i + 1))
+    val got = starClustersOf(path, maxIters = 10)
+    assert(got.keySet == (1L to 64L).toSet)
+    assert(got.values.forall(_ == (1L, 64L)))
+  }
+
+  test("star clusters: separate components, star, singleton excluded") {
+    val pairs = Seq((5L, 3L), (3L, 9L),
+      (20L, 21L), (20L, 22L), (20L, 23L),
+      (40L, 41L))
+    val got = starClustersOf(pairs)
+    assert(got(5L) == (3L, 3L) && got(9L) == (3L, 3L) && got(3L) == (3L, 3L))
+    assert(got(22L) == (20L, 4L) && got(23L) == (20L, 4L))
+    assert(got(40L) == (40L, 2L) && got(41L) == (40L, 2L))
+    assert(!got.contains(1L))
+  }
+
+  test("star clusters agree with label propagation on a random graph") {
+    val rnd = new scala.util.Random(7)
+    val pairs = Seq.fill(150)((rnd.nextInt(90).toLong, rnd.nextInt(90).toLong))
+      .filter { case (a, b) => a != b }
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.distinct
+    assert(starClustersOf(pairs) == clustersOf(pairs))
+  }
+
   test("bloom decontamination is lossless vs the exact-join formulation") {
     import org.apache.spark.sql.functions._
     val docs = Tables.docsLike((0L until 120L).map { i =>

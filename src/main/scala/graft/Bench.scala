@@ -21,7 +21,8 @@ object Bench {
     "e05_kmeans_ivf_cells", "e06_kmeans_ivf_topk",
     "e07_hyperplane_lsh_near_dup", "sql02_catalog_join",
     "d11_corpus_clean", "d12_repetition", "d13_vocab",
-    "d14_decontaminate", "d15_dup_clusters", "d17_semdedup", "d18_keyterms",
+    "d14_decontaminate", "d15_dup_clusters", "d31_dup_clusters_star",
+    "d17_semdedup", "d18_keyterms",
     "e08_pq_adc_topk", "ev05_asof_join",
     "d27_segment_dedup", "d28_overlap_decontaminate")
 

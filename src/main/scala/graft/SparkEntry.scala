@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.{TextFunctions => TF, TrinoFunctions => TR, VectorFunctions => VF}
-import graft.operators.{Dedup, Similarity}
+import graft.operators.{Dedup, ImportanceWeights, Similarity}
 import graft.runner.{IngestRunner, Resource, ResourceWriteProperties}
 import graft.tables.{LakeCatalog, LakeTable, PartitionField}
 
@@ -736,6 +736,15 @@ object SparkEntry {
     "d29_bloom_decontaminate" -> ((s, dir) =>
       Dedup.bloomDecontaminate(t(s, dir, "documents"), "doc_id", "text",
           isBench = col("doc_id") % 97 === 0, cacheHook = registerCache)
+        .orderBy("doc_id")),
+
+    // D32: DSIR-style importance weights — every raw doc scored by how
+    // target-like its hashed bag-of-words is (integer likelihood-ratio
+    // weights from target-vs-raw bucket counts; docs sharing doc_id % 11
+    // with the d14 family stand in for the curated target sample).
+    "d32_dsir_weight" -> ((s, dir) =>
+      ImportanceWeights.dsirWeights(t(s, dir, "documents"), "doc_id", "text",
+          isTarget = col("doc_id") % 11 === 0)
         .orderBy("doc_id")),
 
     // D15: LSH pairs -> per-cluster canonical keeper via distributed
@@ -2374,6 +2383,33 @@ object SparkEntry {
     "d15_dup_clusters" -> dupClustersOracle,
 
     "d31_dup_clusters_star" -> dupClustersOracle,
+
+    // DSIR: identical integer arithmetic to ImportanceWeights.dsirWeights —
+    // HUGEINT keeps the (n_t+1)*(R+B)*scale numerator exact, // floors.
+    "d32_dsir_weight" ->
+      s"""WITH toks AS (
+           SELECT doc_id, doc_id % 11 = 0 AS is_t,
+                  unnest([x for x in string_split(text, ' ')
+                          if length(x) > 0]) AS token
+           FROM documents),
+         b AS MATERIALIZED (
+           SELECT doc_id, is_t,
+                  CAST(${duckHash("token")} % 1024 AS BIGINT) AS bucket
+           FROM toks),
+         cnt AS (
+           SELECT bucket,
+                  SUM(CASE WHEN is_t THEN 1 ELSE 0 END) AS n_t,
+                  SUM(CASE WHEN is_t THEN 0 ELSE 1 END) AS n_r
+           FROM b GROUP BY 1),
+         tot AS (SELECT SUM(n_t) + 1024 AS tt, SUM(n_r) + 1024 AS rr FROM cnt),
+         w AS (
+           SELECT bucket,
+                  CAST((CAST(n_t + 1 AS HUGEINT) * rr * 1000000)
+                       // (CAST(n_r + 1 AS HUGEINT) * tt) AS BIGINT) AS w
+           FROM cnt, tot)
+         SELECT b.doc_id, CAST(SUM(w.w) AS BIGINT) AS dsir_weight
+         FROM b JOIN w USING (bucket) WHERE NOT b.is_t
+         GROUP BY 1 ORDER BY doc_id""",
 
     // DuckDB regexp_replace replaces only the FIRST match without the 'g'
     // flag — the one cross-engine semantic difference to pin down.

@@ -2252,6 +2252,10 @@ object SparkEntry {
     "d11_corpus_clean" -> corpusCleanOracle,
     "d23_incremental_dedup" -> incrementalDedupOracle,
     "d30_lsh_index_probe" -> lshIndexProbeOracle,
+    // t07 (StreamingGates): the streaming admission gate drains one
+    // AvailableNow batch through the resident-index probe — same asymmetric
+    // band join as d30, same oracle.
+    "t07_stream_dedup_gate" -> lshIndexProbeOracle,
     "d24_clean_report" -> cleanReportOracle,
     "d25_dataset_split" ->
       s"""WITH b AS (

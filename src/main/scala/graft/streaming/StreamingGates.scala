@@ -181,6 +181,27 @@ object StreamingGates {
       s.table(sink).orderBy("imp_id", "click_id")
     }),
 
+    // T6: the streaming LSH admission gate — new docs arrive as a parquet
+    // wave, the resident index of the accepted corpus is probed per
+    // micro-batch, verified matches merge into a quarantine lake table.
+    // One AvailableNow batch makes the output deterministic; the oracle is
+    // d30's (cap over the indexed side only) since the resident and
+    // persisted probes are the same asymmetric band join. Oracle SQL lives
+    // in SparkEntry (needs its minhash CTE builder).
+    "t07_stream_dedup_gate" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val newDocs = docs.where(col("doc_id") % 10 === 0)
+        .select("doc_id", "text")
+      val in = freshDir("graft_t07_in")
+      writeWave(newDocs, in, "batch.parquet", mtimeSec = 1000)
+      val qLoc = freshDir("graft_t07_tbl").resolve("quarantine").toString
+      StreamingDedup.gateToTable(s, in.toString, newDocs.schema,
+        indexed = docs.where(col("doc_id") % 10 =!= 0),
+        matchesLocation = qLoc,
+        checkpointDir = freshDir("graft_t07_ck").toString)
+      graft.tables.LakeTable.load(s, qLoc).read().orderBy("doc_id")
+    }),
+
     // T3: streaming exact dedup within the watermark — key state evicted
     // as the watermark advances; over one batch the surviving key set is
     // exactly DISTINCT.

@@ -67,6 +67,20 @@ case class WinnowExpression(child: Expression, n: Int = 3, window: Int = 8)
   override def prettyName: String = "graft_winnow"
 }
 
+/** Hashed feature buckets of whitespace tokens: polyhash(token) mod m. */
+case class TokenBucketsExpression(child: Expression, m: Long)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    TextHashKernels.tokenBuckets(input.asInstanceOf[UTF8String], m)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.expressions.TextHashKernels.tokenBuckets($c, ${m}L)")
+  override protected def withNewChildInternal(newChild: Expression): TokenBucketsExpression =
+    copy(child = newChild)
+  override def prettyName: String = "graft_token_buckets"
+}
+
 case class SimhashExpression(child: Expression, bits: Int = 20)
     extends UnaryExpression {
   override def dataType: DataType = LongType
@@ -306,6 +320,15 @@ class GraftSparkSessionExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_simhash"),
       new ExpressionInfo(classOf[SimhashExpression].getName, "graft_simhash"),
       (children: Seq[Expression]) => SimhashExpression(children.head)))
+    ext.injectFunction((
+      FunctionIdentifier("graft_token_buckets"),
+      new ExpressionInfo(classOf[TokenBucketsExpression].getName, "graft_token_buckets"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2,
+          s"graft_token_buckets(text, m) takes 2 arguments, got ${children.length}")
+        TokenBucketsExpression(children(0),
+          children(1).eval(null).toString.toLong)
+      }))
     ext.injectFunction((
       FunctionIdentifier("graft_winnow"),
       new ExpressionInfo(classOf[WinnowExpression].getName, "graft_winnow"),

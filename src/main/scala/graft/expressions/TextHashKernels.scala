@@ -123,6 +123,30 @@ object TextHashKernels {
     new GenericArrayData(Array(inter, na.toLong + nb.toLong - inter))
   }
 
+  /** Hashed feature buckets of whitespace tokens (empty tokens skipped,
+    * term frequency preserved, document order): bucket = polyhash(token)
+    * mod m. The feature-hashing front of DSIR importance scoring. */
+  def tokenBuckets(text: UTF8String, m: Long): ArrayData = {
+    val s = text.toString
+    val len = s.length
+    var n = 0
+    var i = 0
+    while (i < len) { // count tokens first: exact-size single allocation
+      while (i < len && s.charAt(i) == ' ') i += 1
+      if (i < len) { n += 1; while (i < len && s.charAt(i) != ' ') i += 1 }
+    }
+    val out = new Array[Long](n)
+    var w = 0
+    i = 0
+    while (i < len) {
+      while (i < len && s.charAt(i) == ' ') i += 1
+      val start = i
+      while (i < len && s.charAt(i) != ' ') i += 1
+      if (i > start) { out(w) = hashRange(s, start, i - start) % m; w += 1 }
+    }
+    new GenericArrayData(out)
+  }
+
   /** SimHash over whitespace tokens (term frequency preserved, empty tokens
     * skipped), `bits` wide; bit j set iff sum of +-1 votes of hash bit j > 0. */
   def simhash(text: UTF8String, bits: Int): Long = {

@@ -26,10 +26,11 @@ import graft.functions.TextFunctions
   * resident. Pass one explodes tokens to (bucket, side) and partial-agg
   * counts into at most `numBuckets` rows — collected to the driver
   * (bounded by construction, like codebooks and centroids), where exact
-  * BigInt arithmetic turns them into weights. Pass two re-explodes the
-  * raw side, broadcast-joins the tiny weight table on the bucket key, and
-  * partial-agg sums per document — no shuffle ever carries more than
-  * (doc_id, weight) pairs, no pair space, no window.
+  * BigInt arithmetic turns them into weights. Pass two is SHUFFLE-FREE:
+  * the weight table is tiny enough to ship as a literal array inside the
+  * plan, so each document's score is a single in-row fold
+  * (element_at per token) — a pure projection over the raw scan, no
+  * join, no exchange, no state (plan-audited).
   */
 object ImportanceWeights {
 
@@ -43,37 +44,52 @@ object ImportanceWeights {
   def dsirWeights(docs: DataFrame, idCol: String, textCol: String,
       isTarget: Column, numBuckets: Int = 1024,
       scale: Long = 1000000L): DataFrame = {
-    val spark = docs.sparkSession
-    import spark.implicits._
-
-    def bucketed(df: DataFrame): DataFrame = df
-      .select(col(idCol).as("doc_id"), isTarget.as("is_t"),
-        explode(TextFunctions.cleanTokens(col(textCol))).as("token"))
-      .select(col("doc_id"), col("is_t"),
-        pmod(TextFunctions.portableHash(col("token")),
-          lit(numBuckets.toLong)).as("bucket"))
+    // Fused codegen kernel (one pass over the string, no per-token HOF
+    // dispatch); bitwise-identical to the HOF formulation in
+    // [[hofBuckets]] (cross-checked in ImportanceWeightsSpec).
+    def buckets(df: DataFrame): Column =
+      expr(s"graft_token_buckets(`$textCol`, ${numBuckets}L)")
 
     // Pass one: per-bucket token counts for both sides in ONE aggregation
     // (conditional sums), <= numBuckets result rows.
-    val counts = bucketed(docs).groupBy("bucket").agg(
+    val counts = docs
+      .select(isTarget.as("is_t"), explode(buckets(docs)).as("bucket"))
+      .groupBy("bucket").agg(
         sum(when(col("is_t"), 1L).otherwise(0L)).as("n_t"),
         sum(when(col("is_t"), 0L).otherwise(1L)).as("n_r"))
       .collect()
 
     val tTot = counts.map(r => BigInt(r.getLong(1))).sum + numBuckets
     val rTot = counts.map(r => BigInt(r.getLong(2))).sum + numBuckets
-    val weightRows = counts.map { r =>
-      val w = (BigInt(r.getLong(1)) + 1) * rTot * scale /
-        ((BigInt(r.getLong(2)) + 1) * tTot)
-      (r.getLong(0), w.toLong)
-    }.toSeq
-    val weights = weightRows.toDF("bucket", "w")
+    // Dense bucket -> weight vector; buckets no token hashed into keep the
+    // pure-smoothing weight (they are never probed anyway: a raw token's
+    // own bucket always has n_r >= 1).
+    val weightVec = Array.fill(numBuckets)(
+      (rTot * scale / tTot).toLong)
+    counts.foreach { r =>
+      weightVec(r.getLong(0).toInt) =
+        ((BigInt(r.getLong(1)) + 1) * rTot * scale /
+          ((BigInt(r.getLong(2)) + 1) * tTot)).toLong
+    }
 
-    // Pass two: raw side re-explodes, probes the broadcast weight table,
-    // and sums per document.
-    bucketed(docs).where(!col("is_t"))
-      .join(broadcast(weights), "bucket")
-      .groupBy("doc_id")
-      .agg(sum(col("w").cast("decimal(38,0)")).cast("long").as("dsir_weight"))
+    // Pass two, shuffle-free: the weight vector rides in the plan as a
+    // literal array; each doc's score is an in-row fold — element_at is
+    // O(1) per token, accumulation in decimal so per-doc sums can't
+    // overflow before the final long cast.
+    val wArr = array(weightVec.map(lit(_)): _*)
+    docs.where(!isTarget)
+      .select(col(idCol).as("doc_id"), buckets(docs).as("bks"))
+      .where(size(col("bks")) > 0)
+      .select(col("doc_id"),
+        aggregate(col("bks"), lit(0L).cast("decimal(38,0)"),
+          (acc, b) => acc + element_at(wArr, b.cast("int") + 1).cast("decimal(38,0)"))
+          .cast("long").as("dsir_weight"))
   }
+
+  /** Interpreted HOF reference for the token-bucket kernel — kept for the
+    * bitwise cross-check, mirroring the TextFunctions/TextHashKernels
+    * convention. */
+  def hofBuckets(textCol: Column, numBuckets: Int): Column =
+    transform(TextFunctions.cleanTokens(textCol),
+      t => pmod(TextFunctions.portableHash(t), lit(numBuckets.toLong)))
 }

@@ -30,12 +30,22 @@ class ImportanceWeightsSpec extends AnyFunSuite with SparkSpec {
       s"in-domain doc ${w(1L)} should outscore off-domain ${w(2L)}")
   }
 
-  test("probe plan: broadcast weight join, no window, no cartesian") {
+  test("token-bucket kernel is bitwise-identical to the HOF formulation") {
+    val texts = Seq((1L, "alpha beta  gamma"), (2L, ""), (3L, "   "),
+      (4L, "one"), (5L, " leading trailing "), (6L, "dup dup dup")
+    ).toDF("doc_id", "text")
+    val both = texts.select(
+        expr("graft_token_buckets(text, 1024L)").as("kernel"),
+        ImportanceWeights.hofBuckets(col("text"), 1024).as("hof"))
+      .collect()
+    both.foreach(r => assert(r.getSeq[Long](0) == r.getSeq[Long](1), r))
+  }
+
+  test("scoring plan is shuffle-free: no join, no exchange, no window") {
     val p = ImportanceWeights.dsirWeights(corpus, "doc_id", "text",
         isTarget = col("doc_id") % 11 === 0)
       .queryExecution.executedPlan.toString
-    assert(p.contains("BroadcastHashJoin"), p.take(800))
-    assert(!p.contains("WindowExec") && !p.contains("CartesianProduct"),
-      p.take(800))
+    assert(!p.contains("Join") && !p.contains("Exchange") &&
+      !p.contains("WindowExec"), p.take(800))
   }
 }

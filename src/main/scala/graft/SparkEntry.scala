@@ -686,22 +686,20 @@ object SparkEntry {
     // Integer floor-scaled fractions for bit-exact cross-engine compare.
     "d12_repetition" -> ((s, dir) => {
       val d = t(s, dir, "documents")
-      // scalars and the gram explosion run as SEPARATE branches from the
-      // scan: the join then shuffles only (doc_id, long) rows — carrying
-      // the per-doc gram ARRAY through a join shuffle is a 10x regression
-      val base = d.select(col("doc_id"),
-        TF.tokenCount(col("text")).as("n_tokens"),
-        size(array_distinct(TF.cleanTokens(col("text")))).cast("long").as("n_distinct"))
-      val top = d.select(col("doc_id"),
-          explode(TF.wordBigrams(col("text"))).as("g"))
-        .groupBy("doc_id", "g").count()
-        .groupBy("doc_id").agg(max(col("count")).as("top2_cnt"))
-      base.join(top, Seq("doc_id"), "left")
+      // Every statistic here is a per-document quantity, so the whole rule
+      // is ONE shuffle-free projection: the top-bigram count runs in-row
+      // over exact bigram strings (codegen kernel, cross-checked against
+      // the explode formulation in TextHashKernelsSpec) — the former
+      // corpus-wide (doc_id, gram) shuffle + join-back is gone entirely.
+      d.select(col("doc_id"),
+          TF.tokenCount(col("text")).as("n_tokens"),
+          size(array_distinct(TF.cleanTokens(col("text")))).cast("long").as("n_distinct"),
+          expr("graft_top_bigram_count(text)").as("top2_cnt"))
         .select(col("doc_id"), col("n_tokens"),
           expr("CASE WHEN n_tokens > 0 THEN ((n_tokens - n_distinct) * 1000000) div n_tokens ELSE 0 END")
             .as("dup_word_frac_e6"),
-          coalesce(col("top2_cnt"), lit(0L)).as("top2_cnt"),
-          expr("CASE WHEN n_tokens > 1 THEN (coalesce(top2_cnt, 0) * 1000000) div (n_tokens - 1) ELSE 0 END")
+          col("top2_cnt"),
+          expr("CASE WHEN n_tokens > 1 THEN (top2_cnt * 1000000) div (n_tokens - 1) ELSE 0 END")
             .as("top2_frac_e6"))
         .orderBy("doc_id")
     }),

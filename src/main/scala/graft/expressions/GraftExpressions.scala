@@ -81,6 +81,20 @@ case class TokenBucketsExpression(child: Expression, m: Long)
   override def prettyName: String = "graft_token_buckets"
 }
 
+/** In-row count of the most frequent word bigram (Gopher repetition rule). */
+case class TopBigramCountExpression(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(input: Any): Any =
+    TextHashKernels.topBigramCount(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.expressions.TextHashKernels.topBigramCount($c)")
+  override protected def withNewChildInternal(newChild: Expression): TopBigramCountExpression =
+    copy(child = newChild)
+  override def prettyName: String = "graft_top_bigram_count"
+}
+
 case class SimhashExpression(child: Expression, bits: Int = 20)
     extends UnaryExpression {
   override def dataType: DataType = LongType
@@ -321,13 +335,21 @@ class GraftSparkSessionExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[SimhashExpression].getName, "graft_simhash"),
       (children: Seq[Expression]) => SimhashExpression(children.head)))
     ext.injectFunction((
+      FunctionIdentifier("graft_top_bigram_count"),
+      new ExpressionInfo(classOf[TopBigramCountExpression].getName,
+        "graft_top_bigram_count"),
+      (children: Seq[Expression]) => TopBigramCountExpression(children.head)))
+    ext.injectFunction((
       FunctionIdentifier("graft_token_buckets"),
       new ExpressionInfo(classOf[TokenBucketsExpression].getName, "graft_token_buckets"),
       (children: Seq[Expression]) => {
         require(children.length == 2,
           s"graft_token_buckets(text, m) takes 2 arguments, got ${children.length}")
-        TokenBucketsExpression(children(0),
-          children(1).eval(null).toString.toLong)
+        require(children(1).foldable,
+          "graft_token_buckets: m must be a literal")
+        val m = children(1).eval(null).toString.toLong
+        require(m > 0, s"graft_token_buckets: m must be positive, got $m")
+        TokenBucketsExpression(children(0), m)
       }))
     ext.injectFunction((
       FunctionIdentifier("graft_winnow"),

@@ -147,6 +147,38 @@ object TextHashKernels {
     new GenericArrayData(out)
   }
 
+  /** Occurrence count of the doc's most frequent word 2-gram — the Gopher
+    * top-n-gram repetition statistic, computed IN-ROW over exact bigram
+    * strings (no hashing: a hash-merge of two distinct bigrams would
+    * silently inflate the max, and at corpus scale some doc would hit it).
+    * 0 when the doc has fewer than two non-empty tokens. Replaces a
+    * corpus-wide (doc_id, gram) shuffle with a per-row map bounded by
+    * document length. */
+  def topBigramCount(text: UTF8String): Long = {
+    val s = text.toString
+    val len = s.length
+    val counts = new java.util.HashMap[String, Int]()
+    var best = 0
+    var prevStart = -1
+    var prevEnd = -1
+    var i = 0
+    while (i < len) {
+      while (i < len && s.charAt(i) == ' ') i += 1
+      val start = i
+      while (i < len && s.charAt(i) != ' ') i += 1
+      if (i > start) {
+        if (prevStart >= 0) {
+          val bigram = s.substring(prevStart, prevEnd) + " " + s.substring(start, i)
+          val c = counts.merge(bigram, 1, Integer.sum)
+          if (c > best) best = c
+        }
+        prevStart = start
+        prevEnd = i
+      }
+    }
+    best.toLong
+  }
+
   /** SimHash over whitespace tokens (term frequency preserved, empty tokens
     * skipped), `bits` wide; bit j set iff sum of +-1 votes of hash bit j > 0. */
   def simhash(text: UTF8String, bits: Int): Long = {

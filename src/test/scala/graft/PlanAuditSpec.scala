@@ -66,15 +66,23 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
     assert(!p.contains("Union")) // one scan node over the lake table
   }
 
-  test("repetition and vocab stats stay codegen'd with partial aggregation") {
-    for (q <- Seq("d12_repetition", "d13_vocab")) {
-      val p = plan(q)
-      assert(!p.contains("ScalaUDF"), s"$q fell out of codegen")
-      // token/gram counting must combine map-side before the shuffle
-      assert(p.contains("partial_count") || p.contains("partial count") ||
-        "HashAggregate.*partial".r.findFirstIn(p).isDefined, p.take(800))
-      assert(!p.contains("CartesianProduct"))
-    }
+  test("vocab stats stay codegen'd with partial aggregation") {
+    val p = plan("d13_vocab")
+    assert(!p.contains("ScalaUDF"), "d13 fell out of codegen")
+    // token counting must combine map-side before the shuffle
+    assert(p.contains("partial_count") || p.contains("partial count") ||
+      "HashAggregate.*partial".r.findFirstIn(p).isDefined, p.take(800))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("repetition rule is a shuffle-free in-row projection") {
+    // every d12 statistic is per-document: the top-bigram count runs as the
+    // codegen kernel, so the whole rule must stay a projection — no gram
+    // shuffle, no join-back, only the output sort's range exchange
+    val p = plan("d12_repetition")
+    assert(p.contains("graft_top_bigram_count"), p.take(800))
+    assert(!p.contains("ScalaUDF") && !p.contains("Join"), p.take(800))
+    assert(!p.contains("hashpartitioning"), p.take(800))
   }
 
   test("centroid assignment is a shuffle-free fused projection") {

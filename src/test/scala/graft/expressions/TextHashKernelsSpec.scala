@@ -51,6 +51,24 @@ class TextHashKernelsSpec extends AnyFunSuite with SparkSpec {
     assert(r == Seq(2L, 7L)) // {3,5}; union 4+5-2
   }
 
+  test("top-bigram-count kernel == explode/groupBy formulation") {
+    val texts = Seq("a b a b a b", "x y", "solo", "", "   ",
+      "dup dup dup dup", "a  b   a  b", "t1 t2 t1 t2 t3 t1 t2")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val kernel = df.select(col("doc_id"),
+        expr("graft_top_bigram_count(text)").as("c"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val reference = df
+      .select(col("doc_id"), explode(TextFunctions.wordBigrams(col("text"))).as("g"))
+      .groupBy("doc_id", "g").count()
+      .groupBy("doc_id").agg(max("count").as("c"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    df.collect().map(_.getLong(0)).foreach { id =>
+      assert(kernel(id) == reference.getOrElse(id, 0L), s"doc $id")
+    }
+  }
+
   test("simhash kernel == HOF formulation") {
     val df = samples.filter(_.nonEmpty).toDF("t")
     val both = df.select(

@@ -694,7 +694,7 @@ object SparkEntry {
       d.select(col("doc_id"),
           TF.tokenCount(col("text")).as("n_tokens"),
           size(array_distinct(TF.cleanTokens(col("text")))).cast("long").as("n_distinct"),
-          expr("graft_top_bigram_count(text)").as("top2_cnt"))
+          coalesce(expr("graft_top_bigram_count(text)"), lit(0L)).as("top2_cnt"))
         .select(col("doc_id"), col("n_tokens"),
           expr("CASE WHEN n_tokens > 0 THEN ((n_tokens - n_distinct) * 1000000) div n_tokens ELSE 0 END")
             .as("dup_word_frac_e6"),

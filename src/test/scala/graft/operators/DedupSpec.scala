@@ -124,12 +124,14 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     assert(!got.contains(1L))
   }
 
-  test("star clusters agree with label propagation on a random graph") {
-    val rnd = new scala.util.Random(7)
-    val pairs = Seq.fill(150)((rnd.nextInt(90).toLong, rnd.nextInt(90).toLong))
-      .filter { case (a, b) => a != b }
-      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.distinct
-    assert(starClustersOf(pairs) == clustersOf(pairs))
+  test("star clusters agree with label propagation on random graphs") {
+    for (seed <- Seq(7, 101, 4242)) {
+      val rnd = new scala.util.Random(seed)
+      val pairs = Seq.fill(150)((rnd.nextInt(90).toLong, rnd.nextInt(90).toLong))
+        .filter { case (a, b) => a != b }
+        .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.distinct
+      assert(starClustersOf(pairs) == clustersOf(pairs), s"seed $seed")
+    }
   }
 
   test("bloom decontamination is lossless vs the exact-join formulation") {

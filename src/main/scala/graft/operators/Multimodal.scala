@@ -122,6 +122,48 @@ object Multimodal {
       })
   }
 
+  /** Integer-exact PCM features from the REAL WAV decode path: per-channel
+    * sample sums (first two channels) + true stream parameters, skipping
+    * undecodable/non-PCM payloads. Exact integers make this
+    * oracle-checkable the same way as [[RasterFeatures]]: a synthetic
+    * waveform built from a formula must decode back to the formula's
+    * analytic sums. */
+  final case class AudioFeatures(media_id: Long, channels: Int,
+                                 sample_rate: Int, n_frames: Long,
+                                 duration_ms: Long,
+                                 sum_ch0: Long, sum_ch1: Long)
+
+  def decodeAudioFeatures(spark: SparkSession, media: DataFrame): Dataset[AudioFeatures] = {
+    import spark.implicits._
+    media
+      .where(col("payload").isNotNull)
+      .select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        AudioCodec.decodeWav(bytes).map { pcm =>
+          var s0 = 0L
+          var s1 = 0L
+          var k = 0
+          while (k < pcm.samples.length) {
+            val ch = k % pcm.channels
+            if (ch == 0) s0 += pcm.samples(k)
+            else if (ch == 1) s1 += pcm.samples(k)
+            k += 1
+          }
+          AudioFeatures(id, pcm.channels, pcm.sampleRate, pcm.frames.toLong,
+            pcm.durationMs, s0, s1)
+        }
+      })
+  }
+
+  /** REAL (dependency-free) audio header decode, the WAV analog of
+    * [[sniffImageHeader]]: walk the RIFF chunks without touching sample
+    * data and return (format, channels, sample_rate, duration_ms) — what
+    * a 100 TB ingest runs to validate payloads and populate metadata. */
+  def sniffAudioHeader(p: Array[Byte]): Option[(String, Int, Int, Long)] =
+    AudioCodec.decodeWav(p).map(pcm =>
+      ("wav", pcm.channels, pcm.sampleRate, pcm.durationMs))
+
   /** REAL (dependency-free) header decode: container format and pixel
     * dimensions read straight from the payload's header bytes — PNG IHDR,
     * JPEG SOFn, GIF logical screen descriptor, BMP info header. This is

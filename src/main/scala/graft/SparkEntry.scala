@@ -1363,6 +1363,32 @@ object SparkEntry {
         .orderBy("media_id")
     }),
 
+    // M1 (audio): REAL WAV PCM decode round-trip, oracle-gated the same
+    // way as m01. Each doc becomes a stereo 16-bit WAV whose sample at
+    // (frame k, channel c) carries a known formula; decodeAudioFeatures
+    // must recover the analytic per-channel sums EXACTLY through the full
+    // byte path (RIFF chunk walk, fmt parse, sign-extension). The oracle
+    // computes the same sums straight from the formula — any codec bug
+    // breaks the hash match.
+    "m02_audio_decode" -> ((s, dir) => {
+      import s.implicits._
+      val Rate = 8000
+      val media = t(s, dir, "documents").select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { id =>
+          val frames = (100 + id % 50).toInt
+          val samples = new Array[Short](frames * 2)
+          var k = 0
+          while (k < frames) {
+            samples(k * 2) = ((id * 7 + k * 3) % 2048 - 1024).toShort
+            samples(k * 2 + 1) = ((id + k * 5) % 4096 - 2048).toShort
+            k += 1
+          }
+          (id, graft.operators.AudioCodec.encodeWavPcm16(Rate, 2, samples))
+        }).toDF("media_id", "payload")
+      graft.operators.Multimodal.decodeAudioFeatures(s, media).toDF()
+        .orderBy("media_id")
+    }),
+
     // EV06: weekly cohort retention — users bucketed by first-seen week,
     // distinct-active counts per (cohort, week). Two key-shuffles (first
     // week, cohort grid), both with partial aggregation; the user_id join
@@ -2618,6 +2644,16 @@ object SparkEntry {
          CROSS JOIN range(0, 16) x(r)
          CROSS JOIN range(0, 16) y(r)
          GROUP BY 1, 2 ORDER BY media_id""",
+
+    "m02_audio_decode" ->
+      """SELECT d.doc_id AS media_id, 2 AS channels, 8000 AS sample_rate,
+           CAST(100 + d.doc_id % 50 AS BIGINT) AS n_frames,
+           CAST(((100 + d.doc_id % 50) * 1000) // 8000 AS BIGINT) AS duration_ms,
+           CAST(SUM((d.doc_id * 7 + k.r * 3) % 2048 - 1024) AS BIGINT) AS sum_ch0,
+           CAST(SUM((d.doc_id + k.r * 5) % 4096 - 2048) AS BIGINT) AS sum_ch1
+         FROM documents d CROSS JOIN range(0, 150) k(r)
+         WHERE k.r < 100 + d.doc_id % 50
+         GROUP BY 1, 2, 3, 4, 5 ORDER BY media_id""",
 
     "ev06_retention" ->
       """WITH ev AS (SELECT user_id, date_trunc('week', ts) AS wk FROM events),

@@ -58,12 +58,25 @@ object AudioCodec {
     out
   }
 
-  /** Decode a RIFF/WAVE payload holding linear PCM (audioFormat 1,
-    * 8 or 16 bits per sample). Chunks are walked in order — fmt must
-    * precede data, unknown chunks (LIST, fact, ...) are skipped per spec
-    * (word-aligned). None for anything malformed, truncated, or
-    * non-PCM. */
-  def decodeWav(p: Array[Byte]): Option[Pcm] = {
+  /** Header facts recoverable from the chunk walk alone — everything a
+    * metadata-validation pass needs, with NO sample materialization. */
+  final case class WavHeader(channels: Int, sampleRate: Int, bitsPerSample: Int,
+                             dataOffset: Int, dataBytes: Int) {
+    def frames: Long = dataBytes.toLong / ((bitsPerSample / 8) * channels)
+    def durationMs: Long =
+      if (sampleRate == 0) 0L else frames * 1000L / sampleRate
+  }
+
+  /** Walk the RIFF chunks of a WAVE payload holding linear PCM
+    * (audioFormat 1, 8 or 16 bits per sample). fmt must precede data,
+    * unknown chunks (LIST, fact, ...) are skipped per spec (word-aligned).
+    * All offset arithmetic is in Long: a corrupt chunk size near 2^31 must
+    * fail the bounds check, not wrap it (one crafted payload in a
+    * distributed decode would otherwise kill the job with an
+    * ArrayIndexOutOfBoundsException instead of the documented None).
+    * None for anything malformed, truncated, or non-PCM; O(#chunks) time,
+    * O(1) allocation. */
+  def sniffWav(p: Array[Byte]): Option[WavHeader] = {
     if (p == null || p.length < 44) return None
     def u8(i: Int) = p(i) & 0xff
     def le16(i: Int) = u8(i) | (u8(i + 1) << 8)
@@ -77,40 +90,50 @@ object AudioCodec {
     var sampleRate = 0
     var bits = 0
     var haveFmt = false
-    var i = 12
+    var i = 12L
     while (i + 8 <= p.length) {
-      val size = le32(i + 4)
-      if (size < 0 || i + 8 + size > p.length) return None
-      if (tag(i, "fmt ")) {
+      val at = i.toInt
+      val size = le32(at + 4)
+      if (size < 0 || i + 8L + size > p.length) return None
+      if (tag(at, "fmt ")) {
         if (size < 16) return None
-        val audioFormat = le16(i + 8)
+        val audioFormat = le16(at + 8)
         if (audioFormat != 1) return None // PCM only
-        channels = le16(i + 10)
-        sampleRate = le32(i + 12)
-        bits = le16(i + 22)
+        channels = le16(at + 10)
+        sampleRate = le32(at + 12)
+        bits = le16(at + 22)
         if (channels <= 0 || sampleRate <= 0 ||
           (bits != 8 && bits != 16)) return None
         haveFmt = true
-      } else if (tag(i, "data")) {
+      } else if (tag(at, "data")) {
         if (!haveFmt) return None
-        val bytesPerSample = bits / 8
-        if (size % (bytesPerSample * channels) != 0) return None
-        val n = size / bytesPerSample
-        val samples = new Array[Int](n)
-        val base = i + 8
-        var k = 0
-        if (bits == 16) {
-          while (k < n) {
-            samples(k) = (le16(base + k * 2) << 16) >> 16 // sign-extend
-            k += 1
-          }
-        } else {
-          while (k < n) { samples(k) = u8(base + k); k += 1 } // 8-bit: unsigned
-        }
-        return Some(Pcm(channels, sampleRate, bits, samples))
+        if (size % ((bits / 8) * channels) != 0) return None
+        return Some(WavHeader(channels, sampleRate, bits, at + 8, size))
       }
-      i += 8 + size + (size & 1) // chunks are word-aligned
+      i += 8L + size + (size & 1) // chunks are word-aligned
     }
     None
   }
+
+  /** Decode a RIFF/WAVE payload: [[sniffWav]]'s chunk walk, then one pass
+    * materializing the interleaved samples (sign-extended 16-bit, or
+    * unsigned 8-bit per spec). */
+  def decodeWav(p: Array[Byte]): Option[Pcm] =
+    sniffWav(p).map { h =>
+      def u8(i: Int) = p(i) & 0xff
+      val n = h.dataBytes / (h.bitsPerSample / 8)
+      val samples = new Array[Int](n)
+      val base = h.dataOffset
+      var k = 0
+      if (h.bitsPerSample == 16) {
+        while (k < n) {
+          val v = u8(base + k * 2) | (u8(base + k * 2 + 1) << 8)
+          samples(k) = (v << 16) >> 16 // sign-extend
+          k += 1
+        }
+      } else {
+        while (k < n) { samples(k) = u8(base + k); k += 1 } // 8-bit: unsigned
+      }
+      Pcm(h.channels, h.sampleRate, h.bitsPerSample, samples)
+    }
 }

@@ -212,6 +212,27 @@ object Dedup {
       .agg(count(lit(1)).as("bucket_size"))
       .where(col("bucket_size") > maxBandBucket)
 
+  /** Document-frequency cap over an inverted-index posting list, shaped for
+    * scale: aggregate per-key counts, keep only the HEAVY keys (df > cap —
+    * a set bounded by |postings|/cap, so small by construction), broadcast
+    * them, and drop their postings with a broadcast anti-join. The light
+    * keys — the overwhelming majority — never leave the map side.
+    *
+    * This replaces the earlier `count(*) over (partition by key)` window
+    * form, which sorted every posting partition before the self-join (the
+    * d07 regression): the anti-join needs no sort at all, and the postings
+    * scan stays in whole-stage codegen. Output is row-identical to the
+    * window form.
+    */
+  private def dfCapPostings(postings: DataFrame, keyCol: String,
+                            maxDocFreq: Int): DataFrame = {
+    val heavy = postings.groupBy(keyCol)
+      .agg(count(lit(1)).as("__df"))
+      .where(col("__df") > maxDocFreq)
+      .select(keyCol)
+    postings.join(broadcast(heavy), Seq(keyCol), "left_anti")
+  }
+
   /** Exact word n-gram Jaccard near-duplicate pairs via an inverted-index
     * join — the non-probabilistic companion to MinHash-LSH for corpora
     * where exact overlap scores matter.
@@ -240,11 +261,7 @@ object Dedup {
       .withColumn("__w", words)
       .where(size(col("__w")) >= n)
       .select(col("doc_id"), explode(grams).as("gram"))
-    val byGram = org.apache.spark.sql.expressions.Window.partitionBy(col("gram"))
-    val capped = postings
-      .withColumn("__df", count(lit(1)).over(byGram))
-      .where(col("__df") <= maxDocFreq)
-      .drop("__df")
+    val capped = dfCapPostings(postings, "gram", maxDocFreq)
     val sizes = capped.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val inter = capped.as("a").join(capped.as("b"),
         col("a.gram") === col("b.gram") && col("a.doc_id") < col("b.doc_id"))
@@ -282,11 +299,7 @@ object Dedup {
                              thresholdNum: Int = 1, thresholdDen: Int = 2,
                              maxDocFreq: Int = 100): DataFrame = {
     val fps = winnowFingerprintRows(docs, idCol, textCol)
-    val byFp = org.apache.spark.sql.expressions.Window.partitionBy(col("fingerprint"))
-    val capped = fps
-      .withColumn("__df", count(lit(1)).over(byFp))
-      .where(col("__df") <= maxDocFreq)
-      .drop("__df")
+    val capped = dfCapPostings(fps, "fingerprint", maxDocFreq)
     val sizes = capped.groupBy("doc_id").agg(count(lit(1)).as("n"))
     capped.as("a").join(capped.as("b"),
         col("a.fingerprint") === col("b.fingerprint") &&

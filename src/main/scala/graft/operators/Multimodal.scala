@@ -161,8 +161,8 @@ object Multimodal {
     * data and return (format, channels, sample_rate, duration_ms) — what
     * a 100 TB ingest runs to validate payloads and populate metadata. */
   def sniffAudioHeader(p: Array[Byte]): Option[(String, Int, Int, Long)] =
-    AudioCodec.decodeWav(p).map(pcm =>
-      ("wav", pcm.channels, pcm.sampleRate, pcm.durationMs))
+    AudioCodec.sniffWav(p).map(h =>
+      ("wav", h.channels, h.sampleRate, h.durationMs))
 
   /** REAL (dependency-free) header decode: container format and pixel
     * dimensions read straight from the payload's header bytes — PNG IHDR,

@@ -104,6 +104,18 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
     assert(p.contains("graft_nearest_cell"), p.take(800))
   }
 
+  test("posting df-caps run as broadcast anti-joins — no window over postings") {
+    // Round-6 regression lock (d07 3.69s): a count(*) over (partition by
+    // gram) df-cap sorts every posting partition before the self-join. The
+    // cap must stay a groupBy + broadcast anti-join of the heavy keys.
+    for (q <- Seq("d07_ngram_jaccard", "d10_winnow_containment")) {
+      val p = plan(q)
+      assert(!p.contains("Window"), s"$q windows its postings:\n${p.take(800)}")
+      assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
+        s"$q df-cap is not a broadcast anti-join:\n${p.take(800)}")
+    }
+  }
+
   test("semi-join extract plans as a real semi join") {
     val p = plan("s06_semi_join_extract")
     assert(p.contains("LeftSemi") || p.contains("left_semi"))

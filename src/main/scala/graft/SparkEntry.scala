@@ -1389,6 +1389,25 @@ object SparkEntry {
         .orderBy("media_id")
     }),
 
+    // M1 (JPEG): REAL baseline-JPEG decode, oracle-gated like m01/m02.
+    // Each doc becomes a 16x16 baseline JFIF of flat 8x8 blocks whose
+    // gray level follows a formula (DC-only coefficients are the one JPEG
+    // family with analytically exact decoded pixels — a DC of 8k IDCTs to
+    // a flat k+128). The decode runs the full real path: marker parse,
+    // canonical Huffman, dequant, IDCT, YCbCr->RGB. The oracle computes
+    // the same per-channel sums straight from the formula.
+    "m03_jpeg_decode" -> ((s, dir) => {
+      import s.implicits._
+      val media = t(s, dir, "documents").select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { id =>
+          val payload = graft.operators.JpegCodec.encodeJpegGrayBlocks(2, 2,
+            (bx, by) => ((id + bx * 3 + by * 5) % 256).toInt)
+          (id, payload)
+        }).toDF("media_id", "payload")
+      graft.operators.Multimodal.decodeRasterFeatures(s, media).toDF()
+        .orderBy("media_id")
+    }),
+
     // EV06: weekly cohort retention — users bucketed by first-seen week,
     // distinct-active counts per (cohort, week). Two key-shuffles (first
     // week, cohort grid), both with partial aggregation; the user_id join
@@ -2654,6 +2673,15 @@ object SparkEntry {
          FROM documents d CROSS JOIN range(0, 150) k(r)
          WHERE k.r < 100 + d.doc_id % 50
          GROUP BY 1, 2, 3, 4, 5 ORDER BY media_id""",
+
+    "m03_jpeg_decode" ->
+      """SELECT d.doc_id AS media_id, 'jpeg' AS fmt, 16 AS width, 16 AS height,
+           CAST(64 * SUM((d.doc_id + bx.r * 3 + by.r * 5) % 256) AS BIGINT) AS sum_r,
+           CAST(64 * SUM((d.doc_id + bx.r * 3 + by.r * 5) % 256) AS BIGINT) AS sum_g,
+           CAST(64 * SUM((d.doc_id + bx.r * 3 + by.r * 5) % 256) AS BIGINT) AS sum_b
+         FROM documents d
+         CROSS JOIN range(0, 2) bx(r) CROSS JOIN range(0, 2) by(r)
+         GROUP BY 1, 2, 3, 4 ORDER BY media_id""",
 
     "ev06_retention" ->
       """WITH ev AS (SELECT user_id, date_trunc('week', ts) AS wk FROM events),

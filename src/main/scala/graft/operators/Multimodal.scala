@@ -49,11 +49,12 @@ object Multimodal {
   }
 
   /** Partition-parallel decode + feature extraction over the binary column
-    * (the Scala shape of a pandas-UDF `mapInPandas` batch fn). BMP and PNG
-    * payloads decode FOR REAL ([[RasterCodec]] — no media library needed)
-    * and pool a 16-bin grayscale pixel histogram with the true dimensions;
-    * payloads needing a codec (JPEG/GIF/audio/video) fall back to the
-    * deterministic stub over the raw bytes with the declared dimensions. */
+    * (the Scala shape of a pandas-UDF `mapInPandas` batch fn). BMP, PNG,
+    * and baseline JPEG payloads decode FOR REAL ([[RasterCodec]] /
+    * [[JpegCodec]] — no media library needed) and pool a 16-bin grayscale
+    * pixel histogram with the true dimensions; payloads needing a codec
+    * (GIF/progressive JPEG/video) fall back to the deterministic stub over
+    * the raw bytes with the declared dimensions. */
   def decodeFeatures(spark: SparkSession, media: DataFrame): Dataset[DecodedFeatures] = {
     import spark.implicits._
     media

@@ -2,10 +2,10 @@ package graft.operators
 
 import java.util.zip.{CRC32, Deflater, Inflater}
 
-/** Dependency-free raster codecs for the two formats decodable without a
-  * media library: uncompressed BMP (plain pixel array) and PNG (zlib via
-  * `java.util.zip` + the five standard scanline filters). JPEG/GIF stay
-  * honestly stubbed — their entropy coders need a real codec.
+/** Dependency-free raster codecs: uncompressed BMP (plain pixel array),
+  * PNG (zlib via `java.util.zip` + the five standard scanline filters),
+  * and baseline JPEG (via [[JpegCodec]]). GIF and progressive JPEG stay
+  * honestly stubbed.
   *
   * This is the decode step behind [[Multimodal.decodeFeatures]]: the
   * reference pipeline fetches binary content eagerly and hands it to
@@ -186,8 +186,18 @@ object RasterCodec {
       }
     }
     if (!ok || width == 0 || idat.size() == 0) return None
-    val stride = width * channels
-    val raw = new Array[Byte]((1 + stride) * height)
+    // Size the buffers in Long BEFORE allocating: header-declared dims up
+    // to 2^20 x 2^20 x 4 channels overflow Int (NegativeArraySize / a
+    // wrapped-small buffer that then AIOOBEs during unfiltering), and even
+    // non-overflowing dims must be reachable from this IDAT stream —
+    // deflate expands at most ~1032x, so a tiny crafted payload cannot be
+    // allowed to demand a multi-GB allocation. Reject -> None, not crash.
+    val strideL = width.toLong * channels
+    val rawLen = (1L + strideL) * height
+    if (rawLen > Int.MaxValue || rawLen > idat.size().toLong * 1032 + 64)
+      return None
+    val stride = strideL.toInt
+    val raw = new Array[Byte](rawLen.toInt)
     val inflater = new Inflater()
     inflater.setInput(idat.toByteArray)
     try {
@@ -232,12 +242,14 @@ object RasterCodec {
     Some(Raster(width, height, channels, out))
   }
 
-  /** Decode whatever the payload's header says it is; BMP and PNG are real,
-    * anything else (JPEG/GIF need a codec library) returns None. */
+  /** Decode whatever the payload's header says it is; BMP, PNG, and
+    * baseline JPEG ([[JpegCodec]]) are real, anything else (GIF,
+    * progressive JPEG) returns None. */
   def decode(p: Array[Byte]): Option[Raster] =
     Multimodal.sniffImageHeader(p).flatMap {
       case ("bmp", _, _) => decodeBmp(p)
       case ("png", _, _) => decodePng(p)
+      case ("jpeg", _, _) => JpegCodec.decodeJpeg(p)
       case _ => None
     }
 }

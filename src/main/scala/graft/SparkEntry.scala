@@ -1408,6 +1408,63 @@ object SparkEntry {
         .orderBy("media_id")
     }),
 
+    // F1-F3: the electricity-CSV parser family end to end, oracle-gated.
+    // Each doc becomes a multi-section CSV (preamble block + automated
+    // 3-column section + manual 2-column section; docs with id % 7 == 0
+    // get a spring-forward wall time that must drop the WHOLE manual
+    // section, F3). January docs are GMT (UTC=wall), July docs BST
+    // (UTC=wall-1h) — so the DST-correct conversion is analytically
+    // computable by the oracle. Parsing runs distributed per doc.
+    "f01_electricity_parse" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "documents").select(col("doc_id")).as[Long]
+        .flatMap { id =>
+          val month = if (id % 2 == 0) "01" else "07"
+          val sb = new StringBuilder
+          sb.append("Site Information,meter 7\n")
+          sb.append("address,some site\n")
+          sb.append("time,Date,kW\n")
+          for (k <- 0 until 3)
+            sb.append(f"${10 + k}%02d:00:00,15/$month%s/21,${(id * 10 + k) / 4.0}%s\n")
+          sb.append("time,kW\n")
+          for (k <- 0 until 2)
+            sb.append(f"16/$month%s/21 ${8 + k}%02d:30:00,${(id + k) / 2.0}%s\n")
+          if (id % 7 == 0) sb.append("28/03/21 01:30:00,9.0\n")
+          val (rs, _) = graft.sources.ElectricityCsv
+            .parseContent(s"doc_$id.csv", sb.toString)
+          rs.map(r => (r.fileName, r.dateTimeUtc.getTime / 1000, r.powerMw))
+        }.toDF("file_name", "ts_epoch", "power_mw")
+        .orderBy("file_name", "ts_epoch", "power_mw")
+    }),
+
+    // F7: the moderator Gaussian-peak fit, oracle-gated. Each doc becomes
+    // a noiseless histogram from a known (a, mu, sigma) + flat background;
+    // the LM fit must recover the true parameters (noiseless data -> the
+    // global minimum IS the generating truth), reported on a milli grid so
+    // float convergence noise (~1e-8) cannot flip the rounding. The
+    // oracle states the generating truth directly.
+    "f02_moderator_fit" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "documents").select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { id =>
+          val a = 100.0 + id % 50
+          val mu = 5.0 + (id % 10) / 10.0
+          val sg = 0.5 + (id % 5) / 10.0
+          val bg = 10.0
+          val xs = Array.tabulate(81)(i => i * 0.25)
+          val model = graft.fit.GaussNewton.gaussianFlatBg(bg) _
+          val ys = xs.map(x => model(x, Array(a, mu, sg)))
+          val ymax = ys.max
+          val p0 = Array(ymax - bg, xs(ys.indexOf(ymax)), 1.0)
+          val r = graft.fit.GaussNewton.fit(xs, ys, p0,
+            Array(0.0, 0.0, 0.01), Array(1e4, 20.0, 10.0), model)
+          (id, math.round(r.params(0) * 1000),
+            math.round(r.params(1) * 1000),
+            math.round(math.abs(r.params(2)) * 1000))
+        }).toDF("hist_id", "a_milli", "mu_milli", "sigma_milli")
+        .orderBy("hist_id")
+    }),
+
     // EV06: weekly cohort retention — users bucketed by first-seen week,
     // distinct-active counts per (cohort, week). Two key-shuffles (first
     // week, cohort grid), both with partial aggregation; the user_id join
@@ -2673,6 +2730,37 @@ object SparkEntry {
          FROM documents d CROSS JOIN range(0, 150) k(r)
          WHERE k.r < 100 + d.doc_id % 50
          GROUP BY 1, 2, 3, 4, 5 ORDER BY media_id""",
+
+    "f01_electricity_parse" ->
+      """WITH auto_rows AS (
+           SELECT 'doc_' || d.doc_id || '.csv' AS file_name,
+             CAST(epoch(make_timestamp(2021,
+                 CASE WHEN d.doc_id % 2 = 0 THEN 1 ELSE 7 END, 15,
+                 10 + k.r, 0, 0)
+               - CASE WHEN d.doc_id % 2 = 0 THEN INTERVAL 0 HOUR
+                      ELSE INTERVAL 1 HOUR END) AS BIGINT) AS ts_epoch,
+             (d.doc_id * 10 + k.r) / 4.0 AS power_mw
+           FROM documents d CROSS JOIN range(0, 3) k(r)
+         ), manual_rows AS (
+           SELECT 'doc_' || d.doc_id || '.csv' AS file_name,
+             CAST(epoch(make_timestamp(2021,
+                 CASE WHEN d.doc_id % 2 = 0 THEN 1 ELSE 7 END, 16,
+                 8 + k.r, 30, 0)
+               - CASE WHEN d.doc_id % 2 = 0 THEN INTERVAL 0 HOUR
+                      ELSE INTERVAL 1 HOUR END) AS BIGINT) AS ts_epoch,
+             (d.doc_id + k.r) / 2.0 AS power_mw
+           FROM documents d CROSS JOIN range(0, 2) k(r)
+           WHERE d.doc_id % 7 <> 0
+         )
+         SELECT * FROM auto_rows UNION ALL SELECT * FROM manual_rows
+         ORDER BY file_name, ts_epoch, power_mw""",
+
+    "f02_moderator_fit" ->
+      """SELECT d.doc_id AS hist_id,
+           CAST((100 + d.doc_id % 50) * 1000 AS BIGINT) AS a_milli,
+           CAST(5000 + (d.doc_id % 10) * 100 AS BIGINT) AS mu_milli,
+           CAST(500 + (d.doc_id % 5) * 100 AS BIGINT) AS sigma_milli
+         FROM documents d ORDER BY hist_id""",
 
     "m03_jpeg_decode" ->
       """SELECT d.doc_id AS media_id, 'jpeg' AS fmt, 16 AS width, 16 AS height,

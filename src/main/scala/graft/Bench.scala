@@ -15,7 +15,9 @@ object Bench {
   val headline: Seq[String] = Seq(
     "q01_agg_pushdown", "q12_join_multi", "q20_interval_join",
     "q24_window_lag", "ev01_sessionize",
-    "d01_exact_dedup", "d02_minhash_lsh", "d03_simhash", "d07_ngram_jaccard",
+    "d01_exact_dedup", "d02_minhash_lsh",
+    "x01_lsh_skew_capped", "x02_lsh_skew_atcap",
+    "d03_simhash", "d07_ngram_jaccard",
     "d08_winnow_fingerprints", "d10_winnow_containment",
     "e01_knn_bruteforce", "e02_ann_ivf",
     "e05_kmeans_ivf_cells", "e06_kmeans_ivf_topk",

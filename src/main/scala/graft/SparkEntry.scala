@@ -654,6 +654,23 @@ object SparkEntry {
       Dedup.minhashNearDupPairs(t(s, dir, "documents"), "doc_id", "text")
         .orderBy("doc_a", "doc_b")),
 
+    // Adversarial-skew stress of the LSH band-bucket cap (the 100 TB
+    // hot-key shape): every mod-th doc shares ONE text, so every band
+    // funnels the whole hot group into a single (band_id, band_key).
+    // x01: hot group is 20% of the corpus — above the cap at bench scale
+    // (sf0.1: 1000 > 500), the cap must drop the boilerplate bucket and
+    // keep runtime at the uniform baseline. x02: hot group is 10% — AT
+    // the cap at bench scale (500 = cap), the worst bounded case: cap^2/2
+    // verify pairs per band must stay a bounded, distributed join. Both
+    // run the same oracle as d02 over the skewed corpus.
+    "x01_lsh_skew_capped" -> ((s, dir) =>
+      Dedup.minhashNearDupPairs(hotBandDocs(s, dir, 5), "doc_id", "text")
+        .orderBy("doc_a", "doc_b")),
+
+    "x02_lsh_skew_atcap" -> ((s, dir) =>
+      Dedup.minhashNearDupPairs(hotBandDocs(s, dir, 10), "doc_id", "text")
+        .orderBy("doc_a", "doc_b")),
+
     "d03_simhash" -> ((s, dir) =>
       Dedup.simhashFingerprints(t(s, dir, "documents"), "doc_id", "text")
         .orderBy("doc_id")),
@@ -1618,6 +1635,24 @@ object SparkEntry {
         SELECT doc_a, doc_b, CAST((i * 1000000) // u AS BIGINT) AS jaccard_e6
         FROM ver WHERE i * 5 >= u * 4 ORDER BY doc_a, doc_b"""
 
+  /** One shared text for the skew-stress hot group (x01/x02). Must stay a
+    * plain single-quotable string — it is inlined into the oracle SQL. */
+  private val HotText = "the same boilerplate paragraph shared by every " +
+    "document in the hot group with enough length to fill the shingle set"
+
+  private def hotBandDocs(s: SparkSession, dir: String, mod: Int): DataFrame =
+    t(s, dir, "documents").withColumn("text",
+      when(col("doc_id") % mod === 0, lit(HotText)).otherwise(col("text")))
+
+  private def skewMinhashOracle(mod: Int): String =
+    s"""WITH docs_hot AS (
+          SELECT doc_id, CASE WHEN doc_id % $mod = 0 THEN '$HotText'
+                              ELSE text END AS text
+          FROM documents),
+        ${minhashCtes("docs_hot")}
+        SELECT doc_a, doc_b, CAST((i * 1000000) // u AS BIGINT) AS jaccard_e6
+        FROM ver WHERE i * 5 >= u * 4 ORDER BY doc_a, doc_b"""
+
   /** d15/d31 shared oracle: connected components of the verified near-dup
     * pair graph via a recursive reachability CTE; canonical label = min
     * doc id. Both the label-propagation and the large-star/small-star
@@ -2346,6 +2381,8 @@ object SparkEntry {
          FROM documents GROUP BY 1 ORDER BY keep_id""",
 
     "d02_minhash_lsh" -> minhashOracle,
+    "x01_lsh_skew_capped" -> skewMinhashOracle(5),
+    "x02_lsh_skew_atcap" -> skewMinhashOracle(10),
 
     "d03_simhash" -> simhashOracle,
 

@@ -489,7 +489,15 @@ object Dedup {
     * Input contract: pairs (doc_a, doc_b) with doc_a != doc_b (self-pairs
     * are dropped; a doc with only a self-pair has no duplicate partner).
     */
-  def duplicateClustersStar(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+  def duplicateClustersStar(pairs: DataFrame, maxIters: Int = 20): DataFrame =
+    duplicateClustersStarStats(pairs, maxIters)._1
+
+  /** [[duplicateClustersStar]] plus run statistics: (labels, rounds
+    * executed, converged). The round count is what makes the O(log n)
+    * guarantee empirically checkable — a path graph of depth 2^k must
+    * converge in O(k) rounds where label propagation needs O(2^k). */
+  def duplicateClustersStarStats(pairs: DataFrame,
+                                 maxIters: Int = 20): (DataFrame, Int, Boolean) = {
     // digest: (#edges, sum of per-edge hash) — equal across rounds iff the
     // edge set is unchanged (64-bit collision odds are negligible and the
     // check is deterministic for given data).
@@ -542,12 +550,26 @@ object Dedup {
     }
 
     // Fixpoint edges form stars (a -> component-min root). Non-roots each
-    // appear exactly once on the a-side; roots only on the b-side.
-    val labels = edges.select(col("a").as("doc_id"), col("b").as("cluster_id"))
+    // appear exactly once on the a-side; roots only on the b-side. If
+    // maxIters was hit BEFORE the fixpoint, that star-forest shape is not
+    // guaranteed — a node can still hold several edges and would emit
+    // duplicate doc_id rows with conflicting cluster_ids, silently
+    // breaking the one-row-per-doc contract (label propagation's
+    // non-converged failure mode is merely stale labels). Collapse
+    // defensively in that case; converged runs keep the shuffle-free path.
+    val rawLabels = edges.select(col("a").as("doc_id"), col("b").as("cluster_id"))
       .union(edges.select(col("b").as("doc_id"), col("b").as("cluster_id")).distinct())
+    val labels =
+      if (converged) rawLabels
+      else {
+        System.err.println(s"[graft] duplicateClustersStar: no fixpoint " +
+          s"after $maxIters rounds; collapsing labels to min(cluster_id)")
+        rawLabels.groupBy("doc_id").agg(min(col("cluster_id")).as("cluster_id"))
+          .select(col("doc_id"), col("cluster_id"))
+      }
     val sizes = labels.groupBy("cluster_id")
       .agg(count(lit(1)).as("cluster_size"))
-    labels.join(sizes, "cluster_id")
-      .select("doc_id", "cluster_id", "cluster_size")
+    (labels.join(sizes, "cluster_id")
+      .select("doc_id", "cluster_id", "cluster_size"), iters, converged)
   }
 }

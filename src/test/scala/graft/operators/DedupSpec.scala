@@ -124,6 +124,42 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     assert(!got.contains(1L))
   }
 
+  test("star clusters: depth-10^3 path needs only ~log2(n) rounds where " +
+      "label propagation hits maxIters") {
+    // THE motivating case for large-star/small-star: a path of 1024 nodes
+    // has diameter 1023. Label propagation moves the min label one hop per
+    // round, so at maxIters=10 it is nowhere near converged; the star
+    // rounds contract geometrically and must finish in O(log2 n) rounds.
+    val n = 1024L
+    val path = (1L until n).map(i => (i, i + 1))
+    val (labels, rounds, converged) =
+      Dedup.duplicateClustersStarStats(path.toDF("doc_a", "doc_b"), maxIters = 20)
+    assert(converged, "star rounds did not converge")
+    assert(rounds <= 14, s"expected <= log2(1024)+4 rounds, took $rounds")
+    val got = labels.collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got.keySet == (1L to n).toSet)
+    assert(got.values.forall(_ == (1L, n)))
+    // the diameter-bound algorithm on the same budget: stale labels
+    val lp = Dedup.duplicateClusters(path.toDF("doc_a", "doc_b"), maxIters = 10)
+      .select("cluster_id").distinct().count()
+    assert(lp > 1, "label propagation unexpectedly converged in 10 rounds")
+  }
+
+  test("star clusters keep one-row-per-doc even when maxIters cuts " +
+      "convergence short") {
+    // round-6 ADVICE: a non-converged edge set is not a star forest, so
+    // without the defensive collapse a node would emit duplicate doc_id
+    // rows with conflicting cluster_ids
+    val path = (1L until 128L).map(i => (i, i + 1))
+    val (labels, _, converged) =
+      Dedup.duplicateClustersStarStats(path.toDF("doc_a", "doc_b"), maxIters = 2)
+    assert(!converged) // 2 rounds cannot finish a depth-127 path
+    val rows = labels.collect()
+    assert(rows.map(_.getLong(0)).distinct.length == rows.length,
+      "duplicate doc_id rows in non-converged output")
+    assert(rows.map(_.getLong(0)).toSet == (1L to 128L).toSet)
+  }
+
   test("star clusters agree with label propagation on random graphs") {
     for (seed <- Seq(7, 101, 4242)) {
       val rnd = new scala.util.Random(seed)

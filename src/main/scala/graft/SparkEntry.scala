@@ -1425,6 +1425,29 @@ object SparkEntry {
         .orderBy("media_id")
     }),
 
+    // M1 (GIF): REAL LZW decode, oracle-gated like m01/m03. Each doc
+    // becomes a 16x16 GIF over a formula palette with formula indices —
+    // GIF is lossless, so the full parse + LZW + palette path must
+    // reproduce the per-channel sums the oracle computes analytically.
+    "m04_gif_decode" -> ((s, dir) => {
+      import s.implicits._
+      val palette = Array.tabulate(768) { i =>
+        val k = i / 3
+        (i % 3 match {
+          case 0 => k
+          case 1 => (2 * k) % 256
+          case 2 => (k * 3 + 7) % 256
+        }).toByte
+      }
+      val media = t(s, dir, "documents").select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { id =>
+          val idx = Array.tabulate(256)(i => ((id + i * 31) % 256).toByte)
+          (id, graft.operators.GifCodec.encodeGif(16, 16, palette, idx))
+        }).toDF("media_id", "payload")
+      graft.operators.Multimodal.decodeRasterFeatures(s, media).toDF()
+        .orderBy("media_id")
+    }),
+
     // F1-F3: the electricity-CSV parser family end to end, oracle-gated.
     // Each doc becomes a multi-section CSV (preamble block + automated
     // 3-column section + manual 2-column section; docs with id % 7 == 0
@@ -2767,6 +2790,14 @@ object SparkEntry {
          FROM documents d CROSS JOIN range(0, 150) k(r)
          WHERE k.r < 100 + d.doc_id % 50
          GROUP BY 1, 2, 3, 4, 5 ORDER BY media_id""",
+
+    "m04_gif_decode" ->
+      """SELECT d.doc_id AS media_id, 'gif' AS fmt, 16 AS width, 16 AS height,
+           CAST(SUM((d.doc_id + i.r * 31) % 256) AS BIGINT) AS sum_r,
+           CAST(SUM((2 * ((d.doc_id + i.r * 31) % 256)) % 256) AS BIGINT) AS sum_g,
+           CAST(SUM((((d.doc_id + i.r * 31) % 256) * 3 + 7) % 256) AS BIGINT) AS sum_b
+         FROM documents d CROSS JOIN range(0, 256) i(r)
+         GROUP BY 1, 2, 3, 4 ORDER BY media_id""",
 
     "f01_electricity_parse" ->
       """WITH auto_rows AS (

@@ -9,11 +9,13 @@ import org.apache.spark.sql.types._
   * feature-extract / resize / frame-sample run as partition-parallel batch
   * functions over the binary payloads.
   *
-  * The actual codec step is STUBBED (no image/audio libraries in this
-  * environment): [[stubDecode]] derives a deterministic fake raster from the
-  * payload bytes + declared metadata, so every downstream contract — schema,
-  * batch shape, partitioning, null handling — is real and tested, and a real
-  * decoder can be swapped in behind the same signature.
+  * BMP, PNG, GIF, baseline JPEG, and WAV PCM decode FOR REAL (dependency-
+  * free codecs in this package); formats that need an entropy library the
+  * JDK lacks (progressive JPEG, compressed audio, video) go through
+  * [[stubDecode]] — a deterministic fake raster derived from payload bytes
+  * + declared metadata, so every downstream contract (schema, batch shape,
+  * partitioning, null handling) is real and tested, and a real decoder can
+  * be swapped in behind the same signature.
   */
 object Multimodal {
 
@@ -50,11 +52,11 @@ object Multimodal {
 
   /** Partition-parallel decode + feature extraction over the binary column
     * (the Scala shape of a pandas-UDF `mapInPandas` batch fn). BMP, PNG,
-    * and baseline JPEG payloads decode FOR REAL ([[RasterCodec]] /
-    * [[JpegCodec]] — no media library needed) and pool a 16-bin grayscale
-    * pixel histogram with the true dimensions; payloads needing a codec
-    * (GIF/progressive JPEG/video) fall back to the deterministic stub over
-    * the raw bytes with the declared dimensions. */
+    * GIF, and baseline JPEG payloads decode FOR REAL ([[RasterCodec]] /
+    * [[JpegCodec]] / [[GifCodec]] — no media library needed) and pool a
+    * 16-bin grayscale pixel histogram with the true dimensions; payloads
+    * needing a codec (progressive JPEG/video) fall back to the
+    * deterministic stub over the raw bytes with the declared dimensions. */
   def decodeFeatures(spark: SparkSession, media: DataFrame): Dataset[DecodedFeatures] = {
     import spark.implicits._
     media

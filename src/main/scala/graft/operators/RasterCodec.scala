@@ -242,14 +242,15 @@ object RasterCodec {
     Some(Raster(width, height, channels, out))
   }
 
-  /** Decode whatever the payload's header says it is; BMP, PNG, and
-    * baseline JPEG ([[JpegCodec]]) are real, anything else (GIF,
-    * progressive JPEG) returns None. */
+  /** Decode whatever the payload's header says it is; BMP, PNG, baseline
+    * JPEG ([[JpegCodec]]), and GIF ([[GifCodec]]) are real; progressive
+    * JPEG returns None. */
   def decode(p: Array[Byte]): Option[Raster] =
     Multimodal.sniffImageHeader(p).flatMap {
       case ("bmp", _, _) => decodeBmp(p)
       case ("png", _, _) => decodePng(p)
       case ("jpeg", _, _) => JpegCodec.decodeJpeg(p)
+      case ("gif", _, _) => GifCodec.decodeGif(p)
       case _ => None
     }
 }

@@ -50,6 +50,10 @@ object SheetSource {
     var df = spark.read
       .option("header", hasHeader.toString)
       .option("inferSchema", "true")
+      // csvEscape doubles embedded quotes (RFC 4180); Spark's default
+      // escape is backslash, so the read must be told the same doubled-
+      // quote convention or a literal '"' in a cell fails to round-trip.
+      .option("escape", "\"")
       .csv(body)
     if (!hasHeader) {
       require(df.columns.length == config.columnNames.length,

@@ -56,6 +56,7 @@ class XlsxReaderSpec extends AnyFunSuite with SparkSpec {
         |<si><r><t>10:</t></r><r><t>00:00</t></r></si>
         |<si><t>11:00:00</t></si>
         |<si><t xml:space="preserve">has, comma</t></si>
+        |<si><t xml:space="preserve">say "hi", ok</t></si>
         |</sst>""".stripMargin)
     part("xl/worksheets/sheet1.xml",
       """<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">
@@ -73,7 +74,7 @@ class XlsxReaderSpec extends AnyFunSuite with SparkSpec {
         |<sheetData>
         |<row r="1"><c r="A1" t="inlineStr"><is><t>name</t></is></c><c r="B1" t="inlineStr"><is><t>ok</t></is></c><c r="C1" t="inlineStr"><is><t>note</t></is></c></row>
         |<row r="2"><c r="A2" t="s"><v>5</v></c><c r="B2" t="b"><v>1</v></c><c r="C2" t="inlineStr"><is><t>x</t></is></c></row>
-        |<row r="3"><c r="C3" t="inlineStr"><is><t>only c</t></is></c></row>
+        |<row r="3"><c r="A3" t="s"><v>6</v></c><c r="C3" t="inlineStr"><is><t>only c</t></is></c></row>
         |</sheetData>
         |</worksheet>""".stripMargin)
     zos.close()
@@ -89,7 +90,7 @@ class XlsxReaderSpec extends AnyFunSuite with SparkSpec {
     assert(s1(3) == Seq("10:00:00", "120.5")) // rich-text run concatenated
     val s2 = XlsxReader.readRows(p.toString, Some("Flags"))
     assert(s2(1) == Seq("has, comma", "true", "x"))
-    assert(s2(2) == Seq("", "", "only c")) // sparse row padded on the left
+    assert(s2(2) == Seq("say \"hi\", ok", "", "only c")) // sparse middle cell
     val e = intercept[IllegalArgumentException] {
       XlsxReader.readRows(p.toString, Some("Nope"))
     }
@@ -130,8 +131,12 @@ class XlsxReaderSpec extends AnyFunSuite with SparkSpec {
     assert(df.schema("flag").dataType.typeName == "string")
     val rows = df.orderBy("note").collect()
     assert(rows.length == 2)
-    // comma-bearing cell survives the funnel through the CSV parse intact
+    // comma- and quote-bearing cells survive the funnel through the CSV
+    // parse intact (round-6 ADVICE: the read must use the doubled-quote
+    // escape convention csvEscape writes, not Spark's default backslash)
     assert(rows.find(_.getString(2) == "x").get.getString(0) == "has, comma")
-    assert(rows.find(_.getString(2) == "only c").get.isNullAt(0))
+    assert(rows.find(_.getString(2) == "only c").get.getString(0) ==
+      "say \"hi\", ok")
+    assert(rows.find(_.getString(2) == "only c").get.isNullAt(1))
   }
 }

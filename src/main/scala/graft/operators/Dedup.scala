@@ -170,11 +170,12 @@ object Dedup {
   /** Banded LSH keys with the bucket-size guard: the 200-perm signature is
     * sliced into 25 bands of 8 rows; a band key is the comma-joined row
     * values (string keys hash-join identically in any engine). Docs meet
-    * iff they agree on a whole band. A window count over (band_id,
-    * band_key) — the same partitioning the candidate self-join shuffles on,
-    * so the exchange is shared — drops buckets above `maxBandBucket`: the
-    * standard guard against degenerate/boilerplate bands exploding one
-    * bucket into O(m^2) candidates at corpus scale. */
+    * iff they agree on a whole band. [[cappedBandKeys]] drops buckets
+    * above `maxBandBucket` via the broadcast anti-join df-cap (heavy
+    * buckets are bounded by rows/cap, so the heavy-key set broadcasts):
+    * the standard guard against degenerate/boilerplate bands exploding
+    * one bucket into O(m^2) candidates at corpus scale, without the
+    * window form's sort of every band partition. */
   private def bandKeyRows(docs: DataFrame, idCol: String,
                           textCol: String,
                           extraCols: Seq[String] = Nil): DataFrame = {
@@ -193,12 +194,8 @@ object Dedup {
                              maxBandBucket: Int,
                              extraCols: Seq[String] = Nil): DataFrame = {
     val rows = bandKeyRows(docs, idCol, textCol, extraCols)
-    if (maxBandBucket == Int.MaxValue) return rows // uncapped: no window pass
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("band_id"), col("band_key"))
-    rows.withColumn("__bucket_n", count(lit(1)).over(w))
-      .where(col("__bucket_n") <= maxBandBucket)
-      .drop("__bucket_n")
+    if (maxBandBucket == Int.MaxValue) return rows // uncapped: no cap pass
+    dfCapPostings(rows, Seq("band_id", "band_key"), maxBandBucket)
   }
 
   /** Monitoring view of what the cap drops: oversized (band_id, band_key)
@@ -225,12 +222,16 @@ object Dedup {
     * window form.
     */
   private def dfCapPostings(postings: DataFrame, keyCol: String,
+                            maxDocFreq: Int): DataFrame =
+    dfCapPostings(postings, Seq(keyCol), maxDocFreq)
+
+  private def dfCapPostings(postings: DataFrame, keyCols: Seq[String],
                             maxDocFreq: Int): DataFrame = {
-    val heavy = postings.groupBy(keyCol)
+    val heavy = postings.groupBy(keyCols.map(col): _*)
       .agg(count(lit(1)).as("__df"))
       .where(col("__df") > maxDocFreq)
-      .select(keyCol)
-    postings.join(broadcast(heavy), Seq(keyCol), "left_anti")
+      .select(keyCols.map(col): _*)
+    postings.join(broadcast(heavy), keyCols, "left_anti")
   }
 
   /** Exact word n-gram Jaccard near-duplicate pairs via an inverted-index

@@ -166,6 +166,123 @@ object Multimodal {
   def sniffAudioHeader(p: Array[Byte]): Option[(String, Int, Int, Long)] =
     AudioCodec.sniffWav(p).map(h =>
       ("wav", h.channels, h.sampleRate, h.durationMs))
+      .orElse(sniffMp3Header(p))
+
+  /** MP3 frame-header sniff: skip an ID3v2 tag (syncsafe size), parse the
+    * first MPEG audio frame header (sync + version/layer/bitrate/
+    * samplerate/mode), and estimate duration from the payload length at
+    * the first frame's bitrate (exact for CBR, an estimate for VBR — the
+    * honest limit of a header-only walk; entropy decode stays stubbed).
+    * Returns (format, channels, sample_rate, approx duration_ms). */
+  def sniffMp3Header(p: Array[Byte]): Option[(String, Int, Int, Long)] = {
+    if (p == null || p.length < 4) return None
+    var off = 0
+    if (p.length >= 10 && p(0) == 'I' && p(1) == 'D' && p(2) == '3') {
+      val size = ((p(6) & 0x7f) << 21) | ((p(7) & 0x7f) << 14) |
+        ((p(8) & 0x7f) << 7) | (p(9) & 0x7f)
+      off = 10 + size
+      if (off < 0 || off + 4 > p.length) return None
+    }
+    val b1 = p(off) & 0xff
+    val b2 = p(off + 1) & 0xff
+    val b3 = p(off + 2) & 0xff
+    val b4 = p(off + 3) & 0xff
+    if (b1 != 0xff || (b2 & 0xe0) != 0xe0) return None
+    val versionBits = (b2 >> 3) & 3 // 3=MPEG1, 2=MPEG2, 0=MPEG2.5
+    val layerBits = (b2 >> 1) & 3 // 1 = Layer III
+    if (versionBits == 1 || layerBits != 1) return None // reserved / not L3
+    val bitrateIdx = (b3 >> 4) & 15
+    val srIdx = (b3 >> 2) & 3
+    if (bitrateIdx == 0 || bitrateIdx == 15 || srIdx == 3) return None
+    val kbps = (versionBits match {
+      case 3 => Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192,
+        224, 256, 320) // MPEG1 Layer III
+      case _ => Array(0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112,
+        128, 144, 160) // MPEG2/2.5 Layer III
+    })(bitrateIdx)
+    val sampleRate = (versionBits match {
+      case 3 => Array(44100, 48000, 32000)
+      case 2 => Array(22050, 24000, 16000)
+      case _ => Array(11025, 12000, 8000)
+    })(srIdx)
+    val channels = if (((b4 >> 6) & 3) == 3) 1 else 2
+    val durationMs = (p.length - off).toLong * 8 / kbps
+    Some(("mp3", channels, sampleRate, durationMs))
+  }
+
+  /** MP4/QuickTime header sniff, the video analog of [[sniffImageHeader]]:
+    * a length-tagged box walk (ftyp validated, moov/mvhd for timescale +
+    * duration, trak/tkhd for the presentation dimensions in 16.16 fixed
+    * point — the video track is the one with nonzero extent; audio tracks
+    * report 0x0). All offsets in Long (64-bit box sizes exist and a
+    * crafted 2^31 size must fail the bounds check, not wrap it). No
+    * sample data is touched — this is the metadata-validation walk a
+    * 100 TB ingest runs before any codec. Returns
+    * (format, width, height, duration_ms). */
+  def sniffVideoHeader(p: Array[Byte]): Option[(String, Int, Int, Long)] =
+    try sniffVideoHeaderImpl(p) catch {
+      // a box whose declared size exceeds its actual payload (truncated
+      // mvhd/tkhd) reads past the buffer: None, never a task-killing throw
+      case _: ArrayIndexOutOfBoundsException => None
+    }
+
+  private def sniffVideoHeaderImpl(p: Array[Byte]): Option[(String, Int, Int, Long)] = {
+    if (p == null || p.length < 16) return None
+    def u8(i: Long): Int = p(i.toInt) & 0xff
+    def be16(i: Long): Int = (u8(i) << 8) | u8(i + 1)
+    def be32(i: Long): Long = (u8(i).toLong << 24) | (u8(i + 1) << 16) |
+      (u8(i + 2) << 8) | u8(i + 3)
+    def be64(i: Long): Long = (be32(i) << 32) | be32(i + 4)
+    def tag(i: Long, s: String): Boolean =
+      (0 until 4).forall(k => u8(i + k) == s.charAt(k))
+
+    // one level of boxes within [from, to); returns (type-match offset,
+    // payload start, payload end) for the first box named `name`
+    def findBox(from: Long, to: Long, name: String): Option[(Long, Long)] = {
+      var i = from
+      while (i + 8 <= to) {
+        val sz32 = be32(i)
+        val (header, size) =
+          if (sz32 == 1) { if (i + 16 > to) return None; (16L, be64(i + 8)) }
+          else (8L, sz32)
+        if (size < header || i + size > to) return None
+        if (tag(i + 4, name)) return Some((i + header, i + size))
+        i += size
+      }
+      None
+    }
+
+    if (!tag(4, "ftyp")) return None
+    val end = p.length.toLong
+    val (moovAt, moovEnd) = findBox(0, end, "moov").getOrElse(return None)
+    val (mvhdAt, _) = findBox(moovAt, moovEnd, "mvhd").getOrElse(return None)
+    val v = u8(mvhdAt)
+    val (timescale, duration) =
+      if (v == 1) (be32(mvhdAt + 20), be64(mvhdAt + 24))
+      else (be32(mvhdAt + 12), be32(mvhdAt + 16))
+    if (timescale <= 0) return None
+    // scan all traks for the largest presentation extent
+    var w = 0
+    var h = 0
+    var at = moovAt
+    var guard = 0
+    while (guard < 64) {
+      findBox(at, moovEnd, "trak") match {
+        case Some((trakAt, trakEnd)) =>
+          findBox(trakAt, trakEnd, "tkhd").foreach { case (tkhdAt, _) =>
+            val tv = u8(tkhdAt)
+            val wOff = if (tv == 1) 88L else 76L
+            val tw = be32(tkhdAt + wOff) >> 16 // 16.16 fixed
+            val th = be32(tkhdAt + wOff + 4) >> 16
+            if (tw.toInt > w) { w = tw.toInt; h = th.toInt }
+          }
+          at = trakEnd
+        case None => guard = 64
+      }
+      guard += 1
+    }
+    Some(("mp4", w, h, duration * 1000L / timescale))
+  }
 
   /** REAL (dependency-free) header decode: container format and pixel
     * dimensions read straight from the payload's header bytes — PNG IHDR,

@@ -103,6 +103,71 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
     assert(Multimodal.sniffImageHeader(padded) == Some(("jpeg", 40, 30)))
   }
 
+  // minimal ISO-BMFF: ftyp + moov(mvhd v0 + trak(tkhd v0)) — the shape
+  // every mp4 muxer emits, sizes computed box-by-box
+  private def mp4Bytes(w: Int, h: Int, timescale: Int, duration: Int): Array[Byte] = {
+    def box(name: String, payload: Array[Byte]): Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(8 + payload.length)
+      b.putInt(8 + payload.length).put(name.getBytes("US-ASCII")).put(payload)
+      b.array()
+    }
+    val ftyp = box("ftyp", "isomiso2".getBytes)
+    val mvhd = {
+      val b = java.nio.ByteBuffer.allocate(100)
+      b.putInt(0) // version 0 + flags
+      b.putInt(1) // creation
+      b.putInt(2) // modification
+      b.putInt(timescale)
+      b.putInt(duration)
+      box("mvhd", b.array())
+    }
+    val tkhd = {
+      val b = java.nio.ByteBuffer.allocate(84)
+      b.putInt(0).putInt(1).putInt(2).putInt(1).putInt(0).putInt(duration)
+      b.position(76)
+      b.putInt(w << 16).putInt(h << 16) // 16.16 fixed presentation size
+      box("tkhd", b.array())
+    }
+    val audioTkhd = {
+      val b = java.nio.ByteBuffer.allocate(84) // 0x0 extent (audio track)
+      b.putInt(0).putInt(1).putInt(2).putInt(2)
+      box("tkhd", b.array())
+    }
+    ftyp ++ box("moov", box("trak", audioTkhd) ++ box("trak", tkhd) ++ mvhd)
+  }
+
+  test("sniffVideoHeader walks ftyp/moov/mvhd/tkhd for dims + duration") {
+    // duration 3000 ticks at timescale 600 = 5000 ms; video track 640x360
+    assert(Multimodal.sniffVideoHeader(mp4Bytes(640, 360, 600, 3000)) ==
+      Some(("mp4", 640, 360, 5000L)))
+    // mvhd v0 with 90kHz timescale
+    assert(Multimodal.sniffVideoHeader(mp4Bytes(1920, 1080, 90000, 45000)) ==
+      Some(("mp4", 1920, 1080, 500L)))
+    assert(Multimodal.sniffVideoHeader(Array[Byte](1, 2, 3, 4)).isEmpty)
+    assert(Multimodal.sniffVideoHeader(
+      mp4Bytes(64, 48, 600, 600).take(30)).isEmpty) // truncated moov
+  }
+
+  test("sniffMp3Header parses the first frame after an ID3v2 tag") {
+    // MPEG1 Layer III, 128 kbps (idx 9), 44100 Hz (idx 0), joint stereo
+    val frame = Array(0xff, 0xfb, 0x90, 0x40).map(_.toByte)
+    val body = frame ++ new Array[Byte](16000 - 4) // 16 kB at 128 kbps = 1000 ms
+    assert(Multimodal.sniffMp3Header(body) == Some(("mp3", 2, 44100, 1000L)))
+    // same frame behind a 100-byte ID3v2 tag
+    val id3 = "ID3".getBytes ++ Array[Byte](4, 0, 0, 0, 0, 0, 100) ++
+      new Array[Byte](100)
+    assert(Multimodal.sniffMp3Header(id3 ++ body) ==
+      Some(("mp3", 2, 44100, 1000L)))
+    // mono bit, MPEG2 rates
+    val mono = Array(0xff, 0xf3, 0x90, 0xc0).map(_.toByte) ++ new Array[Byte](60)
+    assert(Multimodal.sniffMp3Header(mono).map(t => (t._1, t._2, t._3)) ==
+      Some(("mp3", 1, 22050)))
+    assert(Multimodal.sniffMp3Header(Array[Byte](0, 1, 2, 3)).isEmpty)
+    assert(Multimodal.sniffMp3Header(frame.take(3)).isEmpty)
+    // and the audio sniff dispatches: wav stays wav, mp3 reaches mp3
+    assert(Multimodal.sniffAudioHeader(body).exists(_._1 == "mp3"))
+  }
+
   test("withSniffedHeaders validates payloads against declared metadata") {
     val rows = Seq(
       Row(1L, pngBytes(64, 48), Row("image", "png", 64, 48, null)),

@@ -1448,6 +1448,25 @@ object SparkEntry {
         .orderBy("media_id")
     }),
 
+    // M1 (video): the mp4 metadata walk, oracle-gated. Each doc becomes a
+    // metadata-only ISO-BMFF container with formula dims/duration; the
+    // sniff must recover them through the real box walk (ftyp, moov/mvhd
+    // timescale+duration, trak/tkhd 16.16 extents). The oracle states the
+    // formula directly.
+    "m05_video_sniff" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "documents").select(col("doc_id")).as[Long]
+        .mapPartitions(_.flatMap { id =>
+          val payload = graft.operators.Multimodal.encodeMp4Header(
+            (160 + id % 100).toInt, (90 + id % 50).toInt,
+            600, (600 + id % 1200).toInt)
+          graft.operators.Multimodal.sniffVideoHeader(payload).map {
+            case (fmt, w, h, ms) => (id, fmt, w, h, ms)
+          }
+        }).toDF("media_id", "fmt", "width", "height", "duration_ms")
+        .orderBy("media_id")
+    }),
+
     // F1-F3: the electricity-CSV parser family end to end, oracle-gated.
     // Each doc becomes a multi-section CSV (preamble block + automated
     // 3-column section + manual 2-column section; docs with id % 7 == 0
@@ -2798,6 +2817,13 @@ object SparkEntry {
            CAST(SUM((((d.doc_id + i.r * 31) % 256) * 3 + 7) % 256) AS BIGINT) AS sum_b
          FROM documents d CROSS JOIN range(0, 256) i(r)
          GROUP BY 1, 2, 3, 4 ORDER BY media_id""",
+
+    "m05_video_sniff" ->
+      """SELECT d.doc_id AS media_id, 'mp4' AS fmt,
+           CAST(160 + d.doc_id % 100 AS INTEGER) AS width,
+           CAST(90 + d.doc_id % 50 AS INTEGER) AS height,
+           CAST(((600 + d.doc_id % 1200) * 1000) // 600 AS BIGINT) AS duration_ms
+         FROM documents d ORDER BY media_id""",
 
     "f01_electricity_parse" ->
       """WITH auto_rows AS (

@@ -210,6 +210,36 @@ object Multimodal {
     Some(("mp3", channels, sampleRate, durationMs))
   }
 
+  /** Minimal ISO-BMFF container skeleton: ftyp + moov(trak(tkhd) + mvhd),
+    * version-0 boxes, no media samples — the metadata shape every mp4
+    * muxer emits and exactly what [[sniffVideoHeader]] walks. Fixture
+    * writer for the m05 gate and specs; also documents the byte layout
+    * the sniff depends on. */
+  def encodeMp4Header(width: Int, height: Int, timescale: Int,
+                      durationTicks: Int): Array[Byte] = {
+    def box(name: String, payload: Array[Byte]): Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(8 + payload.length)
+      b.putInt(8 + payload.length).put(name.getBytes("US-ASCII")).put(payload)
+      b.array()
+    }
+    val ftyp = box("ftyp", "isomiso2".getBytes("US-ASCII"))
+    val mvhd = {
+      val b = java.nio.ByteBuffer.allocate(100)
+      b.putInt(0) // version + flags
+      b.putInt(1).putInt(2) // creation / modification
+      b.putInt(timescale).putInt(durationTicks)
+      box("mvhd", b.array())
+    }
+    val tkhd = {
+      val b = java.nio.ByteBuffer.allocate(84)
+      b.putInt(0).putInt(1).putInt(2).putInt(1).putInt(0).putInt(durationTicks)
+      b.position(76)
+      b.putInt(width << 16).putInt(height << 16) // 16.16 fixed extent
+      box("tkhd", b.array())
+    }
+    ftyp ++ box("moov", box("trak", tkhd) ++ mvhd)
+  }
+
   /** MP4/QuickTime header sniff, the video analog of [[sniffImageHeader]]:
     * a length-tagged box walk (ftyp validated, moov/mvhd for timescale +
     * duration, trak/tkhd for the presentation dimensions in 16.16 fixed

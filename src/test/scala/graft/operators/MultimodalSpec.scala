@@ -143,6 +143,10 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
     // mvhd v0 with 90kHz timescale
     assert(Multimodal.sniffVideoHeader(mp4Bytes(1920, 1080, 90000, 45000)) ==
       Some(("mp4", 1920, 1080, 500L)))
+    // the shared fixture writer (m05 gate) round-trips through the sniff
+    assert(Multimodal.sniffVideoHeader(
+      Multimodal.encodeMp4Header(320, 240, 600, 1200)) ==
+      Some(("mp4", 320, 240, 2000L)))
     assert(Multimodal.sniffVideoHeader(Array[Byte](1, 2, 3, 4)).isEmpty)
     assert(Multimodal.sniffVideoHeader(
       mp4Bytes(64, 48, 600, 600).take(30)).isEmpty) // truncated moov

@@ -1406,19 +1406,21 @@ object SparkEntry {
         .orderBy("media_id")
     }),
 
-    // M1 (JPEG): REAL baseline-JPEG decode, oracle-gated like m01/m02.
-    // Each doc becomes a 16x16 baseline JFIF of flat 8x8 blocks whose
-    // gray level follows a formula (DC-only coefficients are the one JPEG
-    // family with analytically exact decoded pixels — a DC of 8k IDCTs to
-    // a flat k+128). The decode runs the full real path: marker parse,
-    // canonical Huffman, dequant, IDCT, YCbCr->RGB. The oracle computes
-    // the same per-channel sums straight from the formula.
+    // M1 (JPEG): REAL JPEG decode, oracle-gated like m01/m02. Each doc
+    // becomes a 16x16 JFIF of flat 8x8 blocks whose gray level follows a
+    // formula (DC-only coefficients are the one JPEG family with
+    // analytically exact decoded pixels — a DC of 8k IDCTs to a flat
+    // k+128). Odd doc_ids get the SAME mosaic entropy-coded as
+    // progressive SOF2 (multi-scan successive approximation + EOB runs),
+    // so both decode paths are driver-gated against one oracle formula.
     "m03_jpeg_decode" -> ((s, dir) => {
       import s.implicits._
       val media = t(s, dir, "documents").select(col("doc_id")).as[Long]
         .mapPartitions(_.map { id =>
-          val payload = graft.operators.JpegCodec.encodeJpegGrayBlocks(2, 2,
-            (bx, by) => ((id + bx * 3 + by * 5) % 256).toInt)
+          val gray = (bx: Int, by: Int) => ((id + bx * 3 + by * 5) % 256).toInt
+          val payload =
+            if (id % 2 == 0) graft.operators.JpegCodec.encodeJpegGrayBlocks(2, 2, gray)
+            else graft.operators.JpegCodec.encodeJpegGrayBlocksProgressive(2, 2, gray)
           (id, payload)
         }).toDF("media_id", "payload")
       graft.operators.Multimodal.decodeRasterFeatures(s, media).toDF()

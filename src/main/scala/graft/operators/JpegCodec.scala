@@ -1,12 +1,14 @@
 package graft.operators
 
-/** Dependency-free baseline JPEG (JFIF) decoder: marker parse, canonical
-  * Huffman entropy decode, dequantize + dezigzag, separable floating IDCT,
+/** Dependency-free JPEG (JFIF) decoder: marker parse, canonical Huffman
+  * entropy decode, dequantize + dezigzag, separable floating IDCT,
   * nearest-neighbor chroma upsampling, YCbCr→RGB. Covers baseline and
-  * extended sequential DCT (SOF0/SOF1), 8-bit, 1 or 3 components, sampling
-  * factors ≤ 2, restart markers, byte stuffing. Progressive, arithmetic,
-  * 12-bit, and CMYK return None — entropy-coded progressive scans need a
-  * multi-pass buffer this deliberately stays simpler than.
+  * extended sequential DCT (SOF0/SOF1) plus progressive DCT (SOF2 —
+  * spectral selection, successive approximation, DC/AC first and
+  * refinement scans with EOB runs, per G.1.2 and the libjpeg
+  * correction-bit algorithm), 8-bit, 1 or 3 components, sampling factors
+  * ≤ 2, restart markers, byte stuffing. Arithmetic coding, 12-bit,
+  * lossless/differential modes, and CMYK return None.
   *
   * Same role as the BMP/PNG paths in [[RasterCodec]]: the reference
   * pipeline ingests arbitrary binary file content
@@ -156,15 +158,39 @@ object JpegCodec {
     var width = 0
     var height = 0
     var restartInterval = 0
+    var progressive = false
+    // progressive state: per-comp coefficient buffers in ZIGZAG order,
+    // one 64-slot run per block on the MCU-padded grid, filled across scans
+    var coefs: Array[Array[Int]] = null
+    var padW: Array[Int] = null
+    var padH: Array[Int] = null
+    var mcusX = 0
+    var mcusY = 0
+    var hmax = 0
+    var vmax = 0
+    var scansSeen = 0
     var i = 2
     var scanAt = -1
 
-    while (scanAt < 0) {
+    def setupGeometry(): Unit = {
+      hmax = comps.map(_.h).max
+      vmax = comps.map(_.v).max
+      mcusX = (width + 8 * hmax - 1) / (8 * hmax)
+      mcusY = (height + 8 * vmax - 1) / (8 * vmax)
+      for (c <- comps) {
+        c.planeW = mcusX * c.h * 8
+        c.planeH = mcusY * c.v * 8
+        if (c.planeW.toLong * c.planeH > Int.MaxValue) bad()
+      }
+    }
+
+    while (scanAt < 0 && !(progressive && scansSeen > 0 && u8(i) == 0xff &&
+        u8(i + 1) == 0xd9)) {
       if (u8(i) != 0xff) bad()
       var m = u8(i + 1)
       while (m == 0xff) { i += 1; m = u8(i + 1) } // legal fill bytes
       if (m == 0xd8 || (m >= 0xd0 && m <= 0xd7) || m == 0x01) { i += 2 }
-      else if (m == 0xd9) bad() // EOI before any scan
+      else if (m == 0xd9) bad() // EOI before any (baseline) scan
       else {
         val len = be16(i + 2)
         if (len < 2 || i + 2 + len > p.length) bad()
@@ -202,7 +228,9 @@ object JpegCodec {
               if (tc == 0) dcTabs(th) = h else acTabs(th) = h
               q += 17 + total
             }
-          case 0xc0 | 0xc1 => // SOF0/1: baseline + extended sequential
+          case 0xc0 | 0xc1 | 0xc2 => // SOF0/1 baseline+extended, SOF2 progressive
+            if (comps != null) bad() // one frame only
+            progressive = m == 0xc2
             if (u8(seg) != 8) bad() // 8-bit precision only
             height = be16(seg + 1)
             width = be16(seg + 3)
@@ -216,42 +244,86 @@ object JpegCodec {
                 comp.tq > 3) bad()
               comp
             }
-          case 0xc2 | 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xc9 | 0xca | 0xcb |
+            if (progressive) {
+              setupGeometry()
+              padW = comps.map(c => mcusX * c.h)
+              padH = comps.map(c => mcusY * c.v)
+              coefs = comps.indices.toArray.map { ci =>
+                val blocks = padW(ci).toLong * padH(ci)
+                if (blocks * 64 > Int.MaxValue / 2) bad()
+                new Array[Int](blocks.toInt * 64)
+              }
+            }
+          case 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xc9 | 0xca | 0xcb |
                0xcd | 0xce | 0xcf =>
-            bad() // progressive / lossless / arithmetic: unsupported
+            bad() // lossless / arithmetic / differential: unsupported
           case 0xdd => // DRI
             restartInterval = be16(seg)
           case 0xda => // SOS
             if (comps == null) bad()
             val ns = u8(seg)
-            if (ns != comps.length) bad()
-            for (c <- 0 until ns) {
+            if (ns < 1 || ns > comps.length) bad()
+            val scanComps = Array.tabulate(ns) { c =>
               val cs = u8(seg + 1 + c * 2)
               val tt = u8(seg + 2 + c * 2)
               val comp = comps.find(_.id == cs).getOrElse(bad())
               comp.dcTab = tt >> 4
               comp.acTab = tt & 15
+              comp
             }
-            scanAt = i + 2 + len
+            val ss = u8(seg + 1 + ns * 2)
+            val se = u8(seg + 2 + ns * 2)
+            val ahal = u8(seg + 3 + ns * 2)
+            if (progressive) {
+              val endAt = progressiveScan(p, i + 2 + len, scanComps, comps,
+                coefs, padW, padH, mcusX, mcusY, dcTabs, acTabs,
+                restartInterval, width, height, hmax, vmax,
+                ss, se, ahal >> 4, ahal & 15)
+              scansSeen += 1
+              i = endAt
+            } else {
+              if (ns != comps.length) bad()
+              scanAt = i + 2 + len
+            }
           case _ => // APPn / COM / others: skip
         }
-        if (scanAt < 0) i += 2 + len
+        if (scanAt < 0 && m != 0xda) i += 2 + len
+        else if (scanAt < 0 && m == 0xda && !progressive) ()
       }
     }
 
-    val hmax = comps.map(_.h).max
-    val vmax = comps.map(_.v).max
-    val mcuW = 8 * hmax
-    val mcuH = 8 * vmax
-    val mcusX = (width + mcuW - 1) / mcuW
-    val mcusY = (height + mcuH - 1) / mcuH
+    if (progressive) {
+      // all scans consumed: dequantize + IDCT every (padded-grid) block
+      for (c <- comps) {
+        if (!quantSeen(c.tq)) bad()
+        c.plane = new Array[Byte](c.planeW * c.planeH)
+      }
+      val nat = new Array[Int](64)
+      val tmp = Array.ofDim[Double](8, 8)
+      for (ci <- comps.indices) {
+        val c = comps(ci)
+        val q = quant(c.tq)
+        val raw = coefs(ci)
+        var by = 0
+        while (by < padH(ci)) {
+          var bx = 0
+          while (bx < padW(ci)) {
+            val base = (by * padW(ci) + bx) * 64
+            var k = 0
+            while (k < 64) { nat(Zigzag(k)) = raw(base + k) * q(k); k += 1 }
+            idctTo(nat, c.plane, c.planeW, bx * 8, by * 8, tmp)
+            bx += 1
+          }
+          by += 1
+        }
+      }
+      return assemble(comps, width, height, hmax, vmax)
+    }
+
+    setupGeometry()
     for (c <- comps) {
       if (!quantSeen(c.tq)) bad()
-      c.planeW = mcusX * c.h * 8
-      c.planeH = mcusY * c.v * 8
-      val sz = c.planeW.toLong * c.planeH
-      if (sz > Int.MaxValue) bad()
-      c.plane = new Array[Byte](sz.toInt)
+      c.plane = new Array[Byte](c.planeW * c.planeH)
     }
 
     val br = new BitReader(p, scanAt)
@@ -297,39 +369,225 @@ object JpegCodec {
         // recover-don't-crash convention (the bit reader legitimately
         // reads ahead into the trailing marker, so a strict
         // saw-marker-early check would reject valid streams).
-        // separable IDCT: rows then columns
-        var x = 0
-        while (x < 8) {
-          var v = 0
-          while (v < 8) {
-            var s = 0.0
-            var u = 0
-            while (u < 8) { s += Cos(u)(x) * coef(v * 8 + u); u += 1 }
-            tmp(x)(v) = s
-            v += 1
-          }
-          x += 1
-        }
-        val bx0 = (mx * c.h + bh) * 8
-        val by0 = (my * c.v + bv) * 8
-        x = 0
-        while (x < 8) {
-          var y = 0
-          while (y < 8) {
-            var s = 0.0
-            var v = 0
-            while (v < 8) { s += Cos(v)(y) * tmp(x)(v); v += 1 }
-            val px = math.round(s + 128.0).toInt
-            val clamped = if (px < 0) 0 else if (px > 255) 255 else px
-            c.plane((by0 + y) * c.planeW + bx0 + x) = clamped.toByte
-            y += 1
-          }
-          x += 1
-        }
+        idctTo(coef, c.plane, c.planeW,
+          (mx * c.h + bh) * 8, (my * c.v + bv) * 8, tmp)
       }
       mcu += 1
     }
+    assemble(comps, width, height, hmax, vmax)
+  }
 
+  /** One progressive (SOF2) scan: spectral selection [ss, se] at
+    * successive-approximation (ah, al), accumulating into the per-comp
+    * zigzag-order coefficient buffers. DC scans may be interleaved (all
+    * components, MCU order) or single-component; AC scans are single-
+    * component over the real block grid per G.1.2. Refinement follows the
+    * libjpeg correction-bit algorithm. Returns the offset of the next
+    * marker. */
+  private def progressiveScan(p: Array[Byte], dataAt: Int,
+      scanComps: Array[Comp], comps: Array[Comp],
+      coefs: Array[Array[Int]], padW: Array[Int], padH: Array[Int],
+      mcusX: Int, mcusY: Int, dcTabs: Array[Huff], acTabs: Array[Huff],
+      restartInterval: Int, width: Int, height: Int, hmax: Int, vmax: Int,
+      ss: Int, se: Int, ah: Int, al: Int): Int = {
+    if (ss < 0 || se > 63 || ss > se || al > 13 || ah > 14) bad()
+    val br = new BitReader(p, dataAt)
+    var eobrun = 0
+    scanComps.foreach(_.pred = 0)
+
+    def ciOf(c: Comp): Int = comps.indexWhere(_ eq c)
+    def blockBase(ci: Int, bx: Int, by: Int): Int = (by * padW(ci) + bx) * 64
+
+    def decodeDc(c: Comp, ci: Int, bx: Int, by: Int): Unit = {
+      if (bx >= padW(ci) || by >= padH(ci)) bad()
+      val at = blockBase(ci, bx, by)
+      if (ah == 0) {
+        val dc = dcTabs(c.dcTab)
+        if (dc == null) bad()
+        val t = br.decode(dc)
+        if (t > 11) bad()
+        c.pred += extend(br.bits(t), t)
+        coefs(ci)(at) = c.pred << al
+      } else {
+        if (br.bit() == 1) coefs(ci)(at) |= (1 << al) // libjpeg OR semantics
+      }
+    }
+
+    def acFirst(ac: Huff, raw: Array[Int], base: Int): Unit = {
+      if (eobrun > 0) { eobrun -= 1; return }
+      var k = ss
+      var done = false
+      while (!done && k <= se) {
+        val rs = br.decode(ac)
+        val r = rs >> 4
+        val s = rs & 15
+        if (s == 0) {
+          if (r < 15) {
+            eobrun = (1 << r) - 1
+            if (r > 0) eobrun += br.bits(r)
+            done = true
+          } else k += 16
+        } else {
+          k += r
+          if (k > se) bad()
+          raw(base + k) = extend(br.bits(s), s) << al
+          k += 1
+        }
+      }
+    }
+
+    def acRefine(ac: Huff, raw: Array[Int], base: Int): Unit = {
+      val one = 1 << al
+      var k = ss
+      if (eobrun == 0) {
+        var brk = false
+        while (!brk && k <= se) {
+          val rs = br.decode(ac)
+          var r = rs >> 4
+          val s = rs & 15
+          var newVal = 0
+          if (s == 0) {
+            if (r < 15) {
+              // unlike acFirst, the count INCLUDES the current block: its
+              // remaining positions still take correction bits in the tail
+              // below, which also does the decrement (libjpeg convention)
+              eobrun = 1 << r
+              if (r > 0) eobrun += br.bits(r)
+              brk = true
+            } // r == 15: pass over 16 zero-history positions
+          } else {
+            if (s != 1) bad()
+            newVal = if (br.bit() == 1) one else -one
+          }
+          if (!brk) {
+            var moved = false
+            while (!moved && k <= se) {
+              val idx = base + k
+              if (raw(idx) != 0) {
+                if (br.bit() == 1 && (raw(idx) & one) == 0)
+                  raw(idx) += (if (raw(idx) > 0) one else -one)
+              } else {
+                if (r == 0) {
+                  if (newVal != 0) raw(idx) = newVal
+                  moved = true
+                } else r -= 1
+              }
+              k += 1
+            }
+          }
+        }
+      }
+      if (eobrun > 0) {
+        while (k <= se) {
+          val idx = base + k
+          if (raw(idx) != 0) {
+            if (br.bit() == 1 && (raw(idx) & one) == 0)
+              raw(idx) += (if (raw(idx) > 0) one else -one)
+          }
+          k += 1
+        }
+        eobrun -= 1
+      }
+    }
+
+    def maybeRestart(unit: Int): Unit =
+      if (restartInterval > 0 && unit > 0 && unit % restartInterval == 0) {
+        if (!br.restart()) bad()
+        scanComps.foreach(_.pred = 0)
+        eobrun = 0
+      }
+
+    if (ss == 0) {
+      if (se != 0) bad() // DC scan carries only coefficient 0
+      if (scanComps.length == comps.length && comps.length > 1) {
+        var mcu = 0
+        val nMcus = mcusX * mcusY
+        while (mcu < nMcus) {
+          maybeRestart(mcu)
+          val mx = mcu % mcusX
+          val my = mcu / mcusX
+          for (c <- comps; bv <- 0 until c.v; bh <- 0 until c.h)
+            decodeDc(c, ciOf(c), mx * c.h + bh, my * c.v + bv)
+          mcu += 1
+        }
+      } else {
+        for (c <- scanComps) {
+          val ci = ciOf(c)
+          val bw = ((width * c.h + hmax - 1) / hmax + 7) / 8
+          val bh = ((height * c.v + vmax - 1) / vmax + 7) / 8
+          var blk = 0
+          while (blk < bw * bh) {
+            maybeRestart(blk)
+            decodeDc(c, ci, blk % bw, blk / bw)
+            blk += 1
+          }
+        }
+      }
+    } else {
+      if (scanComps.length != 1) bad() // AC scans are single-component
+      val c = scanComps(0)
+      val ci = ciOf(c)
+      val ac = acTabs(c.acTab)
+      if (ac == null) bad()
+      val bw = ((width * c.h + hmax - 1) / hmax + 7) / 8
+      val bh = ((height * c.v + vmax - 1) / vmax + 7) / 8
+      var blk = 0
+      while (blk < bw * bh) {
+        maybeRestart(blk)
+        val base = blockBase(ci, blk % bw, blk / bw)
+        if (ah == 0) acFirst(ac, coefs(ci), base)
+        else acRefine(ac, coefs(ci), base)
+        blk += 1
+      }
+    }
+
+    // skip to the next marker (tolerating unconsumed padding bits)
+    var i = br.pos
+    while (i + 1 < p.length && !((p(i) & 0xff) == 0xff && {
+      val m = p(i + 1) & 0xff
+      m != 0 && !(m >= 0xd0 && m <= 0xd7)
+    })) i += 1
+    if (i + 1 >= p.length) bad()
+    i
+  }
+
+  /** Separable IDCT of one natural-order coefficient block into a plane
+    * at (bx0, by0), with level shift and clamp. */
+  private def idctTo(coef: Array[Int], plane: Array[Byte], planeW: Int,
+                     bx0: Int, by0: Int, tmp: Array[Array[Double]]): Unit = {
+    var x = 0
+    while (x < 8) {
+      var v = 0
+      while (v < 8) {
+        var s = 0.0
+        var u = 0
+        while (u < 8) { s += Cos(u)(x) * coef(v * 8 + u); u += 1 }
+        tmp(x)(v) = s
+        v += 1
+      }
+      x += 1
+    }
+    x = 0
+    while (x < 8) {
+      var y = 0
+      while (y < 8) {
+        var s = 0.0
+        var v = 0
+        while (v < 8) { s += Cos(v)(y) * tmp(x)(v); v += 1 }
+        val px = math.round(s + 128.0).toInt
+        val clamped = if (px < 0) 0 else if (px > 255) 255 else px
+        plane((by0 + y) * planeW + bx0 + x) = clamped.toByte
+        y += 1
+      }
+      x += 1
+    }
+  }
+
+  /** Crop component planes to the image and convert to the output raster:
+    * grayscale pass-through for one component, nearest-neighbor chroma
+    * upsample + YCbCr→RGB for three. */
+  private def assemble(comps: Array[Comp], width: Int, height: Int,
+                       hmax: Int, vmax: Int): Raster = {
     if (comps.length == 1) {
       val c = comps(0)
       val out = new Array[Byte](width * height)
@@ -434,6 +692,102 @@ object JpegCodec {
       while (nbits != 0) put(1, 1)
     }
     marker(0xd9) // EOI
+    bos.toByteArray
+  }
+
+  /** The progressive (SOF2) twin of [[encodeJpegGrayBlocks]]: the SAME
+    * flat-block mosaic, but entropy-coded across four scans — DC first at
+    * point transform 1, DC refinement delivering the low bit, then one
+    * all-EOB-run AC scan per component. Decoded pixels are identical to
+    * the baseline fixture's, so the m03 oracle formula covers both
+    * encodings; what changes is the decode path exercised: multi-scan
+    * coefficient accumulation, successive-approximation DC, and
+    * multi-block EOB runs. */
+  def encodeJpegGrayBlocksProgressive(wBlocks: Int, hBlocks: Int,
+                                      gray: (Int, Int) => Int,
+                                      components: Int = 3): Array[Byte] = {
+    require(wBlocks > 0 && hBlocks > 0)
+    require(components == 1 || components == 3)
+    val bos = new java.io.ByteArrayOutputStream()
+    def w8(v: Int): Unit = bos.write(v & 0xff)
+    def w16(v: Int): Unit = { w8(v >> 8); w8(v) }
+    def marker(m: Int): Unit = { w8(0xff); w8(m) }
+    var acc = 0
+    var nbits = 0
+    def put(v: Int, n: Int): Unit = {
+      var i = n - 1
+      while (i >= 0) {
+        acc = (acc << 1) | ((v >> i) & 1)
+        nbits += 1
+        if (nbits == 8) {
+          bos.write(acc)
+          if (acc == 0xff) bos.write(0x00)
+          acc = 0; nbits = 0
+        }
+        i -= 1
+      }
+    }
+    def flush(): Unit = while (nbits != 0) put(1, 1)
+
+    marker(0xd8) // SOI
+    marker(0xdb); w16(2 + 1 + 64); w8(0x00)
+    for (_ <- 0 until 64) w8(1)
+    marker(0xc2); w16(8 + 3 * components); w8(8) // SOF2
+    w16(hBlocks * 8); w16(wBlocks * 8); w8(components)
+    for (id <- 1 to components) { w8(id); w8(0x11); w8(0) }
+    // DHT DC 0: categories 0..11 as 4-bit codes (code == category)
+    marker(0xc4); w16(2 + 1 + 16 + 12); w8(0x00)
+    for (l <- 1 to 16) w8(if (l == 4) 12 else 0)
+    for (s <- 0 until 12) w8(s)
+    // DHT AC 0: EOB-run symbols r<<4 for r=0..14, 4-bit codes (code == r)
+    marker(0xc4); w16(2 + 1 + 16 + 15); w8(0x10)
+    for (l <- 1 to 16) w8(if (l == 4) 15 else 0)
+    for (r <- 0 until 15) w8(r << 4)
+
+    def sos(ids: Seq[Int], ss: Int, se: Int, ah: Int, al: Int): Unit = {
+      marker(0xda); w16(6 + 2 * ids.length); w8(ids.length)
+      for (id <- ids) { w8(id); w8(0x00) }
+      w8(ss); w8(se); w8((ah << 4) | al)
+    }
+    def target(bx: Int, by: Int, c: Int): Int =
+      if (c == 0) (gray(bx, by) - 128) * 8 else 0
+
+    // scan 1: DC first, al=1 — diffs of the arithmetic-shifted DC
+    sos(1 to components, 0, 0, 0, 1)
+    val pred = new Array[Int](3)
+    for (by <- 0 until hBlocks; bx <- 0 until wBlocks; c <- 0 until components) {
+      val t = target(bx, by, c) >> 1
+      val diff = t - pred(c)
+      pred(c) = t
+      var s = 0
+      var a = math.abs(diff)
+      while (a != 0) { s += 1; a >>= 1 }
+      put(s, 4)
+      if (s > 0) put(if (diff < 0) diff + (1 << s) - 1 else diff, s)
+    }
+    flush()
+
+    // scan 2: DC refinement, ah=1 al=0 — one raw low bit per block
+    sos(1 to components, 0, 0, 1, 0)
+    for (by <- 0 until hBlocks; bx <- 0 until wBlocks; c <- 0 until components)
+      put(target(bx, by, c) & 1, 1)
+    flush()
+
+    // scans 3..: one AC first scan per component, all zeros -> one EOB run
+    for (id <- 1 to components) {
+      sos(Seq(id), 1, 63, 0, 0)
+      var n = wBlocks * hBlocks // blocks in this component's grid (4:4:4)
+      while (n > 0) {
+        var r = 0
+        while (r < 14 && (2 << r) <= n) r += 1
+        val count = math.min(n, (2 << r) - 1)
+        put(r << 4, 4) // canonical: code == r
+        if (r > 0) put(count - (1 << r), r)
+        n -= count
+      }
+      flush()
+    }
+    marker(0xd9)
     bos.toByteArray
   }
 }

@@ -29,6 +29,8 @@ class CodecFuzzSpec extends AnyFunSuite {
       ("bmp", RasterCodec.encodeBmp(16, 16, rgb)),
       ("png", RasterCodec.encodePng(16, 16, rgb)),
       ("jpeg", JpegCodec.encodeJpegGrayBlocks(2, 2, (bx, by) => bx * 64 + by * 32)),
+      ("jpeg-prog", JpegCodec.encodeJpegGrayBlocksProgressive(2, 2,
+        (bx, by) => bx * 64 + by * 32)),
       ("gif", GifCodec.encodeGif(16, 16, palette, idx)),
       ("wav", AudioCodec.encodeWavPcm16(8000, 2,
         Array.tabulate(200)(i => (i * 331 % 65536 - 32768).toShort))))

@@ -26,7 +26,8 @@ object Bench {
     "d14_decontaminate", "d15_dup_clusters", "d31_dup_clusters_star",
     "d17_semdedup", "d18_keyterms",
     "e08_pq_adc_topk", "ev05_asof_join",
-    "d27_segment_dedup", "d28_overlap_decontaminate", "d32_dsir_weight")
+    "d27_segment_dedup", "d28_overlap_decontaminate", "d32_dsir_weight",
+    "d33_bm25_topk")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

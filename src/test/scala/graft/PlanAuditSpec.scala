@@ -198,6 +198,19 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("BM25 broadcasts query terms + df + stats; ranks through salted windows") {
+    val p = plan("d33_bm25_topk")
+    // query-term and df joins broadcast (never shuffle the postings to
+    // meet a small side), the only nested loop is the 1-row stats attach,
+    // and the per-query top-k is the two-level salted rank
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p.take(800))
+    assert(!p.contains("CartesianProduct"), p.take(800))
+    assert(!p.contains("SortMergeJoin"), p.take(800))
+    val windows = "Window .*".r.findAllIn(p).toSeq
+    assert(windows.size == 2 && windows.count(_.contains("__brk_salt")) == 1,
+      s"d33: per-query rank is not the salted BoundedRank:\n$p")
+  }
+
   test("trained-quantizer paths contain no per-iteration corpus join") {
     // Round-5 regression lock: trainCentroids must attach assignments in
     // the training-set scan (fused kernel), never by self-joining the

@@ -66,14 +66,22 @@ object JpegCodec {
 
     def reset(): Unit = { acc = 0; nbits = 0 }
 
-    /** Consume a restart marker RSTn if next in the stream. The reader may
-      * already have read ahead into the marker (fill() tops up 4 bytes at
-      * a time) — sawMarker is cleared so the next interval decodes. */
+    /** Consume the next restart marker RSTn. The reader may already have
+      * read ahead into the marker (fill() tops up 4 bytes at a time), or
+      * may still sit on the interval's pad bits / a trailing FF00 stuff
+      * pair — per the resync convention (libjpeg next_marker) bytes before
+      * the marker are discardable, so scan forward; any non-RST marker
+      * found instead means the stream is corrupt here. */
     def restart(): Boolean = {
       reset()
-      if (pos + 1 < p.length && (p(pos) & 0xff) == 0xff) {
-        val m = p(pos + 1) & 0xff
-        if (m >= 0xd0 && m <= 0xd7) { pos += 2; sawMarker = -1; return true }
+      var i = pos
+      while (i + 1 < p.length) {
+        if ((p(i) & 0xff) == 0xff) {
+          val m = p(i + 1) & 0xff
+          if (m >= 0xd0 && m <= 0xd7) { pos = i + 2; sawMarker = -1; return true }
+          if (m != 0x00 && m != 0xff) return false
+          i += (if (m == 0x00) 2 else 1)
+        } else i += 1
       }
       false
     }

@@ -777,6 +777,22 @@ object SparkEntry {
         .orderBy("query_id", "rk")
     }),
 
+    // D34: the PRODUCTION BM25 path — same retrieval, but query terms
+    // whose document frequency exceeds 5% of the corpus are dropped
+    // before the posting join (the maxDf stop-word guard). This is the
+    // shape a 100 TB deployment runs: the posting join only ever touches
+    // rare terms, so the stop-wordy tail of the corpus never shuffles.
+    "d34_bm25_capped" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), TF.cleanTokens(col("text")).as("tokens"))
+      val cap = docs.count() / 20
+      val queries = docs.where(col("doc_id") % 101 === 0)
+        .select(col("doc_id").as("query_id"), explode(col("tokens")).as("term"))
+        .distinct()
+      graft.operators.Bm25.topK(docs, queries, k = 5, maxDf = cap)
+        .orderBy("query_id", "rk")
+    }),
+
     // D15: LSH pairs -> per-cluster canonical keeper via distributed
     // connected components (min-label propagation over the pair graph).
     "d15_dup_clusters" -> ((s, dir) =>
@@ -2626,6 +2642,41 @@ object SparkEntry {
          m AS (SELECT q.query_id, tf.doc_id, tf.term, tf.tf
                FROM tf JOIN q USING (term)),
          df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM m GROUP BY 1),
+         sc AS (SELECT m.query_id, m.doc_id,
+                  ((1000000 * (2*s.n - 2*df.df + 1)) // (2*df.df + 1)) *
+                  ((1000 * 44 * m.tf * s.t)
+                   // (20*m.tf*s.t + 6*s.t + 18*dl.dl*s.n)) AS ts
+                FROM m JOIN df USING (term)
+                JOIN dl ON dl.doc_id = m.doc_id CROSS JOIN stats s),
+         agg AS (SELECT query_id, doc_id, SUM(ts) AS score
+                 FROM sc GROUP BY 1, 2),
+         r AS (SELECT query_id, doc_id, score,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                                    ORDER BY score DESC, doc_id) AS rk
+               FROM agg)
+         SELECT query_id, doc_id, CAST(score AS BIGINT) AS score,
+                CAST(rk AS BIGINT) AS rk
+         FROM r WHERE rk <= 5 ORDER BY query_id, rk""",
+
+    "d34_bm25_capped" ->
+      """WITH toks AS (
+           SELECT doc_id,
+                  unnest([x for x in string_split(text, ' ')
+                          if length(x) > 0]) AS term
+           FROM documents),
+         dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY 1),
+         tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+         stats AS (SELECT (SELECT COUNT(*) FROM documents) AS n,
+                          COALESCE(SUM(dl), 0) AS t FROM dl),
+         q AS (SELECT DISTINCT doc_id AS query_id, term FROM toks
+               WHERE doc_id % 101 = 0),
+         df AS (SELECT term, COUNT(*) AS df
+                FROM tf JOIN (SELECT DISTINCT term FROM q) USING (term)
+                GROUP BY 1
+                HAVING COUNT(*) <=
+                  (SELECT COUNT(*) // 20 FROM documents)),
+         m AS (SELECT q.query_id, tf.doc_id, tf.term, tf.tf
+               FROM tf JOIN q USING (term)),
          sc AS (SELECT m.query_id, m.doc_id,
                   ((1000000 * (2*s.n - 2*df.df + 1)) // (2*df.df + 1)) *
                   ((1000 * 44 * m.tf * s.t)

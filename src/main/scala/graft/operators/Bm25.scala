@@ -27,11 +27,17 @@ import org.apache.spark.sql.functions._
   *    `tfn_s = S_TF * 44*tf*T div (20*tf*T + 6*T + 18*dl*N)`.
   *
   * Per-term contributions `idf_s * tfn_s` are BIGINT products summed with
-  * an integer groupBy — associative, commutative, order-free. Headroom:
-  * at S_IDF=1e6/S_TF=1e3 the per-term product is < ~2e9 * 2.2e3 ≈ 5e12
-  * for corpora to ~1e9 docs; the `44*tf*T*S_TF` intermediate caps the
-  * integral form at T ≲ 2e11 tokens — beyond that, swap S_TF down or the
-  * scoring to double (ranking-only use).
+  * an integer groupBy — associative, commutative, order-free. Headroom
+  * (exact, not hand-waved): a rare term (df=1) has
+  * `idf_s = S_IDF*(2N-1)/3` and `tfn_s ≤ S_TF*44/20 = 2.2*S_TF`, so the
+  * per-term product is ≤ ~1.47e9 * N at the default S_IDF=1e6/S_TF=1e3.
+  * A single product overflows Long at N ≈ 6e9 docs, and a multi-term
+  * query's SUM(ts) wraps earlier — with ~64 rare query terms, around
+  * N ≈ 1e8; treat N ≈ 5e8 as the hard ceiling for multi-term queries at
+  * the default scales. Past that, drop S_IDF to 1e3 (costs idf
+  * quantization below df ≈ N/1000 — irrelevant for stop-word-capped
+  * queries) or move the final sum to double (ranking-only use). The
+  * `44*tf*T*S_TF` intermediate independently caps T ≲ 2e11 tokens.
   *
   * Plan shape (the 100 TB story): one explode+groupBy builds per-doc term
   * frequencies with dl carried in the grouping key (no doc-side rejoin);

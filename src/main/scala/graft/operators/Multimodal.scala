@@ -9,9 +9,10 @@ import org.apache.spark.sql.types._
   * feature-extract / resize / frame-sample run as partition-parallel batch
   * functions over the binary payloads.
   *
-  * BMP, PNG, GIF, baseline JPEG, and WAV PCM decode FOR REAL (dependency-
-  * free codecs in this package); formats that need an entropy library the
-  * JDK lacks (progressive JPEG, compressed audio, video) go through
+  * BMP, PNG, GIF, JPEG (baseline + progressive SOF2), and WAV PCM decode
+  * FOR REAL (dependency-free codecs in this package); formats that need
+  * an entropy library the JDK lacks (arithmetic-coded JPEG, compressed
+  * audio, video samples) go through
   * [[stubDecode]] — a deterministic fake raster derived from payload bytes
   * + declared metadata, so every downstream contract (schema, batch shape,
   * partitioning, null handling) is real and tested, and a real decoder can
@@ -291,6 +292,9 @@ object Multimodal {
       if (v == 1) (be32(mvhdAt + 20), be64(mvhdAt + 24))
       else (be32(mvhdAt + 12), be32(mvhdAt + 16))
     if (timescale <= 0) return None
+    // a crafted version-1 mvhd can carry a duration whose *1000 wraps
+    // Long: bounds-check, don't wrap (same stance as the box-size checks)
+    if (duration < 0 || duration > Long.MaxValue / 1000L) return None
     // scan all traks for the largest presentation extent
     var w = 0
     var h = 0

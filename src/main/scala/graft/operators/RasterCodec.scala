@@ -4,8 +4,9 @@ import java.util.zip.{CRC32, Deflater, Inflater}
 
 /** Dependency-free raster codecs: uncompressed BMP (plain pixel array),
   * PNG (zlib via `java.util.zip` + the five standard scanline filters),
-  * and baseline JPEG (via [[JpegCodec]]). GIF and progressive JPEG stay
-  * honestly stubbed.
+  * baseline + progressive (SOF2) JPEG (via [[JpegCodec]]), and GIF LZW
+  * (via [[GifCodec]]) — the whole image family decodes for real.
+  * Arithmetic-coded JPEG (SOF9+) stays honestly stubbed (returns None).
   *
   * This is the decode step behind [[Multimodal.decodeFeatures]]: the
   * reference pipeline fetches binary content eagerly and hands it to
@@ -242,9 +243,9 @@ object RasterCodec {
     Some(Raster(width, height, channels, out))
   }
 
-  /** Decode whatever the payload's header says it is; BMP, PNG, baseline
-    * JPEG ([[JpegCodec]]), and GIF ([[GifCodec]]) are real; progressive
-    * JPEG returns None. */
+  /** Decode whatever the payload's header says it is; BMP, PNG, JPEG
+    * (baseline + progressive SOF2, [[JpegCodec]]), and GIF ([[GifCodec]])
+    * are real; arithmetic-coded JPEG returns None. */
   def decode(p: Array[Byte]): Option[Raster] =
     Multimodal.sniffImageHeader(p).flatMap {
       case ("bmp", _, _) => decodeBmp(p)

@@ -89,4 +89,72 @@ class CodecFuzzSpec extends AnyFunSuite {
       exercise(s"$name mutated#$trial", b)
     }
   }
+
+  // ---- progressive-JPEG-targeted sweeps (VERDICT r7 "Next #8"): the
+  // multi-scan accumulator and the successive-approximation state machine
+  // are the newest, statefulest code paths — hit them specifically. ----
+
+  private def progressiveFixture: Array[Byte] =
+    JpegCodec.encodeJpegGrayBlocksProgressive(4, 3,
+      (bx, by) => (bx * 53 + by * 29 + 7) % 256)
+
+  /** Offsets of every SOS (FFDA) marker in the stream. */
+  private def sosOffsets(b: Array[Byte]): Seq[Int] =
+    b.indices.dropRight(1).filter(i =>
+      (b(i) & 0xff) == 0xff && (b(i + 1) & 0xff) == 0xda)
+
+  test("progressive: EVERY truncation point decodes to None or a raster, never throws") {
+    val full = progressiveFixture
+    // exhaustive — every cut, including each one inside each of the
+    // multiple scans (the 200-prefix sweep above can't reach scan 2+)
+    for (cut <- 0 until full.length) {
+      val b = full.take(cut)
+      try JpegCodec.decodeJpeg(b) catch {
+        case e: Throwable =>
+          fail(s"decodeJpeg threw ${e.getClass.getSimpleName} at cut=$cut " +
+            s"of ${full.length}: ${e.getMessage}")
+      }
+    }
+  }
+
+  test("progressive: corrupt spectral-selection / successive-approximation params never throw") {
+    val full = progressiveFixture
+    val offs = sosOffsets(full)
+    assert(offs.size >= 3, "fixture should carry multiple progressive scans")
+    // For each scan header, sweep Ss, Se and the packed Ah/Al byte through
+    // all 256 values (Ah>13, Al>13, Ss>Se, Se>63, DC-scan-with-Ss>0 ... —
+    // every illegal combination must land in None, not an exception).
+    for (off <- offs) {
+      val ns = full(off + 4) & 0xff
+      val paramAt = off + 5 + 2 * ns // Ss, then Se, then AhAl
+      for (delta <- 0 until 3; v <- 0 until 256) {
+        val b = full.clone()
+        b(paramAt + delta) = v.toByte
+        try JpegCodec.decodeJpeg(b) catch {
+          case e: Throwable =>
+            fail(s"decodeJpeg threw ${e.getClass.getSimpleName} with SOS@" +
+              s"$off param+$delta=$v: ${e.getMessage}")
+        }
+      }
+    }
+  }
+
+  test("progressive: random multi-byte scan-data corruption never throws") {
+    val full = progressiveFixture
+    val firstScan = sosOffsets(full).head
+    val rnd = new scala.util.Random(4242L)
+    for (trial <- 0 until 300) {
+      val b = full.clone()
+      val nFlips = 1 + rnd.nextInt(8)
+      for (_ <- 0 until nFlips) {
+        val i = firstScan + rnd.nextInt(full.length - firstScan)
+        b(i) = (b(i) ^ (1 << rnd.nextInt(8))).toByte
+      }
+      try JpegCodec.decodeJpeg(b) catch {
+        case e: Throwable =>
+          fail(s"decodeJpeg threw ${e.getClass.getSimpleName} on " +
+            s"multi-flip trial $trial: ${e.getMessage}")
+      }
+    }
+  }
 }

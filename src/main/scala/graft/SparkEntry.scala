@@ -1500,6 +1500,26 @@ object SparkEntry {
         .orderBy("media_id")
     }),
 
+    // M1 (audio, VBR): the MP3 frame walk, oracle-gated. Each doc becomes
+    // a true VBR stream — n = 5 + doc_id % 20 frames whose bitrate index
+    // cycles 1 + (doc_id + i) % 14, so per-frame lengths vary and a
+    // first-frame-bitrate estimate is analytically wrong — while the
+    // walked duration is exact: floor(n * 1152 * 1000 / 44100). The
+    // oracle states that formula directly.
+    "m06_audio_sniff_vbr" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "documents").select(col("doc_id")).as[Long]
+        .mapPartitions(_.flatMap { id =>
+          val n = (5 + id % 20).toInt
+          val idxs = (0 until n).map(i => (1 + (id + i) % 14).toInt)
+          val payload = graft.operators.Multimodal.encodeMp3Frames(idxs)
+          graft.operators.Multimodal.sniffAudioHeader(payload).map {
+            case (fmt, ch, sr, ms) => (id, fmt, ch, sr, ms)
+          }
+        }).toDF("media_id", "fmt", "channels", "sample_rate", "duration_ms")
+        .orderBy("media_id")
+    }),
+
     // F1-F3: the electricity-CSV parser family end to end, oracle-gated.
     // Each doc becomes a multi-section CSV (preamble block + automated
     // 3-column section + manual 2-column section; docs with id % 7 == 0
@@ -2922,6 +2942,13 @@ object SparkEntry {
            CAST(160 + d.doc_id % 100 AS INTEGER) AS width,
            CAST(90 + d.doc_id % 50 AS INTEGER) AS height,
            CAST(((600 + d.doc_id % 1200) * 1000) // 600 AS BIGINT) AS duration_ms
+         FROM documents d ORDER BY media_id""",
+
+    "m06_audio_sniff_vbr" ->
+      """SELECT d.doc_id AS media_id, 'mp3' AS fmt,
+           CAST(2 AS INTEGER) AS channels,
+           CAST(44100 AS INTEGER) AS sample_rate,
+           CAST(((5 + d.doc_id % 20) * 1152 * 1000) // 44100 AS BIGINT) AS duration_ms
          FROM documents d ORDER BY media_id""",
 
     "f01_electricity_parse" ->

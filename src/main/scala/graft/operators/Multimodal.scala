@@ -169,12 +169,55 @@ object Multimodal {
       ("wav", h.channels, h.sampleRate, h.durationMs))
       .orElse(sniffMp3Header(p))
 
-  /** MP3 frame-header sniff: skip an ID3v2 tag (syncsafe size), parse the
-    * first MPEG audio frame header (sync + version/layer/bitrate/
-    * samplerate/mode), and estimate duration from the payload length at
-    * the first frame's bitrate (exact for CBR, an estimate for VBR — the
-    * honest limit of a header-only walk; entropy decode stays stubbed).
-    * Returns (format, channels, sample_rate, approx duration_ms). */
+  /** One parsed MPEG-audio (Layer III) frame header at `off`:
+    * (kbps, sample_rate, channels, samples_per_frame, frame_length_bytes).
+    * Rejects the reserved version, non-L3 layers, free/bad bitrate and
+    * reserved sample-rate codes — the walk in [[sniffMp3Header]] relies on
+    * that rejection to stop cleanly at trailing garbage or an ID3v1 tag. */
+  private def parseMp3Frame(p: Array[Byte], off: Int): Option[(Int, Int, Int, Int, Int)] = {
+    if (off < 0 || off + 4 > p.length) return None
+    val b2 = p(off + 1) & 0xff
+    val b3 = p(off + 2) & 0xff
+    val b4 = p(off + 3) & 0xff
+    if ((p(off) & 0xff) != 0xff || (b2 & 0xe0) != 0xe0) return None
+    val versionBits = (b2 >> 3) & 3 // 3=MPEG1, 2=MPEG2, 0=MPEG2.5
+    val layerBits = (b2 >> 1) & 3 // 1 = Layer III
+    if (versionBits == 1 || layerBits != 1) return None // reserved / not L3
+    val bitrateIdx = (b3 >> 4) & 15
+    val srIdx = (b3 >> 2) & 3
+    if (bitrateIdx == 0 || bitrateIdx == 15 || srIdx == 3) return None
+    val mpeg1 = versionBits == 3
+    val kbps = (if (mpeg1)
+      Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)
+    else
+      Array(0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160)
+      )(bitrateIdx)
+    val sampleRate = (versionBits match {
+      case 3 => Array(44100, 48000, 32000)
+      case 2 => Array(22050, 24000, 16000)
+      case _ => Array(11025, 12000, 8000)
+    })(srIdx)
+    val channels = if (((b4 >> 6) & 3) == 3) 1 else 2
+    val spf = if (mpeg1) 1152 else 576
+    val pad = (b3 >> 1) & 1
+    val frameLen = spf / 8 * kbps * 1000 / sampleRate + pad
+    Some((kbps, sampleRate, channels, spf, frameLen))
+  }
+
+  private def beInt(p: Array[Byte], off: Int): Long =
+    (((p(off) & 0xffL) << 24) | ((p(off + 1) & 0xffL) << 16) |
+      ((p(off + 2) & 0xffL) << 8) | (p(off + 3) & 0xffL))
+
+  /** MP3 header-only sniff, VBR-correct: skip an ID3v2 tag (syncsafe
+    * size), parse the first frame header, then get the frame count from a
+    * Xing/Info or VBRI header if present, else WALK every frame header
+    * (each frame's own bitrate gives its length — O(#frames), no entropy
+    * decode). Duration = whole_frames x samples_per_frame / sample_rate,
+    * exact for CBR and VBR alike; the old first-frame-bitrate estimate was
+    * wrong for VBR, the common case for speech/podcast corpora. The walk
+    * stops at the first non-frame byte (trailing garbage, ID3v1 'TAG') or
+    * a mid-frame truncation. Returns (format, channels, sample_rate,
+    * duration_ms); sample decode stays honestly stubbed. */
   def sniffMp3Header(p: Array[Byte]): Option[(String, Int, Int, Long)] = {
     if (p == null || p.length < 4) return None
     var off = 0
@@ -184,31 +227,64 @@ object Multimodal {
       off = 10 + size
       if (off < 0 || off + 4 > p.length) return None
     }
-    val b1 = p(off) & 0xff
-    val b2 = p(off + 1) & 0xff
-    val b3 = p(off + 2) & 0xff
-    val b4 = p(off + 3) & 0xff
-    if (b1 != 0xff || (b2 & 0xe0) != 0xe0) return None
-    val versionBits = (b2 >> 3) & 3 // 3=MPEG1, 2=MPEG2, 0=MPEG2.5
-    val layerBits = (b2 >> 1) & 3 // 1 = Layer III
-    if (versionBits == 1 || layerBits != 1) return None // reserved / not L3
-    val bitrateIdx = (b3 >> 4) & 15
-    val srIdx = (b3 >> 2) & 3
-    if (bitrateIdx == 0 || bitrateIdx == 15 || srIdx == 3) return None
-    val kbps = (versionBits match {
-      case 3 => Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192,
-        224, 256, 320) // MPEG1 Layer III
-      case _ => Array(0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112,
-        128, 144, 160) // MPEG2/2.5 Layer III
-    })(bitrateIdx)
-    val sampleRate = (versionBits match {
-      case 3 => Array(44100, 48000, 32000)
-      case 2 => Array(22050, 24000, 16000)
-      case _ => Array(11025, 12000, 8000)
-    })(srIdx)
-    val channels = if (((b4 >> 6) & 3) == 3) 1 else 2
-    val durationMs = (p.length - off).toLong * 8 / kbps
-    Some(("mp3", channels, sampleRate, durationMs))
+    val (_, sampleRate, channels, spf, _) =
+      parseMp3Frame(p, off).getOrElse(return None)
+    // Xing/Info sits after the side info of the first frame; VBRI at a
+    // fixed 32-byte offset. Either carries the authoritative frame count.
+    val mpeg1 = spf == 1152
+    val side = if (mpeg1) { if (channels == 1) 17 else 32 }
+               else       { if (channels == 1) 9  else 17 }
+    val xingOff = off + 4 + side
+    if (xingOff + 12 <= p.length &&
+        ((p(xingOff) == 'X' && p(xingOff + 1) == 'i' &&
+          p(xingOff + 2) == 'n' && p(xingOff + 3) == 'g') ||
+         (p(xingOff) == 'I' && p(xingOff + 1) == 'n' &&
+          p(xingOff + 2) == 'f' && p(xingOff + 3) == 'o')) &&
+        (beInt(p, xingOff + 4) & 1L) != 0) {
+      val frames = beInt(p, xingOff + 8) // unsigned 32-bit: no overflow x spf x 1000
+      return Some(("mp3", channels, sampleRate, frames * spf * 1000L / sampleRate))
+    }
+    val vbriOff = off + 4 + 32
+    if (vbriOff + 18 <= p.length &&
+        p(vbriOff) == 'V' && p(vbriOff + 1) == 'B' &&
+        p(vbriOff + 2) == 'R' && p(vbriOff + 3) == 'I') {
+      val frames = beInt(p, vbriOff + 14)
+      return Some(("mp3", channels, sampleRate, frames * spf * 1000L / sampleRate))
+    }
+    // No VBR header: walk every frame (lengths differ per frame under VBR).
+    var frames = 0L
+    var totalSamples = 0L
+    var cur = off
+    var more = true
+    while (more) parseMp3Frame(p, cur) match {
+      case Some((_, sr, _, fspf, len)) if sr == sampleRate && cur + len <= p.length =>
+        frames += 1; totalSamples += fspf; cur += len
+      case _ => more = false
+    }
+    Some(("mp3", channels, sampleRate, totalSamples * 1000L / sampleRate))
+  }
+
+  /** MPEG1 Layer III 44.1 kHz joint-stereo frame-sequence fixture writer:
+    * one zero-payload frame per bitrate index (1..14 — 32..320 kbps), each
+    * sized to its exact header-implied length. Gives specs and the m06
+    * gate true VBR streams whose duration is analytic
+    * (n_frames x 1152 / 44100 s) while the per-frame lengths vary; also
+    * documents the byte layout [[sniffMp3Header]]'s walk depends on. */
+  def encodeMp3Frames(bitrateIndices: Seq[Int], padding: Boolean = false): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    val pad = if (padding) 1 else 0
+    bitrateIndices.foreach { idx =>
+      require(idx >= 1 && idx <= 14, s"bitrate index out of range: $idx")
+      val kbps = Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192,
+        224, 256, 320)(idx)
+      val frame = new Array[Byte](144 * kbps * 1000 / 44100 + pad)
+      frame(0) = 0xff.toByte
+      frame(1) = 0xfb.toByte // MPEG1, Layer III, no CRC
+      frame(2) = ((idx << 4) | (pad << 1)).toByte // sr idx 0 = 44100 Hz
+      frame(3) = 0x40.toByte // joint stereo
+      out.write(frame, 0, frame.length)
+    }
+    out.toByteArray
   }
 
   /** Minimal ISO-BMFF container skeleton: ftyp + moov(trak(tkhd) + mvhd),

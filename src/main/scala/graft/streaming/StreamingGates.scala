@@ -26,6 +26,14 @@ import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType
   */
 object StreamingGates {
 
+  /** Raw `events.ts` differs by testdata generation: parquet
+    * TIMESTAMP(NANOS) reads as a long (legacy conf) in some, native
+    * TIMESTAMP(MICROS) in others — see [[graft.Tables.events]]. Gates that
+    * readStream the raw file reduce it through this to epoch micros. */
+  private def tsUsSql(schema: StructType): String =
+    if (schema("ts").dataType == LongType) "(ts div 1000)"
+    else "unix_micros(cast(ts as timestamp))"
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // T1: streaming tumbling aggregation — readStream over the events
@@ -35,14 +43,15 @@ object StreamingGates {
     "t01_stream_window" -> ((s, dir) => {
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val path = s"$dir/events.parquet"
-      val schema = s.read.parquet(path).schema // ts as LongType (nanos)
+      val schema = s.read.parquet(path).schema // ts type varies by generation
       // the file source wants a DIRECTORY: stage the table as one symlink
       val in = freshDir("graft_t01_in")
       Files.createSymbolicLink(in.resolve("events.parquet"),
         java.nio.file.Paths.get(path))
       val sink = freshName("t01_sink")
       val q = s.readStream.schema(schema).parquet(in.toString)
-        .select(expr("ts div 3600000000000").as("hour_bucket"), col("event_type"))
+        .select(expr(s"${tsUsSql(schema)} div 3600000000").as("hour_bucket"),
+          col("event_type"))
         .groupBy("hour_bucket", "event_type")
         .agg(count(lit(1)).as("n"))
         .writeStream
@@ -119,7 +128,7 @@ object StreamingGates {
       StreamingIngest.drainToTable(s, in.toString, schema, tableLoc,
         freshDir("graft_t03_ck").toString,
         transform = _.select(col("event_id"),
-          expr("ts div 1000").as("ts_us"), col("user_id"),
+          expr(tsUsSql(schema)).as("ts_us"), col("user_id"),
           col("event_type"), col("value")))
       graft.tables.LakeTable.load(s, tableLoc).read().orderBy("event_id")
     }),
@@ -215,7 +224,8 @@ object StreamingGates {
       val sink = freshName("t06_sink")
       val q = StreamingIngest.dedupWithinWatermark(
           s.readStream.schema(schema).parquet(in.toString)
-            .select(col("user_id"), expr("timestamp_micros(ts div 1000)").as("ts")),
+            .select(col("user_id"),
+              expr(s"timestamp_micros(${tsUsSql(schema)})").as("ts")),
           "ts", "1 hour", Seq("user_id"))
         .select("user_id")
         .writeStream

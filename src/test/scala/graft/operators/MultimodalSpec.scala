@@ -152,24 +152,70 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
       mp4Bytes(64, 48, 600, 600).take(30)).isEmpty) // truncated moov
   }
 
-  test("sniffMp3Header parses the first frame after an ID3v2 tag") {
-    // MPEG1 Layer III, 128 kbps (idx 9), 44100 Hz (idx 0), joint stereo
-    val frame = Array(0xff, 0xfb, 0x90, 0x40).map(_.toByte)
-    val body = frame ++ new Array[Byte](16000 - 4) // 16 kB at 128 kbps = 1000 ms
-    assert(Multimodal.sniffMp3Header(body) == Some(("mp3", 2, 44100, 1000L)))
-    // same frame behind a 100-byte ID3v2 tag
+  test("sniffMp3Header walks every frame: CBR, VBR, padding, ID3 tags") {
+    // CBR: 40 frames at 128 kbps -> exactly 40 x 1152 / 44100 s = 1044 ms
+    val cbr = Multimodal.encodeMp3Frames(Seq.fill(40)(9))
+    assert(Multimodal.sniffMp3Header(cbr) == Some(("mp3", 2, 44100, 1044L)))
+    // VBR: 28 frames cycling every bitrate 32..320 kbps. Duration depends
+    // only on the frame COUNT (28 x 1152 / 44100 s = 731 ms) — the old
+    // first-frame-bitrate estimate would have said length*8/32kbps instead.
+    val vbr = Multimodal.encodeMp3Frames((1 to 14) ++ (1 to 14))
+    assert(Multimodal.sniffMp3Header(vbr) == Some(("mp3", 2, 44100, 731L)))
+    assert(vbr.length.toLong * 8 / 32 != 731L) // naive estimate is wrong
+    // padding bit adds one byte per frame without changing the duration
+    val padded = Multimodal.encodeMp3Frames(Seq.fill(40)(9), padding = true)
+    assert(padded.length == cbr.length + 40)
+    assert(Multimodal.sniffMp3Header(padded) == Some(("mp3", 2, 44100, 1044L)))
+    // same VBR stream behind a 100-byte ID3v2 tag
     val id3 = "ID3".getBytes ++ Array[Byte](4, 0, 0, 0, 0, 0, 100) ++
       new Array[Byte](100)
-    assert(Multimodal.sniffMp3Header(id3 ++ body) ==
-      Some(("mp3", 2, 44100, 1000L)))
-    // mono bit, MPEG2 rates
+    assert(Multimodal.sniffMp3Header(id3 ++ vbr) ==
+      Some(("mp3", 2, 44100, 731L)))
+    // trailing garbage (an ID3v1 tag) stops the walk, counts whole frames
+    val id3v1 = "TAG".getBytes ++ new Array[Byte](125)
+    assert(Multimodal.sniffMp3Header(cbr ++ id3v1) ==
+      Some(("mp3", 2, 44100, 1044L)))
+    // mid-frame truncation: partial last frame is not counted, no throw
+    assert(Multimodal.sniffMp3Header(cbr.dropRight(100)) ==
+      Some(("mp3", 2, 44100, (39L * 1152 * 1000) / 44100)))
+    // mono bit, MPEG2 rates; lone truncated header -> zero whole frames
     val mono = Array(0xff, 0xf3, 0x90, 0xc0).map(_.toByte) ++ new Array[Byte](60)
-    assert(Multimodal.sniffMp3Header(mono).map(t => (t._1, t._2, t._3)) ==
-      Some(("mp3", 1, 22050)))
+    assert(Multimodal.sniffMp3Header(mono) == Some(("mp3", 1, 22050, 0L)))
     assert(Multimodal.sniffMp3Header(Array[Byte](0, 1, 2, 3)).isEmpty)
-    assert(Multimodal.sniffMp3Header(frame.take(3)).isEmpty)
-    // and the audio sniff dispatches: wav stays wav, mp3 reaches mp3
-    assert(Multimodal.sniffAudioHeader(body).exists(_._1 == "mp3"))
+    assert(Multimodal.sniffMp3Header(cbr.take(3)).isEmpty)
+    // and the audio sniff dispatches: mp3 reaches mp3
+    assert(Multimodal.sniffAudioHeader(cbr).exists(_._1 == "mp3"))
+  }
+
+  test("sniffMp3Header trusts a Xing/Info or VBRI frame count when present") {
+    // First frame 128 kbps stereo: Xing sits at 4 + 32 bytes of side info.
+    val base = Multimodal.encodeMp3Frames(Seq(9, 9))
+    def putBE(a: Array[Byte], off: Int, v: Int): Unit = {
+      a(off) = (v >>> 24).toByte; a(off + 1) = (v >>> 16).toByte
+      a(off + 2) = (v >>> 8).toByte; a(off + 3) = v.toByte
+    }
+    val xing = base.clone()
+    System.arraycopy("Xing".getBytes, 0, xing, 36, 4)
+    putBE(xing, 40, 1)    // flags: frames field present
+    putBE(xing, 44, 1000) // 1000 frames -> 1000 x 1152 / 44100 s = 26122 ms
+    assert(Multimodal.sniffMp3Header(xing) == Some(("mp3", 2, 44100, 26122L)))
+    val info = base.clone()
+    System.arraycopy("Info".getBytes, 0, info, 36, 4)
+    putBE(info, 40, 1); putBE(info, 44, 500)
+    assert(Multimodal.sniffMp3Header(info) ==
+      Some(("mp3", 2, 44100, (500L * 1152 * 1000) / 44100)))
+    // Xing tag present but frames flag unset -> fall back to the walk
+    val noFrames = base.clone()
+    System.arraycopy("Xing".getBytes, 0, noFrames, 36, 4)
+    putBE(noFrames, 40, 6) // bytes+toc flags only
+    assert(Multimodal.sniffMp3Header(noFrames) ==
+      Some(("mp3", 2, 44100, (2L * 1152 * 1000) / 44100)))
+    // VBRI (always 32 bytes past the header): frames at +14
+    val vbri = base.clone()
+    System.arraycopy("VBRI".getBytes, 0, vbri, 36, 4)
+    putBE(vbri, 36 + 14, 250)
+    assert(Multimodal.sniffMp3Header(vbri) ==
+      Some(("mp3", 2, 44100, (250L * 1152 * 1000) / 44100)))
   }
 
   test("withSniffedHeaders validates payloads against declared metadata") {

@@ -89,6 +89,64 @@ class IncrementalModelSpec extends AnyFunSuite with SparkSpec {
     assert(v1Files.nonEmpty) // sanity: the first build did write files
   }
 
+  test("incremental merge evolves the schema when the delta carries a new column") {
+    // The reference e2e pins evolution (test_evolve_schema_new_columns) and
+    // dbt pins incremental runs; this is the COMBINATION: a column appears
+    // mid-incremental-run. The merge must add-only evolve the target, the
+    // untouched rows read back null for the new column, and --full-refresh
+    // keeps working on the evolved table.
+    val catalog = new LakeCatalog(tmpDir("inc_evolve"))
+    val cat = Some((catalog, "wh", "marts"))
+    val g = new ModelGraph(Seq(Model(
+      name = "totals_ev",
+      deps = Seq("events"),
+      build = (_, r) => r("events"),
+      materialized = "incremental",
+      uniqueKey = Seq("user_id"),
+      incrementalBuild = Some { (_, r, thisTable) =>
+        val ev = r("events")
+        thisTable match {
+          case None => ev
+          case Some(existing) =>
+            val hwm = existing.agg(max("last_ts")).head.getLong(0)
+            ev.where(col("last_ts") > hwm)
+        }
+      })))
+
+    // first run: the source has no 'region' column yet
+    g.run(spark, Map("events" ->
+      Seq((1L, 10L, 1L), (2L, 5L, 2L)).toDF("user_id", "total", "last_ts")),
+      catalog = cat)
+    val t1 = catalog.loadTable(spark, "wh", "marts", "totals_ev")
+    assert(!t1.read().schema.fieldNames.contains("region"))
+
+    // second run: the delta carries a brand-new 'region' column
+    g.run(spark, Map("events" -> Seq(
+      (1L, 10L, 1L, "ignored"), (2L, 12L, 3L, "eu"), (3L, 2L, 4L, "us"))
+      .toDF("user_id", "total", "last_ts", "region")), catalog = cat)
+    val t2 = catalog.loadTable(spark, "wh", "marts", "totals_ev")
+    val rows = t2.read().orderBy("user_id").collect().map(r =>
+      (r.getLong(r.fieldIndex("user_id")), r.getLong(r.fieldIndex("total")),
+        Option(r.getAs[String]("region")))).toSeq
+    // user 1 pre-dates the column: null-filled, total untouched; 2 merged,
+    // 3 inserted — and the commit is a merge on the evolved schema, not a
+    // rebuild
+    assert(rows == Seq((1L, 10L, None), (2L, 12L, Some("eu")),
+      (3L, 2L, Some("us"))))
+    assert(t2.metadata.snapshots.map(_.operation).last == "merge")
+    assert(t2.metadata.schema.fieldNames.contains("region"))
+
+    // --full-refresh on the evolved table still replaces cleanly
+    g.run(spark, Map("events" ->
+      Seq((9L, 1L, 9L, "apac")).toDF("user_id", "total", "last_ts", "region")),
+      catalog = cat, fullRefresh = true)
+    val t3 = catalog.loadTable(spark, "wh", "marts", "totals_ev")
+    assert(t3.read().collect().map(r =>
+      (r.getLong(r.fieldIndex("user_id")), r.getAs[String]("region"))).toSeq ==
+      Seq((9L, "apac")))
+    assert(t3.metadata.snapshots.map(_.operation).last == "replace")
+  }
+
   test("incremental without incrementalBuild fails clearly") {
     val g = new ModelGraph(Seq(Model("m", Nil, (_, _) => events((1L, 1L, 1L)),
       materialized = "incremental")))

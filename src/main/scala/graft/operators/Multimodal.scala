@@ -54,9 +54,10 @@ object Multimodal {
   /** Partition-parallel decode + feature extraction over the binary column
     * (the Scala shape of a pandas-UDF `mapInPandas` batch fn). BMP, PNG,
     * GIF, and baseline JPEG payloads decode FOR REAL ([[RasterCodec]] /
-    * [[JpegCodec]] / [[GifCodec]] — no media library needed) and pool a
-    * 16-bin grayscale pixel histogram with the true dimensions; payloads
-    * needing a codec (progressive JPEG/video) fall back to the
+    * [[JpegCodec]] / [[GifCodec]] — no media library needed; JPEG covers
+    * baseline AND progressive SOF2) and pool a 16-bin grayscale pixel
+    * histogram with the true dimensions; payloads still needing a codec
+    * (arithmetic-coded JPEG, video samples) fall back to the
     * deterministic stub over the raw bytes with the declared dimensions. */
   def decodeFeatures(spark: SparkSession, media: DataFrame): Dataset[DecodedFeatures] = {
     import spark.implicits._

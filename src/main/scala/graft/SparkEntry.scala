@@ -1520,6 +1520,41 @@ object SparkEntry {
         .orderBy("media_id")
     }),
 
+    // M1 (compressed audio): REAL G.711 μ-law/A-law and IMA ADPCM decode
+    // through the full WAV container path — the formats whose expansion
+    // is closed-form enough for an analytic oracle. doc_id%3 picks the
+    // codec: 0 = μ-law (constant companded byte k=doc_id%256 — the G.711
+    // expansion ((m*8+132)<<e − 132 with sign) is computable in SQL),
+    // 1 = A-law (same idea via xor(k,85)), 2 = IMA ADPCM with all-zero
+    // nibbles at step index 0 (step 7, diff 7>>3 = 0), so every sample
+    // equals the block-header predictor. decodeAudioFeatures must recover
+    // the analytic per-channel sums EXACTLY — any table, sign, container
+    // or block-walk bug breaks the hash match.
+    "m07_audio_g711_adpcm" -> ((s, dir) => {
+      import s.implicits._
+      val media = t(s, dir, "documents").select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { id =>
+          val payload = (id % 3) match {
+            case 0 =>
+              val n = (400 + id % 100).toInt
+              graft.operators.AudioCodec.encodeWavG711(8000, 1, mulaw = true,
+                Array.fill(n)((id % 256).toByte))
+            case 1 =>
+              val n = (400 + id % 100).toInt
+              graft.operators.AudioCodec.encodeWavG711(8000, 1, mulaw = false,
+                Array.fill(n)((id % 256).toByte))
+            case _ =>
+              val pred = (id * 97 % 4096 - 2048).toInt
+              val block = new Array[Byte](256)
+              block(0) = pred.toByte; block(1) = (pred >> 8).toByte
+              graft.operators.AudioCodec.encodeWavImaAdpcm(8000, 1, 256, Seq(block))
+          }
+          (id, payload)
+        }).toDF("media_id", "payload")
+      graft.operators.Multimodal.decodeAudioFeatures(s, media).toDF()
+        .orderBy("media_id")
+    }),
+
     // F1-F3: the electricity-CSV parser family end to end, oracle-gated.
     // Each doc becomes a multi-section CSV (preamble block + automated
     // 3-column section + manual 2-column section; docs with id % 7 == 0
@@ -2949,6 +2984,32 @@ object SparkEntry {
            CAST(2 AS INTEGER) AS channels,
            CAST(44100 AS INTEGER) AS sample_rate,
            CAST(((5 + d.doc_id % 20) * 1152 * 1000) // 44100 AS BIGINT) AS duration_ms
+         FROM documents d ORDER BY media_id""",
+
+    "m07_audio_g711_adpcm" ->
+      """SELECT d.doc_id AS media_id, 1 AS channels, 8000 AS sample_rate,
+           CAST(CASE WHEN d.doc_id % 3 = 2 THEN 505
+                ELSE 400 + d.doc_id % 100 END AS BIGINT) AS n_frames,
+           CAST(CASE WHEN d.doc_id % 3 = 2 THEN (505 * 1000) // 8000
+                ELSE ((400 + d.doc_id % 100) * 1000) // 8000
+                END AS BIGINT) AS duration_ms,
+           CAST(CASE
+             WHEN d.doc_id % 3 = 0 THEN
+               (400 + d.doc_id % 100) *
+               (CASE WHEN (255 - d.doc_id % 256) >= 128 THEN -1 ELSE 1 END) *
+               ((((255 - d.doc_id % 256) % 16) * 8 + 132)
+                  * (1 << (((255 - d.doc_id % 256) // 16) % 8)) - 132)
+             WHEN d.doc_id % 3 = 1 THEN
+               (400 + d.doc_id % 100) *
+               (CASE WHEN d.doc_id % 256 >= 128 THEN 1 ELSE -1 END) *
+               (CASE WHEN (xor(d.doc_id % 256, 85) // 16) % 8 = 0
+                     THEN (xor(d.doc_id % 256, 85) % 16) * 16 + 8
+                     ELSE ((xor(d.doc_id % 256, 85) % 16) * 16 + 264)
+                          * (1 << ((xor(d.doc_id % 256, 85) // 16) % 8 - 1))
+                END)
+             ELSE 505 * (d.doc_id * 97 % 4096 - 2048)
+           END AS BIGINT) AS sum_ch0,
+           CAST(0 AS BIGINT) AS sum_ch1
          FROM documents d ORDER BY media_id""",
 
     "f01_electricity_parse" ->

@@ -33,7 +33,13 @@ class CodecFuzzSpec extends AnyFunSuite {
         (bx, by) => bx * 64 + by * 32)),
       ("gif", GifCodec.encodeGif(16, 16, palette, idx)),
       ("wav", AudioCodec.encodeWavPcm16(8000, 2,
-        Array.tabulate(200)(i => (i * 331 % 65536 - 32768).toShort))))
+        Array.tabulate(200)(i => (i * 331 % 65536 - 32768).toShort))),
+      ("wav-ulaw", AudioCodec.encodeWavG711(8000, 1, mulaw = true,
+        Array.tabulate(64)(i => (i * 5 % 256).toByte))),
+      ("wav-alaw", AudioCodec.encodeWavG711(8000, 2, mulaw = false,
+        Array.tabulate(64)(i => (i * 11 % 256).toByte))),
+      ("wav-ima", AudioCodec.encodeImaAdpcmFromPcm(8000, 1, 36,
+        Array.tabulate(65 * 2)(i => (800 * math.sin(i / 9.0)).toShort))))
   }
 
   private def exercise(name: String, bytes: Array[Byte]): Unit =

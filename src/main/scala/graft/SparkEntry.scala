@@ -1437,6 +1437,34 @@ object SparkEntry {
         .orderBy("media_id")
     }),
 
+    // M1 (video): ISO-BMFF sample-table walk, oracle-gated. Each doc
+    // becomes an mp4 (ftyp; mdat; moov) whose stts/stsz/stsc/stco/stss
+    // tables follow doc_id formulas: two stts runs (d1 then d2), sizes
+    // 100+(id+k*17)%900, chunks of 4 samples laid out contiguously from
+    // byte 24 (mdat-first layout), stss marking every 5th sample. The
+    // walk must reconstruct per-sample dts/size/offset/sync EXACTLY —
+    // the oracle rebuilds dts from the run formula and offsets as a
+    // running sum over sizes. This is the frame-sampling plumbing: filter
+    // is_sync, window dts_ms, ranged-read at file_offset.
+    "m08_video_sample_walk" -> ((s, dir) => {
+      import s.implicits._
+      val media = t(s, dir, "documents").select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { id =>
+          val n = (20 + id % 30).toInt
+          val h = n / 2
+          val d1 = (100 + id % 7).toInt
+          val d2 = (200 + id % 11).toInt
+          val sizes = (0 until n).map(k => (100 + (id + k * 17) % 900).toInt)
+          val fx = graft.operators.Mp4Tables.TrackFixture(
+            trackId = 1, timescale = 600,
+            sttsRuns = Seq((h, d1), (n - h, d2)), sizes = sizes,
+            samplesPerChunk = 4, syncSamples = Some(1 to n by 5))
+          (id, graft.operators.Mp4Tables.encodeMp4WithSamples(Seq(fx)))
+        }).toDF("media_id", "payload")
+      graft.operators.Multimodal.explodeVideoSamples(s, media).toDF()
+        .orderBy("media_id", "sample_idx")
+    }),
+
     // M1 (JPEG): REAL JPEG decode, oracle-gated like m01/m02. Each doc
     // becomes a 16x16 JFIF of flat 8x8 blocks whose gray level follows a
     // formula (DC-only coefficients are the one JPEG family with
@@ -3011,6 +3039,29 @@ object SparkEntry {
            END AS BIGINT) AS sum_ch0,
            CAST(0 AS BIGINT) AS sum_ch1
          FROM documents d ORDER BY media_id""",
+
+    "m08_video_sample_walk" ->
+      """WITH s AS (
+           SELECT d.doc_id, k.r AS sample_idx,
+             100 + (d.doc_id + k.r * 17) % 900 AS size_bytes,
+             CASE WHEN k.r < (20 + d.doc_id % 30) // 2
+                  THEN k.r * (100 + d.doc_id % 7)
+                  ELSE ((20 + d.doc_id % 30) // 2) * (100 + d.doc_id % 7)
+                       + (k.r - (20 + d.doc_id % 30) // 2) * (200 + d.doc_id % 11)
+             END AS dts_ticks
+           FROM documents d CROSS JOIN range(0, 50) k(r)
+           WHERE k.r < 20 + d.doc_id % 30
+         )
+         SELECT doc_id AS media_id, 1 AS track_id,
+           CAST(sample_idx AS INTEGER) AS sample_idx,
+           CAST((dts_ticks * 1000) // 600 AS BIGINT) AS dts_ms,
+           CAST(size_bytes AS BIGINT) AS size_bytes,
+           CAST(24 + COALESCE(SUM(size_bytes) OVER (PARTITION BY doc_id
+             ORDER BY sample_idx
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             AS BIGINT) AS file_offset,
+           CAST(CASE WHEN sample_idx % 5 = 0 THEN 1 ELSE 0 END AS INTEGER) AS is_sync
+         FROM s ORDER BY media_id, sample_idx""",
 
     "f01_electricity_parse" ->
       """WITH auto_rows AS (

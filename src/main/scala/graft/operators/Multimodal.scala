@@ -488,4 +488,32 @@ object Multimodal {
       .withColumn("frame_ts_ms",
         explode(sequence(lit(0L), col("meta.duration_ms"), lit(everyMs))))
       .select(col("media_id"), col("frame_ts_ms"), col("payload"), col("meta"))
+
+  /** One media sample's layout facts, relational shape (`is_sync` as 0/1
+    * for oracle-friendly typing). */
+  final case class VideoSample(media_id: Long, track_id: Int, sample_idx: Int,
+                               dts_ms: Long, size_bytes: Long,
+                               file_offset: Long, is_sync: Int)
+
+  /** Sample-ACCURATE frame enumeration for MP4 rows, the upgrade over the
+    * evenly-spaced [[sampleFrames]]: walk each payload's ISO-BMFF sample
+    * tables ([[Mp4Tables.sampleTable]]) and explode to one row per media
+    * sample with its decode timestamp, byte size, absolute file offset and
+    * keyframe flag. A frame-sampling pipeline filters `is_sync = 1`,
+    * windows on `dts_ms`, and issues ranged reads at `file_offset` —
+    * without ever touching codec data. Malformed containers are skipped
+    * (None → no rows), never a throw. */
+  def explodeVideoSamples(spark: SparkSession, media: DataFrame): Dataset[VideoSample] = {
+    import spark.implicits._
+    media
+      .where(col("payload").isNotNull)
+      .select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        Mp4Tables.sampleTable(bytes).toSeq.flatten.map { s =>
+          VideoSample(id, s.trackId, s.sampleIdx, s.dtsMs, s.sizeBytes,
+            s.fileOffset, if (s.isSync) 1 else 0)
+        }
+      })
+  }
 }

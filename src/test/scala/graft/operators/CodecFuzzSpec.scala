@@ -19,6 +19,7 @@ class CodecFuzzSpec extends AnyFunSuite {
     ("sniff-wav", (b: Array[Byte]) => AudioCodec.sniffWav(b)),
     ("sniff-mp3", (b: Array[Byte]) => Multimodal.sniffMp3Header(b)),
     ("sniff-mp4", (b: Array[Byte]) => Multimodal.sniffVideoHeader(b)),
+    ("mp4-samples", (b: Array[Byte]) => Mp4Tables.sampleTable(b)),
     ("dispatch", RasterCodec.decode _))
 
   private def validPayloads: Seq[(String, Array[Byte])] = {
@@ -39,7 +40,10 @@ class CodecFuzzSpec extends AnyFunSuite {
       ("wav-alaw", AudioCodec.encodeWavG711(8000, 2, mulaw = false,
         Array.tabulate(64)(i => (i * 11 % 256).toByte))),
       ("wav-ima", AudioCodec.encodeImaAdpcmFromPcm(8000, 1, 36,
-        Array.tabulate(65 * 2)(i => (800 * math.sin(i / 9.0)).toShort))))
+        Array.tabulate(65 * 2)(i => (800 * math.sin(i / 9.0)).toShort))),
+      ("mp4-samples", Mp4Tables.encodeMp4WithSamples(Seq(
+        Mp4Tables.TrackFixture(1, 600, Seq((6, 100), (6, 250)),
+          (0 until 12).map(k => 50 + k * 7), 4, Some(1 to 12 by 5))))))
   }
 
   private def exercise(name: String, bytes: Array[Byte]): Unit =

@@ -1465,6 +1465,29 @@ object SparkEntry {
         .orderBy("media_id", "sample_idx")
     }),
 
+    // M1 (lossless JPEG): REAL SOF3 predictive decode, oracle-gated.
+    // Each doc becomes a 24x16 12-bit lossless grayscale whose sample at
+    // (x, y) is (id*13 + x*31 + y*57) % 4096, encoded with predictor
+    // 1 + id%7 — all seven T.81 Annex H predictors exercised across the
+    // corpus. Lossless decode must return the formula EXACTLY, so the
+    // oracle recomputes the sample sum in SQL; any predictor, EXTEND,
+    // category or bit-walk bug breaks the hash match.
+    "m09_jpeg_lossless_decode" -> ((s, dir) => {
+      import s.implicits._
+      val W = 24; val H = 16
+      val media = t(s, dir, "documents").select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { id =>
+          val samples = Array.tabulate(W * H) { i =>
+            val x = i % W; val y = i / W
+            ((id * 13 + x * 31 + y * 57) % 4096).toInt
+          }
+          (id, graft.operators.LosslessJpeg.encode(W, H, 1, 12,
+            (1 + id % 7).toInt, samples))
+        }).toDF("media_id", "payload")
+      graft.operators.Multimodal.decodeLosslessFeatures(s, media).toDF()
+        .orderBy("media_id")
+    }),
+
     // M1 (JPEG): REAL JPEG decode, oracle-gated like m01/m02. Each doc
     // becomes a 16x16 JFIF of flat 8x8 blocks whose gray level follows a
     // formula (DC-only coefficients are the one JPEG family with
@@ -3039,6 +3062,16 @@ object SparkEntry {
            END AS BIGINT) AS sum_ch0,
            CAST(0 AS BIGINT) AS sum_ch1
          FROM documents d ORDER BY media_id""",
+
+    "m09_jpeg_lossless_decode" ->
+      """SELECT d.doc_id AS media_id, 24 AS width, 16 AS height,
+           1 AS components, 12 AS precision,
+           CAST(SUM((d.doc_id * 13 + x.r * 31 + y.r * 57) % 4096) AS BIGINT)
+             AS sum_samples
+         FROM documents d
+         CROSS JOIN range(0, 24) x(r)
+         CROSS JOIN range(0, 16) y(r)
+         GROUP BY 1, 2, 3, 4, 5 ORDER BY media_id""",
 
     "m08_video_sample_walk" ->
       """WITH s AS (

@@ -25,8 +25,8 @@ package graft.operators
 object JpegCodec {
   import RasterCodec.Raster
 
-  private final class Bad extends RuntimeException(null, null, false, false)
-  private def bad(): Nothing = throw new Bad
+  private[operators] final class Bad extends RuntimeException(null, null, false, false)
+  private[operators] def bad(): Nothing = throw new Bad
 
   private val Zigzag: Array[Int] = Array(
     0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
@@ -40,7 +40,7 @@ object JpegCodec {
     0.5 * cu * math.cos((2 * x + 1) * u * math.Pi / 16.0)
   }
 
-  private final class Huff(bits: Array[Int], vals: Array[Byte]) {
+  private[operators] final class Huff(bits: Array[Int], vals: Array[Byte]) {
     // canonical code tables per JPEG Annex C
     val minCode = new Array[Int](17)
     val maxCode = new Array[Int](17)
@@ -59,7 +59,7 @@ object JpegCodec {
     def value(i: Int): Int = vals(i) & 0xff
   }
 
-  private final class BitReader(p: Array[Byte], var pos: Int) {
+  private[operators] final class BitReader(p: Array[Byte], var pos: Int) {
     private var acc = 0
     private var nbits = 0
     var sawMarker: Int = -1 // marker byte seen (e.g. 0xD9), stops the scan
@@ -137,7 +137,7 @@ object JpegCodec {
 
   /** Sign extension per JPEG F.2.2.1: an s-bit value v is negative when its
     * top bit is 0. */
-  private def extend(v: Int, s: Int): Int =
+  private[operators] def extend(v: Int, s: Int): Int =
     if (s == 0) 0 else if (v < (1 << (s - 1))) v - (1 << s) + 1 else v
 
   private final case class Comp(id: Int, h: Int, v: Int, tq: Int,

@@ -9,10 +9,13 @@ import org.apache.spark.sql.types._
   * feature-extract / resize / frame-sample run as partition-parallel batch
   * functions over the binary payloads.
   *
-  * BMP, PNG, GIF, JPEG (baseline + progressive SOF2), and WAV PCM decode
-  * FOR REAL (dependency-free codecs in this package); formats that need
-  * an entropy library the JDK lacks (arithmetic-coded JPEG, compressed
-  * audio, video samples) go through
+  * BMP, PNG, GIF, JPEG (baseline + progressive SOF2), WAV (linear PCM,
+  * G.711 A-law/μ-law, IMA ADPCM) decode FOR REAL (dependency-free codecs
+  * in this package); MP3 duration comes from a real all-frame header walk
+  * (Xing/VBRI aware) and MP4 exposes its full per-sample layout via
+  * [[Mp4Tables]]/[[explodeVideoSamples]]. Formats that need entropy/
+  * transform machinery the JDK lacks (arithmetic-coded JPEG, MP3/AAC
+  * sample decode, video codec payloads) go through
   * [[stubDecode]] — a deterministic fake raster derived from payload bytes
   * + declared metadata, so every downstream contract (schema, batch shape,
   * partitioning, null handling) is real and tested, and a real decoder can
@@ -488,6 +491,31 @@ object Multimodal {
       .withColumn("frame_ts_ms",
         explode(sequence(lit(0L), col("meta.duration_ms"), lit(everyMs))))
       .select(col("media_id"), col("frame_ts_ms"), col("payload"), col("meta"))
+
+  /** Integer-exact features from the lossless-JPEG (SOF3) decode path:
+    * the full-precision sample sum plus stream parameters. Lossless means
+    * the sum equals the encoded formula EXACTLY — the m09 gate's oracle
+    * recomputes it in SQL. */
+  final case class LosslessFeatures(media_id: Long, width: Int, height: Int,
+                                    components: Int, precision: Int,
+                                    sum_samples: Long)
+
+  def decodeLosslessFeatures(spark: SparkSession, media: DataFrame): Dataset[LosslessFeatures] = {
+    import spark.implicits._
+    media
+      .where(col("payload").isNotNull)
+      .select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        LosslessJpeg.decode(bytes).map { img =>
+          var sum = 0L
+          var k = 0
+          while (k < img.samples.length) { sum += img.samples(k); k += 1 }
+          LosslessFeatures(id, img.width, img.height, img.components,
+            img.precision, sum)
+        }
+      })
+  }
 
   /** One media sample's layout facts, relational shape (`is_sync` as 0/1
     * for oracle-friendly typing). */

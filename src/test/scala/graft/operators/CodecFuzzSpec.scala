@@ -20,6 +20,7 @@ class CodecFuzzSpec extends AnyFunSuite {
     ("sniff-mp3", (b: Array[Byte]) => Multimodal.sniffMp3Header(b)),
     ("sniff-mp4", (b: Array[Byte]) => Multimodal.sniffVideoHeader(b)),
     ("mp4-samples", (b: Array[Byte]) => Mp4Tables.sampleTable(b)),
+    ("jpeg-lossless", (b: Array[Byte]) => LosslessJpeg.decode(b)),
     ("dispatch", RasterCodec.decode _))
 
   private def validPayloads: Seq[(String, Array[Byte])] = {
@@ -43,7 +44,9 @@ class CodecFuzzSpec extends AnyFunSuite {
         Array.tabulate(65 * 2)(i => (800 * math.sin(i / 9.0)).toShort))),
       ("mp4-samples", Mp4Tables.encodeMp4WithSamples(Seq(
         Mp4Tables.TrackFixture(1, 600, Seq((6, 100), (6, 250)),
-          (0 until 12).map(k => 50 + k * 7), 4, Some(1 to 12 by 5))))))
+          (0 until 12).map(k => 50 + k * 7), 4, Some(1 to 12 by 5))))),
+      ("jpeg-lossless", LosslessJpeg.encode(9, 7, 1, 12, 4,
+        Array.tabulate(63)(i => (i * 131 + 7) % 4096))))
   }
 
   private def exercise(name: String, bytes: Array[Byte]): Unit =

@@ -1465,6 +1465,25 @@ object SparkEntry {
         .orderBy("media_id", "sample_idx")
     }),
 
+    // M1 (arithmetic JPEG): REAL SOF9 QM-coder decode, oracle-gated.
+    // The SAME flat-mosaic formula as m03, entropy-coded with the T.81
+    // Annex D arithmetic coder instead of Huffman — DC-only blocks still
+    // decode analytically exactly, so the oracle is m03's formula. Even
+    // docs get grayscale, odd docs 4:4:4 color (both 1x1-sampled). Any
+    // Qe-table, conditioning-context, renormalization, or byte-feed bug
+    // breaks the hash match.
+    "m10_jpeg_arith_decode" -> ((s, dir) => {
+      import s.implicits._
+      val media = t(s, dir, "documents").select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { id =>
+          val gray = (bx: Int, by: Int) => ((id + bx * 3 + by * 5) % 256).toInt
+          val comps = if (id % 2 == 0) 1 else 3
+          (id, graft.operators.ArithJpeg.encodeArithGrayBlocks(2, 2, gray, comps))
+        }).toDF("media_id", "payload")
+      graft.operators.Multimodal.decodeRasterFeatures(s, media).toDF()
+        .orderBy("media_id")
+    }),
+
     // M1 (lossless JPEG): REAL SOF3 predictive decode, oracle-gated.
     // Each doc becomes a 24x16 12-bit lossless grayscale whose sample at
     // (x, y) is (id*13 + x*31 + y*57) % 4096, encoded with predictor
@@ -3062,6 +3081,15 @@ object SparkEntry {
            END AS BIGINT) AS sum_ch0,
            CAST(0 AS BIGINT) AS sum_ch1
          FROM documents d ORDER BY media_id""",
+
+    "m10_jpeg_arith_decode" ->
+      """SELECT d.doc_id AS media_id, 'jpeg' AS fmt, 16 AS width, 16 AS height,
+           CAST(64 * SUM((d.doc_id + bx.r * 3 + by.r * 5) % 256) AS BIGINT) AS sum_r,
+           CAST(64 * SUM((d.doc_id + bx.r * 3 + by.r * 5) % 256) AS BIGINT) AS sum_g,
+           CAST(64 * SUM((d.doc_id + bx.r * 3 + by.r * 5) % 256) AS BIGINT) AS sum_b
+         FROM documents d
+         CROSS JOIN range(0, 2) bx(r) CROSS JOIN range(0, 2) by(r)
+         GROUP BY 1, 2, 3, 4 ORDER BY media_id""",
 
     "m09_jpeg_lossless_decode" ->
       """SELECT d.doc_id AS media_id, 24 AS width, 16 AS height,

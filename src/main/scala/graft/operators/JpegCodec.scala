@@ -28,7 +28,7 @@ object JpegCodec {
   private[operators] final class Bad extends RuntimeException(null, null, false, false)
   private[operators] def bad(): Nothing = throw new Bad
 
-  private val Zigzag: Array[Int] = Array(
+  private[operators] val Zigzag: Array[Int] = Array(
     0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
     12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
     35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
@@ -561,7 +561,7 @@ object JpegCodec {
 
   /** Separable IDCT of one natural-order coefficient block into a plane
     * at (bx0, by0), with level shift and clamp. */
-  private def idctTo(coef: Array[Int], plane: Array[Byte], planeW: Int,
+  private[operators] def idctTo(coef: Array[Int], plane: Array[Byte], planeW: Int,
                      bx0: Int, by0: Int, tmp: Array[Array[Double]]): Unit = {
     var x = 0
     while (x < 8) {

@@ -9,12 +9,13 @@ import org.apache.spark.sql.types._
   * feature-extract / resize / frame-sample run as partition-parallel batch
   * functions over the binary payloads.
   *
-  * BMP, PNG, GIF, JPEG (baseline + progressive SOF2), WAV (linear PCM,
-  * G.711 A-law/μ-law, IMA ADPCM) decode FOR REAL (dependency-free codecs
-  * in this package); MP3 duration comes from a real all-frame header walk
-  * (Xing/VBRI aware) and MP4 exposes its full per-sample layout via
-  * [[Mp4Tables]]/[[explodeVideoSamples]]. Formats that need entropy/
-  * transform machinery the JDK lacks (arithmetic-coded JPEG, MP3/AAC
+  * BMP, PNG, GIF, JPEG (baseline, progressive SOF2, sequential
+  * arithmetic SOF9), WAV (linear PCM, G.711 A-law/μ-law, IMA ADPCM)
+  * decode FOR REAL (dependency-free codecs in this package); lossless
+  * JPEG (SOF3) decodes via [[LosslessJpeg]]; MP3 duration comes from a
+  * real all-frame header walk (Xing/VBRI aware) and MP4 exposes its full
+  * per-sample layout via [[Mp4Tables]]/[[explodeVideoSamples]]. Formats
+  * that need transform machinery the JDK lacks (MP3/AAC
   * sample decode, video codec payloads) go through
   * [[stubDecode]] — a deterministic fake raster derived from payload bytes
   * + declared metadata, so every downstream contract (schema, batch shape,
@@ -56,12 +57,13 @@ object Multimodal {
 
   /** Partition-parallel decode + feature extraction over the binary column
     * (the Scala shape of a pandas-UDF `mapInPandas` batch fn). BMP, PNG,
-    * GIF, and baseline JPEG payloads decode FOR REAL ([[RasterCodec]] /
-    * [[JpegCodec]] / [[GifCodec]] — no media library needed; JPEG covers
-    * baseline AND progressive SOF2) and pool a 16-bin grayscale pixel
-    * histogram with the true dimensions; payloads still needing a codec
-    * (arithmetic-coded JPEG, video samples) fall back to the
-    * deterministic stub over the raw bytes with the declared dimensions. */
+    * GIF, and JPEG payloads decode FOR REAL ([[RasterCodec]] /
+    * [[JpegCodec]] / [[ArithJpeg]] / [[GifCodec]] — no media library
+    * needed; JPEG covers baseline, progressive SOF2, AND sequential
+    * arithmetic SOF9) and pool a 16-bin grayscale pixel histogram with
+    * the true dimensions; payloads still needing a codec (video samples)
+    * fall back to the deterministic stub over the raw bytes with the
+    * declared dimensions. */
   def decodeFeatures(spark: SparkSession, media: DataFrame): Dataset[DecodedFeatures] = {
     import spark.implicits._
     media

@@ -4,9 +4,10 @@ import java.util.zip.{CRC32, Deflater, Inflater}
 
 /** Dependency-free raster codecs: uncompressed BMP (plain pixel array),
   * PNG (zlib via `java.util.zip` + the five standard scanline filters),
-  * baseline + progressive (SOF2) JPEG (via [[JpegCodec]]), and GIF LZW
-  * (via [[GifCodec]]) — the whole image family decodes for real.
-  * Arithmetic-coded JPEG (SOF9+) stays honestly stubbed (returns None).
+  * baseline + progressive (SOF2) JPEG (via [[JpegCodec]]), sequential
+  * arithmetic-coded JPEG (SOF9, QM-coder, via [[ArithJpeg]]), and GIF
+  * LZW (via [[GifCodec]]) — the whole image family decodes for real.
+  * Progressive-arithmetic SOF10 and subsampled SOF9 return None.
   *
   * This is the decode step behind [[Multimodal.decodeFeatures]]: the
   * reference pipeline fetches binary content eagerly and hands it to
@@ -244,13 +245,14 @@ object RasterCodec {
   }
 
   /** Decode whatever the payload's header says it is; BMP, PNG, JPEG
-    * (baseline + progressive SOF2, [[JpegCodec]]), and GIF ([[GifCodec]])
-    * are real; arithmetic-coded JPEG returns None. */
+    * (baseline + progressive SOF2 via [[JpegCodec]], sequential
+    * arithmetic SOF9 via [[ArithJpeg]]), and GIF ([[GifCodec]]) are real;
+    * progressive-arithmetic SOF10 and subsampled SOF9 return None. */
   def decode(p: Array[Byte]): Option[Raster] =
     Multimodal.sniffImageHeader(p).flatMap {
       case ("bmp", _, _) => decodeBmp(p)
       case ("png", _, _) => decodePng(p)
-      case ("jpeg", _, _) => JpegCodec.decodeJpeg(p)
+      case ("jpeg", _, _) => JpegCodec.decodeJpeg(p).orElse(ArithJpeg.decode(p))
       case ("gif", _, _) => GifCodec.decodeGif(p)
       case _ => None
     }

@@ -21,6 +21,7 @@ class CodecFuzzSpec extends AnyFunSuite {
     ("sniff-mp4", (b: Array[Byte]) => Multimodal.sniffVideoHeader(b)),
     ("mp4-samples", (b: Array[Byte]) => Mp4Tables.sampleTable(b)),
     ("jpeg-lossless", (b: Array[Byte]) => LosslessJpeg.decode(b)),
+    ("jpeg-arith", (b: Array[Byte]) => ArithJpeg.decode(b)),
     ("dispatch", RasterCodec.decode _))
 
   private def validPayloads: Seq[(String, Array[Byte])] = {
@@ -46,7 +47,9 @@ class CodecFuzzSpec extends AnyFunSuite {
         Mp4Tables.TrackFixture(1, 600, Seq((6, 100), (6, 250)),
           (0 until 12).map(k => 50 + k * 7), 4, Some(1 to 12 by 5))))),
       ("jpeg-lossless", LosslessJpeg.encode(9, 7, 1, 12, 4,
-        Array.tabulate(63)(i => (i * 131 + 7) % 4096))))
+        Array.tabulate(63)(i => (i * 131 + 7) % 4096))),
+      ("jpeg-arith", ArithJpeg.encodeArithGrayBlocks(2, 2,
+        (bx, by) => bx * 64 + by * 32 + 9)))
   }
 
   private def exercise(name: String, bytes: Array[Byte]): Unit =

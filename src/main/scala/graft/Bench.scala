@@ -30,6 +30,7 @@ object Bench {
     "q24_window_lag", "ev01_sessionize",
     "d01_exact_dedup", "d02_minhash_lsh",
     "x01_lsh_skew_capped", "x02_lsh_skew_atcap",
+    "x03_semdedup_scaledk", "x04_hyperplane_lsh_scaled",
     "d03_simhash", "d07_ngram_jaccard",
     "d08_winnow_fingerprints", "d10_winnow_containment",
     "e01_knn_bruteforce", "e02_ann_ivf",
@@ -50,7 +51,8 @@ object Bench {
     "q20_interval_join" -> 1.2, "q24_window_lag" -> 0.9,
     "ev01_sessionize" -> 0.8, "d01_exact_dedup" -> 0.5,
     "d02_minhash_lsh" -> 3.7, "x01_lsh_skew_capped" -> 3.7,
-    "x02_lsh_skew_atcap" -> 3.4, "d03_simhash" -> 0.4,
+    "x02_lsh_skew_atcap" -> 3.4, "x03_semdedup_scaledk" -> 2.7,
+    "x04_hyperplane_lsh_scaled" -> 1.0, "d03_simhash" -> 0.4,
     "d07_ngram_jaccard" -> 1.7, "d08_winnow_fingerprints" -> 0.7,
     "d10_winnow_containment" -> 0.7, "e01_knn_bruteforce" -> 0.5,
     "e02_ann_ivf" -> 0.5, "e05_kmeans_ivf_cells" -> 1.5,

@@ -671,6 +671,46 @@ object SparkEntry {
       Dedup.minhashNearDupPairs(hotBandDocs(s, dir, 10), "doc_id", "text")
         .orderBy("doc_a", "doc_b")),
 
+    // X3/X4: the SCALE-CORRECT operating points of d17/e07. Their gated
+    // forms pin the partitioning parameter (8 clusters / 8 hyperplanes)
+    // for oracle purity, which is right at sf0.01 but quadratically wrong
+    // as the corpus grows: the sf1 pass measured d17 at 35x its sf0.1
+    // time because fixed k means 10x-bigger clusters and 100x the
+    // within-cluster pair space. Production scales the parameter with
+    // the corpus — k ~ n/2500 keeps expected cluster size (and therefore
+    // per-cluster pair cost) CONSTANT; planes ~ log2(n/50) keeps expected
+    // bucket occupancy constant. These bench rows run the identical
+    // operators at that operating point; no SQL oracle (the parameter
+    // depends on a runtime count), so the driver records rows>0 only —
+    // the operators' correctness is already gated by d17/e07.
+    "x03_semdedup_scaledk" -> ((s, dir) => {
+      import graft.operators.Similarity
+      val emb = t(s, dir, "embeddings")
+      val n = emb.count()
+      val k = math.max(8L, n / 1000).toInt
+      // production shape: train the quantizer on a bounded deterministic
+      // sample (k-means quality needs coverage, not every vector — full-
+      // corpus training would be n*k with k ~ n, i.e. quadratic), then
+      // assign ALL vectors and dedup within cells exactly as d17 does.
+      val stride = math.max(1L, n / 20000)
+      val sample = emb.where(pmod(col("vec_id"), lit(stride)) === 0)
+      val cents = Similarity.trainCentroids(sample, k, 2)
+      val withCell = Similarity.withAssignedCells(emb, cents)
+      val drop = Similarity.cosineNearDupPairs(withCell, "cell", 0.35)
+        .select(col("vec_b").as("vec_id")).distinct()
+      withCell.join(drop, Seq("vec_id"), "left_anti")
+        .select("vec_id", "cell").orderBy("vec_id")
+    }),
+    "x04_hyperplane_lsh_scaled" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val n = math.max(64L, emb.count())
+      val planes = // ceil(log2(n / 50)), floor 8
+        math.max(8, 64 - java.lang.Long.numberOfLeadingZeros((n / 50) - 1))
+      graft.operators.Similarity.hyperplaneLshNearDupPairs(
+          emb, dim = 64, numPlanes = planes, threshold = 0.35)
+        .orderBy("vec_a", "vec_b")
+    }),
+
     "d03_simhash" -> ((s, dir) =>
       Dedup.simhashFingerprints(t(s, dir, "documents"), "doc_id", "text")
         .orderBy("doc_id")),

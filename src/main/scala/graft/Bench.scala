@@ -59,7 +59,10 @@ object Bench {
     "e06_kmeans_ivf_topk" -> 1.7, "e07_hyperplane_lsh_near_dup" -> 0.5,
     "sql02_catalog_join" -> 2.1, "d11_corpus_clean" -> 3.5,
     "d12_repetition" -> 0.7, "d13_vocab" -> 0.7,
-    "d14_decontaminate" -> 0.8, "d15_dup_clusters" -> 2.7,
+    // d15 re-measured r8: the regenerated driver testdata carries a denser
+    // near-dup graph (label propagation 4.3s isolated, vs 1.78s on the r7
+    // data); budget follows the 1.5x rule on the new measurement.
+    "d14_decontaminate" -> 0.8, "d15_dup_clusters" -> 6.5,
     "d31_dup_clusters_star" -> 4.0, "d17_semdedup" -> 2.1,
     "d18_keyterms" -> 1.4, "e08_pq_adc_topk" -> 2.1,
     "ev05_asof_join" -> 0.8, "d27_segment_dedup" -> 1.2,

@@ -1517,8 +1517,17 @@ object SparkEntry {
       val media = t(s, dir, "documents").select(col("doc_id")).as[Long]
         .mapPartitions(_.map { id =>
           val gray = (bx: Int, by: Int) => ((id + bx * 3 + by * 5) % 256).toInt
-          val comps = if (id % 2 == 0) 1 else 3
-          (id, graft.operators.ArithJpeg.encodeArithGrayBlocks(2, 2, gray, comps))
+          // id%3 picks geometry: grayscale, 4:4:4 color, or 4:2:0 (Y at
+          // 2x2 blocks per MCU, NEUTRAL chroma so RGB still equals the
+          // gray formula and the one oracle covers all three encodings —
+          // the MCU-interleave and chroma-upsample paths included)
+          val payload = (id % 3) match {
+            case 0 => graft.operators.ArithJpeg.encodeArithGrayBlocks(2, 2, gray, 1)
+            case 1 => graft.operators.ArithJpeg.encodeArithGrayBlocks(2, 2, gray, 3)
+            case _ => graft.operators.ArithJpeg.encodeArith420(1, 1, gray,
+              (_, _) => 128, (_, _) => 128)
+          }
+          (id, payload)
         }).toDF("media_id", "payload")
       graft.operators.Multimodal.decodeRasterFeatures(s, media).toDF()
         .orderBy("media_id")

@@ -12,12 +12,11 @@ package graft.operators
   * zero-run / magnitude contexts with the Kx low/high-band split, and the
   * fixed ~0.5 bin for AC signs.
   *
-  * Scope (documented): sequential 8-bit SOF9, components at 1x1 sampling
-  * (grayscale or 4:4:4 color), DRI restart intervals, DAC conditioning
-  * overrides. Subsampled (4:2:0) and progressive (SOF10) arithmetic
-  * streams return None — the geometry machinery exists in [[JpegCodec]]
-  * but is Huffman-bound; extending it is mechanical, the entropy layer
-  * here is the hard part.
+  * Scope (documented): sequential 8-bit SOF9, sampling factors up to
+  * 2x2 (grayscale, 4:4:4, 4:2:2, 4:2:0 interleaved scans), DRI restart
+  * intervals, DAC conditioning overrides. Progressive (SOF10) arithmetic
+  * streams return None — the successive-approximation conditioning of
+  * Annex G is a further model family on top of this coder.
   *
   * Validation: the encoder/decoder pair is exercised coefficient-for-
   * coefficient against the Huffman twin ([[JpegCodec.encodeJpegGrayBlocks]]
@@ -275,7 +274,7 @@ object ArithJpeg {
   // Annex F.2 sequential DCT statistical models (DC + AC) — decoder.
   // ------------------------------------------------------------------
 
-  private final case class AComp(id: Int, tq: Int,
+  private final case class AComp(id: Int, h: Int, v: Int, tq: Int,
                                  var dcTab: Int = 0, var acTab: Int = 0,
                                  var lastDc: Int = 0, var dcContext: Int = 0,
                                  var plane: Array[Byte] = null,
@@ -328,9 +327,13 @@ object ArithJpeg {
             if (width.toLong * height * nc > (1L << 26)) bad()
             comps = Array.tabulate(nc) { i =>
               val off = seg + 6 + i * 3
-              if (u8(off + 1) != 0x11) bad() // 1x1 sampling only
-              AComp(u8(off), u8(off + 2))
+              val hv = u8(off + 1)
+              val hi = hv >> 4
+              val vi = hv & 0x0f
+              if (hi < 1 || hi > 2 || vi < 1 || vi > 2) bad() // up to 4:2:0
+              AComp(u8(off), hi, vi, u8(off + 2))
             }
+            if (nc == 1 && (comps(0).h != 1 || comps(0).v != 1)) bad()
           case 0xc0 | 0xc1 | 0xc2 | 0xc3 | 0xca | 0xcb =>
             bad() // Huffman SOFs / progressive+lossless arithmetic: not here
           case 0xdb => // DQT
@@ -386,11 +389,13 @@ object ArithJpeg {
     if (comps == null) bad()
     comps.foreach(c => if (!haveQuant(c.tq)) bad())
 
-    val wB = (width + 7) / 8
-    val hB = (height + 7) / 8
+    val hmax = comps.map(_.h).max
+    val vmax = comps.map(_.v).max
+    val mcusX = (width + 8 * hmax - 1) / (8 * hmax)
+    val mcusY = (height + 8 * vmax - 1) / (8 * vmax)
     comps.foreach { c =>
-      c.planeW = wB * 8
-      c.plane = new Array[Byte](wB * 8 * hB * 8)
+      c.planeW = mcusX * c.h * 8
+      c.plane = new Array[Byte](mcusX * c.h * 8 * mcusY * c.v * 8)
     }
 
     // statistics areas (per table id): DC 64 bins, AC 256 bins
@@ -409,10 +414,10 @@ object ArithJpeg {
     val tmp = Array.ofDim[Double](8, 8)
     var mcu = 0
     var rst = 0
-    var by = 0
-    while (by < hB) {
-      var bx = 0
-      while (bx < wB) {
+    var my = 0
+    while (my < mcusY) {
+      var mx = 0
+      while (mx < mcusX) {
         if (restartInterval > 0 && mcu == restartInterval) {
           // find RSTn, re-init coder + statistics (F.1.4.1). The byte
           // feed may have already consumed the marker's 0xFF (renorm
@@ -434,29 +439,41 @@ object ArithJpeg {
           dec = new QmDec(p, found)
           mcu = 0
         }
+        // interleaved MCU: per component, its h x v blocks, bv- then
+        // bh-order (A.2.3) — the same traversal the Huffman decoder uses
         var ci = 0
         while (ci < comps.length) {
           val c = comps(ci)
-          // `coef` holds ZIGZAG-scan-order levels while decoding; the
-          // DQT table is zigzag by spec, so dequantize in place and remap
-          // to natural order for the IDCT.
-          java.util.Arrays.fill(coef, 0)
-          java.util.Arrays.fill(nat, 0)
-          decodeDcCoef(dec, dcStats(c.dcTab), c, dcL(c.dcTab), dcU(c.dcTab))
-          coef(0) = c.lastDc
-          decodeAcCoefs(dec, acStats(c.acTab), fixedStats, coef, acK(c.acTab))
-          val q = quant(c.tq)
-          var k = 0
-          while (k < 64) { nat(Zigzag(k)) = coef(k) * q(k); k += 1 }
-          JpegCodec.idctTo(nat, c.plane, c.planeW, bx * 8, by * 8, tmp)
+          var bv = 0
+          while (bv < c.v) {
+            var bh = 0
+            while (bh < c.h) {
+              val bx = mx * c.h + bh
+              val by = my * c.v + bv
+              // `coef` holds ZIGZAG-scan-order levels while decoding; the
+              // DQT table is zigzag by spec, so dequantize in place and
+              // remap to natural order for the IDCT.
+              java.util.Arrays.fill(coef, 0)
+              java.util.Arrays.fill(nat, 0)
+              decodeDcCoef(dec, dcStats(c.dcTab), c, dcL(c.dcTab), dcU(c.dcTab))
+              coef(0) = c.lastDc
+              decodeAcCoefs(dec, acStats(c.acTab), fixedStats, coef, acK(c.acTab))
+              val q = quant(c.tq)
+              var k = 0
+              while (k < 64) { nat(Zigzag(k)) = coef(k) * q(k); k += 1 }
+              JpegCodec.idctTo(nat, c.plane, c.planeW, bx * 8, by * 8, tmp)
+              bh += 1
+            }
+            bv += 1
+          }
           ci += 1
         }
         mcu += 1
-        bx += 1
+        mx += 1
       }
-      by += 1
+      my += 1
     }
-    assembleSimple(comps, width, height)
+    assembleSimple(comps, width, height, hmax, vmax)
   }
 
   /** F.2.4.1 Decode_DC_DIFF + difference-category conditioning. */
@@ -537,9 +554,11 @@ object ArithJpeg {
     }
   }
 
-  /** 1x1-sampling raster assembly: grayscale pass-through or YCbCr→RGB
-    * without upsampling (the only geometries this decoder accepts). */
-  private def assembleSimple(comps: Array[AComp], width: Int, height: Int): Raster = {
+  /** Raster assembly: grayscale pass-through, or nearest-neighbor chroma
+    * upsample + YCbCr→RGB (identical math to the Huffman decoder's
+    * assemble, so cross-encoder pixel equality holds for 4:2:0 too). */
+  private def assembleSimple(comps: Array[AComp], width: Int, height: Int,
+                             hmax: Int, vmax: Int): Raster = {
     if (comps.length == 1) {
       val c = comps(0)
       val out = new Array[Byte](width * height)
@@ -556,9 +575,9 @@ object ArithJpeg {
       while (y < height) {
         var x = 0
         while (x < width) {
-          val yy = cy.plane(y * cy.planeW + x) & 0xff
-          val pb = (cb.plane(y * cb.planeW + x) & 0xff) - 128
-          val pr = (cr.plane(y * cr.planeW + x) & 0xff) - 128
+          val yy = cy.plane((y * cy.v / vmax) * cy.planeW + x * cy.h / hmax) & 0xff
+          val pb = (cb.plane((y * cb.v / vmax) * cb.planeW + x * cb.h / hmax) & 0xff) - 128
+          val pr = (cr.plane((y * cr.v / vmax) * cr.planeW + x * cr.h / hmax) & 0xff) - 128
           val r = math.round(yy + 1.402 * pr).toInt
           val g = math.round(yy - 0.344136 * pb - 0.714136 * pr).toInt
           val b = math.round(yy + 1.772 * pb).toInt
@@ -701,7 +720,7 @@ object ArithJpeg {
     var dcStats = Array.fill(4)(new Array[Int](64))
     var acStats = Array.fill(4)(new Array[Int](256))
     val fixedStats = Array(FixedBin)
-    val comps = Array.tabulate(components)(i => AComp(i + 1, 0))
+    val comps = Array.tabulate(components)(i => AComp(i + 1, 1, 1, 0))
     var enc = new QmEnc(bos)
     var mcu = 0
     var rst = 0
@@ -726,6 +745,52 @@ object ArithJpeg {
         encodeAcCoefs(enc, acStats(0), fixedStats, zz, 5)
       }
       mcu += 1
+    }
+    enc.flush()
+    marker(0xd9)
+    bos.toByteArray
+  }
+
+  /** 4:2:0 arithmetic (SOF9) fixture: Y sampled 2x2 blocks per MCU,
+    * Cb/Cr one block per MCU, DC-only flat values — the arithmetic twin
+    * of the Huffman 4:2:0 test fixture, exercising the interleaved
+    * multi-block-per-MCU traversal and the chroma upsample through the
+    * QM entropy layer. */
+  def encodeArith420(wMcus: Int, hMcus: Int,
+                     yGray: (Int, Int) => Int, cbVal: (Int, Int) => Int,
+                     crVal: (Int, Int) => Int): Array[Byte] = {
+    require(wMcus > 0 && hMcus > 0)
+    val bos = new java.io.ByteArrayOutputStream()
+    def w8(v: Int): Unit = bos.write(v & 0xff)
+    def w16(v: Int): Unit = { w8(v >> 8); w8(v) }
+    def marker(m: Int): Unit = { w8(0xff); w8(m) }
+    marker(0xd8)
+    marker(0xdb); w16(2 + 1 + 64); w8(0x00)
+    for (_ <- 0 until 64) w8(1)
+    marker(0xc9); w16(8 + 9); w8(8)
+    w16(hMcus * 16); w16(wMcus * 16); w8(3)
+    w8(1); w8(0x22); w8(0) // Y: 2x2
+    w8(2); w8(0x11); w8(0) // Cb
+    w8(3); w8(0x11); w8(0) // Cr
+    marker(0xda); w16(6 + 6); w8(3)
+    for (id <- 1 to 3) { w8(id); w8(0x00) }
+    w8(0); w8(63); w8(0)
+
+    val dcStats = Array.fill(4)(new Array[Int](64))
+    val acStats = Array.fill(4)(new Array[Int](256))
+    val fixedStats = Array(FixedBin)
+    val comps = Array(AComp(1, 2, 2, 0), AComp(2, 1, 1, 0), AComp(3, 1, 1, 0))
+    val enc = new QmEnc(bos)
+    val zeroAc = new Array[Int](64)
+    for (my <- 0 until hMcus; mx <- 0 until wMcus; ci <- 0 until 3;
+         bv <- 0 until comps(ci).v; bh <- 0 until comps(ci).h) {
+      val dc = (ci match {
+        case 0 => yGray(mx * 2 + bh, my * 2 + bv) - 128
+        case 1 => cbVal(mx, my) - 128
+        case _ => crVal(mx, my) - 128
+      }) * 8
+      encodeDcCoef(enc, dcStats(0), comps(ci), dc, 0, 1)
+      encodeAcCoefs(enc, acStats(0), fixedStats, zeroAc, 5)
     }
     enc.flush()
     marker(0xd9)

@@ -7,7 +7,7 @@ import java.util.zip.{CRC32, Deflater, Inflater}
   * baseline + progressive (SOF2) JPEG (via [[JpegCodec]]), sequential
   * arithmetic-coded JPEG (SOF9, QM-coder, via [[ArithJpeg]]), and GIF
   * LZW (via [[GifCodec]]) — the whole image family decodes for real.
-  * Progressive-arithmetic SOF10 and subsampled SOF9 return None.
+  * Progressive-arithmetic SOF10 returns None.
   *
   * This is the decode step behind [[Multimodal.decodeFeatures]]: the
   * reference pipeline fetches binary content eagerly and hands it to
@@ -246,8 +246,9 @@ object RasterCodec {
 
   /** Decode whatever the payload's header says it is; BMP, PNG, JPEG
     * (baseline + progressive SOF2 via [[JpegCodec]], sequential
-    * arithmetic SOF9 via [[ArithJpeg]]), and GIF ([[GifCodec]]) are real;
-    * progressive-arithmetic SOF10 and subsampled SOF9 return None. */
+    * arithmetic SOF9 incl. subsampled via [[ArithJpeg]]), and GIF
+    * ([[GifCodec]]) are real; progressive-arithmetic SOF10 returns
+    * None. */
   def decode(p: Array[Byte]): Option[Raster] =
     Multimodal.sniffImageHeader(p).flatMap {
       case ("bmp", _, _) => decodeBmp(p)

@@ -108,6 +108,21 @@ class ArithJpegSpec extends AnyFunSuite {
     assert((b.data(0) & 0xff) == 2 * 80 / 8 + 128)
   }
 
+  test("4:2:0 cross-encoder: arithmetic equals Huffman baseline pixel-for-pixel") {
+    // the same subsampled DC-only mosaic through the QM layer and the
+    // Huffman layer — multi-block-per-MCU traversal, chroma upsample,
+    // YCbCr conversion all shared; only the entropy coding differs
+    val yG = (bx: Int, by: Int) => (40 + bx * 23 + by * 31) % 256
+    val cb = (mx: Int, my: Int) => (100 + mx * 17 + my * 7) % 256
+    val cr = (mx: Int, my: Int) => (60 + mx * 11 + my * 13) % 256
+    val huff = JpegCodec.decodeJpeg(
+      JpegTestEncoder.encode420(3, 2, 48, 32, yG, cb, cr, progressive = false)).get
+    val arit = ArithJpeg.decode(ArithJpeg.encodeArith420(3, 2, yG, cb, cr)).get
+    assert(huff.width == arit.width && huff.height == arit.height &&
+      huff.channels == 3 && arit.channels == 3)
+    assert(huff.data.toSeq == arit.data.toSeq, "4:2:0 pixel mismatch")
+  }
+
   test("property: thousands of random DC sequences round-trip exactly") {
     // Regression net for the termination path: a flush that mishandles
     // deferred zero bytes or stacked-0xFF carries corrupts the TAIL of

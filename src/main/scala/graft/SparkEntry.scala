@@ -1517,15 +1517,23 @@ object SparkEntry {
       val media = t(s, dir, "documents").select(col("doc_id")).as[Long]
         .mapPartitions(_.map { id =>
           val gray = (bx: Int, by: Int) => ((id + bx * 3 + by * 5) % 256).toInt
-          // id%3 picks geometry: grayscale, 4:4:4 color, or 4:2:0 (Y at
-          // 2x2 blocks per MCU, NEUTRAL chroma so RGB still equals the
-          // gray formula and the one oracle covers all three encodings —
-          // the MCU-interleave and chroma-upsample paths included)
-          val payload = (id % 3) match {
+          // id%4 picks the encoding: grayscale SOF9, 4:4:4 SOF9, 4:2:0
+          // SOF9 (Y at 2x2 blocks per MCU, NEUTRAL chroma so RGB still
+          // equals the gray formula), or progressive SOF10 (standard
+          // multi-scan successive-approximation script) — ONE analytic
+          // oracle covers all four: MCU interleave, chroma upsample, and
+          // the Annex G progressive models included
+          val payload = (id % 4) match {
             case 0 => graft.operators.ArithJpeg.encodeArithGrayBlocks(2, 2, gray, 1)
             case 1 => graft.operators.ArithJpeg.encodeArithGrayBlocks(2, 2, gray, 3)
-            case _ => graft.operators.ArithJpeg.encodeArith420(1, 1, gray,
+            case 2 => graft.operators.ArithJpeg.encodeArith420(1, 1, gray,
               (_, _) => 128, (_, _) => 128)
+            case _ => graft.operators.ArithJpeg.encodeArithProgressive(2, 2, 3,
+              (bx, by, ci) => {
+                val c = new Array[Int](64)
+                if (ci == 0) c(0) = (gray(bx, by) - 128) * 8
+                c
+              }, graft.operators.ArithJpeg.standardScript(3))
           }
           (id, payload)
         }).toDF("media_id", "payload")

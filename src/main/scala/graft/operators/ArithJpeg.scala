@@ -12,11 +12,13 @@ package graft.operators
   * zero-run / magnitude contexts with the Kx low/high-band split, and the
   * fixed ~0.5 bin for AC signs.
   *
-  * Scope (documented): sequential 8-bit SOF9, sampling factors up to
-  * 2x2 (grayscale, 4:4:4, 4:2:2, 4:2:0 interleaved scans), DRI restart
-  * intervals, DAC conditioning overrides. Progressive (SOF10) arithmetic
-  * streams return None — the successive-approximation conditioning of
-  * Annex G is a further model family on top of this coder.
+  * Scope (documented): sequential 8-bit SOF9 at sampling factors up to
+  * 2x2 (grayscale, 4:4:4, 4:2:2, 4:2:0 interleaved scans) AND progressive
+  * SOF10 (Annex G: spectral-selection bands, successive approximation
+  * with DC fixed-bin refinement and the AC correction-bit model;
+  * 1x1-sampled components), with DRI restart intervals and DAC
+  * conditioning overrides in both. Hierarchical (SOF11+) and 12-bit
+  * streams return None.
   *
   * Validation: the encoder/decoder pair is exercised coefficient-for-
   * coefficient against the Huffman twin ([[JpegCodec.encodeJpegGrayBlocks]]
@@ -304,19 +306,31 @@ object ArithJpeg {
     val dcU = Array.fill(4)(1)
     val acK = Array.fill(4)(5)
 
+    var progressive = false
+    // progressive accumulators: per component, wB*hB blocks of 64
+    // ZIGZAG-indexed coefficients built up across scans
+    var progCoef: Array[Array[Int]] = null
+    var progScans = 0
+    var wB = 0
+    var hB = 0
+
     var at = 2
     var done = false
     while (!done) {
       if (u8(at) != 0xff) bad()
       val m = u8(at + 1)
       if (m == 0xd8 || (m >= 0xd0 && m <= 0xd7)) at += 2
-      else if (m == 0xd9) bad()
+      else if (m == 0xd9) {
+        if (progressive && progScans > 0) done = true // EOI ends the scans
+        else bad()
+      }
       else {
         val len = be16(at + 2)
         if (len < 2) bad()
         val seg = at + 4
         m match {
-          case 0xc9 => // SOF9 sequential arithmetic
+          case 0xc9 | 0xca => // SOF9 sequential / SOF10 progressive
+            progressive = m == 0xca
             val precision = u8(seg)
             if (precision != 8) bad()
             height = be16(seg + 1)
@@ -334,8 +348,15 @@ object ArithJpeg {
               AComp(u8(off), hi, vi, u8(off + 2))
             }
             if (nc == 1 && (comps(0).h != 1 || comps(0).v != 1)) bad()
-          case 0xc0 | 0xc1 | 0xc2 | 0xc3 | 0xca | 0xcb =>
-            bad() // Huffman SOFs / progressive+lossless arithmetic: not here
+            if (progressive) {
+              // progressive scope: 1x1 sampling (gray / 4:4:4)
+              if (comps.exists(c => c.h != 1 || c.v != 1)) bad()
+              wB = (width + 7) / 8
+              hB = (height + 7) / 8
+              progCoef = Array.fill(nc)(new Array[Int](wB * hB * 64))
+            }
+          case 0xc0 | 0xc1 | 0xc2 | 0xc3 | 0xcb =>
+            bad() // Huffman SOFs / lossless arithmetic: not this decoder
           case 0xdb => // DQT
             var o = seg
             while (o < seg + len - 2) {
@@ -370,17 +391,37 @@ object ArithJpeg {
           case 0xda =>
             if (comps == null) bad()
             val ns = u8(seg)
-            if (ns != comps.length) bad()
+            val scanIdx = new Array[Int](ns)
             for (i <- 0 until ns) {
               val cid = u8(seg + 1 + i * 2)
-              val c = comps.find(_.id == cid).getOrElse(bad())
-              c.dcTab = u8(seg + 2 + i * 2) >> 4
-              c.acTab = u8(seg + 2 + i * 2) & 0x0f
-              if (c.dcTab > 3 || c.acTab > 3) bad()
+              val ci = comps.indexWhere(_.id == cid)
+              if (ci < 0) bad()
+              scanIdx(i) = ci
+              comps(ci).dcTab = u8(seg + 2 + i * 2) >> 4
+              comps(ci).acTab = u8(seg + 2 + i * 2) & 0x0f
+              if (comps(ci).dcTab > 3 || comps(ci).acTab > 3) bad()
             }
-            if (u8(seg + 1 + ns * 2) != 0 || u8(seg + 2 + ns * 2) != 63) bad()
-            if (u8(seg + 3 + ns * 2) != 0) bad() // Ah/Al must be 0
-            done = true
+            val ss = u8(seg + 1 + ns * 2)
+            val se = u8(seg + 2 + ns * 2)
+            val ah = u8(seg + 3 + ns * 2) >> 4
+            val al = u8(seg + 3 + ns * 2) & 0x0f
+            if (!progressive) {
+              if (ns != comps.length) bad()
+              if (ss != 0 || se != 63 || ah != 0 || al != 0) bad()
+              done = true // entropy follows; sequential path takes over
+            } else {
+              // G.1.1 scan constraints: DC scans interleave all comps at
+              // [0,0]; AC scans are single-component bands.
+              if (ss == 0) { if (se != 0 || ns != comps.length) bad() }
+              else { if (ns != 1 || se < ss || se > 63) bad() }
+              if (ah != 0 && ah != al + 1) bad()
+              if (al > 13) bad()
+              val next = progressiveScan(p, at + 2 + len, comps, scanIdx,
+                progCoef, wB, hB, ss, se, ah, al, restartInterval,
+                dcL, dcU, acK)
+              progScans += 1
+              at = next - 2 - len // net: at += 2 + len lands on the marker
+            }
           case _ => // APPn/COM: skip
         }
         at += 2 + len
@@ -388,6 +429,34 @@ object ArithJpeg {
     }
     if (comps == null) bad()
     comps.foreach(c => if (!haveQuant(c.tq)) bad())
+
+    if (progressive) {
+      // all scans accumulated: dequantize, IDCT, assemble
+      val nat = new Array[Int](64)
+      val tmp = Array.ofDim[Double](8, 8)
+      var ci = 0
+      while (ci < comps.length) {
+        val c = comps(ci)
+        c.planeW = wB * 8
+        c.plane = new Array[Byte](wB * 8 * hB * 8)
+        val q = quant(c.tq)
+        val coefs = progCoef(ci)
+        var by = 0
+        while (by < hB) {
+          var bx = 0
+          while (bx < wB) {
+            val base = (by * wB + bx) * 64
+            var k = 0
+            while (k < 64) { nat(Zigzag(k)) = coefs(base + k) * q(k); k += 1 }
+            JpegCodec.idctTo(nat, c.plane, c.planeW, bx * 8, by * 8, tmp)
+            bx += 1
+          }
+          by += 1
+        }
+        ci += 1
+      }
+      return assembleSimple(comps, width, height, 1, 1)
+    }
 
     val hmax = comps.map(_.h).max
     val vmax = comps.map(_.v).max
@@ -457,7 +526,8 @@ object ArithJpeg {
               java.util.Arrays.fill(nat, 0)
               decodeDcCoef(dec, dcStats(c.dcTab), c, dcL(c.dcTab), dcU(c.dcTab))
               coef(0) = c.lastDc
-              decodeAcCoefs(dec, acStats(c.acTab), fixedStats, coef, acK(c.acTab))
+              decodeAcCoefs(dec, acStats(c.acTab), fixedStats, coef,
+                0, 1, 63, 0, acK(c.acTab))
               val q = quant(c.tq)
               var k = 0
               while (k < 64) { nat(Zigzag(k)) = coef(k) * q(k); k += 1 }
@@ -511,19 +581,22 @@ object ArithJpeg {
     }
   }
 
-  /** F.2.4.2 Decode_AC_coefficients (sequential, Ss=1..Se=63). */
+  /** F.2.4.2 / G.1.3.2 Decode_AC_coefficients: band [ss, se] into
+    * zigzag-indexed `coef` at `base`, values scaled by `<< al`
+    * (sequential passes ss=1, se=63, al=0). */
   private def decodeAcCoefs(dec: QmDec, stats: Array[Int],
                             fixedStats: Array[Int], coef: Array[Int],
+                            base: Int, ss: Int, se: Int, al: Int,
                             kx: Int): Unit = {
-    var k = 1
+    var k = ss
     var eob = false
-    while (k <= 63 && !eob) {
+    while (k <= se && !eob) {
       var st = 3 * (k - 1)
       if (dec.decode(stats, st) == 1) eob = true
       else {
         while (dec.decode(stats, st + 1) == 0) {
           st += 3; k += 1
-          if (k > 63) bad()
+          if (k > se) bad()
         }
         val sign = dec.decode(fixedStats, 0)
         st += 2
@@ -548,10 +621,133 @@ object ArithJpeg {
         }
         v += 1
         if (sign == 1) v = -v
-        coef(k) = v
+        coef(base + k) = v << al
         k += 1
       }
     }
+  }
+
+  /** G.1.3.3 AC successive-approximation refinement of band [ss, se]:
+    * correction bits for previously-nonzero coefficients, newly-nonzero
+    * insertions at ±2^al, per-k EOB decisions past the prior stage's
+    * end-of-block index. */
+  private def acRefineBlock(dec: QmDec, stats: Array[Int],
+                            fixedStats: Array[Int], coef: Array[Int],
+                            base: Int, ss: Int, se: Int, al: Int): Unit = {
+    val p1 = 1 << al
+    val m1 = -1 << al
+    var kex = se
+    while (kex > 0 && coef(base + kex) == 0) kex -= 1
+    var k = ss
+    var eob = false
+    while (k <= se && !eob) {
+      var st = 3 * (k - 1)
+      if (k > kex && dec.decode(stats, st) == 1) eob = true
+      else {
+        var settled = false
+        while (!settled) {
+          val cur = coef(base + k)
+          if (cur != 0) {
+            if (dec.decode(stats, st + 2) == 1)
+              coef(base + k) = cur + (if (cur < 0) m1 else p1)
+            settled = true
+          } else if (dec.decode(stats, st + 1) == 1) {
+            coef(base + k) = if (dec.decode(fixedStats, 0) == 1) m1 else p1
+            settled = true
+          } else {
+            st += 3; k += 1
+            if (k > se) bad()
+          }
+        }
+        k += 1
+      }
+    }
+  }
+
+  /** One progressive (SOF10) scan: decode entropy into the zigzag
+    * coefficient accumulators, return the offset of the next marker.
+    * Statistics are fresh per scan and per restart interval (F.1.4.1). */
+  private def progressiveScan(p: Array[Byte], dataAt: Int, comps: Array[AComp],
+                              scanIdx: Array[Int], progCoef: Array[Array[Int]],
+                              wB: Int, hB: Int, ss: Int, se: Int, ah: Int,
+                              al: Int, restartInterval: Int,
+                              dcL: Array[Int], dcU: Array[Int],
+                              acK: Array[Int]): Int = {
+    var dcStats = Array.fill(4)(new Array[Int](64))
+    var acStats = Array.fill(4)(new Array[Int](256))
+    val fixedStats = Array(FixedBin)
+    var dec = new QmDec(p, dataAt)
+    def resetScanState(): Unit = {
+      dcStats = Array.fill(4)(new Array[Int](64))
+      acStats = Array.fill(4)(new Array[Int](256))
+      comps.foreach { c => c.lastDc = 0; c.dcContext = 0 }
+    }
+    resetScanState()
+    var mcu = 0
+    var rst = 0
+    var my = 0
+    while (my < hB) {
+      var mx = 0
+      while (mx < wB) {
+        if (restartInterval > 0 && mcu == restartInterval) {
+          var i = if (dec.markerSeen && dec.markerAt >= 0) dec.markerAt else dec.bp
+          var found = -1
+          while (found < 0 && i + 1 < p.length) {
+            if ((p(i) & 0xff) == 0xff) {
+              val mk = p(i + 1) & 0xff
+              if (mk >= 0xd0 && mk <= 0xd7) found = i + 2
+              else if (mk == 0x00 || mk == 0xff) i += 1
+              else bad()
+            } else i += 1
+          }
+          if (found < 0) bad()
+          if (((p(found - 1) & 0xff) & 7) != (rst & 7)) bad()
+          rst += 1
+          resetScanState()
+          dec = new QmDec(p, found)
+          mcu = 0
+        }
+        val base = (my * wB + mx) * 64
+        if (ss == 0) {
+          // DC scan: interleaved, one block per component
+          var i = 0
+          while (i < scanIdx.length) {
+            val ci = scanIdx(i)
+            val c = comps(ci)
+            if (ah == 0) {
+              decodeDcCoef(dec, dcStats(c.dcTab), c, dcL(c.dcTab), dcU(c.dcTab))
+              progCoef(ci)(base) = c.lastDc << al
+            } else if (dec.decode(fixedStats, 0) == 1) {
+              progCoef(ci)(base) |= 1 << al // G.2.2: fixed-bin DC refinement
+            }
+            i += 1
+          }
+        } else {
+          val ci = scanIdx(0)
+          val c = comps(ci)
+          if (ah == 0)
+            decodeAcCoefs(dec, acStats(c.acTab), fixedStats, progCoef(ci),
+              base, ss, se, al, acK(c.acTab))
+          else
+            acRefineBlock(dec, acStats(c.acTab), fixedStats, progCoef(ci),
+              base, ss, se, al)
+        }
+        mcu += 1
+        mx += 1
+      }
+      my += 1
+    }
+    // locate the next marker after the (possibly not fully consumed)
+    // entropy bytes: skip data, FF00 stuffing and FF fill
+    var i = if (dec.markerSeen && dec.markerAt >= 0) dec.markerAt else dec.bp
+    while (i + 1 < p.length) {
+      if ((p(i) & 0xff) == 0xff) {
+        val mk = p(i + 1) & 0xff
+        if (mk != 0x00 && mk != 0xff) return i
+      }
+      i += 1
+    }
+    bad()
   }
 
   /** Raster assembly: grayscale pass-through, or nearest-neighbor chroma
@@ -638,24 +834,30 @@ object ArithJpeg {
     }
   }
 
-  /** F.1.4.4.2 Encode_AC_Coefficients. */
+  /** F.1.4.4.2 / G.1.3.2 Encode_AC_Coefficients: band [ss, se] of the
+    * zigzag block at `base`, magnitudes taken at point transform `al`
+    * (sequential passes ss=1, se=63, al=0). */
   private def encodeAcCoefs(enc: QmEnc, stats: Array[Int],
                             fixedStats: Array[Int], coef: Array[Int],
+                            base: Int, ss: Int, se: Int, al: Int,
                             kx: Int): Unit = {
-    var ke = 63
-    while (ke > 0 && coef(ke) == 0) ke -= 1
-    var k = 1
+    @inline def magAl(k: Int): Int = {
+      val raw = coef(base + k)
+      (if (raw < 0) -raw else raw) >> al
+    }
+    var ke = se
+    while (ke >= ss && magAl(ke) == 0) ke -= 1
+    var k = ss
     while (k <= ke) {
       var st = 3 * (k - 1)
       enc.code(stats, st, 0) // not EOB
-      while (coef(k) == 0) {
+      while (magAl(k) == 0) {
         enc.code(stats, st + 1, 0)
         st += 3; k += 1
       }
       enc.code(stats, st + 1, 1)
-      var v = coef(k)
-      if (v > 0) enc.code(fixedStats, 0, 0)
-      else { v = -v; enc.code(fixedStats, 0, 1) }
+      var v = magAl(k)
+      enc.code(fixedStats, 0, if (coef(base + k) < 0) 1 else 0)
       st += 2
       var m = 0
       v -= 1
@@ -684,10 +886,50 @@ object ArithJpeg {
       }
       k += 1
     }
-    if (k <= 63) {
+    if (k <= se) {
       val st = 3 * (k - 1)
       enc.code(stats, st, 1) // EOB
     }
+  }
+
+  /** G.1.3.3 AC refinement encoder, the mirror of [[acRefineBlock]]. */
+  private def encodeAcRefine(enc: QmEnc, stats: Array[Int],
+                             fixedStats: Array[Int], coef: Array[Int],
+                             base: Int, ss: Int, se: Int, ah: Int,
+                             al: Int): Unit = {
+    @inline def mag(k: Int): Int = {
+      val raw = coef(base + k)
+      if (raw < 0) -raw else raw
+    }
+    var ke = se
+    while (ke >= ss && (mag(ke) >> al) == 0) ke -= 1
+    // prior-stage EOB index; any value below ss is equivalent on both
+    // sides, and in-band "accumulated nonzero" == magnitude >> ah != 0
+    var kex = ke
+    while (kex >= ss && (mag(kex) >> ah) == 0) kex -= 1
+    var k = ss
+    while (k <= ke) {
+      var st = 3 * (k - 1)
+      if (k > kex) enc.code(stats, st, 0) // not EOB yet
+      var settled = false
+      while (!settled) {
+        val raw = coef(base + k)
+        val av = if (raw < 0) -raw else raw
+        if ((av >> ah) != 0) { // previously nonzero: correction bit
+          enc.code(stats, st + 2, (av >> al) & 1)
+          settled = true
+        } else if ((av >> al) != 0) { // newly nonzero at this precision
+          enc.code(stats, st + 1, 1)
+          enc.code(fixedStats, 0, if (raw < 0) 1 else 0)
+          settled = true
+        } else {
+          enc.code(stats, st + 1, 0)
+          st += 3; k += 1
+        }
+      }
+      k += 1
+    }
+    if (ke < se) enc.code(stats, 3 * ke, 1) // EOB decision at k = ke+1
   }
 
   /** Encode a sequential arithmetic (SOF9) stream from natural-order
@@ -742,7 +984,7 @@ object ArithJpeg {
         val zz = new Array[Int](64)
         var k = 1
         while (k < 64) { zz(k) = coef(Zigzag(k)); k += 1 }
-        encodeAcCoefs(enc, acStats(0), fixedStats, zz, 5)
+        encodeAcCoefs(enc, acStats(0), fixedStats, zz, 0, 1, 63, 0, 5)
       }
       mcu += 1
     }
@@ -790,7 +1032,7 @@ object ArithJpeg {
         case _ => crVal(mx, my) - 128
       }) * 8
       encodeDcCoef(enc, dcStats(0), comps(ci), dc, 0, 1)
-      encodeAcCoefs(enc, acStats(0), fixedStats, zeroAc, 5)
+      encodeAcCoefs(enc, acStats(0), fixedStats, zeroAc, 0, 1, 63, 0, 5)
     }
     enc.flush()
     marker(0xd9)
@@ -810,4 +1052,95 @@ object ArithJpeg {
       if (ci == 0) c(0) = (gray(bx, by) - 128) * 8
       c
     })
+
+  // ------------------------------------------------------------------
+  // Progressive (SOF10) encoder.
+  // ------------------------------------------------------------------
+
+  /** One progressive scan descriptor: `comp` = -1 for an interleaved DC
+    * scan over all components, else the 0-based component of an AC band
+    * scan; (ss, se) the spectral band, (ah, al) the successive
+    * approximation (ah = 0 for a first scan, else ah = al + 1). */
+  final case class ProgScan(comp: Int, ss: Int, se: Int, ah: Int, al: Int)
+
+  /** The standard progressive script: DC at point transform 1 then its
+    * refinement, then each component's full AC band in two approximation
+    * passes. */
+  def standardScript(components: Int): Seq[ProgScan] =
+    Seq(ProgScan(-1, 0, 0, 0, 1), ProgScan(-1, 0, 0, 1, 0)) ++
+      (0 until components).flatMap(ci =>
+        Seq(ProgScan(ci, 1, 63, 0, 1), ProgScan(ci, 1, 63, 1, 0)))
+
+  /** Encode a progressive arithmetic (SOF10) stream from natural-order
+    * coefficient blocks, multi-scan per `script`. Components 1x1-sampled
+    * (grayscale or 4:4:4), matching the decoder's SOF10 scope. */
+  def encodeArithProgressive(wBlocks: Int, hBlocks: Int, components: Int,
+                             coefOf: (Int, Int, Int) => Array[Int],
+                             script: Seq[ProgScan],
+                             quantTable: Array[Int] = Array.fill(64)(1)): Array[Byte] = {
+    require(wBlocks > 0 && hBlocks > 0)
+    require(components == 1 || components == 3)
+    require(quantTable.length == 64)
+    require(script.nonEmpty)
+    val bos = new java.io.ByteArrayOutputStream()
+    def w8(v: Int): Unit = bos.write(v & 0xff)
+    def w16(v: Int): Unit = { w8(v >> 8); w8(v) }
+    def marker(m: Int): Unit = { w8(0xff); w8(m) }
+    marker(0xd8)
+    marker(0xdb); w16(2 + 1 + 64); w8(0x00)
+    for (k <- 0 until 64) w8(quantTable(k))
+    marker(0xca); w16(8 + 3 * components); w8(8) // SOF10
+    w16(hBlocks * 8); w16(wBlocks * 8); w8(components)
+    for (id <- 1 to components) { w8(id); w8(0x11); w8(0) }
+
+    // zigzag-order coefficient storage per component/block
+    val nBlocks = wBlocks * hBlocks
+    val zz = Array.tabulate(components) { ci =>
+      val a = new Array[Int](nBlocks * 64)
+      for (b <- 0 until nBlocks) {
+        val nat = coefOf(b % wBlocks, b / wBlocks, ci)
+        require(nat.length == 64)
+        var k = 0
+        while (k < 64) { a(b * 64 + k) = nat(Zigzag(k)); k += 1 }
+      }
+      a
+    }
+
+    val comps = Array.tabulate(components)(i => AComp(i + 1, 1, 1, 0))
+    for (scan <- script) {
+      val scanComps = if (scan.comp < 0) (0 until components) else Seq(scan.comp)
+      marker(0xda); w16(6 + 2 * scanComps.length); w8(scanComps.length)
+      scanComps.foreach { ci => w8(ci + 1); w8(0x00) }
+      w8(scan.ss); w8(scan.se); w8((scan.ah << 4) | scan.al)
+      val dcStats = Array.fill(4)(new Array[Int](64))
+      val acStats = Array.fill(4)(new Array[Int](256))
+      val fixedStats = Array(FixedBin)
+      comps.foreach { c => c.lastDc = 0; c.dcContext = 0 }
+      val enc = new QmEnc(bos)
+      var b = 0
+      while (b < nBlocks) {
+        if (scan.ss == 0) {
+          scanComps.foreach { ci =>
+            val v0 = zz(ci)(b * 64)
+            if (scan.ah == 0)
+              encodeDcCoef(enc, dcStats(0), comps(ci), v0 >> scan.al, 0, 1)
+            else
+              enc.code(fixedStats, 0, (v0 >> scan.al) & 1)
+          }
+        } else {
+          val ci = scan.comp
+          if (scan.ah == 0)
+            encodeAcCoefs(enc, acStats(0), fixedStats, zz(ci), b * 64,
+              scan.ss, scan.se, scan.al, 5)
+          else
+            encodeAcRefine(enc, acStats(0), fixedStats, zz(ci), b * 64,
+              scan.ss, scan.se, scan.ah, scan.al)
+        }
+        b += 1
+      }
+      enc.flush()
+    }
+    marker(0xd9)
+    bos.toByteArray
+  }
 }

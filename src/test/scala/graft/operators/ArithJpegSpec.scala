@@ -123,6 +123,72 @@ class ArithJpegSpec extends AnyFunSuite {
     assert(huff.data.toSeq == arit.data.toSeq, "4:2:0 pixel mismatch")
   }
 
+  test("SOF10 progressive: standard script round-trips random coefficients") {
+    val wB = 5; val hB = 4
+    val blocks = Array.tabulate(hB, wB)((by, bx) => coefBlock(by * wB + bx + 11))
+    val ref = idctRef(wB, hB, (bx, by) => blocks(by)(bx))
+    for (comps <- Seq(1)) {
+      val bytes = ArithJpeg.encodeArithProgressive(wB, hB, comps,
+        (bx, by, _) => blocks(by)(bx), ArithJpeg.standardScript(comps))
+      val img = ArithJpeg.decode(bytes)
+      assert(img.isDefined, "SOF10 decode failed")
+      assert(img.get.data.toSeq == ref.toSeq,
+        "progressive accumulation diverged from single-pass IDCT")
+    }
+  }
+
+  test("SOF10 progressive: deep successive approximation + spectral bands") {
+    // four-level approximation over three spectral bands — every scan
+    // type (DC first/refine, AC first at Al>0, repeated AC refines) runs
+    val wB = 4; val hB = 3
+    val blocks = Array.tabulate(hB, wB)((by, bx) => coefBlock(by * wB + bx + 29))
+    val ref = idctRef(wB, hB, (bx, by) => blocks(by)(bx))
+    val script =
+      Seq(ArithJpeg.ProgScan(-1, 0, 0, 0, 3), ArithJpeg.ProgScan(-1, 0, 0, 3, 2),
+        ArithJpeg.ProgScan(-1, 0, 0, 2, 1), ArithJpeg.ProgScan(-1, 0, 0, 1, 0)) ++
+      Seq((1, 5), (6, 20), (21, 63)).flatMap { case (a, b) =>
+        Seq(ArithJpeg.ProgScan(0, a, b, 0, 2), ArithJpeg.ProgScan(0, a, b, 2, 1),
+          ArithJpeg.ProgScan(0, a, b, 1, 0))
+      }
+    val bytes = ArithJpeg.encodeArithProgressive(wB, hB, 1,
+      (bx, by, _) => blocks(by)(bx), script)
+    val img = ArithJpeg.decode(bytes)
+    assert(img.isDefined, "deep-SA SOF10 decode failed")
+    assert(img.get.data.toSeq == ref.toSeq)
+  }
+
+  test("SOF10 cross-encoder: arithmetic progressive equals Huffman progressive") {
+    // the same mosaic through SOF2 (Huffman progressive) and SOF10
+    // (arithmetic progressive) — identical pixels
+    val gray = (bx: Int, by: Int) => (7 + bx * 41 + by * 67) % 256
+    for (comps <- Seq(1, 3)) {
+      val huff = JpegCodec.decodeJpeg(
+        JpegCodec.encodeJpegGrayBlocksProgressive(3, 3, gray, comps)).get
+      val arit = ArithJpeg.decode(ArithJpeg.encodeArithProgressive(3, 3, comps,
+        (bx, by, ci) => {
+          val c = new Array[Int](64)
+          if (ci == 0) c(0) = (gray(bx, by) - 128) * 8
+          c
+        }, ArithJpeg.standardScript(comps))).get
+      assert(huff.width == arit.width && huff.channels == arit.channels)
+      assert(huff.data.toSeq == arit.data.toSeq, s"comps=$comps")
+    }
+  }
+
+  test("SOF10: truncations and corruptions never throw") {
+    val good = ArithJpeg.encodeArithProgressive(3, 2, 1,
+      (bx, by, _) => coefBlock(bx + by * 3 + 5), ArithJpeg.standardScript(1))
+    assert(ArithJpeg.decode(good).isDefined)
+    assert(RasterCodec.decode(good).isDefined) // dispatch routes SOF10
+    for (len <- 0 until good.length) ArithJpeg.decode(good.take(len))
+    val rnd = new scala.util.Random(7)
+    for (_ <- 0 until 300) {
+      val m = good.clone()
+      m(20 + rnd.nextInt(m.length - 22)) = rnd.nextInt(256).toByte
+      ArithJpeg.decode(m) // None or a raster, never a throw
+    }
+  }
+
   test("property: thousands of random DC sequences round-trip exactly") {
     // Regression net for the termination path: a flush that mishandles
     // deferred zero bytes or stacked-0xFF carries corrupts the TAIL of

@@ -1505,6 +1505,32 @@ object SparkEntry {
         .orderBy("media_id", "sample_idx")
     }),
 
+    // M1 (video FRAME decode): REAL motion-JPEG sample decode, oracle-
+    // gated. Each doc becomes an mp4 whose "jpeg"-fourcc track carries
+    // 4+id%5 REAL photo-JPEG samples in the mdat (16x16 flat DC-only
+    // frames at gray (id*7+j*13)%256, 25 fps). The decoder must walk the
+    // sample table, slice each sample's byte range, and run the full
+    // JPEG path — flat DC-only frames decode analytically exactly, so
+    // the oracle states per-frame sum_gray = 256*g in SQL. This is the
+    // step beyond m08's layout walk: pixels out of a video container.
+    "m11_video_frame_decode" -> ((s, dir) => {
+      import s.implicits._
+      val media = t(s, dir, "documents").select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { id =>
+          val n = (4 + id % 5).toInt
+          val frames = (0 until n).map { j =>
+            val g = ((id * 7 + j * 13) % 256).toInt
+            graft.operators.JpegCodec.encodeJpegGrayBlocks(2, 2, (_, _) => g)
+          }
+          val fx = graft.operators.Mp4Tables.payloadTrack(
+            trackId = 1, timescale = 1000, delta = 40,
+            samplesPerChunk = 3, fourcc = "jpeg", payloads = frames)
+          (id, graft.operators.Mp4Tables.encodeMp4WithSamples(Seq(fx)))
+        }).toDF("media_id", "payload")
+      graft.operators.Multimodal.decodeVideoFrames(s, media).toDF()
+        .orderBy("media_id", "sample_idx")
+    }),
+
     // M1 (arithmetic JPEG): REAL SOF9 QM-coder decode, oracle-gated.
     // The SAME flat-mosaic formula as m03, entropy-coded with the T.81
     // Annex D arithmetic coder instead of Huffman — DC-only blocks still
@@ -3180,6 +3206,16 @@ object SparkEntry {
              AS BIGINT) AS file_offset,
            CAST(CASE WHEN sample_idx % 5 = 0 THEN 1 ELSE 0 END AS INTEGER) AS is_sync
          FROM s ORDER BY media_id, sample_idx""",
+
+    "m11_video_frame_decode" ->
+      """SELECT d.doc_id AS media_id, CAST(1 AS INTEGER) AS track_id,
+           CAST(k.r AS INTEGER) AS sample_idx,
+           CAST(k.r * 40 AS BIGINT) AS dts_ms,
+           CAST(16 AS INTEGER) AS width, CAST(16 AS INTEGER) AS height,
+           CAST(256 * ((d.doc_id * 7 + k.r * 13) % 256) AS BIGINT) AS sum_gray
+         FROM documents d CROSS JOIN range(0, 9) k(r)
+         WHERE k.r < 4 + d.doc_id % 5
+         ORDER BY media_id, sample_idx""",
 
     "f01_electricity_parse" ->
       """WITH auto_rows AS (

@@ -28,10 +28,13 @@ object Mp4Tables {
   final val MaxSamples = 1 << 22
 
   /** One media sample's layout facts. `dtsTicks` is in the track's mdhd
-    * timescale; `dtsMs` is pre-divided for convenience. */
+    * timescale; `dtsMs` is pre-divided for convenience. `codec` is the
+    * track's first stsd sample-entry fourcc ("jpeg" for photo-JPEG/MJPEG,
+    * "avc1", …), or "unknown" when the track carries no readable stsd —
+    * older fixtures and stripped containers stay walkable. */
   final case class Mp4Sample(trackId: Int, sampleIdx: Int, dtsTicks: Long,
                              dtsMs: Long, sizeBytes: Long, fileOffset: Long,
-                             isSync: Boolean)
+                             isSync: Boolean, codec: String = "unknown")
 
   /** Walk every trak's sample table. Returns None if the container is
     * malformed or any table is internally inconsistent (counts disagree,
@@ -266,9 +269,19 @@ object Mp4Tables {
         arr
     }
 
+    // ---- stsd: first sample-entry fourcc (lenient — absent or short
+    // boxes read as "unknown" so stripped containers stay walkable) ----
+    val codec: String = fullBox("stsd") match {
+      case Some((sdAt, sdEnd)) if sdEnd - sdAt >= 12 && be32(sdAt) >= 1 =>
+        // entry_count(4) then the first entry box: size(4) fourcc(4)
+        val cs = (0 until 4).map(k => u8(sdAt + 8 + k).toChar).mkString
+        if (cs.forall(c => c >= 0x20 && c < 0x7f)) cs else "unknown"
+      case _ => "unknown"
+    }
+
     val samples = Vector.tabulate(n) { i =>
       Mp4Sample(trackId, i, dts(i), dts(i) * 1000L / timescale, sizes(i),
-        offsets(i), sync(i))
+        offsets(i), sync(i), codec)
     }
     TrakSamples(samples)
   }
@@ -281,11 +294,25 @@ object Mp4Tables {
 
   /** Per-track fixture description: `sttsRuns` as (count, delta) pairs,
     * `sizes` per sample, `samplesPerChunk` fixed chunking, and 1-indexed
-    * `syncSamples` (None = omit stss entirely → all sync). */
+    * `syncSamples` (None = omit stss entirely → all sync). `fourcc`
+    * (when set) writes a VisualSampleEntry-shaped stsd with that codec
+    * tag; `payloads` (when set) must match `sizes` and places REAL
+    * sample bytes in the mdat at each sample's laid-out offset — the
+    * shape a ranged-read frame decoder consumes. */
   final case class TrackFixture(trackId: Int, timescale: Int,
                                 sttsRuns: Seq[(Int, Int)], sizes: Seq[Int],
                                 samplesPerChunk: Int,
-                                syncSamples: Option[Seq[Int]])
+                                syncSamples: Option[Seq[Int]],
+                                fourcc: Option[String] = None,
+                                payloads: Option[Seq[Array[Byte]]] = None)
+
+  /** Convenience: a track whose sizes derive from real sample payloads. */
+  def payloadTrack(trackId: Int, timescale: Int, delta: Int,
+                   samplesPerChunk: Int, fourcc: String,
+                   payloads: Seq[Array[Byte]]): TrackFixture =
+    TrackFixture(trackId, timescale, Seq((payloads.length, delta)),
+      payloads.map(_.length), samplesPerChunk, None, Some(fourcc),
+      Some(payloads))
 
   /** Encode a playable-shaped container around the given tracks: ftyp(16)
     * + mdat(zeros sized to all samples, chunks laid out contiguously in
@@ -300,10 +327,16 @@ object Mp4Tables {
     val mdatPayload = tracks.map(_.sizes.map(_.toLong).sum).sum
     require(mdatPayload <= Int.MaxValue - 1024, "fixture too large")
     var fileOff = 24L // ftyp(16) + mdat header(8)
+    val mdatBytes = new Array[Byte](mdatPayload.toInt)
 
     val traks = tracks.map { tr =>
       val n = tr.sizes.length
       require(tr.sttsRuns.map(_._1).sum == n, "stts runs must cover sizes")
+      tr.payloads.foreach { ps =>
+        require(ps.length == n && ps.zip(tr.sizes).forall {
+          case (p, sz) => p.length == sz
+        }, "payloads must match sizes")
+      }
       val stts = box("stts", be32(0) ++ be32(tr.sttsRuns.length) ++
         tr.sttsRuns.flatMap { case (c, d) => be32(c) ++ be32(d) }.toArray)
       val stsz = box("stsz", be32(0) ++ be32(0) ++ be32(n) ++
@@ -318,6 +351,10 @@ object Mp4Tables {
         chunkOffs(c) = fileOff
         var i = 0
         while (i < tr.samplesPerChunk && s < n) {
+          tr.payloads.foreach { ps =>
+            System.arraycopy(ps(s), 0, mdatBytes, (fileOff - 24L).toInt,
+              tr.sizes(s))
+          }
           fileOff += tr.sizes(s); s += 1; i += 1
         }
         c += 1
@@ -327,8 +364,17 @@ object Mp4Tables {
       val stss = tr.syncSamples.map(ss =>
         box("stss", be32(0) ++ be32(ss.length) ++
           ss.flatMap(v => be32(v)).toArray))
+      // stsd: a VisualSampleEntry-shaped first entry (78-byte body after
+      // the fourcc header: reserved(6) + data_ref_idx(2) + the fixed
+      // visual fields zeroed) — enough structure for any fourcc reader
+      val stsd = tr.fourcc.map { fc =>
+        require(fc.length == 4, "fourcc must be 4 chars")
+        val entry = box(fc, new Array[Byte](78))
+        box("stsd", be32(0) ++ be32(1) ++ entry)
+      }
       val stbl = box("stbl",
-        stts ++ stsc ++ stsz ++ stco ++ stss.getOrElse(Array.emptyByteArray))
+        stsd.getOrElse(Array.emptyByteArray) ++
+          stts ++ stsc ++ stsz ++ stco ++ stss.getOrElse(Array.emptyByteArray))
       val mdhd = box("mdhd", be32(0) ++ be32(1) ++ be32(2) ++
         be32(tr.timescale) ++ be32(0) ++ be32(0))
       val minf = box("minf", stbl)
@@ -339,7 +385,7 @@ object Mp4Tables {
     }
 
     val ftyp = box("ftyp", "isomiso2".getBytes("US-ASCII"))
-    val mdat = box("mdat", new Array[Byte](mdatPayload.toInt))
+    val mdat = box("mdat", mdatBytes)
     val moov = box("moov", traks.flatten.toArray)
     ftyp ++ mdat ++ moov
   }

@@ -9,8 +9,8 @@ import org.apache.spark.sql.types._
   * feature-extract / resize / frame-sample run as partition-parallel batch
   * functions over the binary payloads.
   *
-  * BMP, PNG, GIF, JPEG (baseline, progressive SOF2, sequential
-  * arithmetic SOF9), WAV (linear PCM, G.711 A-law/μ-law, IMA ADPCM)
+  * BMP, PNG, GIF, JPEG (baseline, progressive SOF2, arithmetic SOF9 +
+  * SOF10), WAV (linear PCM, G.711 A-law/μ-law, IMA ADPCM)
   * decode FOR REAL (dependency-free codecs in this package); lossless
   * JPEG (SOF3) decodes via [[LosslessJpeg]]; MP3 duration comes from a
   * real all-frame header walk (Xing/VBRI aware) and MP4 exposes its full
@@ -544,6 +544,55 @@ object Multimodal {
           VideoSample(id, s.trackId, s.sampleIdx, s.dtsMs, s.sizeBytes,
             s.fileOffset, if (s.isSync) 1 else 0)
         }
+      })
+  }
+
+  /** One DECODED video frame: pixels, not just layout. `sum_gray` is the
+    * channel-0 sample sum (analytic for DC-only JPEG frames, which is
+    * what the m11 oracle states). */
+  final case class VideoFrame(media_id: Long, track_id: Int, sample_idx: Int,
+                              dts_ms: Long, width: Int, height: Int,
+                              sum_gray: Long)
+
+  /** REAL video sample decode for motion-JPEG tracks: walk the container's
+    * sample tables ([[Mp4Tables.sampleTable]]), slice each photo-JPEG
+    * sample's bytes out of the payload at its (offset, size), and decode
+    * the frame through the full [[JpegCodec]] path — one row per decoded
+    * frame with its decode timestamp and pixel features. This is the
+    * video analogue of [[decodeRasterFeatures]]: MJPEG is the one video
+    * codec whose samples are self-contained stills, so the frame step
+    * composes the codecs this package already proves out; inter-frame
+    * codecs (avc1/hev1…) remain honestly undecoded (their samples are
+    * skipped, never faked). Samples whose byte range falls outside the
+    * payload, or whose bytes fail JPEG decode, are skipped — ranged
+    * corruption must not sink the partition. */
+  def decodeVideoFrames(spark: SparkSession, media: DataFrame): Dataset[VideoFrame] = {
+    import spark.implicits._
+    media
+      .where(col("payload").isNotNull)
+      .select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        Mp4Tables.sampleTable(bytes).toSeq.flatten.iterator
+          .filter(s => s.codec == "jpeg" || s.codec == "mjpa")
+          .flatMap { s =>
+            val off = s.fileOffset
+            val sz = s.sizeBytes
+            if (off < 0 || sz <= 0 || sz > Int.MaxValue ||
+                off + sz > bytes.length) None
+            else {
+              val frame = java.util.Arrays.copyOfRange(
+                bytes, off.toInt, (off + sz).toInt)
+              RasterCodec.decode(frame).map { r =>
+                var sum = 0L
+                var i = 0
+                val n = r.width * r.height
+                while (i < n) { sum += (r.data(i * r.channels) & 0xff); i += 1 }
+                VideoFrame(id, s.trackId, s.sampleIdx, s.dtsMs,
+                  r.width, r.height, sum)
+              }
+            }
+          }
       })
   }
 }

@@ -4,10 +4,11 @@ import java.util.zip.{CRC32, Deflater, Inflater}
 
 /** Dependency-free raster codecs: uncompressed BMP (plain pixel array),
   * PNG (zlib via `java.util.zip` + the five standard scanline filters),
-  * baseline + progressive (SOF2) JPEG (via [[JpegCodec]]), sequential
-  * arithmetic-coded JPEG (SOF9, QM-coder, via [[ArithJpeg]]), and GIF
+  * baseline + progressive (SOF2) JPEG (via [[JpegCodec]]), arithmetic-
+  * coded JPEG — sequential SOF9 and progressive SOF10, QM-coder (via
+  * [[ArithJpeg]]) — lossless JPEG (SOF3, via [[LosslessJpeg]]), and GIF
   * LZW (via [[GifCodec]]) — the whole image family decodes for real.
-  * Progressive-arithmetic SOF10 returns None.
+  * Hierarchical JPEG (SOF11+) returns None.
   *
   * This is the decode step behind [[Multimodal.decodeFeatures]]: the
   * reference pipeline fetches binary content eagerly and hands it to

@@ -122,6 +122,35 @@ class Mp4TablesSpec extends AnyFunSuite {
     }
   }
 
+  test("stsd fourcc surfaces as codec; absent stsd reads unknown") {
+    // old-style fixture (no stsd): every sample's codec is "unknown"
+    assert(Mp4Tables.sampleTable(fixture()).get.forall(_.codec == "unknown"))
+    // payload track with a "jpeg" stsd: fourcc threaded through
+    val frames = (0 until 5).map(k => Array.fill(30 + k)((k * 7).toByte))
+    val mp4 = Mp4Tables.encodeMp4WithSamples(Seq(Mp4Tables.payloadTrack(
+      trackId = 3, timescale = 1000, delta = 40, samplesPerChunk = 2,
+      fourcc = "jpeg", payloads = frames)))
+    val samples = Mp4Tables.sampleTable(mp4).get
+    assert(samples.length == 5)
+    assert(samples.forall(_.codec == "jpeg"))
+    // and the mdat REALLY carries the payload bytes at each offset
+    for (s <- samples) {
+      val got = mp4.slice(s.fileOffset.toInt, (s.fileOffset + s.sizeBytes).toInt)
+      assert(got.sameElements(frames(s.sampleIdx)),
+        s"sample ${s.sampleIdx} bytes")
+    }
+  }
+
+  test("payload sizes must match declared sizes") {
+    intercept[IllegalArgumentException] {
+      Mp4Tables.encodeMp4WithSamples(Seq(TrackFixture(
+        trackId = 1, timescale = 600, sttsRuns = Seq((2, 10)),
+        sizes = Seq(4, 4), samplesPerChunk = 1, syncSamples = None,
+        fourcc = Some("jpeg"),
+        payloads = Some(Seq(Array[Byte](1, 2, 3, 4), Array[Byte](1))))))
+    }
+  }
+
   test("non-mp4 and header-only payloads yield None or empty") {
     assert(Mp4Tables.sampleTable("not an mp4 at all".getBytes).isEmpty)
     assert(Mp4Tables.sampleTable(null).isEmpty)

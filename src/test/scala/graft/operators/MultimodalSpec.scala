@@ -239,4 +239,42 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!p.contains("Exchange") && !p.contains("Join"), p.take(500))
   }
+
+  test("decodeVideoFrames: MJPEG samples decode to pixels; non-JPEG " +
+       "tracks and corrupt ranges are skipped, never a throw") {
+    import spark.implicits._
+    // three 16x16 flat DC-only frames at grays 10/20/30 — analytic decode
+    val grays = Seq(10, 20, 30)
+    val frames = grays.map(g =>
+      JpegCodec.encodeJpegGrayBlocks(2, 2, (_, _) => g))
+    val good = Mp4Tables.encodeMp4WithSamples(Seq(Mp4Tables.payloadTrack(
+      trackId = 1, timescale = 1000, delta = 40, samplesPerChunk = 2,
+      fourcc = "jpeg", payloads = frames)))
+    // same layout but an avc1 fourcc: samples must be skipped, not decoded
+    val avc1 = Mp4Tables.encodeMp4WithSamples(Seq(Mp4Tables.payloadTrack(
+      trackId = 1, timescale = 1000, delta = 40, samplesPerChunk = 2,
+      fourcc = "avc1", payloads = frames)))
+    // corrupt middle frame: zero out its entropy bytes → JPEG decode fails
+    val sampleOffs = Mp4Tables.sampleTable(good).get.map(_.fileOffset)
+    val corrupt = good.clone()
+    for (i <- sampleOffs(1).toInt + 20 until (sampleOffs(1) + frames(1).length).toInt)
+      corrupt(i) = 0
+    val media = Seq((1L, good), (2L, avc1), (3L, corrupt),
+        (4L, "junk".getBytes: Array[Byte]))
+      .toDF("media_id", "payload")
+    val out = Multimodal.decodeVideoFrames(spark, media).collect()
+      .sortBy(f => (f.media_id, f.sample_idx))
+    val m1 = out.filter(_.media_id == 1L)
+    assert(m1.length == 3)
+    for ((f, j) <- m1.zipWithIndex) {
+      assert(f.width == 16 && f.height == 16)
+      assert(f.dts_ms == j * 40L)
+      assert(f.sum_gray == 256L * grays(j), s"frame $j")
+    }
+    assert(out.count(_.media_id == 2L) == 0) // avc1 skipped
+    // corrupt payload: the damaged frame is dropped, neighbors decode
+    val m3 = out.filter(_.media_id == 3L)
+    assert(m3.map(_.sample_idx).toSeq == Seq(0, 2))
+    assert(out.count(_.media_id == 4L) == 0)
+  }
 }

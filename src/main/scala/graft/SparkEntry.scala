@@ -1590,6 +1590,28 @@ object SparkEntry {
         .orderBy("media_id")
     }),
 
+    // M1 (12-bit JPEG): REAL SOF1 extended-sequential decode at sample
+    // precision 12, oracle-gated. Each doc becomes a 16x16 mosaic of flat
+    // 12-bit blocks at gray (id*29+bx*5+by*11)%4096 — DC-only, so decode
+    // is analytically exact at the full 12-bit range (DC categories up to
+    // 15, beyond what 8-bit baseline can express). Even docs grayscale;
+    // odd docs 3-component with neutral (2048) chroma AND a 16-bit (Pq=1)
+    // quant table — both DQT element widths gated.
+    "m12_jpeg12_decode" -> ((s, dir) => {
+      import s.implicits._
+      val media = t(s, dir, "documents").select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { id =>
+          val g = (bx: Int, by: Int) => ((id * 29 + bx * 5 + by * 11) % 4096).toInt
+          val payload =
+            if (id % 2 == 0) graft.operators.Jpeg12.encode12GrayBlocks(2, 2, g)
+            else graft.operators.Jpeg12.encode12GrayBlocks(2, 2, g,
+              components = 3, pq16 = true)
+          (id, payload)
+        }).toDF("media_id", "payload")
+      graft.operators.Multimodal.decodeJpeg12Features(s, media).toDF()
+        .orderBy("media_id")
+    }),
+
     // M1 (JPEG): REAL JPEG decode, oracle-gated like m01/m02. Each doc
     // becomes a 16x16 JFIF of flat 8x8 blocks whose gray level follows a
     // formula (DC-only coefficients are the one JPEG family with
@@ -3170,6 +3192,17 @@ object SparkEntry {
            CAST(64 * SUM((d.doc_id + bx.r * 3 + by.r * 5) % 256) AS BIGINT) AS sum_r,
            CAST(64 * SUM((d.doc_id + bx.r * 3 + by.r * 5) % 256) AS BIGINT) AS sum_g,
            CAST(64 * SUM((d.doc_id + bx.r * 3 + by.r * 5) % 256) AS BIGINT) AS sum_b
+         FROM documents d
+         CROSS JOIN range(0, 2) bx(r) CROSS JOIN range(0, 2) by(r)
+         GROUP BY 1, 2, 3, 4 ORDER BY media_id""",
+
+    "m12_jpeg12_decode" ->
+      """SELECT d.doc_id AS media_id, CAST(16 AS INTEGER) AS width,
+           CAST(16 AS INTEGER) AS height,
+           CAST(CASE WHEN d.doc_id % 2 = 0 THEN 1 ELSE 3 END AS INTEGER)
+             AS components,
+           CAST(64 * SUM((d.doc_id * 29 + bx.r * 5 + by.r * 11) % 4096)
+             + (d.doc_id % 2) * 2 * 256 * 2048 AS BIGINT) AS sum_samples
          FROM documents d
          CROSS JOIN range(0, 2) bx(r) CROSS JOIN range(0, 2) by(r)
          GROUP BY 1, 2, 3, 4 ORDER BY media_id""",

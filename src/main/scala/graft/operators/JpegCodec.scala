@@ -35,7 +35,7 @@ object JpegCodec {
     58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63)
 
   /** c(u)(x) = C(u)/2 * cos((2x+1)uπ/16) — the separable 1-D IDCT basis. */
-  private val Cos: Array[Array[Double]] = Array.tabulate(8, 8) { (u, x) =>
+  private[operators] val Cos: Array[Array[Double]] = Array.tabulate(8, 8) { (u, x) =>
     val cu = if (u == 0) 1.0 / math.sqrt(2.0) else 1.0
     0.5 * cu * math.cos((2 * x + 1) * u * math.Pi / 16.0)
   }
@@ -585,6 +585,39 @@ object JpegCodec {
         val px = math.round(s + 128.0).toInt
         val clamped = if (px < 0) 0 else if (px > 255) 255 else px
         plane((by0 + y) * planeW + bx0 + x) = clamped.toByte
+        y += 1
+      }
+      x += 1
+    }
+  }
+
+  /** 12-bit twin of [[idctTo]]: level shift 2^11, clamp to [0, 4095],
+    * Int plane (samples exceed a byte). Shared with [[Jpeg12]]. */
+  private[operators] def idct12To(coef: Array[Int], plane: Array[Int],
+                     planeW: Int, bx0: Int, by0: Int,
+                     tmp: Array[Array[Double]]): Unit = {
+    var x = 0
+    while (x < 8) {
+      var v = 0
+      while (v < 8) {
+        var s = 0.0
+        var u = 0
+        while (u < 8) { s += Cos(u)(x) * coef(v * 8 + u); u += 1 }
+        tmp(x)(v) = s
+        v += 1
+      }
+      x += 1
+    }
+    x = 0
+    while (x < 8) {
+      var y = 0
+      while (y < 8) {
+        var s = 0.0
+        var v = 0
+        while (v < 8) { s += Cos(v)(y) * tmp(x)(v); v += 1 }
+        val px = math.round(s + 2048.0).toInt
+        val clamped = if (px < 0) 0 else if (px > 4095) 4095 else px
+        plane((by0 + y) * planeW + bx0 + x) = clamped
         y += 1
       }
       x += 1

@@ -10,13 +10,15 @@ import org.apache.spark.sql.types._
   * functions over the binary payloads.
   *
   * BMP, PNG, GIF, JPEG (baseline, progressive SOF2, arithmetic SOF9 +
-  * SOF10), WAV (linear PCM, G.711 A-law/μ-law, IMA ADPCM)
-  * decode FOR REAL (dependency-free codecs in this package); lossless
-  * JPEG (SOF3) decodes via [[LosslessJpeg]]; MP3 duration comes from a
-  * real all-frame header walk (Xing/VBRI aware) and MP4 exposes its full
-  * per-sample layout via [[Mp4Tables]]/[[explodeVideoSamples]]. Formats
+  * SOF10, 12-bit extended sequential via [[Jpeg12]], lossless SOF3 via
+  * [[LosslessJpeg]]), WAV (linear PCM, G.711 A-law/μ-law, IMA ADPCM)
+  * decode FOR REAL (dependency-free codecs in this package); MP3
+  * duration comes from a real all-frame header walk (Xing/VBRI aware),
+  * MP4 exposes its full per-sample layout via
+  * [[Mp4Tables]]/[[explodeVideoSamples]], and motion-JPEG video samples
+  * decode to pixels via [[decodeVideoFrames]]. Formats
   * that need transform machinery the JDK lacks (MP3/AAC
-  * sample decode, video codec payloads) go through
+  * sample decode, inter-frame video codec payloads) go through
   * [[stubDecode]] — a deterministic fake raster derived from payload bytes
   * + declared metadata, so every downstream contract (schema, batch shape,
   * partitioning, null handling) is real and tested, and a real decoder can
@@ -515,6 +517,27 @@ object Multimodal {
           while (k < img.samples.length) { sum += img.samples(k); k += 1 }
           LosslessFeatures(id, img.width, img.height, img.components,
             img.precision, sum)
+        }
+      })
+  }
+
+  /** Decoded 12-bit extended-sequential JPEG features (the high-bit-depth
+    * DCT path): raw component-sample sum, analytic for DC-only fixtures. */
+  final case class Jpeg12Features(media_id: Long, width: Int, height: Int,
+                                  components: Int, sum_samples: Long)
+
+  def decodeJpeg12Features(spark: SparkSession, media: DataFrame): Dataset[Jpeg12Features] = {
+    import spark.implicits._
+    media
+      .where(col("payload").isNotNull)
+      .select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        Jpeg12.decode(bytes).map { img =>
+          var sum = 0L
+          var k = 0
+          while (k < img.samples.length) { sum += img.samples(k); k += 1 }
+          Jpeg12Features(id, img.width, img.height, img.components, sum)
         }
       })
   }

@@ -22,6 +22,7 @@ class CodecFuzzSpec extends AnyFunSuite {
     ("mp4-samples", (b: Array[Byte]) => Mp4Tables.sampleTable(b)),
     ("jpeg-lossless", (b: Array[Byte]) => LosslessJpeg.decode(b)),
     ("jpeg-arith", (b: Array[Byte]) => ArithJpeg.decode(b)),
+    ("jpeg-12bit", (b: Array[Byte]) => Jpeg12.decode(b)),
     ("dispatch", RasterCodec.decode _))
 
   private def validPayloads: Seq[(String, Array[Byte])] = {
@@ -49,7 +50,13 @@ class CodecFuzzSpec extends AnyFunSuite {
       ("jpeg-lossless", LosslessJpeg.encode(9, 7, 1, 12, 4,
         Array.tabulate(63)(i => (i * 131 + 7) % 4096))),
       ("jpeg-arith", ArithJpeg.encodeArithGrayBlocks(2, 2,
-        (bx, by) => bx * 64 + by * 32 + 9)))
+        (bx, by) => bx * 64 + by * 32 + 9)),
+      ("jpeg-12bit", Jpeg12.encode12GrayBlocks(2, 2,
+        (bx, by) => bx * 1024 + by * 512 + 100)),
+      ("mjpeg-mp4", Mp4Tables.encodeMp4WithSamples(Seq(Mp4Tables.payloadTrack(
+        1, 1000, 40, 2, "jpeg",
+        (0 until 3).map(j => JpegCodec.encodeJpegGrayBlocks(2, 2,
+          (_, _) => 40 * j + 10)))))))
   }
 
   private def exercise(name: String, bytes: Array[Byte]): Unit =

@@ -1730,6 +1730,50 @@ object SparkEntry {
         .orderBy("media_id")
     }),
 
+    // M1 (FLAC): REAL compressed-audio sample decode, oracle-gated. FLAC
+    // is lossless, so a formula waveform must decode to the formula's
+    // analytic sums EXACTLY — no tolerance. The corpus rotates the codec
+    // surface by id%4: CONSTANT subframes (flat per block), FIXED
+    // order-2 prediction, mid/side stereo, and LPC with partitioned Rice
+    // residuals. Any bit-reader, Rice, predictor, decorrelation, or CRC
+    // bug breaks the hash match. Decode runs distributed through the
+    // same decodeAudioFeatures path as WAV (codec-agnostic dispatch).
+    "m13_flac_decode" -> ((s, dir) => {
+      import s.implicits._
+      val media = t(s, dir, "documents").select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { id =>
+          import graft.operators.FlacCodec
+          val n = (192 * (2 + id % 3)).toInt
+          val payload = (id % 4) match {
+            case 0 =>
+              val pcm = Array.tabulate(n)(i =>
+                ((id + (i / 192) * 97) % 4096).toInt - 2048)
+              FlacCodec.encode(16000, 16, 1, pcm)
+            case 1 =>
+              val pcm = Array.tabulate(n)(i =>
+                ((id * 31 + i * 7) % 4096).toInt - 2048)
+              FlacCodec.encode(16000, 16, 1, pcm,
+                plan = FlacCodec.PlanFixed(2))
+            case 2 =>
+              val pcm = new Array[Int](n * 2)
+              for (i <- 0 until n) {
+                pcm(2 * i) = ((id * 13 + i * 11) % 4096).toInt - 2048
+                pcm(2 * i + 1) = ((id * 17 + i * 5) % 4096).toInt - 2048
+              }
+              FlacCodec.encode(16000, 16, 2, pcm, midSide = true)
+            case _ =>
+              val pcm = Array.tabulate(n)(i =>
+                ((id * 23 + i * 3) % 4096).toInt - 2048)
+              FlacCodec.encode(16000, 16, 1, pcm,
+                plan = FlacCodec.PlanLpc(Array(3, -1), 1, 4),
+                partitionOrder = 1)
+          }
+          (id, payload)
+        }).toDF("media_id", "payload")
+      graft.operators.Multimodal.decodeAudioFeatures(s, media).toDF()
+        .orderBy("media_id")
+    }),
+
     // F1-F3: the electricity-CSV parser family end to end, oracle-gated.
     // Each doc becomes a multi-section CSV (preamble block + automated
     // 3-column section + manual 2-column section; docs with id % 7 == 0
@@ -3186,6 +3230,27 @@ object SparkEntry {
            END AS BIGINT) AS sum_ch0,
            CAST(0 AS BIGINT) AS sum_ch1
          FROM documents d ORDER BY media_id""",
+
+    "m13_flac_decode" ->
+      """WITH s AS (
+           SELECT d.doc_id AS id, i.r AS i, 192 * (2 + d.doc_id % 3) AS n
+           FROM documents d CROSS JOIN range(0, 768) i(r)
+           WHERE i.r < 192 * (2 + d.doc_id % 3)
+         )
+         SELECT id AS media_id,
+           CAST(CASE WHEN id % 4 = 2 THEN 2 ELSE 1 END AS INTEGER) AS channels,
+           CAST(16000 AS INTEGER) AS sample_rate,
+           CAST(n AS BIGINT) AS n_frames,
+           CAST((n * 1000) // 16000 AS BIGINT) AS duration_ms,
+           CAST(SUM(CASE id % 4
+             WHEN 0 THEN ((id + (i // 192) * 97) % 4096) - 2048
+             WHEN 1 THEN ((id * 31 + i * 7) % 4096) - 2048
+             WHEN 2 THEN ((id * 13 + i * 11) % 4096) - 2048
+             ELSE ((id * 23 + i * 3) % 4096) - 2048 END) AS BIGINT) AS sum_ch0,
+           CAST(SUM(CASE WHEN id % 4 = 2
+             THEN ((id * 17 + i * 5) % 4096) - 2048 ELSE 0 END) AS BIGINT)
+             AS sum_ch1
+         FROM s GROUP BY id, n ORDER BY media_id""",
 
     "m10_jpeg_arith_decode" ->
       """SELECT d.doc_id AS media_id, 'jpeg' AS fmt, 16 AS width, 16 AS height,

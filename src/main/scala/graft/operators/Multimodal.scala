@@ -152,7 +152,7 @@ object Multimodal {
       .select(col("media_id"), col("payload"))
       .as[(Long, Array[Byte])]
       .mapPartitions(_.flatMap { case (id, bytes) =>
-        AudioCodec.decodeWav(bytes).map { pcm =>
+        AudioCodec.decodeWav(bytes).orElse(FlacCodec.decode(bytes)).map { pcm =>
           var s0 = 0L
           var s1 = 0L
           var k = 0
@@ -175,6 +175,8 @@ object Multimodal {
   def sniffAudioHeader(p: Array[Byte]): Option[(String, Int, Int, Long)] =
     AudioCodec.sniffWav(p).map(h =>
       ("wav", h.channels, h.sampleRate, h.durationMs))
+      .orElse(FlacCodec.sniffFlac(p).map { case (i, _) =>
+        ("flac", i.channels, i.sampleRate, i.durationMs) })
       .orElse(sniffMp3Header(p))
 
   /** One parsed MPEG-audio (Layer III) frame header at `off`:

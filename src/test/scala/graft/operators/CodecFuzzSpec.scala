@@ -23,6 +23,8 @@ class CodecFuzzSpec extends AnyFunSuite {
     ("jpeg-lossless", (b: Array[Byte]) => LosslessJpeg.decode(b)),
     ("jpeg-arith", (b: Array[Byte]) => ArithJpeg.decode(b)),
     ("jpeg-12bit", (b: Array[Byte]) => Jpeg12.decode(b)),
+    ("flac", (b: Array[Byte]) => FlacCodec.decode(b)),
+    ("sniff-flac", (b: Array[Byte]) => FlacCodec.sniffFlac(b)),
     ("dispatch", RasterCodec.decode _))
 
   private def validPayloads: Seq[(String, Array[Byte])] = {
@@ -53,6 +55,9 @@ class CodecFuzzSpec extends AnyFunSuite {
         (bx, by) => bx * 64 + by * 32 + 9)),
       ("jpeg-12bit", Jpeg12.encode12GrayBlocks(2, 2,
         (bx, by) => bx * 1024 + by * 512 + 100)),
+      ("flac", FlacCodec.encode(16000, 16, 1,
+        Array.tabulate(192)(i => ((i * 37) % 1024) - 512),
+        plan = FlacCodec.PlanFixed(2))),
       ("mjpeg-mp4", Mp4Tables.encodeMp4WithSamples(Seq(Mp4Tables.payloadTrack(
         1, 1000, 40, 2, "jpeg",
         (0 until 3).map(j => JpegCodec.encodeJpegGrayBlocks(2, 2,

@@ -1774,6 +1774,31 @@ object SparkEntry {
         .orderBy("media_id")
     }),
 
+    // M1 (Ogg): REAL container walk for the Opus/Vorbis half of the
+    // speech-corpus world, oracle-gated. Each doc becomes a structurally
+    // real Ogg stream (BOS identification packet, lacing, per-page
+    // CRC-32) with formula channels/rate/terminal-granule; the sniff
+    // must recover them through the page walk and each codec's granule
+    // mapping ((g - preskip)/48k for Opus, g/rate for Vorbis).
+    "m14_ogg_sniff" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "documents").select(col("doc_id")).as[Long]
+        .mapPartitions(_.flatMap { id =>
+          val ch = (1 + (id % 4) / 2).toInt
+          val payload =
+            if (id % 2 == 0)
+              graft.operators.OggSniff.encodeOggOpus(ch, 312, 48000,
+                960L * (50 + id % 100))
+            else
+              graft.operators.OggSniff.encodeOggVorbis(ch,
+                if (id % 4 == 1) 44100 else 22050,
+                1024L * (40 + id % 80))
+          graft.operators.OggSniff.sniffOgg(payload).map(a =>
+            (id, a.format, a.channels, a.sampleRate, a.durationMs))
+        }).toDF("media_id", "fmt", "channels", "sample_rate", "duration_ms")
+        .orderBy("media_id")
+    }),
+
     // F1-F3: the electricity-CSV parser family end to end, oracle-gated.
     // Each doc becomes a multi-section CSV (preamble block + automated
     // 3-column section + manual 2-column section; docs with id % 7 == 0
@@ -3229,6 +3254,20 @@ object SparkEntry {
              ELSE 505 * (d.doc_id * 97 % 4096 - 2048)
            END AS BIGINT) AS sum_ch0,
            CAST(0 AS BIGINT) AS sum_ch1
+         FROM documents d ORDER BY media_id""",
+
+    "m14_ogg_sniff" ->
+      """SELECT d.doc_id AS media_id,
+           CASE WHEN d.doc_id % 2 = 0 THEN 'opus' ELSE 'vorbis' END AS fmt,
+           CAST(1 + (d.doc_id % 4) // 2 AS INTEGER) AS channels,
+           CAST(CASE WHEN d.doc_id % 2 = 0 THEN 48000
+                WHEN d.doc_id % 4 = 1 THEN 44100 ELSE 22050 END AS INTEGER)
+             AS sample_rate,
+           CAST(CASE WHEN d.doc_id % 2 = 0
+             THEN ((960 * (50 + d.doc_id % 100)) - 312) * 1000 // 48000
+             ELSE (1024 * (40 + d.doc_id % 80)) * 1000 //
+               (CASE WHEN d.doc_id % 4 = 1 THEN 44100 ELSE 22050 END)
+             END AS BIGINT) AS duration_ms
          FROM documents d ORDER BY media_id""",
 
     "m13_flac_decode" ->

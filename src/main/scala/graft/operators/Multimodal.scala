@@ -177,6 +177,8 @@ object Multimodal {
       ("wav", h.channels, h.sampleRate, h.durationMs))
       .orElse(FlacCodec.sniffFlac(p).map { case (i, _) =>
         ("flac", i.channels, i.sampleRate, i.durationMs) })
+      .orElse(OggSniff.sniffOgg(p).map(o =>
+        (o.format, o.channels, o.sampleRate, o.durationMs)))
       .orElse(sniffMp3Header(p))
 
   /** One parsed MPEG-audio (Layer III) frame header at `off`:

@@ -25,6 +25,7 @@ class CodecFuzzSpec extends AnyFunSuite {
     ("jpeg-12bit", (b: Array[Byte]) => Jpeg12.decode(b)),
     ("flac", (b: Array[Byte]) => FlacCodec.decode(b)),
     ("sniff-flac", (b: Array[Byte]) => FlacCodec.sniffFlac(b)),
+    ("sniff-ogg", (b: Array[Byte]) => OggSniff.sniffOgg(b)),
     ("dispatch", RasterCodec.decode _))
 
   private def validPayloads: Seq[(String, Array[Byte])] = {
@@ -58,6 +59,8 @@ class CodecFuzzSpec extends AnyFunSuite {
       ("flac", FlacCodec.encode(16000, 16, 1,
         Array.tabulate(192)(i => ((i * 37) % 1024) - 512),
         plan = FlacCodec.PlanFixed(2))),
+      ("ogg-opus", OggSniff.encodeOggOpus(2, 312, 48000, 96000)),
+      ("ogg-vorbis", OggSniff.encodeOggVorbis(1, 44100, 44100)),
       ("mjpeg-mp4", Mp4Tables.encodeMp4WithSamples(Seq(Mp4Tables.payloadTrack(
         1, 1000, 40, 2, "jpeg",
         (0 until 3).map(j => JpegCodec.encodeJpegGrayBlocks(2, 2,

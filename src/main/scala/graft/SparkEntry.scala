@@ -1799,6 +1799,32 @@ object SparkEntry {
         .orderBy("media_id")
     }),
 
+    // M1 (tar shards): WebDataset-style shard walk, oracle-gated. Each
+    // doc becomes a real ustar archive of 2+id%3 samples x two members
+    // (sN.txt / sN.json) with formula sizes and formula content bytes;
+    // odd docs ship the shard gzipped (the decode path proves the
+    // transparent gunzip). The walk must verify every header checksum,
+    // honor 512-byte padding, split WebDataset sample keys, and sum the
+    // member bytes — all stated analytically by the oracle.
+    "m15_tar_shards" -> ((s, dir) => {
+      import s.implicits._
+      val shards = t(s, dir, "documents").select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { id =>
+          val k = (2 + id % 3).toInt
+          val members = (0 until k).flatMap { j =>
+            val content = (sz: Int) => Array.tabulate(sz)(i =>
+              ((id * 3 + j * 5 + i) % 256).toByte)
+            Seq(
+              (s"s$j.txt", content((10 + (id + j * 7) % 90).toInt)),
+              (s"s$j.json", content((5 + (id + j * 11) % 20).toInt)))
+          }
+          val tar = graft.operators.TarShard.encodeTar(members)
+          (id, if (id % 2 == 1) graft.operators.TarShard.gzip(tar) else tar)
+        }).toDF("shard_id", "payload")
+      graft.operators.TarShard.explodeMembers(s, shards).toDF()
+        .orderBy("shard_id", "member_name")
+    }),
+
     // F1-F3: the electricity-CSV parser family end to end, oracle-gated.
     // Each doc becomes a multi-section CSV (preamble block + automated
     // 3-column section + manual 2-column section; docs with id % 7 == 0
@@ -3255,6 +3281,24 @@ object SparkEntry {
            END AS BIGINT) AS sum_ch0,
            CAST(0 AS BIGINT) AS sum_ch1
          FROM documents d ORDER BY media_id""",
+
+    "m15_tar_shards" ->
+      """WITH m AS (
+           SELECT d.doc_id AS shard_id, j.r AS j, e.ext AS ext,
+             CASE WHEN e.ext = 'txt' THEN 10 + (d.doc_id + j.r * 7) % 90
+                  ELSE 5 + (d.doc_id + j.r * 11) % 20 END AS sz
+           FROM documents d
+           CROSS JOIN range(0, 5) j(r)
+           CROSS JOIN (SELECT 'txt' AS ext UNION ALL SELECT 'json') e
+           WHERE j.r < 2 + d.doc_id % 3
+         )
+         SELECT m.shard_id, 's' || m.j AS sample_key, m.ext,
+           's' || m.j || '.' || m.ext AS member_name,
+           CAST(m.sz AS BIGINT) AS size_bytes,
+           CAST((SELECT SUM((m.shard_id * 3 + m.j * 5 + i.r) % 256)
+                 FROM range(0, 110) i(r) WHERE i.r < m.sz) AS BIGINT)
+             AS byte_sum
+         FROM m ORDER BY shard_id, member_name""",
 
     "m14_ogg_sniff" ->
       """SELECT d.doc_id AS media_id,

@@ -26,6 +26,7 @@ class CodecFuzzSpec extends AnyFunSuite {
     ("flac", (b: Array[Byte]) => FlacCodec.decode(b)),
     ("sniff-flac", (b: Array[Byte]) => FlacCodec.sniffFlac(b)),
     ("sniff-ogg", (b: Array[Byte]) => OggSniff.sniffOgg(b)),
+    ("tar", (b: Array[Byte]) => TarShard.entries(b)),
     ("dispatch", RasterCodec.decode _))
 
   private def validPayloads: Seq[(String, Array[Byte])] = {
@@ -61,6 +62,11 @@ class CodecFuzzSpec extends AnyFunSuite {
         plan = FlacCodec.PlanFixed(2))),
       ("ogg-opus", OggSniff.encodeOggOpus(2, 312, 48000, 96000)),
       ("ogg-vorbis", OggSniff.encodeOggVorbis(1, 44100, 44100)),
+      ("tar", TarShard.encodeTar(Seq(
+        ("a.txt", Array.tabulate(40)(i => (i * 3).toByte)),
+        ("a.json", Array[Byte](1, 2, 3))))),
+      ("tar-gz", TarShard.gzip(TarShard.encodeTar(Seq(
+        ("b.bin", Array.tabulate(600)(i => (i * 7).toByte)))))),
       ("mjpeg-mp4", Mp4Tables.encodeMp4WithSamples(Seq(Mp4Tables.payloadTrack(
         1, 1000, 40, 2, "jpeg",
         (0 until 3).map(j => JpegCodec.encodeJpegGrayBlocks(2, 2,

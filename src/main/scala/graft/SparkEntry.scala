@@ -1825,6 +1825,30 @@ object SparkEntry {
         .orderBy("shard_id", "member_name")
     }),
 
+    // M1 (zip shards): the ZIP analogue of m15, oracle-gated. Each doc
+    // becomes a real classic ZIP (local headers + central directory +
+    // EOCD, real CRC-32s) whose sN.txt members are DEFLATE-compressed
+    // and sN.bin members STORED — decode must walk the central
+    // directory, inflate, and pass the per-member CRC check before a
+    // row may exist. Byte sums stated analytically by the oracle.
+    "m16_zip_shards" -> ((s, dir) => {
+      import s.implicits._
+      val shards = t(s, dir, "documents").select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { id =>
+          val k = (2 + id % 3).toInt
+          val members = (0 until k).flatMap { j =>
+            val content = (sz: Int) => Array.tabulate(sz)(i =>
+              ((id * 3 + j * 5 + i) % 256).toByte)
+            Seq(
+              (s"s$j.txt", content((10 + (id + j * 7) % 90).toInt), true),
+              (s"s$j.bin", content((5 + (id + j * 11) % 20).toInt), false))
+          }
+          (id, graft.operators.ZipShard.encodeZip(members))
+        }).toDF("shard_id", "payload")
+      graft.operators.ZipShard.explodeMembers(s, shards).toDF()
+        .orderBy("shard_id", "member_name")
+    }),
+
     // F1-F3: the electricity-CSV parser family end to end, oracle-gated.
     // Each doc becomes a multi-section CSV (preamble block + automated
     // 3-column section + manual 2-column section; docs with id % 7 == 0
@@ -3281,6 +3305,26 @@ object SparkEntry {
            END AS BIGINT) AS sum_ch0,
            CAST(0 AS BIGINT) AS sum_ch1
          FROM documents d ORDER BY media_id""",
+
+    "m16_zip_shards" ->
+      """WITH m AS (
+           SELECT d.doc_id AS shard_id, j.r AS j, e.ext AS ext,
+             CASE WHEN e.ext = 'txt' THEN 10 + (d.doc_id + j.r * 7) % 90
+                  ELSE 5 + (d.doc_id + j.r * 11) % 20 END AS sz
+           FROM documents d
+           CROSS JOIN range(0, 5) j(r)
+           CROSS JOIN (SELECT 'txt' AS ext UNION ALL SELECT 'bin') e
+           WHERE j.r < 2 + d.doc_id % 3
+         )
+         SELECT m.shard_id, 's' || m.j AS sample_key, m.ext,
+           's' || m.j || '.' || m.ext AS member_name,
+           CAST(CASE WHEN m.ext = 'txt' THEN 8 ELSE 0 END AS INTEGER)
+             AS method,
+           CAST(m.sz AS BIGINT) AS size_bytes,
+           CAST((SELECT SUM((m.shard_id * 3 + m.j * 5 + i.r) % 256)
+                 FROM range(0, 110) i(r) WHERE i.r < m.sz) AS BIGINT)
+             AS byte_sum
+         FROM m ORDER BY shard_id, member_name""",
 
     "m15_tar_shards" ->
       """WITH m AS (

@@ -833,6 +833,29 @@ object SparkEntry {
         .orderBy("query_id", "rk")
     }),
 
+    // D35: URL canonicalization for web-corpus dedup. Formula-built
+    // messy URLs (upper-cased scheme/host, default port on even docs,
+    // /x/../ dot segments, shuffled + tracking query params, fragments)
+    // must canonicalize to the formula's normal form; n_same_canonical
+    // (a window count over the canonical key) is the URL-level dedup
+    // grouping a crawl pipeline keys on. The canonicalizer is a
+    // shuffle-free projection; the one exchange here belongs to the
+    // demonstration window.
+    "d35_url_canon" -> ((s, dir) => {
+      import s.implicits._
+      val urls = t(s, dir, "documents").select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { id =>
+          val port = if (id % 2 == 0) ":80" else ""
+          (id, s"HTTP://WWW.Host${id % 40}.COM$port/a${id % 5}/x/../b/" +
+            s"?z=${id % 3}&utm_source=s&a=${id % 7}#f")
+        }).toDF("doc_id", "url")
+      val c = graft.functions.UrlFunctions.withCanonicalUrls(urls, "url")
+      c.select(col("doc_id"), col("canonical_url"), col("url_host"))
+        .withColumn("n_same_canonical", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("canonical_url"))))
+        .orderBy("doc_id")
+    }),
+
     // D15: LSH pairs -> per-cluster canonical keeper via distributed
     // connected components (min-label propagation over the pair graph).
     "d15_dup_clusters" -> ((s, dir) =>
@@ -3006,6 +3029,19 @@ object SparkEntry {
          SELECT query_id, doc_id, CAST(score AS BIGINT) AS score,
                 CAST(rk AS BIGINT) AS rk
          FROM r WHERE rk <= 5 ORDER BY query_id, rk""",
+
+    "d35_url_canon" ->
+      """WITH u AS (
+           SELECT d.doc_id,
+             'http://www.host' || (d.doc_id % 40) || '.com/a' ||
+               (d.doc_id % 5) || '/b/?a=' || (d.doc_id % 7) || '&z=' ||
+               (d.doc_id % 3) AS canonical_url,
+             'www.host' || (d.doc_id % 40) || '.com' AS url_host
+           FROM documents d)
+         SELECT doc_id, canonical_url, url_host,
+           CAST(COUNT(*) OVER (PARTITION BY canonical_url) AS BIGINT)
+             AS n_same_canonical
+         FROM u ORDER BY doc_id""",
 
     "d34_bm25_capped" ->
       """WITH toks AS (

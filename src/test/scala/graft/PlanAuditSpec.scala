@@ -218,4 +218,22 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
     val p = plan("e05_kmeans_ivf_cells")
     assert(!p.contains("SortMergeJoin"), p.take(800))
   }
+
+  test("container/codec explodes are single-pass: no join, one exchange " +
+       "at most (the gate's presentation sort)") {
+    // m11/m15/m16 decode payload bytes partition-parallel; any join or
+    // second exchange would mean the decode stopped being a map-side scan
+    for (q <- Seq("m11_video_frame_decode", "m15_tar_shards",
+        "m16_zip_shards", "m13_flac_decode")) {
+      val p = plan(q)
+      assert(!p.contains("Join"), s"$q joins:\n${p.take(500)}")
+      val exchanges = "Exchange".r.findAllIn(p).size
+      assert(exchanges <= 2, s"$q has $exchanges exchanges") // sort = range
+    }
+  }
+
+  test("URL canonicalization is a projection; only the demo window shuffles") {
+    val p = plan("d35_url_canon")
+    assert(!p.contains("Join"), p.take(500))
+  }
 }

@@ -856,6 +856,29 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // D36: BPE subword token counting under a FIXED merge table — the
+    // deterministic half of the tokenizer (training is spec-tested on
+    // hand-computed corpora; encoding is gate-able because the token
+    // count of each formula word under merges [(a,b),(ab,c)] is
+    // analytic: abc->1, ab->1, ba->2, cab->2). Encode runs map-side
+    // under the broadcast ranks; any greedy-priority or merge-sweep bug
+    // shifts the counts and breaks the hash match.
+    "d36_bpe_encode" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents").select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { id =>
+          val text = List.fill((1 + id % 5).toInt)("abc") :::
+            List.fill((1 + (id + 1) % 4).toInt)("ab") :::
+            List.fill((1 + (id + 2) % 3).toInt)("ba") :::
+            List.fill((1 + (id + 3) % 4).toInt)("cab")
+          (id, text.mkString(" "))
+        }).toDF("doc_id", "text")
+      val merges = Seq(graft.operators.BpeTokenizer.Merge(0, "a", "b"),
+        graft.operators.BpeTokenizer.Merge(1, "ab", "c"))
+      graft.operators.BpeTokenizer.encodeStats(s, docs, "doc_id", "text", merges)
+        .toDF().orderBy("doc_id")
+    }),
+
     // D15: LSH pairs -> per-cluster canonical keeper via distributed
     // connected components (min-label propagation over the pair graph).
     "d15_dup_clusters" -> ((s, dir) =>
@@ -3029,6 +3052,16 @@ object SparkEntry {
          SELECT query_id, doc_id, CAST(score AS BIGINT) AS score,
                 CAST(rk AS BIGINT) AS rk
          FROM r WHERE rk <= 5 ORDER BY query_id, rk""",
+
+    "d36_bpe_encode" ->
+      """SELECT d.doc_id,
+           CAST((1 + d.doc_id % 5) + (1 + (d.doc_id + 1) % 4)
+              + (1 + (d.doc_id + 2) % 3) + (1 + (d.doc_id + 3) % 4)
+             AS BIGINT) AS n_words,
+           CAST((1 + d.doc_id % 5) + (1 + (d.doc_id + 1) % 4)
+              + 2 * (1 + (d.doc_id + 2) % 3) + 2 * (1 + (d.doc_id + 3) % 4)
+             AS BIGINT) AS n_bpe_tokens
+         FROM documents d ORDER BY doc_id""",
 
     "d35_url_canon" ->
       """WITH u AS (

@@ -41,7 +41,7 @@ object Bench {
     "d17_semdedup", "d18_keyterms",
     "e08_pq_adc_topk", "ev05_asof_join",
     "d27_segment_dedup", "d28_overlap_decontaminate", "d32_dsir_weight",
-    "d33_bm25_topk", "d34_bm25_capped")
+    "d33_bm25_topk", "d34_bm25_capped", "x05_bpe_train_encode")
 
   /** SURVEY §6 per-query budgets (sec, sf0.1 median). A breach triggers an
     * automatic isolated forked-JVM re-run so the artifact adjudicates
@@ -67,7 +67,8 @@ object Bench {
     "d18_keyterms" -> 1.4, "e08_pq_adc_topk" -> 2.1,
     "ev05_asof_join" -> 0.8, "d27_segment_dedup" -> 1.2,
     "d28_overlap_decontaminate" -> 1.3, "d32_dsir_weight" -> 0.6,
-    "d33_bm25_topk" -> 4.5, "d34_bm25_capped" -> 1.5)
+    "d33_bm25_topk" -> 4.5, "d34_bm25_capped" -> 1.5,
+    "x05_bpe_train_encode" -> 2.0)
 
   /** Total GC time (ms) accumulated by all collectors since JVM start. */
   private def gcMillis(): Long = {

@@ -711,6 +711,21 @@ object SparkEntry {
         .orderBy("vec_a", "vec_b")
     }),
 
+    // X5 (bench row, rows-only): the REAL tokenizer workload — learn 200
+    // BPE merges from the corpus itself (one word-count shuffle + the
+    // bounded-vocab merge loop), then encode every document under the
+    // broadcast ranks. No SQL oracle exists for learned merges; the
+    // encode semantics are oracle-gated separately (d36) and training on
+    // hand-computed corpora in BpeTokenizerSpec.
+    "x05_bpe_train_encode" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val merges = graft.operators.BpeTokenizer.learnMerges(
+        docs, "text", numMerges = 200, topWords = 20000)
+      graft.operators.BpeTokenizer
+        .encodeStats(s, docs, "doc_id", "text", merges)
+        .toDF().orderBy("doc_id")
+    }),
+
     "d03_simhash" -> ((s, dir) =>
       Dedup.simhashFingerprints(t(s, dir, "documents"), "doc_id", "text")
         .orderBy("doc_id")),

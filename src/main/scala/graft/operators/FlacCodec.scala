@@ -560,14 +560,16 @@ object FlacCodec {
   }
 
   private def encodeSubframe(bo: BitOut, x0: Array[Long], bps: Int,
-                             plan: SubframePlan, wasted: Int,
+                             plan: SubframePlan, wasted0: Int,
                              po: Int): Unit = {
-    // wasted bits: all samples must be divisible by 2^wasted; code the
-    // shifted-down signal at bps - wasted and declare the shift
-    val x = if (wasted == 0) x0 else x0.map { v =>
-      require((v & ((1L << wasted) - 1)) == 0, "wasted bits must be zero")
-      v >> wasted
-    }
+    // wasted bits: reduced per subframe to the largest shift the plane
+    // actually supports (mid/side planes may not share the source
+    // signal's trailing zeros); code the shifted-down signal at
+    // bps - wasted and declare the shift
+    var wasted = wasted0
+    while (wasted > 0 && x0.exists(v => (v & ((1L << wasted) - 1)) != 0))
+      wasted -= 1
+    val x = if (wasted == 0) x0 else x0.map(_ >> wasted)
     val ebps = bps - wasted
     def putWasted(): Unit =
       if (wasted == 0) bo.put(0, 1)
@@ -647,13 +649,14 @@ object FlacCodec {
     val parts = 1 << po
     val perPart = n >> po
     require(perPart > order)
-    bo.put(0, 2) // 4-bit Rice parameters
+    bo.put(1, 2) // 5-bit Rice parameters (escape value 31)
     bo.put(po, 4)
     var part = 0
     var i = order
     while (part < parts) {
       val count = if (part == 0) perPart - order else perPart
-      // fit k per partition: smallest k with max quotient <= 40
+      // fit k per partition: smallest k with max quotient <= 40; fall
+      // back to an escape-raw partition when no k <= 30 bounds it
       var maxU = 0L
       var j = i
       while (j < i + count) {
@@ -662,15 +665,34 @@ object FlacCodec {
         j += 1
       }
       var k = 0
-      while (k < 14 && (maxU >> k) > 40) k += 1
-      if ((maxU >> k) > 40) bad() // would need escape coding; fixtures don't
-      bo.put(k, 4)
-      j = i
-      while (j < i + count) {
-        val u = (res(j) << 1) ^ (res(j) >> 63)
-        bo.putUnary((u >>> k).toInt)
-        if (k > 0) bo.put(u & ((1L << k) - 1), k)
-        j += 1
+      while (k < 30 && (maxU >> k) > 40) k += 1
+      if ((maxU >> k) > 40) {
+        // escape: raw two's-complement at the tightest width that fits
+        var w = 1
+        j = i
+        while (j < i + count) {
+          val v = res(j)
+          val bits = 65 - java.lang.Long.numberOfLeadingZeros(v ^ (v >> 63))
+          if (bits > w) w = bits.toInt
+          j += 1
+        }
+        require(w <= 31, "residual exceeds 31-bit raw escape width")
+        bo.put(31, 5)
+        bo.put(w, 5)
+        j = i
+        while (j < i + count) {
+          bo.put(res(j) & ((1L << w) - 1), w)
+          j += 1
+        }
+      } else {
+        bo.put(k, 5)
+        j = i
+        while (j < i + count) {
+          val u = (res(j) << 1) ^ (res(j) >> 63)
+          bo.putUnary((u >>> k).toInt)
+          if (k > 0) bo.put(u & ((1L << k) - 1), k)
+          j += 1
+        }
       }
       i += count
       part += 1

@@ -175,4 +175,66 @@ class ImageIoCrossSpec extends AnyFunSuite {
     assert(maxLuma <= 2.5, s"max per-pixel luma delta $maxLuma > 2.5")
     assert(maxRgb <= 8, s"max per-pixel RGB delta $maxRgb > 8")
   }
+
+  test("BMP: ImageIO-encoded random RGB decodes bit-exactly (lossless)") {
+    val img = randomImage(23, 17, BufferedImage.TYPE_INT_RGB) // odd width: row padding
+    val bos = new ByteArrayOutputStream()
+    assert(ImageIO.write(img, "bmp", bos))
+    val ours = RasterCodec.decodeBmp(bos.toByteArray)
+      .getOrElse(fail("our BMP decode rejected ImageIO output"))
+    assert(ours.width == 23 && ours.height == 17 && ours.channels == 3)
+    for (y <- 0 until 17; x <- 0 until 23; c <- 0 until 3) {
+      val want = (img.getRGB(x, y) >> ((2 - c) * 8)) & 0xff
+      assert(ours.sample(x, y, c) == want, s"($x,$y,$c)")
+    }
+  }
+
+  test("BMP: our encoder's output is read bit-exactly by ImageIO") {
+    val w = 21; val h = 9
+    val rgb = Array.tabulate(w * h * 3)(i => ((i * 37 + 11) % 256).toByte)
+    val bytes = RasterCodec.encodeBmp(w, h, rgb)
+    val ref = ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    assert(ref != null, "ImageIO could not read our BMP")
+    for (y <- 0 until h; x <- 0 until w; c <- 0 until 3) {
+      val want = rgb((y * w + x) * 3 + c) & 0xff
+      assert(((ref.getRGB(x, y) >> ((2 - c) * 8)) & 0xff) == want, s"($x,$y,$c)")
+    }
+  }
+
+  test("GIF: ImageIO-encoded indexed image decodes to identical pixels") {
+    // an indexed source makes the ImageIO GIF write lossless (no
+    // quantization step), so our LZW decode must agree bit-exactly
+    val w = 31; val h = 13
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_INDEXED)
+    val r = rnd
+    for (y <- 0 until h; x <- 0 until w)
+      img.setRGB(x, y, img.getColorModel.getRGB(r.nextInt(256)) | 0xff000000)
+    val bos = new ByteArrayOutputStream()
+    assert(ImageIO.write(img, "gif", bos))
+    val ours = GifCodec.decodeGif(bos.toByteArray)
+      .getOrElse(fail("our GIF decode rejected ImageIO output"))
+    assert(ours.width == w && ours.height == h)
+    for (y <- 0 until h; x <- 0 until w; c <- 0 until 3) {
+      val want = (img.getRGB(x, y) >> ((2 - c) * 8)) & 0xff
+      assert(ours.sample(x, y, if (ours.channels >= 3) c else 0) == want,
+        s"($x,$y,$c)")
+    }
+  }
+
+  test("WAV: our PCM encode is read sample-exactly by javax.sound") {
+    val samples = Array.tabulate(400)(i =>
+      (12000 * math.sin(i / 7.0)).toInt.toShort)
+    val bytes = AudioCodec.encodeWavPcm16(8000, 1, samples)
+    val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    val fmt = in.getFormat
+    assert(fmt.getSampleRate == 8000f && fmt.getChannels == 1 &&
+      fmt.getSampleSizeInBits == 16)
+    val raw = in.readAllBytes()
+    assert(raw.length == samples.length * 2)
+    for (i <- samples.indices) {
+      val v = ((raw(2 * i) & 0xff) | (raw(2 * i + 1) << 8)).toShort
+      assert(v == samples(i), s"sample $i")
+    }
+  }
 }

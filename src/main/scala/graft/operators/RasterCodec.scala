@@ -246,15 +246,28 @@ object RasterCodec {
   }
 
   /** Decode whatever the payload's header says it is; BMP, PNG, JPEG
-    * (baseline + progressive SOF2 via [[JpegCodec]], sequential
-    * arithmetic SOF9 incl. subsampled via [[ArithJpeg]]), and GIF
-    * ([[GifCodec]]) are real; progressive-arithmetic SOF10 returns
-    * None. */
+    * (baseline + progressive SOF2 via [[JpegCodec]], arithmetic SOF9 +
+    * SOF10 via [[ArithJpeg]], lossless SOF3 via [[LosslessJpeg]] and
+    * 12-bit extended sequential SOF1 via [[Jpeg12]] — the high-precision
+    * families map to 8-bit by their top bits, the standard display
+    * convention; the typed full-precision paths are
+    * `Multimodal.decodeLosslessFeatures`/`decodeJpeg12Features`), and
+    * GIF ([[GifCodec]]). Hierarchical JPEG (SOF11+) returns None. */
   def decode(p: Array[Byte]): Option[Raster] =
     Multimodal.sniffImageHeader(p).flatMap {
       case ("bmp", _, _) => decodeBmp(p)
       case ("png", _, _) => decodePng(p)
-      case ("jpeg", _, _) => JpegCodec.decodeJpeg(p).orElse(ArithJpeg.decode(p))
+      case ("jpeg", _, _) =>
+        JpegCodec.decodeJpeg(p)
+          .orElse(ArithJpeg.decode(p))
+          .orElse(Jpeg12.decode(p).map(img => Raster(
+            img.width, img.height, img.components,
+            img.samples.map(v => ((v >> 4) & 0xff).toByte))))
+          .orElse(LosslessJpeg.decode(p).map { img =>
+            val shift = math.max(0, img.precision - 8)
+            Raster(img.width, img.height, img.components,
+              img.samples.map(v => ((v >> shift) & 0xff).toByte))
+          })
       case ("gif", _, _) => GifCodec.decodeGif(p)
       case _ => None
     }

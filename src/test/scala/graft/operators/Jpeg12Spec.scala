@@ -73,6 +73,19 @@ class Jpeg12Spec extends AnyFunSuite {
     }
   }
 
+  test("generic raster dispatch maps 12-bit and lossless to top-8-bit") {
+    val p12 = Jpeg12.encode12GrayBlocks(2, 2, (_, _) => 0x9a7) // 1010011..
+    val r12 = RasterCodec.decode(p12).get
+    assert(r12.width == 16 && r12.channels == 1)
+    assert(r12.sample(0, 0, 0) == (0x9a7 >> 4)) // top 8 of 12
+    val pl = LosslessJpeg.encode(8, 8, 1, 12, 1, Array.fill(64)(0x801))
+    val rl = RasterCodec.decode(pl).get
+    assert(rl.sample(3, 3, 0) == (0x801 >> 4))
+    // 8-bit lossless passes through unshifted
+    val pl8 = LosslessJpeg.encode(8, 8, 1, 8, 1, Array.fill(64)(77))
+    assert(RasterCodec.decode(pl8).get.sample(1, 1, 0) == 77)
+  }
+
   test("wrong processes and malformed payloads reject cleanly") {
     // 8-bit SOF1 is not this process; 12-bit is not JpegCodec's
     val p12 = Jpeg12.encode12GrayBlocks(2, 2, (_, _) => 1234)

@@ -894,6 +894,48 @@ object SparkEntry {
         .toDF().orderBy("doc_id")
     }),
 
+    // D37: CCNet-style LM perplexity filter — a quantized (integer
+    // floor-log2) bigram stupid-backoff LM trained on the doc_id%3!=0
+    // slice scores EVERY document in whole bits; the per-doc
+    // bits_per_kilotoken is the perplexity bucket a corpus-quality
+    // pipeline thresholds on. Integer-exact end to end (same stance as
+    // BM25): both engines compute floor(log2(count)) as
+    // length(bin(count))-1, so the hash compare covers the full scoring
+    // path — train counts, backoff branching, OOV penalties.
+    "d37_lm_perplexity" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), TF.cleanTokens(col("text")).as("tokens"))
+      graft.operators.NgramLm.perplexityBits(docs, "doc_id", "tokens",
+          isTrain = col("doc_id") % 3 =!= 0)
+        .orderBy("doc_id")
+    }),
+
+    // D38: exact-substring duplicate spans (Lee et al. 2022 ExactSubstr) —
+    // every position whose 30-char substring recurs ANYWHERE in the corpus,
+    // merged into maximal per-doc spans. The Spark side detects candidates
+    // by 8-byte polynomial hash and verifies on raw substrings; the oracle
+    // recomputes from raw substrings only, so the hash layer is proven to
+    // be a pure pruner (collision-independent output).
+    "d38_exact_substr" -> ((s, dir) =>
+      graft.operators.ExactSubstr.dupSpanStats(
+          t(s, dir, "documents"), "doc_id", "text", minLen = 30)
+        .orderBy("doc_id")),
+
+    // D39: distributed suffix array (prefix doubling) — every suffix of
+    // the doc_id%5==0 slice gets its dense lexicographic rank corpus-wide
+    // (the index behind arbitrary-length maximal-match dedup; D38 is the
+    // fixed-L special case). The oracle recomputes ranks by sorting the
+    // raw suffix STRINGS, so every doubling round, the distributed
+    // dense-rank, and the tie semantics (identical cross-doc suffixes
+    // share a rank) are all under the hash compare. The slice keeps the
+    // oracle's O(n^2)-byte suffix sort tractable; the operator itself
+    // never materializes a suffix string.
+    "d39_suffix_ranks" -> ((s, dir) =>
+      graft.operators.SuffixArray.suffixRanks(
+          t(s, dir, "documents").where(col("doc_id") % 5 === 0),
+          "doc_id", "text")
+        .orderBy("doc_id", "p")),
+
     // D15: LSH pairs -> per-cluster canonical keeper via distributed
     // connected components (min-label propagation over the pair graph).
     "d15_dup_clusters" -> ((s, dir) =>
@@ -3077,6 +3119,83 @@ object SparkEntry {
               + 2 * (1 + (d.doc_id + 2) % 3) + 2 * (1 + (d.doc_id + 3) % 4)
              AS BIGINT) AS n_bpe_tokens
          FROM documents d ORDER BY doc_id""",
+
+    "d39_suffix_ranks" ->
+      """WITH d AS (SELECT doc_id, text, length(text) AS len FROM documents
+                    WHERE doc_id % 5 = 0 AND length(text) > 0),
+         pos AS (SELECT doc_id, unnest(range(1, len + 1)) AS p, text FROM d),
+         s AS (SELECT doc_id, p, substr(text, p) AS suf FROM pos)
+         SELECT doc_id, CAST(p AS BIGINT) AS p,
+           CAST(DENSE_RANK() OVER (ORDER BY suf) AS BIGINT) AS suffix_rank
+         FROM s ORDER BY doc_id, p""",
+
+    "d38_exact_substr" ->
+      """WITH d AS (SELECT doc_id, text, length(text) AS len FROM documents),
+         pos AS (SELECT doc_id, unnest(range(1, len - 30 + 2)) AS p, text
+                 FROM d WHERE len >= 30),
+         g AS (SELECT doc_id, p, substr(text, p, 30) AS gram FROM pos),
+         occ AS (SELECT gram FROM g GROUP BY gram HAVING COUNT(*) >= 2),
+         dup AS (SELECT doc_id, p FROM g JOIN occ USING (gram)),
+         mk AS (SELECT doc_id, p,
+                  CASE WHEN p - LAG(p) OVER (PARTITION BY doc_id ORDER BY p)
+                         <= 30 THEN 0 ELSE 1 END AS brk
+                FROM dup),
+         sp AS (SELECT doc_id, p,
+                  SUM(brk) OVER (PARTITION BY doc_id ORDER BY p
+                                 ROWS UNBOUNDED PRECEDING) AS sid
+                FROM mk),
+         spans AS (SELECT doc_id, sid, MIN(p) AS s, MAX(p) + 30 AS e,
+                     COUNT(*) AS np
+                   FROM sp GROUP BY 1, 2),
+         agg AS (SELECT doc_id, COUNT(*) AS n_spans, SUM(np) AS ndp,
+                   SUM(e - s) AS chars_dup
+                 FROM spans GROUP BY 1)
+         SELECT d.doc_id,
+           CAST(greatest(d.len - 30 + 1, 0) AS BIGINT) AS n_positions,
+           CAST(COALESCE(agg.ndp, 0) AS BIGINT) AS n_dup_positions,
+           CAST(COALESCE(agg.n_spans, 0) AS BIGINT) AS n_spans,
+           CAST(COALESCE(agg.chars_dup, 0) AS BIGINT) AS chars_dup,
+           CAST(d.len - COALESCE(agg.chars_dup, 0) AS BIGINT) AS clean_len
+         FROM d LEFT JOIN agg USING (doc_id) ORDER BY doc_id""",
+
+    "d37_lm_perplexity" ->
+      """WITH toks AS (
+           SELECT doc_id, (doc_id % 3 <> 0) AS train,
+                  [x for x in string_split(text, ' ')
+                   if length(x) > 0] AS w
+           FROM documents),
+         p2 AS (SELECT doc_id, train, pos, w[pos] AS cur,
+                  CASE WHEN pos > 1 THEN w[pos-1] END AS prev
+                FROM (SELECT doc_id, train,
+                        unnest(range(1, len(w)+1)) AS pos, w FROM toks)),
+         tr AS (SELECT * FROM p2 WHERE train),
+         tstat AS (SELECT COUNT(*) AS t FROM tr),
+         c1 AS (SELECT cur AS w, COUNT(*) AS c FROM tr GROUP BY 1),
+         c2 AS (SELECT prev, cur, COUNT(*) AS c FROM tr
+                WHERE prev IS NOT NULL GROUP BY 1, 2),
+         sc AS (SELECT p.doc_id, p.train,
+                  CASE WHEN p.pos = 1 THEN
+                    CASE WHEN u.c IS NOT NULL
+                         THEN (length(bin(s.t))-1) - (length(bin(u.c))-1)
+                         ELSE (length(bin(s.t))-1) + 4 END
+                  ELSE
+                    CASE WHEN b.c IS NOT NULL
+                         THEN (length(bin(up.c))-1) - (length(bin(b.c))-1)
+                         WHEN u.c IS NOT NULL
+                         THEN 3 + (length(bin(s.t))-1) - (length(bin(u.c))-1)
+                         ELSE 3 + (length(bin(s.t))-1) + 4 END
+                  END AS bits
+                FROM p2 p
+                LEFT JOIN c1 u ON u.w = p.cur
+                LEFT JOIN c1 up ON up.w = p.prev
+                LEFT JOIN c2 b ON b.prev = p.prev AND b.cur = p.cur
+                CROSS JOIN tstat s)
+         SELECT doc_id,
+           CAST(MAX(CASE WHEN train THEN 1 ELSE 0 END) AS BIGINT) AS is_train,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(bits) AS BIGINT) AS bits,
+           CAST(SUM(bits) * 1000 // COUNT(*) AS BIGINT) AS bits_per_kilotoken
+         FROM sc GROUP BY 1 ORDER BY doc_id""",
 
     "d35_url_canon" ->
       """WITH u AS (

@@ -67,6 +67,20 @@ case class WinnowExpression(child: Expression, n: Int = 3, window: Int = 8)
   override def prettyName: String = "graft_winnow"
 }
 
+/** Positional character n-gram hashes (element i = hash of text[i, i+n)). */
+case class CharGramHashesExpression(child: Expression, n: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    TextHashKernels.charGramHashes(input.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.expressions.TextHashKernels.charGramHashes($c, $n)")
+  override protected def withNewChildInternal(newChild: Expression): CharGramHashesExpression =
+    copy(child = newChild)
+  override def prettyName: String = "graft_char_gram_hashes"
+}
+
 /** Hashed feature buckets of whitespace tokens: polyhash(token) mod m. */
 case class TokenBucketsExpression(child: Expression, m: Long)
     extends UnaryExpression {
@@ -350,6 +364,19 @@ class GraftSparkSessionExtensions extends (SparkSessionExtensions => Unit) {
         val m = children(1).eval(null).toString.toLong
         require(m > 0, s"graft_token_buckets: m must be positive, got $m")
         TokenBucketsExpression(children(0), m)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_char_gram_hashes"),
+      new ExpressionInfo(classOf[CharGramHashesExpression].getName,
+        "graft_char_gram_hashes"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2,
+          s"graft_char_gram_hashes(text, n) takes 2 arguments, got ${children.length}")
+        require(children(1).foldable,
+          "graft_char_gram_hashes: n must be a literal")
+        val n = children(1).eval(null).toString.toInt
+        require(n > 0, s"graft_char_gram_hashes: n must be positive, got $n")
+        CharGramHashesExpression(children(0), n)
       }))
     ext.injectFunction((
       FunctionIdentifier("graft_winnow"),

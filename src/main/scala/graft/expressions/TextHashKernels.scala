@@ -126,6 +126,24 @@ object TextHashKernels {
   /** Hashed feature buckets of whitespace tokens (empty tokens skipped,
     * term frequency preserved, document order): bucket = polyhash(token)
     * mod m. The feature-hashing front of DSIR importance scoring. */
+  /** Positional character n-gram hashes: element i (0-based) is the
+    * polynomial hash of s[i, i+n). Unlike [[shingleHashSet]] this keeps
+    * POSITION — the exact-substring span detector ([[graft.operators
+    * .ExactSubstr]]) needs (position, hash) pairs, and shipping 8-byte
+    * hashes instead of n-byte substrings is what keeps its first shuffle
+    * narrow. Collisions mod P only ever ADD candidates there (stage 2
+    * regroups candidates by the raw substring), so the hash is a pruner,
+    * not a correctness dependency. */
+  def charGramHashes(text: UTF8String, n: Int): ArrayData = {
+    val s = text.toString
+    val last = s.length - n
+    if (last < 0) return new GenericArrayData(Array.emptyLongArray)
+    val hs = new Array[Long](last + 1)
+    var i = 0
+    while (i <= last) { hs(i) = hashRange(s, i, n); i += 1 }
+    new GenericArrayData(hs)
+  }
+
   def tokenBuckets(text: UTF8String, m: Long): ArrayData = {
     val s = text.toString
     val len = s.length

@@ -406,7 +406,7 @@ object Dedup {
     * Dataset — N rounds of dead blocks on a long-lived app. With the
     * handle, an iterative loop frees round i as soon as round i+1 is
     * materialized; live checkpoint state is ONE round's frame. */
-  private def checkpointOwned(df: DataFrame): (DataFrame, Option[org.apache.spark.rdd.RDD[_]]) = {
+  private[operators] def checkpointOwned(df: DataFrame): (DataFrame, Option[org.apache.spark.rdd.RDD[_]]) = {
     val ck = df.localCheckpoint() // eager: truncates next round's lineage
     val handle = ck.queryExecution.logical match {
       case lr: org.apache.spark.sql.execution.LogicalRDD => Some(lr.rdd)

@@ -41,7 +41,8 @@ object Bench {
     "d17_semdedup", "d18_keyterms",
     "e08_pq_adc_topk", "ev05_asof_join",
     "d27_segment_dedup", "d28_overlap_decontaminate", "d32_dsir_weight",
-    "d33_bm25_topk", "d34_bm25_capped", "x05_bpe_train_encode")
+    "d33_bm25_topk", "d34_bm25_capped", "x05_bpe_train_encode",
+    "d37_lm_perplexity", "d38_exact_substr", "d39_suffix_ranks")
 
   /** SURVEY §6 per-query budgets (sec, sf0.1 median). A breach triggers an
     * automatic isolated forked-JVM re-run so the artifact adjudicates
@@ -68,7 +69,12 @@ object Bench {
     "ev05_asof_join" -> 0.8, "d27_segment_dedup" -> 1.2,
     "d28_overlap_decontaminate" -> 1.3, "d32_dsir_weight" -> 0.6,
     "d33_bm25_topk" -> 4.5, "d34_bm25_capped" -> 1.5,
-    "x05_bpe_train_encode" -> 2.0)
+    "x05_bpe_train_encode" -> 2.0,
+    // d39 is a build-once index (like d30/e12) benched for regression
+    // tracking: ~9 prefix-doubling rounds of fixed job overhead dominate
+    // at sf0.1; the per-round data cost only matters at real scale.
+    "d37_lm_perplexity" -> 2.0, "d38_exact_substr" -> 4.5,
+    "d39_suffix_ranks" -> 17.5)
 
   /** Total GC time (ms) accumulated by all collectors since JVM start. */
   private def gcMillis(): Long = {

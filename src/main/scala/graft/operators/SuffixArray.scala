@@ -57,16 +57,24 @@ object SuffixArray {
         org.apache.spark.sql.types.StructType.fromDDL(
           "doc_id LONG, p LONG, suffix_rank LONG"))
 
-    // round 0: rank by first character (char code is order-preserving;
-    // the dense-rank pass normalizes it to 1..K)
+    // round 0: rank by the first THREE characters at once, packed into a
+    // 48-bit order-preserving key (16 bits per char code, 0-padded past
+    // the doc end so a prefix sorts before its extensions). A wider round-0
+    // alphabet removes log2(3) ≈ 1.6 doubling rounds — two fewer
+    // corpus-wide shuffles at every scale.
     val initial = d
-      .select(col("doc_id"), posexplode(split(col("text"), "")).as(Seq("p0", "c")))
+      .select(col("doc_id"), posexplode(expr(
+        """transform(sequence(1, length(text)), i ->
+             cast(ascii(substring(text, i, 1)) as bigint) * 4294967296 +
+             cast(ascii(substring(text, i + 1, 1)) as bigint) * 65536 +
+             cast(ascii(substring(text, i + 2, 1)) as bigint))"""))
+        .as(Seq("p0", "key3")))
       .select(col("doc_id"), (col("p0") + 1).cast("long").as("p"),
-        ascii(col("c")).cast("long").as("r1"), lit(-1L).as("r2"))
+        col("key3").as("r1"), lit(-1L).as("r2"))
     var (cur, curRdd, distinct) = denseRank(initial)
     val n = cur.count()
 
-    var k = 1L
+    var k = 3L
     while (k < maxLen && distinct < n) {
       val shifted = cur.select(col("doc_id"), (col("p") - k).as("p"),
         col("suffix_rank").as("r2"))

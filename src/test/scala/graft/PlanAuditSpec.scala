@@ -236,4 +236,27 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
     val p = plan("d35_url_canon")
     assert(!p.contains("Join"), p.take(500))
   }
+
+  test("LM perplexity scoring: count-table joins, no window, no cartesian " +
+       "beyond the 1-row stats attach") {
+    val p = plan("d37_lm_perplexity")
+    assert(!p.contains("Window"), p.take(800))
+    assert(!p.contains("CartesianProduct"), p.take(800))
+    // the 1-row train-total attaches as a broadcast nested loop, like BM25's
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      p.take(800))
+  }
+
+  test("exact-substring spans: codegen'd hash kernel, semi-join candidate " +
+       "pruning, windows only per-document") {
+    val p = plan("d38_exact_substr")
+    assert(p.contains("graft_char_gram_hashes"), p.take(800))
+    assert(!p.contains("ScalaUDF") && !p.contains("CartesianProduct"), p.take(800))
+    // hash and raw-gram dup detection both prune via semi joins (the
+    // df-cap groupBy pattern), never a corpus-ordered window
+    assert("LeftSemi".r.findAllIn(p).size >= 2, p.take(800))
+    val windows = "Window .*".r.findAllIn(p).toSeq
+    assert(windows.nonEmpty && windows.forall(_.contains("doc_id")),
+      s"non-per-doc window:\n${windows.mkString("\n")}")
+  }
 }

@@ -74,7 +74,7 @@ object Bench {
     // tracking: ~9 prefix-doubling rounds of fixed job overhead dominate
     // at sf0.1; the per-round data cost only matters at real scale.
     "d37_lm_perplexity" -> 2.0, "d38_exact_substr" -> 4.5,
-    "d39_suffix_ranks" -> 17.5)
+    "d39_suffix_ranks" -> 13.0)
 
   /** Total GC time (ms) accumulated by all collectors since JVM start. */
   private def gcMillis(): Long = {

@@ -37,74 +37,108 @@ import org.apache.spark.sql.functions._
   * every token position against c1 (twice: word + its predecessor) and c2,
   * then one groupBy(doc) — when the LM is pruned (`minCount` > 1, the
   * standard n-gram pruning) the count tables broadcast and scoring is
-  * map-side only: one shuffle total for the per-doc sum. Bits per position
-  * are ≤ 2*flog2(T) + backoffBits + oovExtraBits (< 150 for any corpus
-  * that fits in Long), so the per-doc Long sum cannot overflow.
+  * map-side only: one shuffle total for the per-doc sum. Train-once /
+  * score-forever splits as [[fit]] + [[scoreBits]]: a persisted [[Model]]
+  * scores any number of later batches (the streaming admission gate keeps
+  * one resident across micro-batches). Bits per position are
+  * ≤ 2*flog2(T) + backoffBits + oovExtraBits (< 150 for any corpus that
+  * fits in Long), so the per-doc Long sum cannot overflow.
   */
 object NgramLm {
+
+  /** A fitted quantized LM: `t` total training tokens, `c1` (w, c1)
+    * unigram counts, `c2` (prev, w, c2) bigram counts — both pruned to
+    * `minCount` and PERSISTED (call [[Model.unpersist]] when done; a
+    * streaming gate holds one resident across micro-batches). */
+  final case class Model(t: Long, c1: DataFrame, c2: DataFrame,
+                         backoffBits: Int, oovExtraBits: Int) {
+    def unpersist(): Unit = { c1.unpersist(); c2.unpersist() }
+  }
 
   /** floor(log2(x)) for x >= 1, exactly, via the binary string length —
     * the one integer-log formulation Spark and DuckDB evaluate identically. */
   private def flog2(c: Column): Column = length(bin(c)) - 1
 
-  /** Per-document quantized-perplexity report.
+  /** (doc_id, pos, w, prev) token-position stream for scoring/counting. */
+  private def positions(docs: DataFrame, idCol: String, tokensCol: String,
+                        extra: Seq[(String, Column)]): DataFrame = {
+    val base = docs.select(col(idCol).as("doc_id") +:
+      col(tokensCol).as("toks") +: extra.map { case (n, c) => c.as(n) }: _*)
+    base
+      .select(base.columns.map(col) :+
+        posexplode(col("toks")).as(Seq("pos", "w")): _*)
+      // element_at is 1-based; posexplode 0-based: prev of pos p is toks[p]
+      .select(col("doc_id") +: col("pos") +: col("w") +:
+        when(col("pos") > 0, element_at(col("toks"), col("pos"))).as("prev") +:
+        extra.map { case (n, _) => col(n) }: _*)
+  }
+
+  /** Train the quantized LM on `docs` (idCol, tokensCol). With
+    * `persistTables` (the score-many/streaming case) the caller owns the
+    * persisted count tables via [[Model.unpersist]]; one-shot callers
+    * ([[perplexityBits]]) leave them lazy so no cache outlives the query. */
+  def fit(docs: DataFrame, idCol: String, tokensCol: String,
+          backoffBits: Int = 3, oovExtraBits: Int = 4,
+          minCount: Long = 1L, persistTables: Boolean = true): Model = {
+    val train = positions(docs, idCol, tokensCol, Seq.empty)
+    val t = train.count()
+    def owned(df: DataFrame) = if (persistTables) df.persist() else df
+    val c1 = owned(train.groupBy(col("w")).agg(count(lit(1)).as("c1"))
+      .where(col("c1") >= minCount))
+    val c2 = owned(train.where(col("prev").isNotNull)
+      .groupBy(col("prev"), col("w")).agg(count(lit(1)).as("c2"))
+      .where(col("c2") >= minCount))
+    Model(t, c1, c2, backoffBits, oovExtraBits)
+  }
+
+  /** Score `docs` against a fitted model: (doc_id, n_tokens, bits,
+    * bits_per_kilotoken), one row per document with at least one token.
+    * Extra columns listed in `carry` are grouped through unchanged. */
+  def scoreBits(docs: DataFrame, idCol: String, tokensCol: String,
+                model: Model, carry: Seq[String] = Seq.empty): DataFrame = {
+    val pos = positions(docs, idCol, tokensCol,
+      carry.map(c => c -> col(c)))
+    val scored = pos
+      .join(model.c1, Seq("w"), "left")
+      .join(model.c1.select(col("w").as("prev"), col("c1").as("c1p")),
+        Seq("prev"), "left")
+      .join(model.c2, Seq("prev", "w"), "left")
+      .withColumn("t", lit(model.t))
+
+    val uniBits = flog2(col("t")) - flog2(col("c1"))
+    val oovBits = flog2(col("t")) + lit(model.oovExtraBits)
+    val bits = when(col("pos") === 0,
+        when(col("c1").isNotNull, uniBits).otherwise(oovBits))
+      .otherwise(when(col("c2").isNotNull, flog2(col("c1p")) - flog2(col("c2")))
+        .otherwise(lit(model.backoffBits) +
+          when(col("c1").isNotNull, uniBits).otherwise(oovBits)))
+
+    scored
+      .groupBy(col("doc_id") +: carry.map(col): _*)
+      .agg(count(lit(1)).as("n_tokens"), sum(bits.cast("long")).as("bits"))
+      .withColumn("bits_per_kilotoken", expr("bits * 1000 div n_tokens"))
+  }
+
+  /** One-shot per-document quantized-perplexity report: trains on the
+    * `isTrain` slice of `docs`, scores ALL of `docs`.
     *
-    * @param docs        (idCol: long, tokensCol: array&lt;string&gt;)
     * @param isTrain     predicate over `docs` columns selecting the LM
     *                    training slice (the trusted/held-in partition)
-    * @param backoffBits integer cost of backing off to the unigram model
-    * @param oovExtraBits extra integer cost of an out-of-vocabulary token
-    *                    on top of the uniform flog2(T) bound
     * @param minCount    prune LM entries with count &lt; minCount (pruned
     *                    or unseen words score as OOV — standard pruning
     *                    semantics; makes the LM broadcastable at scale)
-    * @return (doc_id, is_train: int, n_tokens, bits,
-    *         bits_per_kilotoken = bits*1000 div n_tokens) — one row per
-    *         document with at least one token, ordered by nothing (order
-    *         downstream)
+    * @return (doc_id, is_train: long 0/1, n_tokens, bits,
+    *         bits_per_kilotoken = bits*1000 div n_tokens)
     */
   def perplexityBits(docs: DataFrame, idCol: String, tokensCol: String,
                      isTrain: Column, backoffBits: Int = 3,
                      oovExtraBits: Int = 4, minCount: Long = 1L): DataFrame = {
-    val pos = docs
-      .select(col(idCol).as("doc_id"), isTrain.as("train"),
-        col(tokensCol).as("toks"))
-      .select(col("doc_id"), col("train"), col("toks"),
-        posexplode(col("toks")).as(Seq("pos", "w")))
-      // element_at is 1-based; posexplode 0-based: prev of pos p is toks[p]
-      .select(col("doc_id"), col("train"), col("pos"), col("w"),
-        when(col("pos") > 0, element_at(col("toks"), col("pos"))).as("prev"))
-
-    val train = pos.where(col("train"))
-    val tstat = train.agg(count(lit(1)).as("t"))
-    val c1 = train.groupBy(col("w")).agg(count(lit(1)).as("c1"))
-      .where(col("c1") >= minCount)
-    val c2 = train.where(col("prev").isNotNull)
-      .groupBy(col("prev"), col("w")).agg(count(lit(1)).as("c2"))
-      .where(col("c2") >= minCount)
-
-    val scored = pos
-      .join(c1, Seq("w"), "left")
-      .join(c1.select(col("w").as("prev"), col("c1").as("c1p")),
-        Seq("prev"), "left")
-      .join(c2, Seq("prev", "w"), "left")
-      .crossJoin(broadcast(tstat))
-
-    val uniBits = flog2(col("t")) - flog2(col("c1"))
-    val oovBits = flog2(col("t")) + lit(oovExtraBits)
-    val bits = when(col("pos") === 0,
-        when(col("c1").isNotNull, uniBits).otherwise(oovBits))
-      .otherwise(when(col("c2").isNotNull, flog2(col("c1p")) - flog2(col("c2")))
-        .otherwise(lit(backoffBits) +
-          when(col("c1").isNotNull, uniBits).otherwise(oovBits)))
-
-    scored
-      .groupBy(col("doc_id"))
-      .agg(
-        max(when(col("train"), 1).otherwise(0)).cast("long").as("is_train"),
-        count(lit(1)).as("n_tokens"),
-        sum(bits.cast("long")).as("bits"))
-      .withColumn("bits_per_kilotoken",
-        expr("bits * 1000 div n_tokens"))
+    val model = fit(docs.where(isTrain), idCol, tokensCol,
+      backoffBits, oovExtraBits, minCount, persistTables = false)
+    val withFlag = docs.withColumn("__is_train",
+      when(isTrain, 1L).otherwise(0L))
+    scoreBits(withFlag, idCol, tokensCol, model, carry = Seq("__is_train"))
+      .withColumnRenamed("__is_train", "is_train")
+      .select("doc_id", "is_train", "n_tokens", "bits", "bits_per_kilotoken")
   }
 }

@@ -74,8 +74,17 @@ object SuffixArray {
     var (cur, curRdd, distinct) = denseRank(initial)
     val n = cur.count()
 
+    // Two sound early exits: all suffixes distinguished (distinct == n),
+    // or a round refines NOTHING (distinct stalls). Stall implies final:
+    // if suffixes x,y agree on 2h chars but differ at position d >= 2h,
+    // the pair shifted by s = (floor(d/h)-1)*h agrees on h..2h-1 chars —
+    // tied at h, split at 2h — so an unrefined round means no such pair
+    // exists anywhere and the partition is the suffix partition itself
+    // (identical cross-doc suffixes legitimately stay tied forever).
     var k = 3L
-    while (k < maxLen && distinct < n) {
+    var prevDistinct = -1L
+    while (k < maxLen && distinct < n && distinct > prevDistinct) {
+      prevDistinct = distinct
       val shifted = cur.select(col("doc_id"), (col("p") - k).as("p"),
         col("suffix_rank").as("r2"))
       val paired = cur

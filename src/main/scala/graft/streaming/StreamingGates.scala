@@ -211,6 +211,34 @@ object StreamingGates {
       graft.tables.LakeTable.load(s, qLoc).read().orderBy("doc_id")
     }),
 
+    // T8: the streaming QUALITY admission gate — the d37 perplexity filter
+    // in front of a continuously-growing corpus: new docs arrive as a
+    // parquet wave, each micro-batch is scored against the resident
+    // quantized LM (trained once on the accepted corpus), and docs above
+    // the bits-per-kilotoken threshold merge into a rejects lake table.
+    // One AvailableNow batch makes the output deterministic; the oracle
+    // recomputes the full quantized scoring in SQL (train = doc_id%10!=0,
+    // scored = %10==0, threshold 4860).
+    "t08_stream_quality_gate" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val newDocs = docs.where(col("doc_id") % 10 === 0)
+        .select("doc_id", "text")
+      val in = freshDir("graft_t08_in")
+      writeWave(newDocs, in, "batch.parquet", mtimeSec = 1000)
+      val rLoc = freshDir("graft_t08_tbl").resolve("rejects").toString
+      StreamingQuality.gateToTable(s, in.toString, newDocs.schema,
+        trainDocs = docs.where(col("doc_id") % 10 =!= 0),
+        maxBitsPerKiloToken = 4860L,
+        matchesLocation = rLoc,
+        checkpointDir = freshDir("graft_t08_ck").toString)
+      if (graft.tables.LakeTable.exists(rLoc))
+        graft.tables.LakeTable.load(s, rLoc).read().orderBy("doc_id")
+      else // a wave with zero rejects never creates the table
+        s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          StructType.fromDDL("doc_id LONG, n_tokens LONG, bits LONG, " +
+            "bits_per_kilotoken LONG"))
+    }),
+
     // T3: streaming exact dedup within the watermark — key state evicted
     // as the watermark advances; over one batch the surviving key set is
     // exactly DISTINCT.
@@ -287,7 +315,50 @@ object StreamingGates {
          ORDER BY i.imp_id, c.click_id""",
 
     "t06_stream_dedup" ->
-      """SELECT DISTINCT user_id FROM events ORDER BY user_id"""
+      """SELECT DISTINCT user_id FROM events ORDER BY user_id""",
+
+    // t08: the d37 quantized scoring with train = doc_id%10!=0, scored =
+    // the %10==0 arrivals, rejects = bits_per_kilotoken > 4860
+    "t08_stream_quality_gate" ->
+      """WITH toks AS (
+           SELECT doc_id, (doc_id % 10 <> 0) AS train,
+                  [x for x in string_split(text, ' ')
+                   if length(x) > 0] AS w
+           FROM documents),
+         p2 AS (SELECT doc_id, train, pos, w[pos] AS cur,
+                  CASE WHEN pos > 1 THEN w[pos-1] END AS prev
+                FROM (SELECT doc_id, train,
+                        unnest(range(1, len(w)+1)) AS pos, w FROM toks)),
+         tr AS (SELECT * FROM p2 WHERE train),
+         tstat AS (SELECT COUNT(*) AS t FROM tr),
+         c1 AS (SELECT cur AS w, COUNT(*) AS c FROM tr GROUP BY 1),
+         c2 AS (SELECT prev, cur, COUNT(*) AS c FROM tr
+                WHERE prev IS NOT NULL GROUP BY 1, 2),
+         sc AS (SELECT p.doc_id,
+                  CASE WHEN p.pos = 1 THEN
+                    CASE WHEN u.c IS NOT NULL
+                         THEN (length(bin(s.t))-1) - (length(bin(u.c))-1)
+                         ELSE (length(bin(s.t))-1) + 4 END
+                  ELSE
+                    CASE WHEN b.c IS NOT NULL
+                         THEN (length(bin(up.c))-1) - (length(bin(b.c))-1)
+                         WHEN u.c IS NOT NULL
+                         THEN 3 + (length(bin(s.t))-1) - (length(bin(u.c))-1)
+                         ELSE 3 + (length(bin(s.t))-1) + 4 END
+                  END AS bits
+                FROM p2 p
+                LEFT JOIN c1 u ON u.w = p.cur
+                LEFT JOIN c1 up ON up.w = p.prev
+                LEFT JOIN c2 b ON b.prev = p.prev AND b.cur = p.cur
+                CROSS JOIN tstat s
+                WHERE NOT p.train),
+         agg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+                   CAST(SUM(bits) AS BIGINT) AS bits,
+                   CAST(SUM(bits) * 1000 // COUNT(*) AS BIGINT)
+                     AS bits_per_kilotoken
+                 FROM sc GROUP BY 1)
+         SELECT doc_id, n_tokens, bits, bits_per_kilotoken
+         FROM agg WHERE bits_per_kilotoken > 4860 ORDER BY doc_id"""
   )
 
   /** One wave = one parquet FILE with a pinned mtime, so

@@ -42,7 +42,8 @@ object Bench {
     "e08_pq_adc_topk", "ev05_asof_join",
     "d27_segment_dedup", "d28_overlap_decontaminate", "d32_dsir_weight",
     "d33_bm25_topk", "d34_bm25_capped", "x05_bpe_train_encode",
-    "d37_lm_perplexity", "d38_exact_substr", "d39_suffix_ranks")
+    "d37_lm_perplexity", "d38_exact_substr", "d39_suffix_ranks",
+    "d40_nb_quality", "d41_token_budget", "d42_host_pagerank")
 
   /** SURVEY §6 per-query budgets (sec, sf0.1 median). A breach triggers an
     * automatic isolated forked-JVM re-run so the artifact adjudicates
@@ -74,7 +75,11 @@ object Bench {
     // tracking: ~9 prefix-doubling rounds of fixed job overhead dominate
     // at sf0.1; the per-round data cost only matters at real scale.
     "d37_lm_perplexity" -> 2.0, "d38_exact_substr" -> 4.5,
-    "d39_suffix_ranks" -> 13.0)
+    "d39_suffix_ranks" -> 13.0,
+    "d40_nb_quality" -> 2.0, "d41_token_budget" -> 1.0,
+    // d42: ~3 graph rounds of fixed job overhead dominate at sf0.1 (the
+    // d31 situation); measured 3.0s isolated -> 1.5x budget.
+    "d42_host_pagerank" -> 4.5)
 
   /** Total GC time (ms) accumulated by all collectors since JVM start. */
   private def gcMillis(): Long = {

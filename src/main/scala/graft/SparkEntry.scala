@@ -936,6 +936,58 @@ object SparkEntry {
           "doc_id", "text")
         .orderBy("doc_id", "p")),
 
+    // D40: model-based quality classifier (quantized integer Naive Bayes,
+    // the GPT-3/CCNet "train on trusted, score the crawl" stage). Trained
+    // on the doc_id%3!=0 slice with lang='en' as the positive class; every
+    // doc scores whole-bit log-odds. Integer-exact end to end (same
+    // floor-log2 stance as d37/d33): the hash compare covers training
+    // counts, Laplace smoothing, class normalizers, priors and the
+    // decision threshold.
+    "d40_nb_quality" -> ((s, dir) =>
+      graft.operators.NbClassifier.classify(
+          t(s, dir, "documents")
+            .select(col("doc_id"), TF.cleanTokens(col("text")).as("tokens"),
+              (col("lang") === "en").as("y")),
+          "doc_id", "tokens", "y", isTrain = col("doc_id") % 3 =!= 0)
+        .orderBy("doc_id")),
+
+    // D41: token-budget corpus selection — keep the best docs (by mean
+    // word length x100, an integer quality bucket) until 30% of the
+    // corpus's tokens are spent. The Spark side NEVER builds a global
+    // order (histogram -> driver cutoff -> per-bucket window); the oracle
+    // states the naive global-window cumsum rule — the two plans agreeing
+    // is the point of the gate.
+    "d41_token_budget" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"), TF.cleanTokens(col("text")).as("w"))
+        .select(col("doc_id"), size(col("w")).cast("long").as("n_tokens"),
+          aggregate(col("w"), lit(0L),
+            (acc, x) => acc + length(x).cast("long")).as("suml"))
+        .select(col("doc_id"),
+          when(col("n_tokens") === 0L, 0L)
+            .otherwise(expr("suml * 100 div n_tokens")).as("score"),
+          col("n_tokens"))
+      graft.operators.CorpusSelect.tokenBudgetSelectFraction(
+          d, "doc_id", "score", "n_tokens", 3L, 10L)
+        .orderBy("doc_id")
+    }),
+
+    // D42: host-graph PageRank (web-corpus curation centrality). A
+    // deterministic synthetic link graph over doc-derived hosts runs
+    // three integer-exact rounds; the oracle restates the recurrence as
+    // chained CTEs, so every round's join+sum and the floor divisions are
+    // all under the hash compare (trajectory output, not just fixpoint).
+    "d42_host_pagerank" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"))
+      val e = docs.select((col("doc_id") % 1000).as("src"),
+          ((col("doc_id") * 7 + 1) % 1000).as("dst"))
+        .union(docs.select((col("doc_id") % 1000).as("src"),
+          ((col("doc_id") * 13 + 2) % 1000).as("dst")))
+      graft.operators.PageRank.ranks(e, "src", "dst", iters = 3)
+        .withColumnRenamed("node", "host")
+        .orderBy("host")
+    }),
+
     // D15: LSH pairs -> per-cluster canonical keeper via distributed
     // connected components (min-label propagation over the pair graph).
     "d15_dup_clusters" -> ((s, dir) =>
@@ -3196,6 +3248,98 @@ object SparkEntry {
            CAST(SUM(bits) AS BIGINT) AS bits,
            CAST(SUM(bits) * 1000 // COUNT(*) AS BIGINT) AS bits_per_kilotoken
          FROM sc GROUP BY 1 ORDER BY doc_id""",
+
+    "d40_nb_quality" ->
+      """WITH toks AS (
+           SELECT doc_id, (doc_id % 3 <> 0) AS train, (lang = 'en') AS pos,
+                  [x for x in string_split(text, ' ')
+                   if length(x) > 0] AS w
+           FROM documents),
+         tok AS (SELECT doc_id, train, pos, unnest(w) AS w FROM toks),
+         tr AS (SELECT * FROM tok WHERE train),
+         cnt AS (SELECT w, SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS cp,
+                        SUM(CASE WHEN pos THEN 0 ELSE 1 END) AS cn
+                 FROM tr GROUP BY 1),
+         tot AS (SELECT SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS tp,
+                        SUM(CASE WHEN pos THEN 0 ELSE 1 END) AS tn FROM tr),
+         nd AS (SELECT SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS np,
+                       SUM(CASE WHEN pos THEN 0 ELSE 1 END) AS nn
+                FROM toks WHERE train),
+         sc AS (SELECT t.doc_id,
+                  (length(bin(COALESCE(c.cp, 0) + 1)) - 1)
+                  - (length(bin(COALESCE(c.cn, 0) + 1)) - 1)
+                  + (length(bin(tt.tn)) - 1) - (length(bin(tt.tp)) - 1) AS b
+                FROM tok t LEFT JOIN cnt c USING (w) CROSS JOIN tot tt),
+         agg AS (SELECT doc_id, COUNT(*) AS nt, SUM(b) AS tb
+                 FROM sc GROUP BY 1)
+         SELECT d.doc_id,
+           CAST(CASE WHEN d.doc_id % 3 <> 0 THEN 1 ELSE 0 END AS BIGINT)
+             AS is_train,
+           CAST(COALESCE(a.nt, 0) AS BIGINT) AS n_tokens,
+           CAST((length(bin(n.np)) - 1) - (length(bin(n.nn)) - 1)
+                + COALESCE(a.tb, 0) AS BIGINT) AS score_bits,
+           CAST(CASE WHEN (length(bin(n.np)) - 1) - (length(bin(n.nn)) - 1)
+                          + COALESCE(a.tb, 0) > 0
+                     THEN 1 ELSE 0 END AS BIGINT) AS predicted
+         FROM documents d LEFT JOIN agg a USING (doc_id) CROSS JOIN nd n
+         ORDER BY doc_id""",
+
+    "d41_token_budget" ->
+      """WITH toks AS (
+           SELECT doc_id, [x for x in string_split(text, ' ')
+                           if length(x) > 0] AS w
+           FROM documents),
+         d AS (SELECT doc_id,
+                 CASE WHEN len(w) = 0 THEN 0
+                      ELSE COALESCE(list_sum([length(x) for x in w]), 0)
+                           * 100 // len(w) END AS score,
+                 len(w) AS n_tokens
+               FROM toks),
+         b AS (SELECT SUM(n_tokens) * 3 // 10 AS budget FROM d),
+         c AS (SELECT d.*, SUM(n_tokens) OVER (ORDER BY score DESC, doc_id)
+                 AS cum FROM d)
+         SELECT doc_id, CAST(score AS BIGINT) AS score,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(CASE WHEN c.cum <= b.budget THEN 1 ELSE 0 END AS BIGINT)
+             AS selected
+         FROM c CROSS JOIN b ORDER BY doc_id""",
+
+    "d42_host_pagerank" ->
+      """WITH e0 AS (
+           SELECT doc_id % 1000 AS src, (doc_id * 7 + 1) % 1000 AS dst
+           FROM documents
+           UNION
+           SELECT doc_id % 1000, (doc_id * 13 + 2) % 1000 FROM documents),
+         e AS (SELECT DISTINCT src, dst FROM e0 WHERE src <> dst),
+         deg AS (SELECT src, COUNT(*) AS od FROM e GROUP BY 1),
+         n AS (SELECT DISTINCT node FROM
+                (SELECT src AS node FROM e UNION SELECT dst FROM e)),
+         r0 AS (SELECT node, 1000000 AS r FROM n),
+         s1 AS (SELECT e.dst AS node, SUM(r0.r // d.od) AS m
+                FROM e JOIN r0 ON r0.node = e.src
+                JOIN deg d ON d.src = e.src GROUP BY 1),
+         r1 AS (SELECT n.node, (3000000 + 17 * COALESCE(s1.m, 0)) // 20 AS r
+                FROM n LEFT JOIN s1 USING (node)),
+         s2 AS (SELECT e.dst AS node, SUM(r1.r // d.od) AS m
+                FROM e JOIN r1 ON r1.node = e.src
+                JOIN deg d ON d.src = e.src GROUP BY 1),
+         r2 AS (SELECT n.node, (3000000 + 17 * COALESCE(s2.m, 0)) // 20 AS r
+                FROM n LEFT JOIN s2 USING (node)),
+         s3 AS (SELECT e.dst AS node, SUM(r2.r // d.od) AS m
+                FROM e JOIN r2 ON r2.node = e.src
+                JOIN deg d ON d.src = e.src GROUP BY 1),
+         r3 AS (SELECT n.node, (3000000 + 17 * COALESCE(s3.m, 0)) // 20 AS r
+                FROM n LEFT JOIN s3 USING (node))
+         SELECT n.node AS host,
+           CAST(COALESCE(deg.od, 0) AS BIGINT) AS out_deg,
+           CAST(r1.r AS BIGINT) AS rank_1,
+           CAST(r2.r AS BIGINT) AS rank_2,
+           CAST(r3.r AS BIGINT) AS rank_3
+         FROM n LEFT JOIN deg ON deg.src = n.node
+         JOIN r1 ON r1.node = n.node
+         JOIN r2 ON r2.node = n.node
+         JOIN r3 ON r3.node = n.node
+         ORDER BY host""",
 
     "d35_url_canon" ->
       """WITH u AS (

@@ -1,0 +1,85 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Token-budget corpus selection — "take the best documents until the
+  * token budget is spent", the final assembly step of a pretraining data
+  * mix (every published recipe ends with one: rank by a quality signal,
+  * cut at N tokens). Selection order is (score DESC, doc_id ASC); a
+  * document is selected iff the running token total through it stays
+  * within the budget.
+  *
+  * The naive plan is a GLOBAL window cumsum over (score DESC, doc_id) —
+  * a single-partition sort that dies at 100 TB. This implementation never
+  * builds a global order:
+  *
+  *  1. one groupBy(score) aggregates per-bucket token totals — map-side
+  *     partial agg, result bounded by SCORE CARDINALITY, not corpus size
+  *     (the contract: `score` is a bucketed integer signal — a quality
+  *     heuristic, perplexity bucket, or classifier-bit score of bounded
+  *     range; this is what selection recipes threshold on in practice);
+  *  2. the driver folds the (tiny) descending histogram into a cutoff
+  *     score s* and the residual budget r inside the boundary bucket;
+  *  3. selection is then a map-side comparison for every bucket except
+  *     the boundary one, which needs a cumsum WITHIN that single bucket —
+  *     a window partitioned BY SCORE (parallel across buckets, no global
+  *     exchange; skew is bounded by the largest bucket, which the score
+  *     contract keeps a vanishing corpus fraction).
+  *
+  * Equivalence to the naive rule is exact: docs above the boundary bucket
+  * have running totals <= the full-prefix total <= budget; docs inside it
+  * pass iff their within-bucket cumsum <= r; docs below never fit.
+  * Integer-exact throughout (counts and integer scores only), so the
+  * oracle can state the naive global-window rule and must hash-match.
+  */
+object CorpusSelect {
+
+  /** Flag every doc with whether it makes the cut: input (idCol, scoreCol,
+    * tokensCol) -> output (doc_id, score, n_tokens, selected 0/1).
+    * `budget` is the inclusive running-token ceiling. */
+  def tokenBudgetSelect(docs: DataFrame, idCol: String, scoreCol: String,
+                        tokensCol: String, budget: Long): DataFrame = {
+    val d = docs.select(col(idCol).as("doc_id"),
+      col(scoreCol).cast("long").as("score"),
+      col(tokensCol).cast("long").as("n_tokens"))
+    // 1. score histogram (bounded by score cardinality).
+    val hist = d.groupBy("score").agg(sum("n_tokens").as("bt"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+      .sortBy { case (s, _) => -s }
+    // 2. fold to (cutoff, residual-in-cutoff-bucket). No boundary bucket
+    //    (everything fits) -> cutoff below every score, select all.
+    var cum = 0L
+    var cutoff = Long.MinValue
+    var residual = 0L
+    var exhausted = false
+    hist.foreach { case (s, bt) =>
+      if (!exhausted) {
+        if (cum + bt <= budget) cum += bt
+        else { cutoff = s; residual = budget - cum; exhausted = true }
+      }
+    }
+    // 3. boundary bucket resolves by a within-bucket cumsum; every other
+    //    bucket is a constant comparison. The window partitions by score,
+    //    so only the one boundary partition does ordered work.
+    val w = Window.partitionBy("score").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val inBucketCum = sum("n_tokens").over(w)
+    d.withColumn("selected",
+        when(col("score") > cutoff, 1L)
+          .when(col("score") === cutoff,
+            when(inBucketCum <= residual, 1L).otherwise(0L))
+          .otherwise(0L))
+  }
+
+  /** Budget as a fraction `num/den` of the corpus's own total tokens —
+    * the scale-free form a recipe config states ("keep the top 30%"). */
+  def tokenBudgetSelectFraction(docs: DataFrame, idCol: String,
+                                scoreCol: String, tokensCol: String,
+                                num: Long, den: Long): DataFrame = {
+    val total = docs.agg(coalesce(sum(col(tokensCol).cast("long")), lit(0L)))
+      .collect()(0).getLong(0)
+    tokenBudgetSelect(docs, idCol, scoreCol, tokensCol, total * num / den)
+  }
+}

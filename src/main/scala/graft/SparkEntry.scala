@@ -2004,6 +2004,41 @@ object SparkEntry {
         .orderBy("shard_id", "member_name")
     }),
 
+    // M1 (WARC): Common Crawl's container format, oracle-gated. Each doc
+    // becomes a real record-per-gzip-member warc.gz (warcinfo + 1+id%3
+    // HTTP responses + a request record on odd docs); the walk must
+    // verify every member's CRC-32/ISIZE, frame records by
+    // Content-Length + CRLF separators, and split HTTP preludes from
+    // response payloads — lengths, statuses and body byte-sums all
+    // stated analytically by the oracle.
+    "m17_warc_records" -> ((s, dir) => {
+      import s.implicits._
+      val shards = t(s, dir, "documents").select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { id =>
+          val k = (1 + id % 3).toInt
+          val recs =
+            Seq(graft.operators.WarcShard.encodeRecord("warcinfo", None,
+              "software: graft\r\n".getBytes("ISO-8859-1"))) ++
+            (1 to k).map { j =>
+              val n = (20 + (id + 7 * j) % 50).toInt
+              val body = Array.tabulate(n)(i =>
+                ((id * 3 + j * 5 + i) % 64 + 32).toByte)
+              val (st, rs) = if (j % 2 == 1) (200, "OK") else (404, "NO")
+              graft.operators.WarcShard.encodeRecord("response",
+                Some(s"http://h${id % 40}.example/p$j"),
+                graft.operators.WarcShard.encodeHttpResponse(st, rs, body))
+            } ++
+            (if (id % 2 == 1)
+              Seq(graft.operators.WarcShard.encodeRecord("request",
+                Some(s"http://h${id % 40}.example/p0"),
+                "GET /x HTTP/1.1\r\n\r\n".getBytes("ISO-8859-1")))
+            else Seq.empty)
+          (id, graft.operators.WarcShard.encodeWarcGz(recs))
+        }).toDF("shard_id", "payload")
+      graft.operators.WarcShard.explodeRecords(s, shards).toDF()
+        .orderBy("shard_id", "rec_idx")
+    }),
+
     // F1-F3: the electricity-CSV parser family end to end, oracle-gated.
     // Each doc becomes a multi-section CSV (preamble block + automated
     // 3-column section + manual 2-column section; docs with id % 7 == 0
@@ -3652,6 +3687,40 @@ object SparkEntry {
            END AS BIGINT) AS sum_ch0,
            CAST(0 AS BIGINT) AS sum_ch1
          FROM documents d ORDER BY media_id""",
+
+    "m17_warc_records" ->
+      """WITH d AS (SELECT doc_id AS id, 1 + doc_id % 3 AS k FROM documents),
+         info AS (
+           SELECT id AS shard_id, 0 AS rec_idx, 'warcinfo' AS warc_type,
+             CAST(NULL AS VARCHAR) AS target_uri, 17 AS content_length,
+             CAST(NULL AS BIGINT) AS http_status,
+             17 AS body_len, 1520 AS body_sum
+           FROM d),
+         rj AS (SELECT id, k, unnest(range(1, k + 1)) AS j FROM d),
+         rn AS (SELECT id, j, 20 + (id + 7 * j) % 50 AS n FROM rj),
+         resp AS (
+           SELECT id AS shard_id, j AS rec_idx, 'response' AS warc_type,
+             'http://h' || (id % 40) || '.example/p' || j AS target_uri,
+             45 + n AS content_length,
+             CASE WHEN j % 2 = 1 THEN 200 ELSE 404 END AS http_status,
+             n AS body_len,
+             (SELECT SUM((id * 3 + j * 5 + i.r) % 64 + 32)
+              FROM range(0, 70) i(r) WHERE i.r < n) AS body_sum
+           FROM rn),
+         req AS (
+           SELECT id AS shard_id, k + 1 AS rec_idx, 'request' AS warc_type,
+             'http://h' || (id % 40) || '.example/p0' AS target_uri,
+             19 AS content_length, CAST(NULL AS BIGINT) AS http_status,
+             19 AS body_len, 1012 AS body_sum
+           FROM d WHERE id % 2 = 1)
+         SELECT shard_id, CAST(rec_idx AS BIGINT) AS rec_idx, warc_type,
+           target_uri, CAST(content_length AS BIGINT) AS content_length,
+           CAST(http_status AS BIGINT) AS http_status,
+           CAST(body_len AS BIGINT) AS body_len,
+           CAST(body_sum AS BIGINT) AS body_sum
+         FROM (SELECT * FROM info UNION ALL SELECT * FROM resp
+               UNION ALL SELECT * FROM req)
+         ORDER BY shard_id, rec_idx""",
 
     "m16_zip_shards" ->
       """WITH m AS (

@@ -1390,6 +1390,20 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // E13: scalar-quantized (SQ8) ANN — the faiss QT_8bit tier: 4x
+    // compressed codes, symmetric integer code distance. The whole
+    // path — per-dim min/max training, the floor(((x-mn)*255)/range)
+    // boundary arithmetic, clamping, integer ADC and tie-break — is
+    // under the hash compare (fixed-shape IEEE double math both engines
+    // evaluate identically; distances are pure integers).
+    "e13_sq8_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val model = graft.operators.ScalarQuant.fit(emb)
+      graft.operators.ScalarQuant.topK(
+          emb, emb.where(col("vec_id") < 10), 5, model)
+        .orderBy("query_id", "rank")
+    }),
+
     "e03_centroids" -> ((s, dir) =>
       Similarity.centroids(t(s, dir, "embeddings"), "label")
         .orderBy("cell", "dim")),
@@ -3917,6 +3931,33 @@ object SparkEntry {
 
     "e01_knn_bruteforce" -> knnOracle(""),
     "e02_ann_ivf" -> knnOracle("AND e.label = q.q_label"),
+
+    "e13_sq8_topk" ->
+      """WITH v AS (SELECT vec_id, embedding,
+                  unnest(range(1, len(embedding) + 1)) AS pos
+                FROM embeddings),
+         x AS (SELECT vec_id, pos,
+                 CAST(embedding[pos] AS DOUBLE) AS x FROM v),
+         st AS (SELECT pos, MIN(x) AS mn, MAX(x) AS mx FROM x GROUP BY 1),
+         c AS (SELECT x.vec_id, x.pos,
+                 CASE WHEN st.mx = st.mn THEN 0
+                      ELSE LEAST(255, GREATEST(0,
+                        CAST(floor(((x.x - st.mn) * 255.0) / (st.mx - st.mn))
+                          AS BIGINT))) END AS code
+               FROM x JOIN st USING (pos)),
+         qd AS (SELECT vec_id AS query_id, pos, code AS qc
+                FROM c WHERE vec_id < 10),
+         s AS (SELECT qd.query_id, c.vec_id AS neighbor_id,
+                 SUM((qd.qc - c.code) * (qd.qc - c.code)) AS dist
+               FROM qd JOIN c ON c.pos = qd.pos AND c.vec_id <> qd.query_id
+               GROUP BY 1, 2),
+         r AS (SELECT query_id, neighbor_id, dist,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                                    ORDER BY dist ASC, neighbor_id ASC)
+                   AS rank FROM s)
+         SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id,
+           CAST(dist AS BIGINT) AS dist
+         FROM r WHERE rank <= 5 ORDER BY query_id, rank""",
 
     "e04_embedding_near_dup" ->
       s"""SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,

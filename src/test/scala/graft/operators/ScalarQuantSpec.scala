@@ -1,0 +1,86 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.scalatest.funsuite.AnyFunSuite
+
+class ScalarQuantSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  private def df(vs: Seq[(Long, Seq[Float])]) =
+    vs.toDF("vec_id", "embedding")
+
+  test("hand-checked codes: grid endpoints, midpoint, degenerate dim") {
+    val index = df(Seq(
+      (1L, Seq(0.0f, 7.5f)), (2L, Seq(1.0f, 7.5f)), (3L, Seq(0.5f, 7.5f))))
+    val m = ScalarQuant.fit(index)
+    assert(m.mins.toSeq == Seq(0.0, 7.5) && m.ranges.toSeq == Seq(1.0, 0.0))
+    val codes = index
+      .select(org.apache.spark.sql.functions.col("vec_id"),
+        ScalarQuant.codesColumn(
+          org.apache.spark.sql.functions.col("embedding"), m).as("c"))
+      .collect().map(r => r.getAs[Long]("vec_id") -> r.getSeq[Long](1)).toMap
+    assert(codes(1L) == Seq(0L, 0L))    // min -> 0; degenerate dim -> 0
+    assert(codes(2L) == Seq(255L, 0L))  // max -> 255
+    assert(codes(3L) == Seq(127L, 0L))  // floor(0.5 * 255) = 127
+  }
+
+  test("out-of-grid query values clamp to edge codes") {
+    val index = df(Seq((1L, Seq(0.0f)), (2L, Seq(1.0f))))
+    val m = ScalarQuant.fit(index)
+    val q = df(Seq((9L, Seq(-3.0f)), (8L, Seq(4.0f))))
+      .select(org.apache.spark.sql.functions.col("vec_id"),
+        ScalarQuant.codesColumn(
+          org.apache.spark.sql.functions.col("embedding"), m).as("c"))
+      .collect().map(r => r.getAs[Long]("vec_id") -> r.getSeq[Long](1)).toMap
+    assert(q(9L) == Seq(0L) && q(8L) == Seq(255L))
+  }
+
+  test("randomized equivalence against a naive in-memory SQ search") {
+    val rnd = new scala.util.Random(13)
+    val dim = 8
+    val vecs = (0L until 120L).map(i =>
+      (i, Seq.fill(dim)(rnd.nextFloat() * 4f - 2f)))
+    val index = df(vecs)
+    val m = ScalarQuant.fit(index)
+    // naive mirror of the documented arithmetic
+    def code(x: Float, d: Int): Long = {
+      if (m.ranges(d) == 0.0) 0L
+      else math.min(255L, math.max(0L,
+        math.floor(((x.toDouble - m.mins(d)) * 255.0) / m.ranges(d)).toLong))
+    }
+    val codes = vecs.map { case (id, e) =>
+      id -> e.zipWithIndex.map { case (x, d) => code(x, d) } }.toMap
+    val queries = vecs.filter(_._1 < 5L)
+    val expect = queries.map { case (qid, _) =>
+      val qc = codes(qid)
+      val scored = vecs.filter(_._1 != qid).map { case (nid, _) =>
+        val d = qc.zip(codes(nid)).map { case (a, b) => (a - b) * (a - b) }.sum
+        (d, nid)
+      }.sorted.take(4)
+      qid -> scored.zipWithIndex.map { case ((d, nid), i) => (i + 1L, nid, d) }
+    }.toMap
+    val got = ScalarQuant.topK(index, df(queries), 4, m)
+      .collect()
+      .groupBy(_.getAs[Long]("query_id"))
+      .view.mapValues(_.sortBy(_.getAs[Long]("rank"))
+        .map(r => (r.getAs[Long]("rank"), r.getAs[Long]("neighbor_id"),
+          r.getAs[Long]("dist"))).toSeq).toMap
+    assert(got == expect)
+  }
+
+  test("SQ top-1 agrees with exact search on well-separated clusters") {
+    val base = Seq(Seq.fill(4)(0.0f), Seq.fill(4)(10.0f), Seq.fill(4)(-10.0f))
+    val rnd = new scala.util.Random(3)
+    val vecs = (0L until 60L).map { i =>
+      val c = base((i % 3).toInt)
+      (i, c.map(_ + rnd.nextFloat() * 0.1f))
+    }
+    val m = ScalarQuant.fit(df(vecs))
+    val out = ScalarQuant.topK(df(vecs), df(vecs.filter(_._1 < 3L)), 1, m)
+      .collect()
+    out.foreach { r =>
+      assert(r.getAs[Long]("neighbor_id") % 3 ==
+        r.getAs[Long]("query_id") % 3) // nearest stays in-cluster
+    }
+  }
+}

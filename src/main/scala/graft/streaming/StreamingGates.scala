@@ -239,6 +239,32 @@ object StreamingGates {
             "bits_per_kilotoken LONG"))
     }),
 
+    // T9: the streaming CLASSIFIER admission gate — the d40 Naive Bayes
+    // model (trained once on the labeled accepted corpus, lang='en' as
+    // the positive class) scores each arriving micro-batch; docs the
+    // model rejects (quantized log-odds <= 0) merge into a rejects lake
+    // table. One AvailableNow batch makes the output deterministic; the
+    // oracle recomputes the full quantized scoring in SQL (train =
+    // doc_id%10!=0, scored = the %10==0 arrivals).
+    "t09_stream_classifier_gate" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val newDocs = docs.where(col("doc_id") % 10 === 0)
+        .select("doc_id", "text")
+      val in = freshDir("graft_t09_in")
+      writeWave(newDocs, in, "batch.parquet", mtimeSec = 1000)
+      val rLoc = freshDir("graft_t09_tbl").resolve("rejects").toString
+      StreamingClassifier.gateToTable(s, in.toString, newDocs.schema,
+        trainDocs = docs.where(col("doc_id") % 10 =!= 0)
+          .select(col("doc_id"), col("text"), (col("lang") === "en").as("y")),
+        matchesLocation = rLoc,
+        checkpointDir = freshDir("graft_t09_ck").toString)
+      if (graft.tables.LakeTable.exists(rLoc))
+        graft.tables.LakeTable.load(s, rLoc).read().orderBy("doc_id")
+      else
+        s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          StructType.fromDDL("doc_id LONG, n_tokens LONG, score_bits LONG"))
+    }),
+
     // T3: streaming exact dedup within the watermark — key state evicted
     // as the watermark advances; over one batch the surviving key set is
     // exactly DISTINCT.
@@ -358,7 +384,43 @@ object StreamingGates {
                      AS bits_per_kilotoken
                  FROM sc GROUP BY 1)
          SELECT doc_id, n_tokens, bits, bits_per_kilotoken
-         FROM agg WHERE bits_per_kilotoken > 4860 ORDER BY doc_id"""
+         FROM agg WHERE bits_per_kilotoken > 4860 ORDER BY doc_id""",
+
+    // t09: the d40 quantized NB scoring with train = doc_id%10!=0,
+    // scored = the %10==0 arrivals, rejects = score_bits <= 0
+    "t09_stream_classifier_gate" ->
+      """WITH toks AS (
+           SELECT doc_id, (doc_id % 10 <> 0) AS train, (lang = 'en') AS pos,
+                  [x for x in string_split(text, ' ')
+                   if length(x) > 0] AS w
+           FROM documents),
+         tok AS (SELECT doc_id, train, pos, unnest(w) AS w FROM toks),
+         tr AS (SELECT * FROM tok WHERE train),
+         cnt AS (SELECT w, SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS cp,
+                        SUM(CASE WHEN pos THEN 0 ELSE 1 END) AS cn
+                 FROM tr GROUP BY 1),
+         tot AS (SELECT SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS tp,
+                        SUM(CASE WHEN pos THEN 0 ELSE 1 END) AS tn FROM tr),
+         nd AS (SELECT SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS np,
+                       SUM(CASE WHEN pos THEN 0 ELSE 1 END) AS nn
+                FROM toks WHERE train),
+         sc AS (SELECT t.doc_id,
+                  (length(bin(COALESCE(c.cp, 0) + 1)) - 1)
+                  - (length(bin(COALESCE(c.cn, 0) + 1)) - 1)
+                  + (length(bin(tt.tn)) - 1) - (length(bin(tt.tp)) - 1) AS b
+                FROM tok t LEFT JOIN cnt c USING (w) CROSS JOIN tot tt
+                WHERE NOT t.train),
+         agg AS (SELECT doc_id, COUNT(*) AS nt, SUM(b) AS tb
+                 FROM sc GROUP BY 1)
+         SELECT d.doc_id,
+           CAST(COALESCE(a.nt, 0) AS BIGINT) AS n_tokens,
+           CAST((length(bin(n.np)) - 1) - (length(bin(n.nn)) - 1)
+                + COALESCE(a.tb, 0) AS BIGINT) AS score_bits
+         FROM documents d LEFT JOIN agg a USING (doc_id) CROSS JOIN nd n
+         WHERE d.doc_id % 10 = 0
+           AND (length(bin(n.np)) - 1) - (length(bin(n.nn)) - 1)
+               + COALESCE(a.tb, 0) <= 0
+         ORDER BY d.doc_id"""
   )
 
   /** One wave = one parquet FILE with a pinned mtime, so

@@ -259,4 +259,35 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
     assert(windows.nonEmpty && windows.forall(_.contains("doc_id")),
       s"non-per-doc window:\n${windows.mkString("\n")}")
   }
+
+  test("NB classifier scoring: count-table join only — no window, no cartesian") {
+    val p = plan("d40_nb_quality")
+    assert(!p.contains("Window"), p.take(800))
+    assert(!p.contains("CartesianProduct"), p.take(800))
+  }
+
+  test("token-budget selection never builds a global order: no single-" +
+       "partition exchange; the only window partitions by score") {
+    val p = plan("d41_token_budget")
+    assert(!p.contains("Exchange SinglePartition"), p.take(800))
+    val windows = "Window .*".r.findAllIn(p).toSeq
+    assert(windows.nonEmpty && windows.forall(_.contains("score")),
+      s"window not partitioned by score:\n${windows.mkString("\n")}")
+  }
+
+  test("PageRank rounds leave no cartesian in the trajectory assembly") {
+    assert(!plan("d42_host_pagerank").contains("CartesianProduct"))
+  }
+
+  test("SQ8 search broadcasts the query side; codes are a codegen projection") {
+    val p = plan("e13_sq8_topk")
+    assert(!p.contains("CartesianProduct"), p.take(800))
+    assert(!p.contains("ScalaUDF"), p.take(800))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      p.take(800))
+  }
+
+  test("WARC explode is a single-pass scan: no join") {
+    assert(!plan("m17_warc_records").contains("Join"))
+  }
 }

@@ -82,4 +82,60 @@ object CorpusSelect {
       .collect()(0).getLong(0)
     tokenBudgetSelect(docs, idCol, scoreCol, tokensCol, total * num / den)
   }
+
+  /** PER-KEY token-budget selection — "no host contributes more than B
+    * tokens", the per-domain contribution cap every web-corpus recipe
+    * applies (C4/RefinedWeb-style host budgeting) with the same best-first
+    * order within each key: (score DESC, doc_id ASC), keep while the
+    * key's running token total stays within `budget`.
+    *
+    * The naive plan windows over (key) — one partition per host, and a
+    * hot host (10% of a crawl) becomes one task sorting 10% of the
+    * corpus. Here NOTHING ever holds a whole key in one task; there is
+    * no driver-side cutoff either (keys are unbounded — millions of
+    * hosts), unlike [[tokenBudgetSelect]]'s corpus-global histogram:
+    *
+    *  1. groupBy(key, score) token sums — the per-key histogram, at most
+    *     |score range| rows per key (the bucketed-score contract);
+    *  2. a window over those HISTOGRAM rows (partition = key, rows per
+    *     partition bounded by score cardinality, not key size) finds each
+    *     key's boundary score + residual budget;
+    *  3. the boundary table joins back on key (shuffle join, no
+    *     broadcast needed) and docs resolve map-side — except inside the
+    *     one boundary (key, score) bucket, whose within-bucket cumsum
+    *     windows over (key, score): bounded by bucket size.
+    *
+    * Output: (doc_id, key, score, n_tokens, selected 0/1), exactly equal
+    * to the naive per-key global-window rule (the oracle states it). */
+  def perKeyTokenBudgetSelect(docs: DataFrame, idCol: String, keyCol: String,
+                              scoreCol: String, tokensCol: String,
+                              budget: Long): DataFrame = {
+    val d = docs.select(col(idCol).as("doc_id"), col(keyCol).as("key"),
+      col(scoreCol).cast("long").as("score"),
+      col(tokensCol).cast("long").as("n_tokens"))
+    // 1. per-(key, score) histogram
+    val levels = d.groupBy("key", "score").agg(sum("n_tokens").as("bt"))
+    // 2. boundary per key: first level (best-first) whose inclusive cum
+    //    exceeds the budget; cumBefore = exclusive running sum
+    val wl = Window.partitionBy("key").orderBy(col("score").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bounds = levels
+      .withColumn("cumBefore", coalesce(sum("bt").over(wl), lit(0L)))
+      .where(col("cumBefore") <= budget && col("cumBefore") + col("bt") > budget)
+      .select(col("key"), col("score").as("cutoff"),
+        (lit(budget) - col("cumBefore")).as("residual"))
+    // 3. resolve: above the cutoff -> in; at the cutoff -> within-bucket
+    //    cumsum against the residual; below (or beyond an exhausted
+    //    budget) -> out. A key with no boundary row fits entirely.
+    val wb = Window.partitionBy("key", "score").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    d.join(bounds, Seq("key"), "left")
+      .withColumn("selected",
+        when(col("cutoff").isNull, 1L)
+          .when(col("score") > col("cutoff"), 1L)
+          .when(col("score") === col("cutoff"),
+            when(sum("n_tokens").over(wb) <= col("residual"), 1L).otherwise(0L))
+          .otherwise(0L))
+      .select("doc_id", "key", "score", "n_tokens", "selected")
+  }
 }

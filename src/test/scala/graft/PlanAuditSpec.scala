@@ -290,4 +290,12 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
   test("WARC explode is a single-pass scan: no join") {
     assert(!plan("m17_warc_records").contains("Join"))
   }
+
+  test("per-host budgets: no single-partition exchange; every window keyed") {
+    val p = plan("d43_host_budget")
+    assert(!p.contains("Exchange SinglePartition"), p.take(800))
+    val windows = "Window .*".r.findAllIn(p).toSeq
+    assert(windows.nonEmpty && windows.forall(_.contains("key")),
+      s"window not keyed:\n${windows.mkString("\n")}")
+  }
 }

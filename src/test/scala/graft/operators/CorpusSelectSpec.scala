@@ -60,6 +60,60 @@ class CorpusSelectSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  private def runPerKey(docs: Seq[(Long, String, Long, Long)],
+                        budget: Long): Map[Long, Long] =
+    CorpusSelect.perKeyTokenBudgetSelect(
+        docs.toDF("doc_id", "host", "score", "n_tokens"),
+        "doc_id", "host", "score", "n_tokens", budget)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("selected"))
+      .toMap
+
+  /** Naive per-key global-window rule. */
+  private def naivePerKey(docs: Seq[(Long, String, Long, Long)],
+                          budget: Long): Map[Long, Long] =
+    docs.groupBy(_._2).flatMap { case (_, ds) =>
+      var cum = 0L
+      ds.sortBy { case (id, _, s, _) => (-s, id) }.map { case (id, _, _, n) =>
+        cum += n
+        id -> (if (cum <= budget) 1L else 0L)
+      }
+    }.toMap
+
+  test("per-host budgets cut independently per key") {
+    val d = Seq(
+      (1L, "a", 9L, 10L), (2L, "a", 8L, 10L), (3L, "a", 7L, 10L),
+      (4L, "b", 5L, 3L), (5L, "b", 5L, 3L), (6L, "b", 4L, 30L))
+    // budget 20: host a keeps docs 1,2 (cum 10,20), drops 3 (30);
+    // host b keeps 4,5 (3,6), drops 6 (36)
+    assert(runPerKey(d, 20L) == Map(1L -> 1L, 2L -> 1L, 3L -> 0L,
+      4L -> 1L, 5L -> 1L, 6L -> 0L))
+    // budget 5: host a keeps nothing (first doc is 10 tokens);
+    // host b keeps only doc 4 (within the tied 5-score bucket by doc_id)
+    assert(runPerKey(d, 5L) == Map(1L -> 0L, 2L -> 0L, 3L -> 0L,
+      4L -> 1L, 5L -> 0L, 6L -> 0L))
+  }
+
+  test("per-key: keys that fit entirely select everything; zero budget selects nothing sized") {
+    val d = Seq((1L, "a", 3L, 5L), (2L, "a", 2L, 5L), (3L, "b", 1L, 0L))
+    assert(runPerKey(d, 100L).values.forall(_ == 1L))
+    // zero budget: the 0-token doc still rides (cum 0 <= 0)
+    assert(runPerKey(d, 0L) == Map(1L -> 0L, 2L -> 0L, 3L -> 1L))
+  }
+
+  test("per-key randomized equivalence against the naive per-host rule") {
+    val rnd = new scala.util.Random(23)
+    for (trial <- 1 to 15) {
+      val d = (0L until 300L).map { i =>
+        // host h0 is a deliberate hot key holding ~40% of the docs
+        val h = if (rnd.nextInt(5) < 2) "h0" else "h" + (1 + rnd.nextInt(8))
+        (i, h, rnd.nextInt(10).toLong, rnd.nextInt(20).toLong)
+      }
+      val budget = rnd.nextInt(120).toLong
+      assert(runPerKey(d, budget) == naivePerKey(d, budget),
+        s"trial=$trial budget=$budget")
+    }
+  }
+
   test("fractional budget matches the absolute form") {
     val total = docs.map(_._3).sum
     val frac = CorpusSelect.tokenBudgetSelectFraction(

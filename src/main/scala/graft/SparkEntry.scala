@@ -1429,6 +1429,17 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // E14: IVF-SQ8 (faiss IndexIVFScalarQuantizer) — the e02 coarse-cell
+    // probe composed with e13's integer code distance: cells bound the
+    // candidate space, codes bound the bytes per candidate.
+    "e14_ivf_sq8_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val model = graft.operators.ScalarQuant.fit(emb)
+      graft.operators.ScalarQuant.topKIvf(
+          emb, emb.where(col("vec_id") < 10), "label", 5, model)
+        .orderBy("query_id", "rank")
+    }),
+
     "e03_centroids" -> ((s, dir) =>
       Similarity.centroids(t(s, dir, "embeddings"), "label")
         .orderBy("cell", "dim")),
@@ -3995,6 +4006,34 @@ object SparkEntry {
          s AS (SELECT qd.query_id, c.vec_id AS neighbor_id,
                  SUM((qd.qc - c.code) * (qd.qc - c.code)) AS dist
                FROM qd JOIN c ON c.pos = qd.pos AND c.vec_id <> qd.query_id
+               GROUP BY 1, 2),
+         r AS (SELECT query_id, neighbor_id, dist,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                                    ORDER BY dist ASC, neighbor_id ASC)
+                   AS rank FROM s)
+         SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id,
+           CAST(dist AS BIGINT) AS dist
+         FROM r WHERE rank <= 5 ORDER BY query_id, rank""",
+
+    "e14_ivf_sq8_topk" ->
+      """WITH v AS (SELECT vec_id, label, embedding,
+                  unnest(range(1, len(embedding) + 1)) AS pos
+                FROM embeddings),
+         x AS (SELECT vec_id, label, pos,
+                 CAST(embedding[pos] AS DOUBLE) AS x FROM v),
+         st AS (SELECT pos, MIN(x) AS mn, MAX(x) AS mx FROM x GROUP BY 1),
+         c AS (SELECT x.vec_id, x.label, x.pos,
+                 CASE WHEN st.mx = st.mn THEN 0
+                      ELSE LEAST(255, GREATEST(0,
+                        CAST(floor(((x.x - st.mn) * 255.0) / (st.mx - st.mn))
+                          AS BIGINT))) END AS code
+               FROM x JOIN st USING (pos)),
+         qd AS (SELECT vec_id AS query_id, label AS q_label, pos, code AS qc
+                FROM c WHERE vec_id < 10),
+         s AS (SELECT qd.query_id, c.vec_id AS neighbor_id,
+                 SUM((qd.qc - c.code) * (qd.qc - c.code)) AS dist
+               FROM qd JOIN c ON c.pos = qd.pos AND c.vec_id <> qd.query_id
+                 AND c.label = qd.q_label
                GROUP BY 1, 2),
          r AS (SELECT query_id, neighbor_id, dist,
                  ROW_NUMBER() OVER (PARTITION BY query_id

@@ -83,4 +83,30 @@ object ScalarQuant {
         Seq(col("dist"), col("neighbor_id")), k, rankCol = "rank")
       .select("query_id", "rank", "neighbor_id", "dist")
   }
+
+  /** IVF-SQ8 (faiss `IndexIVFScalarQuantizer`): coarse cells bound the
+    * candidate space BEFORE the code scan — the corpus meets the queries
+    * through a cell equi-join (shuffle on the cell id, never a per-query
+    * full scan), and within a probed cell distances run on the 8-bit
+    * codes. The two compression axes compose: IVF cuts candidates,
+    * SQ cuts bytes per candidate. */
+  def topKIvf(index: DataFrame, queries: DataFrame, cellCol: String,
+              k: Int, model: Model): DataFrame = {
+    val coded = index.select(col("vec_id").as("neighbor_id"),
+      col(cellCol).as("c_cell"),
+      codesColumn(col("embedding"), model).as("codes"))
+    val q = broadcast(queries.select(col("vec_id").as("query_id"),
+      col(cellCol).as("q_cell"),
+      codesColumn(col("embedding"), model).as("q_codes")))
+    val scored = coded
+      .join(q, col("q_cell") === col("c_cell"))
+      .where(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        aggregate(zip_with(col("q_codes"), col("codes"),
+            (a, b) => (a - b) * (a - b)),
+          lit(0L), (acc, d) => acc + d).as("dist"))
+    BoundedRank.topKPerKey(scored, Seq("query_id"),
+        Seq(col("dist"), col("neighbor_id")), k, rankCol = "rank")
+      .select("query_id", "rank", "neighbor_id", "dist")
+  }
 }

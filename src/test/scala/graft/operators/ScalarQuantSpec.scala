@@ -68,6 +68,33 @@ class ScalarQuantSpec extends AnyFunSuite with SparkSpec {
     assert(got == expect)
   }
 
+  test("IVF-SQ8 equals the flat SQ search restricted to the query's cell") {
+    val rnd = new scala.util.Random(17)
+    val dim = 6
+    val vecs = (0L until 90L).map(i =>
+      (i, Seq.fill(dim)(rnd.nextFloat() * 2f), i % 4))
+    val index = vecs.toDF("vec_id", "embedding", "cell")
+    val m = ScalarQuant.fit(index)
+    val queries = index.where(org.apache.spark.sql.functions.col("vec_id") < 6L)
+    val got = ScalarQuant.topKIvf(index, queries, "cell", 3, m)
+      .collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("rank")) ->
+        (r.getAs[Long]("neighbor_id"), r.getAs[Long]("dist"))).toMap
+    // reference: flat SQ over ONLY the same-cell slice, per query
+    (0L until 6L).foreach { qid =>
+      val cell = qid % 4
+      val slice = vecs.filter(_._3 == cell).map(v => (v._1, v._2))
+      val flat = ScalarQuant.topK(
+          slice.toDF("vec_id", "embedding"),
+          slice.filter(_._1 == qid).toDF("vec_id", "embedding"), 3, m)
+        .collect()
+        .map(r => r.getAs[Long]("rank") ->
+          (r.getAs[Long]("neighbor_id"), r.getAs[Long]("dist"))).toMap
+      flat.foreach { case (rk, exp) =>
+        assert(got((qid, rk)) == exp, s"query $qid rank $rk") }
+    }
+  }
+
   test("SQ top-1 agrees with exact search on well-separated clusters") {
     val base = Seq(Seq.fill(4)(0.0f), Seq.fill(4)(10.0f), Seq.fill(4)(-10.0f))
     val rnd = new scala.util.Random(3)

@@ -94,4 +94,65 @@ object PageRank {
     // reclaims them once the result is dropped.
     history.result().foldLeft(base) { (acc, h) => acc.join(h, "node") }
   }
+
+  /** Run to the exact integer fixpoint (or `maxIters`): the long-lived
+    * form for "give me the host ranks" consumers who don't need the
+    * trajectory. Because the recurrence is integer-quantized, convergence
+    * is EXACT (`r_t == r_{t-1}`, no epsilon) — and unlike [[ranks]],
+    * round i's checkpoint frees as soon as round i+1 materializes (the
+    * CC-loop lineage discipline): live state is one round's rank table
+    * regardless of how many rounds convergence takes. Returns
+    * (node, out_deg, rank, iters, converged). */
+  def ranksFixpoint(edges: DataFrame, srcCol: String, dstCol: String,
+                    maxIters: Int = 50,
+                    scale: Long = 1000000L): DataFrame = {
+    val e = edges
+      .select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"))
+      .where(col("src") =!= col("dst"))
+      .distinct()
+    val deg = e.groupBy("src").agg(count(lit(1)).as("od"))
+    val ed = e.join(deg, "src")
+      .select(col("src"), col("dst"), col("od"))
+      .repartition(col("src"))
+      .persist()
+    val nodes = ed.select(col("src").as("node"))
+      .union(ed.select(col("dst").as("node")))
+      .distinct()
+      .persist()
+
+    var (r, rRdd) = Dedup.checkpointOwned(
+      nodes.withColumn("r", lit(scale)))
+    var converged = false
+    var iters = 0
+    while (!converged && iters < maxIters) {
+      val inSum = ed.join(r, ed("src") === r("node"))
+        .select(col("dst").as("node"), expr("r div od").as("c"))
+        .groupBy("node").agg(sum("c").as("m"))
+      val (next, nextRdd) = Dedup.checkpointOwned(
+        nodes.join(inSum, Seq("node"), "left")
+          .select(col("node"),
+            expr(s"(3 * ${scale}L + 17 * coalesce(m, 0L)) div 20").as("r")))
+      val changed = next.as("n")
+        .join(r.select(col("node"), col("r").as("rp")), "node")
+        .where(col("r") =!= col("rp")).count()
+      rRdd.foreach(_.unpersist(blocking = false)) // prev round: consumed
+      r = next
+      rRdd = nextRdd
+      converged = changed == 0L
+      iters += 1
+    }
+    // Checkpoint the assembled result so the loop-side persists can
+    // release without the returned frame recomputing them.
+    val (out, _) = Dedup.checkpointOwned(nodes
+      .join(deg.select(col("src").as("node"), col("od")), Seq("node"), "left")
+      .join(r, "node")
+      .select(col("node"), coalesce(col("od"), lit(0L)).as("out_deg"),
+        col("r").as("rank"), lit(iters.toLong).as("iters"),
+        lit(converged).as("converged")))
+    rRdd.foreach(_.unpersist(blocking = false))
+    ed.unpersist()
+    nodes.unpersist()
+    out
+  }
 }

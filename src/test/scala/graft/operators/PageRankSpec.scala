@@ -45,6 +45,35 @@ class PageRankSpec extends AnyFunSuite with SparkSpec {
     assert(out(2L)._2 == Seq(1000L, 277L, 277L))
   }
 
+  test("fixpoint form: a cycle converges in one round, exactly") {
+    val ring = (0L until 5L).map(i => i -> ((i + 1) % 5))
+    val out = PageRank.ranksFixpoint(ring.toDF("src", "dst"), "src", "dst")
+      .collect()
+    out.foreach { r =>
+      assert(r.getAs[Long]("rank") == 1000000L)
+      assert(r.getAs[Long]("iters") == 1L)
+      assert(r.getAs[Boolean]("converged"))
+    }
+  }
+
+  test("fixpoint form: converged ranks are invariant and match the trajectory form") {
+    val rnd = new scala.util.Random(29)
+    val edges = (1 to 150).map(_ =>
+      (rnd.nextInt(25).toLong, rnd.nextInt(25).toLong))
+      .filter { case (a, b) => a != b }.distinct
+    val fp = PageRank.ranksFixpoint(edges.toDF("src", "dst"), "src", "dst")
+      .collect()
+    assert(fp.forall(_.getAs[Boolean]("converged")))
+    val iters = fp.head.getAs[Long]("iters").toInt
+    val traj = run(edges, iters + 1, scale = 1000000L)
+    fp.foreach { r =>
+      val node = r.getAs[Long]("node")
+      // the fixpoint equals round `iters` AND round `iters + 1` — invariance
+      assert(r.getAs[Long]("rank") == traj(node)._2(iters - 1))
+      assert(r.getAs[Long]("rank") == traj(node)._2(iters))
+    }
+  }
+
   test("randomized equivalence against a naive in-memory simulation") {
     val rnd = new scala.util.Random(11)
     val edges = (1 to 300).map(_ =>

@@ -265,6 +265,34 @@ object StreamingGates {
           StructType.fromDDL("doc_id LONG, n_tokens LONG, score_bits LONG"))
     }),
 
+    // T10: the streaming per-host BUDGET admission gate — d43's host cap
+    // with the running per-host token total carried in
+    // flatMapGroupsWithState state across micro-batches. One AvailableNow
+    // batch processes each host best-first, so the oracle is the naive
+    // per-host window rule over the arrivals.
+    "t10_stream_host_budget" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val arrivals = docs.where(col("doc_id") % 10 === 0)
+        .select(col("doc_id"),
+          concat(lit("h"), (col("doc_id") % 7).cast("string")).as("host"),
+          graft.functions.TextFunctions.cleanTokens(col("text")).as("w"))
+        .select(col("doc_id"), col("host"),
+          size(col("w")).cast("long").as("n_tokens"),
+          aggregate(col("w"), lit(0L),
+            (acc, x) => acc + length(x).cast("long")).as("suml"))
+        .select(col("doc_id"), col("host"),
+          when(col("n_tokens") === 0L, 0L)
+            .otherwise(expr("suml * 100 div n_tokens")).as("score"),
+          col("n_tokens"))
+      val in = freshDir("graft_t10_in")
+      writeWave(arrivals, in, "batch.parquet", mtimeSec = 1000)
+      val aLoc = freshDir("graft_t10_tbl").resolve("admitted").toString
+      StreamingHostBudget.gateToTable(s, in.toString, arrivals.schema,
+        budget = 300L, admittedLocation = aLoc,
+        checkpointDir = freshDir("graft_t10_ck").toString)
+      graft.tables.LakeTable.load(s, aLoc).read().orderBy("doc_id")
+    }),
+
     // T3: streaming exact dedup within the watermark — key state evicted
     // as the watermark advances; over one batch the surviving key set is
     // exactly DISTINCT.
@@ -420,7 +448,26 @@ object StreamingGates {
          WHERE d.doc_id % 10 = 0
            AND (length(bin(n.np)) - 1) - (length(bin(n.nn)) - 1)
                + COALESCE(a.tb, 0) <= 0
-         ORDER BY d.doc_id"""
+         ORDER BY d.doc_id""",
+
+    // t10: d43's per-host prefix rule over the %10==0 arrivals, budget 300
+    "t10_stream_host_budget" ->
+      """WITH toks AS (
+           SELECT doc_id, 'h' || (doc_id % 7) AS host,
+                  [x for x in string_split(text, ' ')
+                   if length(x) > 0] AS w
+           FROM documents WHERE doc_id % 10 = 0),
+         d AS (SELECT doc_id, host,
+                 CASE WHEN len(w) = 0 THEN 0
+                      ELSE COALESCE(list_sum([length(x) for x in w]), 0)
+                           * 100 // len(w) END AS score,
+                 len(w) AS n_tokens
+               FROM toks),
+         c AS (SELECT d.*, SUM(n_tokens) OVER (PARTITION BY host
+                 ORDER BY score DESC, doc_id) AS cum FROM d)
+         SELECT doc_id, host, CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(cum AS BIGINT) AS host_spent
+         FROM c WHERE cum <= 300 ORDER BY doc_id"""
   )
 
   /** One wave = one parquet FILE with a pinned mtime, so

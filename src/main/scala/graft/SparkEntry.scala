@@ -988,6 +988,16 @@ object SparkEntry {
         .orderBy("host")
     }),
 
+    // D44: LSH estimator quality measurement (the e11 recall gate's
+    // text-side sibling): per band-candidate pair, the 200-permutation
+    // signature-agreement Jaccard estimate vs the exact shingle Jaccard,
+    // with the absolute estimator error — all integer-exact, the whole
+    // signature pipeline under the hash compare at per-permutation
+    // granularity (d02 covers it only at band-key granularity).
+    "d44_lsh_estimate" -> ((s, dir) =>
+      Dedup.minhashEstimateQuality(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_a", "doc_b")),
+
     // D43: per-host token budgets (the C4/RefinedWeb per-domain
     // contribution cap): within each host, best docs first until 400
     // tokens. The Spark side never holds a whole host in one task (the
@@ -2299,6 +2309,23 @@ object SparkEntry {
         SELECT doc_a, doc_b, CAST((i * 1000000) // u AS BIGINT) AS jaccard_e6
         FROM ver WHERE i * 5 >= u * 4 ORDER BY doc_a, doc_b"""
 
+  /** d44: per-candidate signature-agreement estimate vs exact Jaccard. */
+  private def lshEstimateOracle: String =
+    s"""WITH ${minhashCtes("documents")},
+        est AS (SELECT c.doc_a, c.doc_b,
+                  SUM(CASE WHEN ma.v = mb.v THEN 1 ELSE 0 END) AS m
+                FROM cand c
+                JOIN mh ma ON ma.doc_id = c.doc_a
+                JOIN mh mb ON mb.doc_id = c.doc_b AND mb.j = ma.j
+                GROUP BY 1, 2)
+        SELECT v.doc_a, v.doc_b,
+          CAST((e.m * 1000000) // ${TF.NumPerms} AS BIGINT) AS est_e6,
+          CAST((v.i * 1000000) // v.u AS BIGINT) AS jaccard_e6,
+          CAST(ABS((e.m * 1000000) // ${TF.NumPerms}
+                   - (v.i * 1000000) // v.u) AS BIGINT) AS err_e6
+        FROM ver v JOIN est e ON e.doc_a = v.doc_a AND e.doc_b = v.doc_b
+        ORDER BY v.doc_a, v.doc_b"""
+
   /** One shared text for the skew-stress hot group (x01/x02). Must stay a
     * plain single-quotable string — it is inlined into the oracle SQL. */
   private val HotText = "the same boilerplate paragraph shared by every " +
@@ -3045,6 +3072,7 @@ object SparkEntry {
          FROM documents GROUP BY 1 ORDER BY keep_id""",
 
     "d02_minhash_lsh" -> minhashOracle,
+    "d44_lsh_estimate" -> lshEstimateOracle,
     "x01_lsh_skew_capped" -> skewMinhashOracle(5),
     "x02_lsh_skew_atcap" -> skewMinhashOracle(10),
 

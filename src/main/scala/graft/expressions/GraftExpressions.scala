@@ -53,6 +53,21 @@ case class SortedIUExpression(left: Expression, right: Expression)
   override def prettyName: String = "graft_sorted_iu"
 }
 
+/** Count of positions where two equal-length long arrays agree — the
+  * MinHash signature-agreement estimator's inner loop (d44). */
+case class CountEqExpression(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    TextHashKernels.countEq(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.expressions.TextHashKernels.countEq($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): CountEqExpression =
+    copy(left = l, right = r)
+  override def prettyName: String = "graft_count_eq"
+}
+
 /** Sorted distinct winnowing fingerprints (window-min of n-gram hashes). */
 case class WinnowExpression(child: Expression, n: Int = 3, window: Int = 8)
     extends UnaryExpression {
@@ -344,6 +359,10 @@ class GraftSparkSessionExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_sorted_iu"),
       new ExpressionInfo(classOf[SortedIUExpression].getName, "graft_sorted_iu"),
       (children: Seq[Expression]) => SortedIUExpression(children(0), children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_count_eq"),
+      new ExpressionInfo(classOf[CountEqExpression].getName, "graft_count_eq"),
+      (children: Seq[Expression]) => CountEqExpression(children(0), children(1))))
     ext.injectFunction((
       FunctionIdentifier("graft_simhash"),
       new ExpressionInfo(classOf[SimhashExpression].getName, "graft_simhash"),

@@ -107,6 +107,20 @@ object TextHashKernels {
 
   /** [intersection, union] sizes of two SORTED distinct long arrays via a
     * linear merge — allocation-free. */
+  /** Count of agreeing positions of two equal-length long arrays (the
+    * MinHash signature-agreement estimator). Extra tail positions of a
+    * longer array count as disagreement. */
+  def countEq(a: ArrayData, b: ArrayData): Long = {
+    val n = math.min(a.numElements(), b.numElements())
+    var i = 0
+    var m = 0L
+    while (i < n) {
+      if (a.getLong(i) == b.getLong(i)) m += 1
+      i += 1
+    }
+    m
+  }
+
   def sortedIU(a: ArrayData, b: ArrayData): ArrayData = {
     val na = a.numElements()
     val nb = b.numElements()

@@ -79,6 +79,48 @@ object Dedup {
         expr("CAST((i * 1000000) div u AS BIGINT)").as("jaccard_e6"))
   }
 
+  /** LSH estimator quality measurement — the text-side analog of the ANN
+    * recall gate (E11): for every band-candidate pair, the signature-
+    * agreement Jaccard ESTIMATE (matching permutations / NumPerms — the
+    * classic MinHash unbiased estimator) against the EXACT shingle
+    * Jaccard. Run alongside a dedup job, this measures in-engine how much
+    * the estimator the LSH layer trusts deviates on THIS corpus (estimator
+    * error concentrates candidates near the band threshold; a drifting
+    * corpus shows up here before it shows up as missed dups).
+    *
+    * Plan shape: identical to [[minhashNearDupPairs]] candidate generation
+    * (capped band self-join, no cross join); per-doc signatures and
+    * shingle sets compute once (two codegen kernels in one projection) and
+    * join to the pair list; the estimate is an integer zip-count — exact,
+    * engine-reproducible, like every score here. */
+  def minhashEstimateQuality(docs: DataFrame, idCol: String, textCol: String,
+                             maxBandBucket: Int = DefaultMaxBandBucket): DataFrame = {
+    val nPerms = graft.functions.TextFunctions.NumPerms
+    val bands = cappedBandKeys(docs, idCol, textCol, maxBandBucket)
+    val cand = bands.as("a").join(bands.as("b"),
+        col("a.band_id") === col("b.band_id") &&
+          col("a.band_key") === col("b.band_key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val sigs = repartitionedDocs(docs, idCol, textCol)
+      .select(col("doc_id"),
+        expr("graft_minhash_sig(text)").as("sig"),
+        expr("graft_shingle_hash_set(text)").as("shs"))
+    cand
+      .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a"),
+        col("shs").as("shs_a")), "doc_a")
+      .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b"),
+        col("shs").as("shs_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        expr("graft_count_eq(sig_a, sig_b)").as("m"),
+        expr("graft_sorted_iu(shs_a, shs_b)").as("iu"))
+      .select(col("doc_a"), col("doc_b"),
+        expr(s"CAST((m * 1000000) div $nPerms AS BIGINT)").as("est_e6"),
+        expr("CAST((iu[0] * 1000000) div iu[1] AS BIGINT)").as("jaccard_e6"))
+      .withColumn("err_e6", abs(col("est_e6") - col("jaccard_e6")))
+  }
+
   /** Incremental near-dup check — which NEW documents near-duplicate ANY
     * already-indexed document (the daily-ingest form of
     * [[minhashNearDupPairs]]: a production pipeline persists the indexed

@@ -201,6 +201,29 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     assert(!p.contains("ScalaUDF") && !p.contains("CartesianProduct"), p.take(800))
   }
 
+  test("minhashEstimateQuality: exact duplicates estimate 1.0; near-dups " +
+       "estimate close to their true Jaccard; estimates stay in [0, 1e6]") {
+    val docs = Tables.docsLike(Seq(
+      1L -> docA, 2L -> docA,          // identical pair
+      3L -> docA, 4L -> docB,          // near-dup pair (high true J)
+      5L -> boilerplate))              // unrelated singleton
+    val out = Dedup.minhashEstimateQuality(docs, "doc_id", "text")
+      .collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) ->
+        (r.getAs[Long]("est_e6"), r.getAs[Long]("jaccard_e6"),
+          r.getAs[Long]("err_e6"))).toMap
+    // the identical pair must measure exactly
+    assert(out((1L, 2L)) == ((1000000L, 1000000L, 0L)))
+    // the near-dup pair: estimator within 15 points of truth (200 perms ->
+    // the std error at J~0.9 is ~2 points; deterministic given fixed perms)
+    val (est, tru, err) = out((3L, 4L))
+    assert(tru > 800000L && err <= 150000L && err == math.abs(est - tru))
+    out.values.foreach { case (e, t, _) =>
+      assert(e >= 0L && e <= 1000000L && t >= 0L && t <= 1000000L) }
+    // the singleton shares no band with anything
+    assert(!out.keySet.exists { case (a, b) => a == 5L || b == 5L })
+  }
+
   private object Tables {
     def docsLike(rows: Seq[(Long, String)]) = {
       import spark.implicits._

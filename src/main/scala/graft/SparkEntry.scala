@@ -1439,6 +1439,17 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // E15: SQ8 recall measurement (e11's gate for this compression tier):
+    // per query, |SQ top-5 ∩ exact-L2 top-5| / 5 — the number a recipe
+    // consults before trusting the 4x-compressed index.
+    "e15_sq8_recall" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val model = graft.operators.ScalarQuant.fit(emb)
+      graft.operators.ScalarQuant.recallAtK(
+          emb, emb.where(col("vec_id") < 10), 5, model)
+        .orderBy("query_id")
+    }),
+
     // E14: IVF-SQ8 (faiss IndexIVFScalarQuantizer) — the e02 coarse-cell
     // probe composed with e13's integer code distance: cells bound the
     // candidate space, codes bound the bytes per candidate.
@@ -2309,6 +2320,51 @@ object SparkEntry {
         SELECT doc_a, doc_b, CAST((i * 1000000) // u AS BIGINT) AS jaccard_e6
         FROM ver WHERE i * 5 >= u * 4 ORDER BY doc_a, doc_b"""
 
+  /** e15: SQ8 recall@5 vs exact-L2 truth — e13's quantized CTEs plus a
+    * brute-force double-L2 truth ranking (duckSqDist mirrors the kernel's
+    * fold order) and a per-query hit count. */
+  private def sq8RecallOracle: String =
+    s"""WITH v AS (SELECT vec_id, embedding,
+                 unnest(range(1, len(embedding) + 1)) AS pos
+               FROM embeddings),
+        x AS (SELECT vec_id, pos,
+                CAST(embedding[pos] AS DOUBLE) AS x FROM v),
+        st AS (SELECT pos, MIN(x) AS mn, MAX(x) AS mx FROM x GROUP BY 1),
+        c AS (SELECT x.vec_id, x.pos,
+                CASE WHEN st.mx = st.mn THEN 0
+                     ELSE LEAST(255, GREATEST(0,
+                       CAST(floor(((x.x - st.mn) * 255.0) / (st.mx - st.mn))
+                         AS BIGINT))) END AS code
+              FROM x JOIN st USING (pos)),
+        qd AS (SELECT vec_id AS query_id, pos, code AS qc
+               FROM c WHERE vec_id < 10),
+        sc AS (SELECT qd.query_id, c.vec_id AS neighbor_id,
+                SUM((qd.qc - c.code) * (qd.qc - c.code)) AS dist
+              FROM qd JOIN c ON c.pos = qd.pos AND c.vec_id <> qd.query_id
+              GROUP BY 1, 2),
+        r AS (SELECT query_id, neighbor_id,
+                ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY dist ASC, neighbor_id ASC)
+                  AS ark FROM sc),
+        tq AS (SELECT vec_id AS query_id, embedding AS q_emb
+               FROM embeddings WHERE vec_id < 10),
+        tr AS (SELECT tq.query_id, e.vec_id AS neighbor_id,
+                 ${duckSqDist("tq.q_emb", "e.embedding")} AS dd
+               FROM tq JOIN embeddings e ON e.vec_id <> tq.query_id),
+        tt AS (SELECT query_id, neighbor_id,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                                    ORDER BY dd ASC, neighbor_id ASC)
+                   AS trk FROM tr),
+        hits AS (SELECT t.query_id, COUNT(*) AS n
+                 FROM tt t JOIN r a ON a.query_id = t.query_id
+                   AND a.neighbor_id = t.neighbor_id
+                 WHERE t.trk <= 5 AND a.ark <= 5 GROUP BY 1)
+        SELECT q.vec_id AS query_id,
+          CAST(COALESCE(h.n, 0) AS BIGINT) AS n_hits,
+          CAST((COALESCE(h.n, 0) * 1000000) // 5 AS BIGINT) AS recall_e6
+        FROM embeddings q LEFT JOIN hits h ON h.query_id = q.vec_id
+        WHERE q.vec_id < 10 ORDER BY query_id"""
+
   /** d44: per-candidate signature-agreement estimate vs exact Jaccard. */
   private def lshEstimateOracle: String =
     s"""WITH ${minhashCtes("documents")},
@@ -2680,6 +2736,7 @@ object SparkEntry {
     "e05_kmeans_ivf_cells" -> kmeansCellsOracle(8, 2),
     "e06_kmeans_ivf_topk" -> kmeansTopkOracle(8, 2, 5),
     "e11_ivf_recall" -> ivfRecallOracle(8, 2, 5),
+    "e15_sq8_recall" -> sq8RecallOracle,
     "e07_hyperplane_lsh_near_dup" -> hyperplaneLshOracle(64, 8, 0.35),
     "d17_semdedup" -> semDedupOracle(8, 2, 0.35),
     "e08_pq_adc_topk" -> pqOracle(4, 16, 8, 1, 5),

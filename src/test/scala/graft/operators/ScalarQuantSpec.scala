@@ -95,6 +95,38 @@ class ScalarQuantSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("recallAtK: perfect on on-grid vectors, bounded in general") {
+    val rnd = new scala.util.Random(7)
+    // integer coordinates + full-span anchors: the grid maps every value
+    // to itself (code = x), so SQ and exact rankings agree EXACTLY and
+    // recall must be 1.0 at any k
+    val vecs = (0L until 40L).map(i =>
+      (i, Seq.fill(5)(rnd.nextInt(256).toFloat))) ++
+      Seq((100L, Seq.fill(5)(0.0f)), (101L, Seq.fill(5)(255.0f)))
+    val index = vecs.toDF("vec_id", "embedding")
+    val m = ScalarQuant.fit(index)
+    assert(m.mins.forall(_ == 0.0) && m.ranges.forall(_ == 255.0))
+    val out = ScalarQuant.recallAtK(index,
+        index.where(org.apache.spark.sql.functions.col("vec_id") < 3L), 3, m)
+      .collect()
+    assert(out.length == 3)
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_hits") == 3L)
+      assert(r.getAs[Long]("recall_e6") == 1000000L)
+    }
+    // noisy data: recall stays a valid fraction of k
+    val noisy = (0L until 60L).map(i =>
+      (i, Seq.fill(6)(rnd.nextFloat()))).toDF("vec_id", "embedding")
+    val m2 = ScalarQuant.fit(noisy)
+    ScalarQuant.recallAtK(noisy,
+        noisy.where(org.apache.spark.sql.functions.col("vec_id") < 5L), 4, m2)
+      .collect().foreach { r =>
+        val h = r.getAs[Long]("n_hits")
+        assert(h >= 0L && h <= 4L)
+        assert(r.getAs[Long]("recall_e6") == h * 1000000L / 4L)
+      }
+  }
+
   test("SQ top-1 agrees with exact search on well-separated clusters") {
     val base = Seq(Seq.fill(4)(0.0f), Seq.fill(4)(10.0f), Seq.fill(4)(-10.0f))
     val rnd = new scala.util.Random(3)

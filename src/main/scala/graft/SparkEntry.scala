@@ -1677,6 +1677,46 @@ object SparkEntry {
         .orderBy("media_id")
     }),
 
+    // M1 (TIFF): baseline TIFF decode round-trip, oracle-gated like m01.
+    // Each doc becomes a real TIFF — RGB (even ids) or gray (odd), cycling
+    // none/LZW/PackBits compression, both byte orders, Predictor=2 on the
+    // LZW docs, striped every 5 rows — with formula pixels whose channel
+    // sums the oracle states analytically (lossless -> exact).
+    "m18_tiff_decode" -> ((s, dir) => {
+      import s.implicits._
+      val W = 16; val H = 16
+      val media = t(s, dir, "documents").select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { id =>
+          val ch = if (id % 2 == 0) 3 else 1
+          val data = new Array[Byte](W * H * ch)
+          var y = 0
+          while (y < H) {
+            var x = 0
+            while (x < W) {
+              if (ch == 3) {
+                val p = (y * W + x) * 3
+                data(p) = ((id + x) % 256).toByte
+                data(p + 1) = ((id + y) % 256).toByte
+                data(p + 2) = ((x * y + id) % 256).toByte
+              } else {
+                data(y * W + x) = ((id + x * 7 + y * 13) % 256).toByte
+              }
+              x += 1
+            }
+            y += 1
+          }
+          val comp = (id % 3) match {
+            case 0 => 1; case 1 => 5; case _ => 32773
+          }
+          val payload = graft.operators.TiffCodec.encode(W, H, ch, data,
+            compression = comp, bigEndian = id % 5 < 2, rowsPerStrip = 5,
+            predictor = if (comp == 5) 2 else 1)
+          (id, payload)
+        }).toDF("media_id", "payload")
+      graft.operators.Multimodal.decodeRasterFeatures(s, media).toDF()
+        .orderBy("media_id")
+    }),
+
     // M1 (audio): REAL WAV PCM decode round-trip, oracle-gated the same
     // way as m01. Each doc becomes a stereo 16-bit WAV whose sample at
     // (frame k, channel c) carries a known formula; decodeAudioFeatures
@@ -3780,6 +3820,22 @@ object SparkEntry {
            CAST(SUM((d.doc_id + x.r) % 256) AS BIGINT) AS sum_r,
            CAST(SUM((d.doc_id + y.r) % 256) AS BIGINT) AS sum_g,
            CAST(SUM((x.r * y.r + d.doc_id) % 256) AS BIGINT) AS sum_b
+         FROM documents d
+         CROSS JOIN range(0, 16) x(r)
+         CROSS JOIN range(0, 16) y(r)
+         GROUP BY 1, 2 ORDER BY media_id""",
+
+    "m18_tiff_decode" ->
+      """SELECT d.doc_id AS media_id, 'tiff' AS fmt, 16 AS width, 16 AS height,
+           CAST(SUM(CASE WHEN d.doc_id % 2 = 0 THEN (d.doc_id + x.r) % 256
+                         ELSE (d.doc_id + x.r * 7 + y.r * 13) % 256 END)
+             AS BIGINT) AS sum_r,
+           CAST(SUM(CASE WHEN d.doc_id % 2 = 0 THEN (d.doc_id + y.r) % 256
+                         ELSE (d.doc_id + x.r * 7 + y.r * 13) % 256 END)
+             AS BIGINT) AS sum_g,
+           CAST(SUM(CASE WHEN d.doc_id % 2 = 0 THEN (x.r * y.r + d.doc_id) % 256
+                         ELSE (d.doc_id + x.r * 7 + y.r * 13) % 256 END)
+             AS BIGINT) AS sum_b
          FROM documents d
          CROSS JOIN range(0, 16) x(r)
          CROSS JOIN range(0, 16) y(r)

@@ -464,6 +464,10 @@ object Multimodal {
     // BMP: "BM" then BITMAPINFOHEADER at offset 14 (LE w at 18, h at 22)
     if (p.length >= 26 && p(0) == 'B' && p(1) == 'M')
       return Some(("bmp", le32(18).toInt, math.abs(le32(22).toInt)))
+    // TIFF: "II"+42 LE or "MM"+42 BE; dims need the IFD walk (header-only)
+    if (p.length >= 8 && ((p(0) == 'I' && p(1) == 'I') ||
+        (p(0) == 'M' && p(1) == 'M')))
+      return TiffCodec.sniffDims(p).map { case (w, h) => ("tiff", w, h) }
     None
   }
 

@@ -6,9 +6,10 @@ import java.util.zip.{CRC32, Deflater, Inflater}
   * PNG (zlib via `java.util.zip` + the five standard scanline filters),
   * baseline + progressive (SOF2) JPEG (via [[JpegCodec]]), arithmetic-
   * coded JPEG — sequential SOF9 and progressive SOF10, QM-coder (via
-  * [[ArithJpeg]]) — lossless JPEG (SOF3, via [[LosslessJpeg]]), and GIF
-  * LZW (via [[GifCodec]]) — the whole image family decodes for real.
-  * Hierarchical JPEG (SOF11+) returns None.
+  * [[ArithJpeg]]) — lossless JPEG (SOF3, via [[LosslessJpeg]]), GIF
+  * LZW (via [[GifCodec]]), and baseline TIFF (none/LZW/PackBits, both
+  * byte orders, via [[TiffCodec]]) — the whole image family decodes for
+  * real. Hierarchical JPEG (SOF11+) returns None.
   *
   * This is the decode step behind [[Multimodal.decodeFeatures]]: the
   * reference pipeline fetches binary content eagerly and hands it to
@@ -269,6 +270,7 @@ object RasterCodec {
               img.samples.map(v => ((v >> shift) & 0xff).toByte))
           })
       case ("gif", _, _) => GifCodec.decodeGif(p)
+      case ("tiff", _, _) => TiffCodec.decode(p)
       case _ => None
     }
 }

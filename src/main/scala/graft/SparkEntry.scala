@@ -1717,6 +1717,25 @@ object SparkEntry {
         .orderBy("media_id")
     }),
 
+    // M1 (EXIF): camera-metadata extraction from JPEG APP1 — the fields a
+    // multimodal pipeline filters/groups on (orientation, timestamp,
+    // make/model). Each doc becomes a real EXIF'd JPEG shell with formula
+    // values; the marker walk + embedded-TIFF-IFD parse must recover them
+    // exactly (oracle analytic).
+    "m19_exif_tags" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "documents").select(col("doc_id")).as[Long]
+        .mapPartitions(_.flatMap { id =>
+          val dt = f"2024:01:${1 + id % 28}%02d 00:00:${id % 60}%02d"
+          val payload = graft.operators.TiffCodec.withExif(null,
+            orientation = (1 + id % 8).toInt, dateTime = dt,
+            make = s"cam${id % 5}", model = s"m${id % 3}")
+          graft.operators.TiffCodec.exifTags(payload).map(e =>
+            (id, e.orientation, e.dateTime, e.make, e.model))
+        }).toDF("media_id", "orientation", "date_time", "make", "model")
+        .orderBy("media_id")
+    }),
+
     // M1 (audio): REAL WAV PCM decode round-trip, oracle-gated the same
     // way as m01. Each doc becomes a stereo 16-bit WAV whose sample at
     // (frame k, channel c) carries a known formula; decodeAudioFeatures
@@ -3824,6 +3843,16 @@ object SparkEntry {
          CROSS JOIN range(0, 16) x(r)
          CROSS JOIN range(0, 16) y(r)
          GROUP BY 1, 2 ORDER BY media_id""",
+
+    "m19_exif_tags" ->
+      """SELECT doc_id AS media_id,
+           CAST(1 + doc_id % 8 AS BIGINT) AS orientation,
+           '2024:01:' || lpad(CAST(1 + doc_id % 28 AS VARCHAR), 2, '0') ||
+             ' 00:00:' || lpad(CAST(doc_id % 60 AS VARCHAR), 2, '0')
+             AS date_time,
+           'cam' || (doc_id % 5) AS make,
+           'm' || (doc_id % 3) AS model
+         FROM documents ORDER BY media_id""",
 
     "m18_tiff_decode" ->
       """SELECT d.doc_id AS media_id, 'tiff' AS fmt, 16 AS width, 16 AS height,

@@ -464,6 +464,150 @@ object TiffCodec {
     bos.toByteArray
   }
 
+  // ---- EXIF (a TIFF IFD embedded in JPEG APP1) ------------------------
+
+  /** IFD0 camera metadata: the fields a multimodal curation pipeline
+    * filters/groups on (orientation for rotation-normalization, timestamp
+    * for dedup/temporal splits, make/model for source analysis). */
+  final case class Exif(orientation: Option[Long], dateTime: Option[String],
+                        make: Option[String], model: Option[String])
+
+  /** Parse EXIF out of a JPEG's APP1 segment ("Exif\0\0" + TIFF IFD) —
+    * marker walk, no entropy decode; malformed → None, never a throw. */
+  def exifTags(jpeg: Array[Byte]): Option[Exif] = {
+    if (jpeg == null || jpeg.length < 4) return None
+    if ((jpeg(0) & 0xff) != 0xff || (jpeg(1) & 0xff) != 0xd8) return None
+    var i = 2
+    while (i + 3 < jpeg.length) {
+      if ((jpeg(i) & 0xff) != 0xff) return None
+      val m = jpeg(i + 1) & 0xff
+      if (m == 0xff) { i += 1 } // fill byte
+      else if (m == 0xd8 || (m >= 0xd0 && m <= 0xd7) || m == 0x01) i += 2
+      else if (m == 0xda || m == 0xd9) return None // into scan: no APP1 found
+      else {
+        val len = ((jpeg(i + 2) & 0xff) << 8) | (jpeg(i + 3) & 0xff)
+        if (len < 2 || i + 2 + len > jpeg.length) return None
+        if (m == 0xe1 && len >= 10 &&
+            jpeg(i + 4) == 'E' && jpeg(i + 5) == 'x' && jpeg(i + 6) == 'i' &&
+            jpeg(i + 7) == 'f' && jpeg(i + 8) == 0 && jpeg(i + 9) == 0) {
+          val tiff = java.util.Arrays.copyOfRange(jpeg, i + 10, i + 2 + len)
+          return exifFromTiffIfd(tiff)
+        }
+        i += 2 + len
+      }
+    }
+    None
+  }
+
+  /** IFD0 walk of the embedded TIFF block, SHORT + ASCII values only. */
+  private def exifFromTiffIfd(p: Array[Byte]): Option[Exif] = {
+    if (p.length < 8) return None
+    val le =
+      if (p(0) == 'I' && p(1) == 'I') true
+      else if (p(0) == 'M' && p(1) == 'M') false
+      else return None
+    def u8(i: Int): Int = p(i) & 0xff
+    def u16(i: Int): Int =
+      if (i < 0 || i + 2 > p.length) -1
+      else if (le) u8(i) | (u8(i + 1) << 8) else (u8(i) << 8) | u8(i + 1)
+    def u32(i: Int): Long =
+      if (i < 0 || i + 4 > p.length) -1L
+      else if (le) u8(i).toLong | (u8(i + 1).toLong << 8) |
+        (u8(i + 2).toLong << 16) | (u8(i + 3).toLong << 24)
+      else (u8(i).toLong << 24) | (u8(i + 1).toLong << 16) |
+        (u8(i + 2).toLong << 8) | u8(i + 3).toLong
+    if (u16(2) != 42) return None
+    val ifdAt = u32(4)
+    if (ifdAt < 8 || ifdAt + 2 > p.length) return None
+    val n = u16(ifdAt.toInt)
+    if (n <= 0 || ifdAt + 2 + n * 12L > p.length) return None
+    var orientation: Option[Long] = None
+    var dateTime: Option[String] = None
+    var make: Option[String] = None
+    var model: Option[String] = None
+    def ascii(entryAt: Int): Option[String] = {
+      val count = u32(entryAt + 4)
+      if (count <= 0 || count > 4096) return None
+      val at = if (count <= 4) entryAt + 8 else u32(entryAt + 8).toInt
+      if (at < 0 || at + count > p.length) return None
+      val end = (at + count).toInt
+      var e = at.toInt
+      while (e < end && p(e) != 0) e += 1
+      Some(new String(p, at.toInt, e - at.toInt, "US-ASCII"))
+    }
+    var e = 0
+    while (e < n) {
+      val at = (ifdAt + 2 + e * 12).toInt
+      val tag = u16(at)
+      val typ = u16(at + 2)
+      tag match {
+        case 274 if typ == 3 =>
+          val v = u16(at + 8).toLong
+          if (v >= 1 && v <= 8) orientation = Some(v)
+        case 306 if typ == 2 => dateTime = ascii(at)
+        case 271 if typ == 2 => make = ascii(at)
+        case 272 if typ == 2 => model = ascii(at)
+        case _ => ()
+      }
+      e += 1
+    }
+    Some(Exif(orientation, dateTime, make, model))
+  }
+
+  /** Fixture: an APP1 EXIF segment (little-endian IFD0 with Make/Model/
+    * Orientation/DateTime) spliced after the SOI of `jpeg` (or a bare
+    * SOI+APP1+EOI shell when `jpeg` is empty). */
+  def withExif(jpeg: Array[Byte], orientation: Int, dateTime: String,
+               make: String, model: String): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    def w16(v: Int): Unit = { bos.write(v & 0xff); bos.write(v >> 8) }
+    def w32(v: Long): Unit = { bos.write((v & 0xff).toInt)
+      bos.write(((v >> 8) & 0xff).toInt); bos.write(((v >> 16) & 0xff).toInt)
+      bos.write(((v >> 24) & 0xff).toInt) }
+    bos.write('I'); bos.write('I'); w16(42); w32(8)
+    val mk = (make + "\u0000").getBytes("US-ASCII")
+    val md = (model + "\u0000").getBytes("US-ASCII")
+    val dt = (dateTime + "\u0000").getBytes("US-ASCII")
+    val nE = 4
+    var extraAt = 8L + 2 + nE * 12 + 4
+    val mkAt = extraAt; if (mk.length > 4) extraAt += mk.length
+    val mdAt = extraAt; if (md.length > 4) extraAt += md.length
+    val dtAt = extraAt
+    w16(nE)
+    def entry(tag: Int, typ: Int, count: Long, inline: Option[Array[Byte]],
+              offset: Long): Unit = {
+      w16(tag); w16(typ); w32(count)
+      inline match {
+        case Some(b) =>
+          var k = 0
+          while (k < 4) { bos.write(if (k < b.length) b(k) & 0xff else 0); k += 1 }
+        case None => w32(offset)
+      }
+    }
+    entry(271, 2, mk.length.toLong, if (mk.length <= 4) Some(mk) else None, mkAt)
+    entry(272, 2, md.length.toLong, if (md.length <= 4) Some(md) else None, mdAt)
+    entry(274, 3, 1L, Some(Array((orientation & 0xff).toByte,
+      ((orientation >> 8) & 0xff).toByte)), 0L)
+    entry(306, 2, dt.length.toLong, None, dtAt)
+    w32(0)
+    if (mk.length > 4) bos.write(mk, 0, mk.length)
+    if (md.length > 4) bos.write(md, 0, md.length)
+    bos.write(dt, 0, dt.length)
+    val tiff = bos.toByteArray
+    val app1Len = 2 + 6 + tiff.length
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(0xff); out.write(0xd8)
+    out.write(0xff); out.write(0xe1)
+    out.write((app1Len >> 8) & 0xff); out.write(app1Len & 0xff)
+    out.write('E'); out.write('x'); out.write('i'); out.write('f')
+    out.write(0); out.write(0)
+    out.write(tiff, 0, tiff.length)
+    if (jpeg != null && jpeg.length > 2)
+      out.write(jpeg, 2, jpeg.length - 2) // splice the rest after our APP1
+    else { out.write(0xff); out.write(0xd9) }
+    out.toByteArray
+  }
+
   private def lzwEncode(plain: Array[Byte]): Array[Byte] = {
     val Clear = 256
     val Eoi = 257

@@ -145,6 +145,41 @@ class TiffCodecSpec extends AnyFunSuite {
     assert(TiffCodec.decode(bomb).isDefined)
   }
 
+  test("EXIF: APP1 IFD0 round-trips (inline and out-of-line ASCII values)") {
+    val p = TiffCodec.withExif(null, orientation = 6,
+      dateTime = "2024:03:09 10:11:12", make = "ab", model = "longcameramodel")
+    val e = TiffCodec.exifTags(p)
+    assert(e.isDefined)
+    assert(e.get.orientation.contains(6L))
+    assert(e.get.dateTime.contains("2024:03:09 10:11:12"))
+    assert(e.get.make.contains("ab")) // 3 bytes with NUL: inline value
+    assert(e.get.model.contains("longcameramodel")) // out-of-line
+  }
+
+  test("EXIF spliced into a real JPEG parses; the JPEG still decodes") {
+    val (w, h) = (16, 16)
+    val jpeg = JpegCodec.encodeJpegGrayBlocks(2, 2, (_, _) => 13)
+    val withE = TiffCodec.withExif(jpeg, 3, "2020:01:01 00:00:00", "mk", "md")
+    assert(TiffCodec.exifTags(withE).exists(_.orientation.contains(3L)))
+    val dec = JpegCodec.decodeJpeg(withE)
+    assert(dec.isDefined && dec.get.width == w && dec.get.height == h)
+  }
+
+  test("EXIF: absent APP1, corrupt streams and fuzz never throw") {
+    assert(TiffCodec.exifTags(Array[Byte](0xff.toByte, 0xd8.toByte,
+      0xff.toByte, 0xd9.toByte)).isEmpty)
+    assert(TiffCodec.exifTags(Array[Byte](1, 2, 3)).isEmpty)
+    val good = TiffCodec.withExif(null, 1, "2024:01:01 00:00:00", "a", "b")
+    val r = rnd
+    for (_ <- 1 to 200) {
+      val bad = good.clone()
+      val at = r.nextInt(bad.length)
+      bad(at) = (bad(at) ^ (1 << r.nextInt(8))).toByte
+      TiffCodec.exifTags(bad) // no throw
+    }
+    for (cut <- 0 until good.length by 3) TiffCodec.exifTags(good.take(cut))
+  }
+
   test("dispatches through RasterCodec.decode via the TIFF signature") {
     val data = gradientBytes(11, 6, 3)
     for (be <- Seq(false, true)) {

@@ -30,8 +30,46 @@ object TiffCodec {
 
   // ---- decode ---------------------------------------------------------
 
-  def decode(p: Array[Byte]): Option[RasterCodec.Raster] = {
-    if (p == null || p.length < 8) return None
+  def decode(p: Array[Byte]): Option[RasterCodec.Raster] =
+    decodePage(p, 0)
+
+  /** Multi-page support: absolute offsets of every IFD in next-pointer
+    * order (empty when not a TIFF; cycle-capped). */
+  def ifdOffsets(p: Array[Byte]): IndexedSeq[Long] = {
+    if (p == null || p.length < 8) return IndexedSeq.empty
+    val le =
+      if (p(0) == 'I' && p(1) == 'I') true
+      else if (p(0) == 'M' && p(1) == 'M') false
+      else return IndexedSeq.empty
+    def u8(i: Int): Int = p(i) & 0xff
+    def u16(i: Int): Int =
+      if (i < 0 || i + 2 > p.length) -1
+      else if (le) u8(i) | (u8(i + 1) << 8) else (u8(i) << 8) | u8(i + 1)
+    def u32(i: Int): Long =
+      if (i < 0 || i + 4 > p.length) -1L
+      else if (le) u8(i).toLong | (u8(i + 1).toLong << 8) |
+        (u8(i + 2).toLong << 16) | (u8(i + 3).toLong << 24)
+      else (u8(i).toLong << 24) | (u8(i + 1).toLong << 16) |
+        (u8(i + 2).toLong << 8) | u8(i + 3).toLong
+    if (u16(2) != 42) return IndexedSeq.empty
+    val out = IndexedSeq.newBuilder[Long]
+    var at = u32(4)
+    var pages = 0
+    while (at >= 8 && at + 2 <= p.length && pages < 4096) {
+      val n = u16(at.toInt)
+      if (n <= 0 || at + 2 + n * 12L + 4 > p.length) return out.result()
+      out += at
+      pages += 1
+      at = u32((at + 2 + n * 12L).toInt)
+    }
+    out.result()
+  }
+
+  def pageCount(p: Array[Byte]): Int = ifdOffsets(p).length
+
+  /** Decode page `page` (0-based) of a possibly multi-page TIFF. */
+  def decodePage(p: Array[Byte], page: Int): Option[RasterCodec.Raster] = {
+    if (p == null || p.length < 8 || page < 0) return None
     val le =
       if (p(0) == 'I' && p(1) == 'I') true
       else if (p(0) == 'M' && p(1) == 'M') false
@@ -47,7 +85,9 @@ object TiffCodec {
       else (u8(i).toLong << 24) | (u8(i + 1).toLong << 16) |
         (u8(i + 2).toLong << 8) | u8(i + 3).toLong
     if (u16(2) != 42) return None
-    val ifdAt = u32(4)
+    val ifds = ifdOffsets(p)
+    if (page >= ifds.length) return None
+    val ifdAt = ifds(page)
     if (ifdAt < 8 || ifdAt + 2 > p.length) return None
     val nEntries = u16(ifdAt.toInt)
     if (nEntries <= 0 || ifdAt + 2 + nEntries * 12L > p.length) return None
@@ -323,30 +363,55 @@ object TiffCodec {
     * or RGB (channels=3), one or more strips, compression 1/5/32773,
     * optional Predictor=2 (applied for any compression here; readers
     * honor the tag regardless). */
+  /** One page of a (possibly multi-page) TIFF fixture. */
+  final case class Page(width: Int, height: Int, channels: Int,
+                        data: Array[Byte], compression: Int = 1,
+                        rowsPerStrip: Int = Int.MaxValue, predictor: Int = 1)
+
   def encode(width: Int, height: Int, channels: Int, data: Array[Byte],
              compression: Int = 1, bigEndian: Boolean = false,
              rowsPerStrip: Int = Int.MaxValue,
-             predictor: Int = 1): Array[Byte] = {
-    require(channels == 1 || channels == 3)
-    require(data.length == width * height * channels)
-    require(Set(1, 5, 32773).contains(compression))
-    require(predictor == 1 || compression == 5,
-      "Predictor=2 is defined for LZW only (TIFF6 section 14)")
-    val rps = math.min(rowsPerStrip, height)
-    val nStrips = (height + rps - 1) / rps
-    val rowBytes = width * channels
-    val strips = (0 until nStrips).map { s =>
-      val rows = math.min(rps, height - s * rps)
-      val plain = java.util.Arrays.copyOfRange(data,
-        s * rps * rowBytes, s * rps * rowBytes + rows * rowBytes)
-      if (predictor == 2 && compression == 5)
-        diff(plain, rows, width, channels)
-      compression match {
-        case 1 => plain
-        case 32773 => packBits(plain)
-        case 5 => lzwEncode(plain)
+             predictor: Int = 1): Array[Byte] =
+    encodeMultiPage(Seq(Page(width, height, channels, data, compression,
+      rowsPerStrip, predictor)), bigEndian)
+
+  /** Encode a multi-page TIFF (scan-corpus page chains): each page is a
+    * self-contained segment [IFD][value arrays][strips] whose IFD's
+    * next-pointer links to the following page's segment. */
+  def encodeMultiPage(pages: Seq[Page], bigEndian: Boolean = false): Array[Byte] = {
+    require(pages.nonEmpty)
+    val prepared = pages.map { pg =>
+      require(pg.channels == 1 || pg.channels == 3)
+      require(pg.data.length == pg.width * pg.height * pg.channels)
+      require(Set(1, 5, 32773).contains(pg.compression))
+      require(pg.predictor == 1 || pg.compression == 5,
+        "Predictor=2 is defined for LZW only (TIFF6 section 14)")
+      val rps = math.min(pg.rowsPerStrip, pg.height)
+      val nStrips = (pg.height + rps - 1) / rps
+      val rowBytes = pg.width * pg.channels
+      val strips = (0 until nStrips).map { st =>
+        val rows = math.min(rps, pg.height - st * rps)
+        val plain = java.util.Arrays.copyOfRange(pg.data,
+          st * rps * rowBytes, st * rps * rowBytes + rows * rowBytes)
+        if (pg.predictor == 2 && pg.compression == 5)
+          diff(plain, rows, pg.width, pg.channels)
+        pg.compression match {
+          case 1 => plain
+          case 32773 => packBits(plain)
+          case 5 => lzwEncode(plain)
+        }
       }
+      (pg, rps, nStrips, strips)
     }
+    val segSizes = prepared.map { case (pg, _, nStrips, strips) =>
+      val nE = 9 + (if (pg.predictor == 2) 1 else 0)
+      (2 + nE * 12 + 4).toLong +
+        (if (pg.channels == 3) pg.channels * 2 else 0) +
+        (if (nStrips > 1) nStrips * 8L else 0L) +
+        strips.map(_.length.toLong).sum
+    }
+    val bases = segSizes.scanLeft(8L)(_ + _)
+
     val bos = new java.io.ByteArrayOutputStream()
     def w16(v: Int): Unit =
       if (bigEndian) { bos.write(v >> 8); bos.write(v & 0xff) }
@@ -358,59 +423,62 @@ object TiffCodec {
         bos.write(((v >> 16) & 0xff).toInt); bos.write(((v >> 24) & 0xff).toInt) }
     bos.write(if (bigEndian) 'M' else 'I'); bos.write(if (bigEndian) 'M' else 'I')
     w16(42)
-    w32(8) // IFD immediately after header
-    // entries: 256,257,258,259,262,273,277,278,279 (+317 when predictor=2)
-    val entries = scala.collection.mutable.ArrayBuffer
-      .empty[(Int, Int, Long, Either[Long, Seq[Long]])]
-    val needBpsArray = channels == 3 // 3 SHORTs don't fit inline
-    val need317 = predictor == 2
-    val nE = 9 + (if (need317) 1 else 0)
-    val ifdSize = 2 + nE * 12 + 4
-    var extraAt = 8L + ifdSize
-    // out-of-line value areas: BitsPerSample array, strip offset/count
-    // arrays (when >1 strip), then strip data
-    val bpsAt = extraAt
-    if (needBpsArray) extraAt += channels * 2
-    val offArrayAt = extraAt
-    if (nStrips > 1) extraAt += nStrips * 4
-    val cntArrayAt = extraAt
-    if (nStrips > 1) extraAt += nStrips * 4
-    var stripAt = extraAt
-    val stripOffsets = strips.map { s0 =>
-      val at = stripAt; stripAt += s0.length; at
-    }
-    entries += ((256, 3, 1L, Left(width.toLong)))
-    entries += ((257, 3, 1L, Left(height.toLong)))
-    entries += (if (needBpsArray) ((258, 3, channels.toLong, Right(Seq.fill(channels)(8L))))
-      else ((258, 3, 1L, Left(8L))))
-    entries += ((259, 3, 1L, Left(compression.toLong)))
-    entries += ((262, 3, 1L, Left(if (channels == 3) 2L else 1L)))
-    entries += (if (nStrips > 1) ((273, 4, nStrips.toLong, Right(stripOffsets)))
-      else ((273, 4, 1L, Left(stripOffsets.head))))
-    entries += ((277, 3, 1L, Left(channels.toLong)))
-    entries += ((278, 3, 1L, Left(rps.toLong)))
-    entries += (if (nStrips > 1)
-      ((279, 4, nStrips.toLong, Right(strips.map(_.length.toLong))))
-      else ((279, 4, 1L, Left(strips.head.length.toLong))))
-    if (need317) entries += ((317, 3, 1L, Left(2L)))
-    val sorted = entries.sortBy(_._1)
-    w16(nE)
-    sorted.foreach { case (tag, typ, count, v) =>
-      w16(tag); w16(typ); w32(count)
-      v match {
-        case Left(x) =>
-          // inline value, left-justified in its 4 bytes per spec
-          if (typ == 3) { w16(x.toInt); w16(0) } else w32(x)
-        case Right(_) =>
-          w32(if (tag == 258) bpsAt
-          else if (tag == 273) offArrayAt else cntArrayAt)
+    w32(8) // first IFD immediately after the header
+
+    prepared.zipWithIndex.foreach { case ((pg, rps, nStrips, strips), pi) =>
+      val base = bases(pi)
+      val nextIfd = if (pi == prepared.length - 1) 0L else bases(pi + 1)
+      val entries = scala.collection.mutable.ArrayBuffer
+        .empty[(Int, Int, Long, Either[Long, Seq[Long]])]
+      val needBpsArray = pg.channels == 3 // 3 SHORTs don't fit inline
+      val need317 = pg.predictor == 2
+      val nE = 9 + (if (need317) 1 else 0)
+      val ifdSize = 2 + nE * 12 + 4
+      var extraAt = base + ifdSize
+      val bpsAt = extraAt
+      if (needBpsArray) extraAt += pg.channels * 2
+      val offArrayAt = extraAt
+      if (nStrips > 1) extraAt += nStrips * 4
+      val cntArrayAt = extraAt
+      if (nStrips > 1) extraAt += nStrips * 4
+      var stripAt = extraAt
+      val stripOffsets = strips.map { s0 =>
+        val at = stripAt; stripAt += s0.length; at
       }
+      entries += ((256, 3, 1L, Left(pg.width.toLong)))
+      entries += ((257, 3, 1L, Left(pg.height.toLong)))
+      entries += (if (needBpsArray)
+        ((258, 3, pg.channels.toLong, Right(Seq.fill(pg.channels)(8L))))
+        else ((258, 3, 1L, Left(8L))))
+      entries += ((259, 3, 1L, Left(pg.compression.toLong)))
+      entries += ((262, 3, 1L, Left(if (pg.channels == 3) 2L else 1L)))
+      entries += (if (nStrips > 1) ((273, 4, nStrips.toLong, Right(stripOffsets)))
+        else ((273, 4, 1L, Left(stripOffsets.head))))
+      entries += ((277, 3, 1L, Left(pg.channels.toLong)))
+      entries += ((278, 3, 1L, Left(rps.toLong)))
+      entries += (if (nStrips > 1)
+        ((279, 4, nStrips.toLong, Right(strips.map(_.length.toLong))))
+        else ((279, 4, 1L, Left(strips.head.length.toLong))))
+      if (need317) entries += ((317, 3, 1L, Left(2L)))
+      val sorted = entries.sortBy(_._1)
+      w16(nE)
+      sorted.foreach { case (tag, typ, count, v) =>
+        w16(tag); w16(typ); w32(count)
+        v match {
+          case Left(x) =>
+            // inline value, left-justified in its 4 bytes per spec
+            if (typ == 3) { w16(x.toInt); w16(0) } else w32(x)
+          case Right(_) =>
+            w32(if (tag == 258) bpsAt
+            else if (tag == 273) offArrayAt else cntArrayAt)
+        }
+      }
+      w32(nextIfd)
+      if (needBpsArray) (0 until pg.channels).foreach(_ => w16(8))
+      if (nStrips > 1) stripOffsets.foreach(w32)
+      if (nStrips > 1) strips.foreach(s0 => w32(s0.length.toLong))
+      strips.foreach(s0 => bos.write(s0, 0, s0.length))
     }
-    w32(0) // no next IFD
-    if (needBpsArray) (0 until channels).foreach(_ => w16(8))
-    if (nStrips > 1) stripOffsets.foreach(w32)
-    if (nStrips > 1) strips.foreach(s0 => w32(s0.length.toLong))
-    strips.foreach(s0 => bos.write(s0, 0, s0.length))
     bos.toByteArray
   }
 

@@ -145,6 +145,49 @@ class TiffCodecSpec extends AnyFunSuite {
     assert(TiffCodec.decode(bomb).isDefined)
   }
 
+  test("multi-page TIFFs round-trip page by page; ImageIO agrees on count and pixels") {
+    val pages = Seq(
+      TiffCodec.Page(9, 5, 3, gradientBytes(9, 5, 3), compression = 1),
+      TiffCodec.Page(6, 11, 1, gradientBytes(6, 11, 1), compression = 5,
+        predictor = 2),
+      TiffCodec.Page(4, 4, 3, gradientBytes(4, 4, 3), compression = 32773,
+        rowsPerStrip = 2))
+    for (be <- Seq(false, true)) {
+      val bytes = TiffCodec.encodeMultiPage(pages, be)
+      assert(TiffCodec.pageCount(bytes) == 3)
+      pages.zipWithIndex.foreach { case (pg, i) =>
+        val out = TiffCodec.decodePage(bytes, i)
+        assert(out.isDefined, s"be=$be page $i")
+        assert(out.get.width == pg.width && out.get.height == pg.height &&
+          out.get.channels == pg.channels)
+        assert(java.util.Arrays.equals(out.get.data, pg.data), s"be=$be page $i")
+      }
+      assert(TiffCodec.decodePage(bytes, 3).isEmpty)
+      // independent check: ImageIO sees the same page chain
+      val rd = ImageIO.getImageReadersByFormatName("tiff").next()
+      rd.setInput(new MemoryCacheImageInputStream(new ByteArrayInputStream(bytes)))
+      assert(rd.getNumImages(true) == 3, s"be=$be")
+      pages.zipWithIndex.foreach { case (pg, i) =>
+        val img = rd.read(i)
+        assert(img.getWidth == pg.width && img.getHeight == pg.height)
+        if (pg.channels == 3) {
+          for (y <- 0 until pg.height; x <- 0 until pg.width) {
+            val p0 = (y * pg.width + x) * 3
+            val argb = img.getRGB(x, y)
+            assert(((argb >> 16) & 0xff) == (pg.data(p0) & 0xff) &&
+              ((argb >> 8) & 0xff) == (pg.data(p0 + 1) & 0xff) &&
+              (argb & 0xff) == (pg.data(p0 + 2) & 0xff), s"be=$be p$i ($x,$y)")
+          }
+        } else {
+          for (y <- 0 until pg.height; x <- 0 until pg.width)
+            assert(img.getRaster.getSample(x, y, 0) ==
+              (pg.data(y * pg.width + x) & 0xff), s"be=$be p$i ($x,$y)")
+        }
+      }
+      rd.dispose()
+    }
+  }
+
   test("EXIF: APP1 IFD0 round-trips (inline and out-of-line ASCII values)") {
     val p = TiffCodec.withExif(null, orientation = 6,
       dateTime = "2024:03:09 10:11:12", make = "ab", model = "longcameramodel")

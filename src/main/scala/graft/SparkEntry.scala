@@ -1679,9 +1679,10 @@ object SparkEntry {
 
     // M1 (TIFF): baseline TIFF decode round-trip, oracle-gated like m01.
     // Each doc becomes a real TIFF — RGB (even ids) or gray (odd), cycling
-    // none/LZW/PackBits compression, both byte orders, Predictor=2 on the
-    // LZW docs, striped every 5 rows — with formula pixels whose channel
-    // sums the oracle states analytically (lossless -> exact).
+    // none/LZW/Deflate/PackBits compression, both byte orders, Predictor=2
+    // on the LZW and Deflate docs, striped every 5 rows — with formula
+    // pixels whose channel sums the oracle states analytically (lossless
+    // -> exact).
     "m18_tiff_decode" -> ((s, dir) => {
       import s.implicits._
       val W = 16; val H = 16
@@ -1705,12 +1706,12 @@ object SparkEntry {
             }
             y += 1
           }
-          val comp = (id % 3) match {
-            case 0 => 1; case 1 => 5; case _ => 32773
+          val comp = (id % 4) match {
+            case 0 => 1; case 1 => 5; case 2 => 8; case _ => 32773
           }
           val payload = graft.operators.TiffCodec.encode(W, H, ch, data,
             compression = comp, bigEndian = id % 5 < 2, rowsPerStrip = 5,
-            predictor = if (comp == 5) 2 else 1)
+            predictor = if (comp == 5 || comp == 8) 2 else 1)
           (id, payload)
         }).toDF("media_id", "payload")
       graft.operators.Multimodal.decodeRasterFeatures(s, media).toDF()

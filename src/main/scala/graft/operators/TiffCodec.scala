@@ -9,6 +9,7 @@ package graft.operators
   *
   *  - 1 none
   *  - 32773 PackBits (run-length)
+  *  - 8 Deflate/zlib (and the old 32946 alias) via `java.util.zip`
   *  - 5 LZW — the TIFF variant: MSB-first bit packing AND the "early
   *    change" (code width bumps when the next free code reaches
   *    2^bits - 1, one code earlier than GIF's table-full rule — the
@@ -148,7 +149,8 @@ object TiffCodec {
     if (predictor != 1 && predictor != 2) return None
     // Predictor is defined for LZW (TIFF6 section 14); mainstream readers
     // (incl. ImageIO) ignore it elsewhere — honor it only for LZW
-    val applyPredictor = predictor == 2 && compression == 5
+    val applyPredictor = predictor == 2 &&
+      (compression == 5 || compression == 8 || compression == 32946)
     val rowsPerStrip = math.min(oneOr(278, height.toLong), height.toLong).toInt
     if (rowsPerStrip <= 0) return None
     val offsets = tags.getOrElse(273, return None)
@@ -170,6 +172,7 @@ object TiffCodec {
         case 1 => if (raw.length < expect) return None else raw
         case 32773 => unpackBits(raw, expect).getOrElse(return None)
         case 5 => lzwDecode(raw, expect).getOrElse(return None)
+        case 8 | 32946 => inflate(raw, expect).getOrElse(return None)
         case _ => return None
       }
       if (applyPredictor) undiff(data, rows, width, spp)
@@ -338,6 +341,38 @@ object TiffCodec {
     if (o == expect) Some(out) else None
   }
 
+  /** Zlib (Deflate/Adler) strip expansion — TIFF compression 8 (and the
+    * old 32946 alias), `java.util.zip`. */
+  private def inflate(raw: Array[Byte], expect: Int): Option[Array[Byte]] = {
+    val inf = new java.util.zip.Inflater()
+    try {
+      inf.setInput(raw)
+      val out = new Array[Byte](expect)
+      var o = 0
+      while (o < expect && !inf.finished()) {
+        val n =
+          try inf.inflate(out, o, expect - o)
+          catch { case _: java.util.zip.DataFormatException => return None }
+        if (n == 0 && !inf.finished()) return None
+        o += n
+      }
+      if (o == expect) Some(out) else None
+    } finally inf.end()
+  }
+
+  private def deflate(plain: Array[Byte]): Array[Byte] = {
+    val d = new java.util.zip.Deflater()
+    d.setInput(plain); d.finish()
+    val buf = new Array[Byte](plain.length + 64)
+    val bos = new java.io.ByteArrayOutputStream()
+    while (!d.finished()) {
+      val n = d.deflate(buf)
+      bos.write(buf, 0, n)
+    }
+    d.end()
+    bos.toByteArray
+  }
+
   /** Reverse Predictor=2 (horizontal differencing) in place. */
   private def undiff(data: Array[Byte], rows: Int, width: Int, spp: Int): Unit = {
     var r = 0
@@ -383,9 +418,9 @@ object TiffCodec {
     val prepared = pages.map { pg =>
       require(pg.channels == 1 || pg.channels == 3)
       require(pg.data.length == pg.width * pg.height * pg.channels)
-      require(Set(1, 5, 32773).contains(pg.compression))
-      require(pg.predictor == 1 || pg.compression == 5,
-        "Predictor=2 is defined for LZW only (TIFF6 section 14)")
+      require(Set(1, 5, 8, 32773).contains(pg.compression))
+      require(pg.predictor == 1 || pg.compression == 5 || pg.compression == 8,
+        "Predictor=2 is defined for LZW/Deflate only")
       val rps = math.min(pg.rowsPerStrip, pg.height)
       val nStrips = (pg.height + rps - 1) / rps
       val rowBytes = pg.width * pg.channels
@@ -393,12 +428,14 @@ object TiffCodec {
         val rows = math.min(rps, pg.height - st * rps)
         val plain = java.util.Arrays.copyOfRange(pg.data,
           st * rps * rowBytes, st * rps * rowBytes + rows * rowBytes)
-        if (pg.predictor == 2 && pg.compression == 5)
+        if (pg.predictor == 2 &&
+            (pg.compression == 5 || pg.compression == 8))
           diff(plain, rows, pg.width, pg.channels)
         pg.compression match {
           case 1 => plain
           case 32773 => packBits(plain)
           case 5 => lzwEncode(plain)
+          case 8 => deflate(plain)
         }
       }
       (pg, rps, nStrips, strips)

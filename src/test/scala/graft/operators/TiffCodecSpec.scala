@@ -27,11 +27,11 @@ class TiffCodecSpec extends AnyFunSuite {
   test("round-trips: compressions x channels x endianness x strips x predictor") {
     val r = rnd
     for {
-      comp <- Seq(1, 5, 32773)
+      comp <- Seq(1, 5, 8, 32773)
       ch <- Seq(1, 3)
       be <- Seq(false, true)
       rps <- Seq(Int.MaxValue, 3)
-      pred <- (if (comp == 5) Seq(1, 2) else Seq(1))
+      pred <- (if (comp == 5 || comp == 8) Seq(1, 2) else Seq(1))
     } {
       val (w, h) = (13, 9)
       val data =
@@ -77,7 +77,8 @@ class TiffCodecSpec extends AnyFunSuite {
   test("ImageIO-written TIFFs (none/LZW/PackBits, gray + RGB) decode bit-exactly") {
     val r = rnd
     for {
-      comp <- Seq(None, Some("LZW"), Some("PackBits"))
+      comp <- Seq(None, Some("LZW"), Some("PackBits"), Some("Deflate"),
+        Some("ZLib"))
       gray <- Seq(true, false)
     } {
       val (w, h) = (21, 14)
@@ -107,9 +108,9 @@ class TiffCodecSpec extends AnyFunSuite {
 
   test("ImageIO reads our encodes bit-exactly (all compressions, both endians)") {
     for {
-      comp <- Seq(1, 5, 32773)
+      comp <- Seq(1, 5, 8, 32773)
       be <- Seq(false, true)
-      pred <- (if (comp == 5) Seq(1, 2) else Seq(1))
+      pred <- (if (comp == 5 || comp == 8) Seq(1, 2) else Seq(1))
     } {
       val (w, h) = (17, 8)
       val data = gradientBytes(w, h, 3)

@@ -298,4 +298,17 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
     assert(windows.nonEmpty && windows.forall(_.contains("key")),
       s"window not keyed:\n${windows.mkString("\n")}")
   }
+
+  test("IVF-SQ8 and SQ8-recall: no cartesian, no UDF; LSH estimator runs " +
+       "its fused kernels") {
+    for (q <- Seq("e14_ivf_sq8_topk", "e15_sq8_recall")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct") && !p.contains("ScalaUDF"),
+        s"$q:\n${p.take(600)}")
+    }
+    val p = plan("d44_lsh_estimate")
+    assert(p.contains("graft_count_eq") && p.contains("graft_sorted_iu"),
+      p.take(800))
+    assert(!p.contains("CartesianProduct"), p.take(800))
+  }
 }

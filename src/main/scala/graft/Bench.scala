@@ -44,7 +44,7 @@ object Bench {
     "d33_bm25_topk", "d34_bm25_capped", "x05_bpe_train_encode",
     "d37_lm_perplexity", "d38_exact_substr", "d39_suffix_ranks",
     "d40_nb_quality", "d41_token_budget", "d42_host_pagerank",
-    "d43_host_budget", "d44_lsh_estimate")
+    "d43_host_budget", "d44_lsh_estimate", "x06_host_budget_skew")
 
   /** SURVEY §6 per-query budgets (sec, sf0.1 median). A breach triggers an
     * automatic isolated forked-JVM re-run so the artifact adjudicates
@@ -81,7 +81,7 @@ object Bench {
     // d42: ~3 graph rounds of fixed job overhead dominate at sf0.1 (the
     // d31 situation); measured 3.0s isolated -> 1.5x budget.
     "d42_host_pagerank" -> 4.5, "d43_host_budget" -> 1.6,
-    "d44_lsh_estimate" -> 3.1)
+    "d44_lsh_estimate" -> 3.1, "x06_host_budget_skew" -> 1.6)
 
   /** Total GC time (ms) accumulated by all collectors since JVM start. */
   private def gcMillis(): Long = {

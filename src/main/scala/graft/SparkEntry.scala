@@ -988,6 +988,31 @@ object SparkEntry {
         .orderBy("host")
     }),
 
+    // X6: adversarial stress of d43's boundary-bucket window — one hot
+    // host (doc_id%50==0, ~2% of the corpus) carries a CONSTANT score, so
+    // its boundary (host,score) bucket IS the whole host: the documented
+    // degenerate case where the bounded-window claim leans entirely on
+    // doc_id tie-breaking. Same oracle rule as d43 over the skewed input.
+    "x06_host_budget_skew" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"),
+          concat(lit("h"), (col("doc_id") % 50).cast("string")).as("host"),
+          TF.cleanTokens(col("text")).as("w"))
+        .select(col("doc_id"), col("host"),
+          size(col("w")).cast("long").as("n_tokens"),
+          aggregate(col("w"), lit(0L),
+            (acc, x) => acc + length(x).cast("long")).as("suml"))
+        .select(col("doc_id"), col("host"),
+          when(col("doc_id") % 50 === 0, 500L)
+            .when(col("n_tokens") === 0L, 0L)
+            .otherwise(expr("suml * 100 div n_tokens")).as("score"),
+          col("n_tokens"))
+      graft.operators.CorpusSelect.perKeyTokenBudgetSelect(
+          d, "doc_id", "host", "score", "n_tokens", budget = 400L)
+        .withColumnRenamed("key", "host")
+        .orderBy("doc_id")
+    }),
+
     // D44: LSH estimator quality measurement (the e11 recall gate's
     // text-side sibling): per band-candidate pair, the 200-permutation
     // signature-agreement Jaccard estimate vs the exact shingle Jaccard,
@@ -3570,6 +3595,27 @@ object SparkEntry {
          JOIN r2 ON r2.node = n.node
          JOIN r3 ON r3.node = n.node
          ORDER BY host""",
+
+    "x06_host_budget_skew" ->
+      """WITH toks AS (
+           SELECT doc_id, 'h' || (doc_id % 50) AS host,
+                  [x for x in string_split(text, ' ')
+                   if length(x) > 0] AS w
+           FROM documents),
+         d AS (SELECT doc_id, host,
+                 CASE WHEN doc_id % 50 = 0 THEN 500
+                      WHEN len(w) = 0 THEN 0
+                      ELSE COALESCE(list_sum([length(x) for x in w]), 0)
+                           * 100 // len(w) END AS score,
+                 len(w) AS n_tokens
+               FROM toks),
+         c AS (SELECT d.*, SUM(n_tokens) OVER (PARTITION BY host
+                 ORDER BY score DESC, doc_id) AS cum FROM d)
+         SELECT doc_id, host, CAST(score AS BIGINT) AS score,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(CASE WHEN cum <= 400 THEN 1 ELSE 0 END AS BIGINT)
+             AS selected
+         FROM c ORDER BY doc_id""",
 
     "d43_host_budget" ->
       """WITH toks AS (

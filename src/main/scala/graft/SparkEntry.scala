@@ -1294,6 +1294,17 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // E16: PQ recall measurement — completes the recall family (e11 IVF,
+    // e15 SQ8): per query, |PQ-ADC top-5 ∩ exact-L2 top-5| / 5, the trust
+    // number for the ~64x-compressed codes.
+    "e16_pq_recall" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.where(col("vec_id") < 10)
+      val approx = Similarity.pqTopK(emb, q,
+        m = 4, dim = 64, k = 8, iters = 1, topK = 5)
+      Similarity.recallAtKExactL2(emb, q, approx, 5).orderBy("query_id")
+    }),
+
     // E12: the same search THROUGH the persisted index — train + encode
     // once into lake tables (codebooks + ~64x-smaller codes), then serve
     // top-k reading ONLY the codes table. Same oracle as e08: the
@@ -2756,6 +2767,29 @@ object SparkEntry {
         SELECT query_id, rank, neighbor_id, dist
         FROM ranked WHERE rank <= $topK ORDER BY query_id, rank"""
 
+  /** e16: PQ-ADC recall@k vs exact-L2 truth. */
+  private def pqRecallOracle(m: Int, subDim: Int, k: Int, iters: Int,
+                             topK: Int): String =
+    s"""WITH ${pqCtes(m, subDim, k, iters)},
+        tq AS (SELECT vec_id AS query_id, embedding AS q_emb
+               FROM embeddings WHERE vec_id < 10),
+        tr AS (SELECT tq.query_id, e.vec_id AS neighbor_id,
+                 ${duckSqDist("tq.q_emb", "e.embedding")} AS dd
+               FROM tq JOIN embeddings e ON e.vec_id <> tq.query_id),
+        tt AS (SELECT query_id, neighbor_id,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                                    ORDER BY dd ASC, neighbor_id ASC)
+                   AS trk FROM tr),
+        rhits AS (SELECT t.query_id, COUNT(*) AS n
+                  FROM tt t JOIN ranked a ON a.query_id = t.query_id
+                    AND a.neighbor_id = t.neighbor_id
+                  WHERE t.trk <= $topK AND a.rank <= $topK GROUP BY 1)
+        SELECT qq.vec_id AS query_id,
+          CAST(COALESCE(h.n, 0) AS BIGINT) AS n_hits,
+          CAST((COALESCE(h.n, 0) * 1000000) // $topK AS BIGINT) AS recall_e6
+        FROM embeddings qq LEFT JOIN rhits h ON h.query_id = qq.vec_id
+        WHERE qq.vec_id < 10 ORDER BY query_id"""
+
   /** e09: ADC candidates (top `topR`) re-ranked by exact cosine. */
   private def pqRerankOracle(m: Int, subDim: Int, k: Int, iters: Int,
                              topR: Int, topK: Int): String =
@@ -2822,6 +2856,7 @@ object SparkEntry {
     "e06_kmeans_ivf_topk" -> kmeansTopkOracle(8, 2, 5),
     "e11_ivf_recall" -> ivfRecallOracle(8, 2, 5),
     "e15_sq8_recall" -> sq8RecallOracle,
+    "e16_pq_recall" -> pqRecallOracle(4, 16, 8, 1, 5),
     "e07_hyperplane_lsh_near_dup" -> hyperplaneLshOracle(64, 8, 0.35),
     "d17_semdedup" -> semDedupOracle(8, 2, 0.35),
     "e08_pq_adc_topk" -> pqOracle(4, 16, 8, 1, 5),

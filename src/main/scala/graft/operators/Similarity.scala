@@ -48,6 +48,34 @@ object Similarity {
     topK(scored, k)
   }
 
+  /** Recall@k of ANY approximate (query_id, neighbor_id) result set
+    * against exact squared-L2 truth over the index — the shared
+    * measurement behind the e15/e16 recall gates: truth streams the raw
+    * corpus once against the broadcast queries through the codegen sqdist
+    * kernel and ranks with the salted bounded top-k; output one row per
+    * query (query_id, n_hits, recall_e6). */
+  def recallAtKExactL2(index: DataFrame, queries: DataFrame,
+                       approx: DataFrame, k: Int): DataFrame = {
+    val truth = index
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("c_emb"))
+      .join(broadcast(queries.select(col("vec_id").as("query_id"),
+        col("embedding").as("q_emb"))),
+        col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        sqDist(col("q_emb"), col("c_emb")).as("d"))
+    val truthTop = BoundedRank.topKPerKey(truth, Seq("query_id"),
+        Seq(col("d"), col("neighbor_id")), k, rankCol = "rk")
+      .select("query_id", "neighbor_id")
+    val hits = truthTop
+      .join(approx.select("query_id", "neighbor_id"),
+        Seq("query_id", "neighbor_id"))
+      .groupBy("query_id").agg(count(lit(1)).as("n_hits"))
+    queries.select(col("vec_id").as("query_id"))
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"), coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        expr(s"(coalesce(n_hits, 0) * 1000000) div $k").as("recall_e6"))
+  }
+
   /** Per-query top-k by (score desc, neighbor asc) — the shared ranking
     * contract of every similarity search entry point. */
   def topK(scored: DataFrame, k: Int): DataFrame = {

@@ -265,6 +265,46 @@ object StreamingGates {
           StructType.fromDDL("doc_id LONG, n_tokens LONG, score_bits LONG"))
     }),
 
+    // T11: streaming WARC ingest — the Common Crawl front door: warc.gz
+    // shards arrive as a stream, each micro-batch's records explode
+    // (CRC-verified gzip member walk + Content-Length framing + HTTP
+    // split, m17's machinery) and MERGE into a lake table keyed on
+    // (shard, record). One AvailableNow batch over the %10==0 arrivals;
+    // the oracle restates m17's analytic rows for that slice.
+    "t11_stream_warc_ingest" -> ((s, dir) => {
+      import s.implicits._
+      val arrivals = s.read.parquet(s"$dir/documents.parquet")
+        .where(col("doc_id") % 10 === 0)
+        .select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { id =>
+          val k = (1 + id % 3).toInt
+          val recs =
+            Seq(graft.operators.WarcShard.encodeRecord("warcinfo", None,
+              "software: graft\r\n".getBytes("ISO-8859-1"))) ++
+            (1 to k).map { j =>
+              val n = (20 + (id + 7 * j) % 50).toInt
+              val body = Array.tabulate(n)(i =>
+                ((id * 3 + j * 5 + i) % 64 + 32).toByte)
+              val (st, rs) = if (j % 2 == 1) (200, "OK") else (404, "NO")
+              graft.operators.WarcShard.encodeRecord("response",
+                Some(s"http://h${id % 40}.example/p$j"),
+                graft.operators.WarcShard.encodeHttpResponse(st, rs, body))
+            }
+          (id, graft.operators.WarcShard.encodeWarcGz(recs))
+        }).toDF("shard_id", "payload")
+      val in = freshDir("graft_t11_in")
+      writeWave(arrivals, in, "batch.parquet", mtimeSec = 1000)
+      val loc = freshDir("graft_t11_tbl").resolve("records").toString
+      StreamingIngest.drainToTable(s, in.toString, arrivals.schema, loc,
+        freshDir("graft_t11_ck").toString,
+        writeMode = "merge", mergeOn = Seq("shard_id", "rec_idx"),
+        batchTransform = batch =>
+          graft.operators.WarcShard.explodeRecords(batch.sparkSession, batch)
+            .toDF())
+      graft.tables.LakeTable.load(s, loc).read()
+        .orderBy("shard_id", "rec_idx")
+    }),
+
     // T10: the streaming per-host BUDGET admission gate — d43's host cap
     // with the running per-host token total carried in
     // flatMapGroupsWithState state across micro-batches. One AvailableNow
@@ -449,6 +489,36 @@ object StreamingGates {
            AND (length(bin(n.np)) - 1) - (length(bin(n.nn)) - 1)
                + COALESCE(a.tb, 0) <= 0
          ORDER BY d.doc_id""",
+
+    // t11: m17's analytic WARC rows restricted to the %10==0 arrivals
+    // (no request records in the streamed shards)
+    "t11_stream_warc_ingest" ->
+      """WITH d AS (SELECT doc_id AS id, 1 + doc_id % 3 AS k
+                    FROM documents WHERE doc_id % 10 = 0),
+         info AS (
+           SELECT id AS shard_id, 0 AS rec_idx, 'warcinfo' AS warc_type,
+             CAST(NULL AS VARCHAR) AS target_uri, 17 AS content_length,
+             CAST(NULL AS BIGINT) AS http_status,
+             17 AS body_len, 1520 AS body_sum
+           FROM d),
+         rj AS (SELECT id, k, unnest(range(1, k + 1)) AS j FROM d),
+         rn AS (SELECT id, j, 20 + (id + 7 * j) % 50 AS n FROM rj),
+         resp AS (
+           SELECT id AS shard_id, j AS rec_idx, 'response' AS warc_type,
+             'http://h' || (id % 40) || '.example/p' || j AS target_uri,
+             45 + n AS content_length,
+             CASE WHEN j % 2 = 1 THEN 200 ELSE 404 END AS http_status,
+             n AS body_len,
+             (SELECT SUM((id * 3 + j * 5 + i.r) % 64 + 32)
+              FROM range(0, 70) i(r) WHERE i.r < n) AS body_sum
+           FROM rn)
+         SELECT shard_id, CAST(rec_idx AS BIGINT) AS rec_idx, warc_type,
+           target_uri, CAST(content_length AS BIGINT) AS content_length,
+           CAST(http_status AS BIGINT) AS http_status,
+           CAST(body_len AS BIGINT) AS body_len,
+           CAST(body_sum AS BIGINT) AS body_sum
+         FROM (SELECT * FROM info UNION ALL SELECT * FROM resp)
+         ORDER BY shard_id, rec_idx""",
 
     // t10: d43's per-host prefix rule over the %10==0 arrivals, budget 300
     "t10_stream_host_budget" ->

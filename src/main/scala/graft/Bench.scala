@@ -70,7 +70,11 @@ object Bench {
     "d18_keyterms" -> 1.4, "e08_pq_adc_topk" -> 2.1,
     "ev05_asof_join" -> 0.8, "d27_segment_dedup" -> 1.2,
     "d28_overlap_decontaminate" -> 1.3, "d32_dsir_weight" -> 0.6,
-    "d33_bm25_topk" -> 4.5, "d34_bm25_capped" -> 1.5,
+    "d33_bm25_topk" -> 4.5,
+    // d34 re-measured end of r8: 1.55s in-suite / 1.63s isolated on a
+    // quiet box (the earlier 1.5 budget sat AT the measurement with no
+    // 1.5x headroom and tripped a 2% phantom breach); 1.5x rule applied.
+    "d34_bm25_capped" -> 2.4,
     "x05_bpe_train_encode" -> 2.0,
     // d39 is a build-once index (like d30/e12) benched for regression
     // tracking: ~9 prefix-doubling rounds of fixed job overhead dominate

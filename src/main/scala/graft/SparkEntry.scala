@@ -2206,6 +2206,26 @@ object SparkEntry {
         .orderBy("shard_id", "rec_idx")
     }),
 
+    // M1 (Arrow shards): the Hugging Face datasets container, oracle-
+    // gated. Each doc becomes a real multi-batch Arrow IPC file of
+    // (rec_id, label, value) rows; the partition-parallel explode (strict
+    // allocator discipline, schema contract by name/type) must recover
+    // every row and batch boundary exactly — the oracle states them
+    // analytically.
+    "m20_arrow_shards" -> ((s, dir) => {
+      import s.implicits._
+      val shards = t(s, dir, "documents").select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { id =>
+          val k = (2 + id % 3).toInt
+          val rows = (0 until k).map { r =>
+            (id * 10 + r, s"l${(id + r) % 4}", (id % 97).toDouble + r * 0.25)
+          }
+          (id, graft.operators.ArrowShard.encodeShard(rows, batchRows = 2))
+        }).toDF("shard_id", "payload")
+      graft.operators.ArrowShard.explodeRows(s, shards).toDF()
+        .orderBy("shard_id", "row_idx")
+    }),
+
     // F1-F3: the electricity-CSV parser family end to end, oracle-gated.
     // Each doc becomes a multi-section CSV (preamble block + automated
     // 3-column section + manual 2-column section; docs with id % 7 == 0
@@ -4043,6 +4063,15 @@ object SparkEntry {
          FROM (SELECT * FROM info UNION ALL SELECT * FROM resp
                UNION ALL SELECT * FROM req)
          ORDER BY shard_id, rec_idx""",
+
+    "m20_arrow_shards" ->
+      """WITH d AS (SELECT doc_id AS id, 2 + doc_id % 3 AS k FROM documents),
+         r AS (SELECT id, unnest(range(0, k)) AS r FROM d)
+         SELECT id AS shard_id, CAST(r AS BIGINT) AS row_idx,
+           CAST(id * 10 + r AS BIGINT) AS rec_id,
+           'l' || ((id + r) % 4) AS label,
+           CAST((id % 97) + r * 0.25 AS DOUBLE) AS value
+         FROM r ORDER BY shard_id, row_idx""",
 
     "m16_zip_shards" ->
       """WITH m AS (

@@ -948,7 +948,8 @@ object SparkEntry {
           t(s, dir, "documents")
             .select(col("doc_id"), TF.cleanTokens(col("text")).as("tokens"),
               (col("lang") === "en").as("y")),
-          "doc_id", "tokens", "y", isTrain = col("doc_id") % 3 =!= 0)
+          "doc_id", "tokens", "y", isTrain = col("doc_id") % 3 =!= 0,
+          cacheHook = registerCache)
         .orderBy("doc_id")),
 
     // D41: token-budget corpus selection — keep the best docs (by mean

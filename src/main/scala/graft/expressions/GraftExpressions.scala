@@ -68,6 +68,43 @@ case class CountEqExpression(left: Expression, right: Expression)
   override def prettyName: String = "graft_count_eq"
 }
 
+/** Integer squared L2 distance of two equal-length long-code arrays — the
+  * fused form of `aggregate(zip_with(a, b, (x,y) => (x-y)*(x-y)), 0L, +)`,
+  * the SQ8 symmetric-ADC scoring loop (e13/e14). d44 measured the
+  * interpreted HOF shape 2x slower than a fused kernel on the identical
+  * per-pair array walk; the HOF form stays as the bitwise cross-check. */
+case class CodeSqDistExpression(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    def ok(e: Expression) = e.dataType match {
+      case ArrayType(LongType, _) => true
+      case _ => false
+    }
+    if (ok(left) && ok(right))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects array<bigint> code inputs, " +
+          s"got ${left.dataType.sql} and ${right.dataType.sql}")
+  }
+  override def nullSafeEval(a: Any, b: Any): Any =
+    TextHashKernels.codeSqDist(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val tmp = ctx.freshName("codeSqDist")
+      s"""
+         |java.lang.Long $tmp = graft.expressions.TextHashKernels.codeSqDist($a, $b);
+         |if ($tmp == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $tmp.longValue(); }
+       """.stripMargin
+    })
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): CodeSqDistExpression =
+    copy(left = l, right = r)
+  override def prettyName: String = "graft_code_sqdist"
+}
+
 /** Sorted distinct winnowing fingerprints (window-min of n-gram hashes). */
 case class WinnowExpression(child: Expression, n: Int = 3, window: Int = 8)
     extends UnaryExpression {
@@ -363,6 +400,10 @@ class GraftSparkSessionExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_count_eq"),
       new ExpressionInfo(classOf[CountEqExpression].getName, "graft_count_eq"),
       (children: Seq[Expression]) => CountEqExpression(children(0), children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_code_sqdist"),
+      new ExpressionInfo(classOf[CodeSqDistExpression].getName, "graft_code_sqdist"),
+      (children: Seq[Expression]) => CodeSqDistExpression(children(0), children(1))))
     ext.injectFunction((
       FunctionIdentifier("graft_simhash"),
       new ExpressionInfo(classOf[SimhashExpression].getName, "graft_simhash"),

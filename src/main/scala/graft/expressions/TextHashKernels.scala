@@ -121,6 +121,24 @@ object TextHashKernels {
     m
   }
 
+  /** Integer squared L2 distance between two equal-length long-code arrays —
+    * the SQ8 symmetric-ADC inner loop (e13/e14). Ragged lengths yield SQL
+    * null, mirroring the `zip_with` reference formulation (which null-pads
+    * the shorter array and nulls the aggregate). Overflow-safe for 8-bit
+    * codes up to ~1e14 dimensions. */
+  def codeSqDist(a: ArrayData, b: ArrayData): java.lang.Long = {
+    val na = a.numElements()
+    if (na != b.numElements()) return null
+    var i = 0
+    var s = 0L
+    while (i < na) {
+      val d = a.getLong(i) - b.getLong(i)
+      s += d * d
+      i += 1
+    }
+    java.lang.Long.valueOf(s)
+  }
+
   def sortedIU(a: ArrayData, b: ArrayData): ArrayData = {
     val na = a.numElements()
     val nb = b.numElements()

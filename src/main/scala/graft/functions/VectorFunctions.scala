@@ -28,6 +28,11 @@ object VectorFunctions {
   /** Squared L2 distance (double, native kernel). */
   def sqDist(a: Column, b: Column): Column = call_function("graft_sqdist", a, b)
 
+  /** Integer squared code distance over two `array<bigint>` code columns
+    * (the SQ8 symmetric-ADC inner loop; native fused kernel). */
+  def codeSqDist(a: Column, b: Column): Column =
+    call_function("graft_code_sqdist", a, b)
+
   // ---- higher-order-function reference implementations -------------------
 
   /** HOF reference for [[dot]]. */
@@ -45,4 +50,10 @@ object VectorFunctions {
         (x, y) => (x.cast("double") - y.cast("double")) *
           (x.cast("double") - y.cast("double"))),
       lit(0.0), (acc, v) => acc + v)
+
+  /** HOF reference for [[codeSqDist]] (the pre-r9 e13/e14 scoring shape;
+    * kept as the bitwise cross-check of the fused kernel). */
+  def codeSqDistHof(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0L), (acc, d) => acc + d)
 }

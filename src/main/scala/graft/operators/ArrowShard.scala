@@ -31,6 +31,15 @@ object ArrowShard {
   final case class ArrowRow(shard_id: Long, row_idx: Long, rec_id: Long,
                             label: String, value: Double)
 
+  /** parseShard calls whose per-payload allocator still reported
+    * outstanding allocations at close. Arrow Java off-heap memory is freed
+    * only by `release()` — a buffer a corrupt shard abandoned (because
+    * `reader.close()` itself threw) is NOT reclaimed when the allocator
+    * object is garbage-collected, so it leaks for the process lifetime.
+    * This counter makes a corrupt-shard-heavy scan's native-memory growth
+    * observable instead of silent. */
+  val allocatorLeakReports = new java.util.concurrent.atomic.AtomicLong(0L)
+
   /** Parse one shard. Schema contract: columns `rec_id` (Int64),
     * `label` (Utf8), `value` (Float64) — extra columns tolerated,
     * missing/mistyped ones reject the shard. */
@@ -38,46 +47,57 @@ object ArrowShard {
     if (payload == null || payload.length == 0) return Seq.empty
     val out = Seq.newBuilder[ArrowRow]
     val allocator = new RootAllocator(64L << 20)
+    var reader: ArrowFileReader = null
+    var root: VectorSchemaRoot = null
     try {
-      val reader = new ArrowFileReader(
+      reader = new ArrowFileReader(
         new SeekableReadChannel(
           new ByteArrayReadableSeekableByteChannel(payload)), allocator)
-      try {
-        val root = reader.getVectorSchemaRoot
-        var idx = 0L
-        while (reader.loadNextBatch()) {
-          (root.getVector("rec_id"), root.getVector("label"),
-            root.getVector("value")) match {
-            case (id: BigIntVector, lab: VarCharVector, v: Float8Vector) =>
-              var i = 0
-              val n = root.getRowCount
-              while (i < n) {
-                if (!id.isNull(i) && !lab.isNull(i) && !v.isNull(i)) {
-                  out += ArrowRow(shardId, idx, id.get(i),
-                    new String(lab.get(i), "UTF-8"), v.get(i))
-                }
-                idx += 1
-                i += 1
+      root = reader.getVectorSchemaRoot
+      var idx = 0L
+      var ok = true
+      while (ok && reader.loadNextBatch()) {
+        (root.getVector("rec_id"), root.getVector("label"),
+          root.getVector("value")) match {
+          case (id: BigIntVector, lab: VarCharVector, v: Float8Vector) =>
+            var i = 0
+            val n = root.getRowCount
+            while (i < n) {
+              if (!id.isNull(i) && !lab.isNull(i) && !v.isNull(i)) {
+                out += ArrowRow(shardId, idx, id.get(i),
+                  new String(lab.get(i), "UTF-8"), v.get(i))
               }
-            case _ => return Seq.empty // schema contract violated
-          }
+              idx += 1
+              i += 1
+            }
+          case _ => ok = false // schema contract violated
         }
-        out.result()
-      } finally {
-        try reader.close()
-        catch { case scala.util.control.NonFatal(_) => () }
       }
+      if (ok) out.result() else Seq.empty
     } catch {
       case scala.util.control.NonFatal(_) => Seq.empty
     } finally {
-      // A corrupt stream can abandon a partially-loaded batch buffer that
-      // close() reports as a leak (IllegalStateException). Swallow the
-      // REPORT, not the memory: the abandoned reference-counted buffers
-      // die with this per-payload allocator object — nothing survives the
-      // task — and a throwing close here would turn a bad shard into a
-      // task failure, breaking the no-rows-never-throw contract.
+      // Separate guarded close steps: a throw from one must not skip the
+      // next. root.close() releases the loaded batch vectors even when
+      // reader.close() would throw on the corrupt stream state; only what
+      // BOTH closes released can the allocator account as freed.
+      if (root != null) {
+        try root.close()
+        catch { case scala.util.control.NonFatal(_) => () }
+      }
+      if (reader != null) {
+        try reader.close()
+        catch { case scala.util.control.NonFatal(_) => () }
+      }
       try allocator.close()
-      catch { case _: IllegalStateException => () }
+      catch {
+        case _: IllegalStateException =>
+          // Outstanding allocations at close = abandoned direct buffers
+          // this process will never get back. Count it (observable), but
+          // do not throw — a bad shard must not kill the task.
+          allocatorLeakReports.incrementAndGet()
+          ()
+      }
     }
   }
 

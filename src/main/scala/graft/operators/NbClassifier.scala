@@ -46,12 +46,16 @@ object NbClassifier {
 
   /** A fitted quantized NB model: `counts` (w, cPos, cNeg) pruned to
     * `minCount` total occurrences, plus the four scalars the score needs.
-    * `counts` is PERSISTED when the caller asked for an owned model —
-    * call [[Model.unpersist]] when done. */
+    * `raw` is the UNPRUNED count table `counts` filters — the DataFrame
+    * that actually carries the persist when the caller asked for an owned
+    * model (so the totals collect during [[fit]] and every later score
+    * share ONE explode+groupBy over the training occurrences) — call
+    * [[Model.unpersist]] when done. */
   final case class Model(counts: DataFrame, tPos: Long, tNeg: Long,
-                         nPos: Long, nNeg: Long) {
+                         nPos: Long, nNeg: Long,
+                         private val raw: DataFrame) {
     def priorBits: Long = flog2Long(nPos) - flog2Long(nNeg)
-    def unpersist(): Unit = counts.unpersist()
+    def unpersist(): Unit = raw.unpersist()
   }
 
   /** floor(log2(x)) for x >= 1, exactly, via the binary string length —
@@ -71,20 +75,25 @@ object NbClassifier {
     * must be non-empty in tokens and docs — a one-class "corpus" has no
     * odds to learn. `minCount` prunes the vocabulary (the standard
     * tail-trim that lets the count table broadcast); pruned tokens score
-    * as unseen. With `persistTables` the caller owns the persisted count
-    * table via [[Model.unpersist]]; one-shot callers leave it lazy. */
+    * as unseen. `cacheHook` owns the UNPRUNED count table's persist (the
+    * totals collect materializes it, so training is ONE aggregation over
+    * the occurrences no matter how many batches later score): the default
+    * plain-persists it and the caller releases via [[Model.unpersist]];
+    * a harness passes its cache registry; `identity` opts out of caching
+    * entirely (the totals pass then runs the aggregation once more when
+    * scoring first materializes — the no-resident-cache tradeoff). */
   def fit(docs: DataFrame, idCol: String, tokensCol: String,
           labelCol: String, minCount: Long = 1L,
-          persistTables: Boolean = true): Model = {
+          cacheHook: DataFrame => DataFrame = _.persist()): Model = {
     val occ = occurrences(docs, idCol, tokensCol)
       .join(docs.select(col(idCol).as("doc_id"),
         col(labelCol).cast("boolean").as("y")), Seq("doc_id"))
-    // One pass: per-token pos/neg occurrence counts + class token totals.
-    val counts0 = occ.groupBy(col("w")).agg(
+    // One pass: per-token pos/neg occurrence counts; totals + pruning both
+    // read the (hook-owned) result of this single aggregation.
+    val counts0 = cacheHook(occ.groupBy(col("w")).agg(
       sum(when(col("y"), 1L).otherwise(0L)).as("cPos"),
-      sum(when(col("y"), 0L).otherwise(1L)).as("cNeg"))
-    val counts1 = counts0.where(col("cPos") + col("cNeg") >= minCount)
-    val counts = if (persistTables) counts1.persist() else counts1
+      sum(when(col("y"), 0L).otherwise(1L)).as("cNeg")))
+    val counts = counts0.where(col("cPos") + col("cNeg") >= minCount)
     val Array(tPos, tNeg) = counts0
       .agg(coalesce(sum("cPos"), lit(0L)), coalesce(sum("cNeg"), lit(0L)))
       .collect()(0).toSeq.map(_.asInstanceOf[Long]).toArray
@@ -95,7 +104,7 @@ object NbClassifier {
       .toArray
     require(tPos > 0 && tNeg > 0 && nPos > 0 && nNeg > 0,
       s"both classes need training mass: tPos=$tPos tNeg=$tNeg nPos=$nPos nNeg=$nNeg")
-    Model(counts, tPos, tNeg, nPos, nNeg)
+    Model(counts, tPos, tNeg, nPos, nNeg, raw = counts0)
   }
 
   /** Score every doc: (doc_id, n_tokens, score_bits, predicted) — one row
@@ -122,14 +131,17 @@ object NbClassifier {
           .cast("long").as("predicted"): _*)
   }
 
-  /** One-shot convenience: fit on the `isTrain` slice (lazy tables, no
-    * cache outlives the query), score EVERY doc. Output carries is_train
-    * for downstream splits. */
+  /** One-shot convenience: fit on the `isTrain` slice, score EVERY doc.
+    * `cacheHook` receives the count table's persist (pass the harness
+    * cache registry so the resident model is released after the query is
+    * consumed; the `identity` default keeps the old lazy no-cache
+    * behavior). Output carries is_train for downstream splits. */
   def classify(docs: DataFrame, idCol: String, tokensCol: String,
                labelCol: String, isTrain: Column,
-               minCount: Long = 1L): DataFrame = {
+               minCount: Long = 1L,
+               cacheHook: DataFrame => DataFrame = identity): DataFrame = {
     val model = fit(docs.where(isTrain), idCol, tokensCol, labelCol,
-      minCount, persistTables = false)
+      minCount, cacheHook)
     score(docs.withColumn("is_train", isTrain.cast("long")),
       idCol, tokensCol, model, carry = Seq("is_train"))
   }

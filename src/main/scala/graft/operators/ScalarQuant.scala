@@ -76,9 +76,8 @@ object ScalarQuant {
     val scored = coded
       .join(broadcast(q), col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"),
-        aggregate(zip_with(col("q_codes"), col("codes"),
-            (a, b) => (a - b) * (a - b)),
-          lit(0L), (acc, d) => acc + d).as("dist"))
+        graft.functions.VectorFunctions.codeSqDist(
+          col("q_codes"), col("codes")).as("dist"))
     BoundedRank.topKPerKey(scored, Seq("query_id"),
         Seq(col("dist"), col("neighbor_id")), k, rankCol = "rank")
       .select("query_id", "rank", "neighbor_id", "dist")
@@ -87,30 +86,12 @@ object ScalarQuant {
   /** Recall@k of the SQ8 search against exact squared-L2 truth — E11's
     * measurement applied to this compression tier: per query,
     * |SQ top-k ∩ exact top-k| / k, the number a recipe consults before
-    * trusting the 4x-compressed index. Truth streams the raw corpus once
-    * against the broadcast queries (the codegen sqdist kernel); the SQ
-    * side is [[topK]]. */
+    * trusting the 4x-compressed index. The truth ranking and hit counting
+    * are [[Similarity.recallAtKExactL2]] (shared with e16); the SQ side
+    * is [[topK]]. */
   def recallAtK(index: DataFrame, queries: DataFrame, k: Int,
-                model: Model): DataFrame = {
-    val truth = index
-      .select(col("vec_id").as("neighbor_id"), col("embedding").as("c_emb"))
-      .join(broadcast(queries.select(col("vec_id").as("query_id"),
-        col("embedding").as("q_emb"))),
-        col("neighbor_id") =!= col("query_id"))
-      .select(col("query_id"), col("neighbor_id"),
-        graft.functions.VectorFunctions.sqDist(col("q_emb"), col("c_emb")).as("d"))
-    val truthTop = BoundedRank.topKPerKey(truth, Seq("query_id"),
-        Seq(col("d"), col("neighbor_id")), k, rankCol = "rk")
-      .select("query_id", "neighbor_id")
-    val approx = topK(index, queries, k, model)
-      .select("query_id", "neighbor_id")
-    val hits = truthTop.join(approx, Seq("query_id", "neighbor_id"))
-      .groupBy("query_id").agg(count(lit(1)).as("n_hits"))
-    queries.select(col("vec_id").as("query_id"))
-      .join(hits, Seq("query_id"), "left")
-      .select(col("query_id"), coalesce(col("n_hits"), lit(0L)).as("n_hits"),
-        expr(s"(coalesce(n_hits, 0) * 1000000) div $k").as("recall_e6"))
-  }
+                model: Model): DataFrame =
+    Similarity.recallAtKExactL2(index, queries, topK(index, queries, k, model), k)
 
   /** IVF-SQ8 (faiss `IndexIVFScalarQuantizer`): coarse cells bound the
     * candidate space BEFORE the code scan — the corpus meets the queries
@@ -130,9 +111,8 @@ object ScalarQuant {
       .join(q, col("q_cell") === col("c_cell"))
       .where(col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"),
-        aggregate(zip_with(col("q_codes"), col("codes"),
-            (a, b) => (a - b) * (a - b)),
-          lit(0L), (acc, d) => acc + d).as("dist"))
+        graft.functions.VectorFunctions.codeSqDist(
+          col("q_codes"), col("codes")).as("dist"))
     BoundedRank.topKPerKey(scored, Seq("query_id"),
         Seq(col("dist"), col("neighbor_id")), k, rankCol = "rank")
       .select("query_id", "rank", "neighbor_id", "dist")

@@ -25,16 +25,24 @@ import org.apache.spark.sql.functions._
   * rows, never a task-killing throw. A CRC-corrupt member, a bad version
   * line, a short block or a missing separator rejects the WHOLE shard —
   * WARC has no trailing structure to resync on safely (a damaged
-  * Content-Length desynchronizes every later record). Decompression is
-  * allocation-guarded; a tiny gzip bomb cannot claim gigabytes. A
-  * response record whose HTTP prelude is malformed keeps its record row
-  * (the WARC layer framed it correctly) with a null status and the whole
-  * block as body.
+  * Content-Length desynchronizes every later record). A response record
+  * whose HTTP prelude is malformed keeps its record row (the WARC layer
+  * framed it correctly) with a null status and the whole block as body.
+  *
+  * Memory stance (the production-shard story): records STREAM through a
+  * rolling buffer — each gzip member inflates in chunks, complete records
+  * drain off the buffer's head as they frame, and nothing ever holds the
+  * whole inflated shard. Memory is bounded by the largest single RECORD
+  * (`maxRecordBytes`, default 64 MiB — parameterized, so a multi-GiB
+  * Common Crawl shard of ordinary-sized records parses in O(record)
+  * memory), and a gzip bomb meets the same per-record guard: bytes that
+  * never frame a record within the guard reject the shard.
   */
 object WarcShard {
 
-  /** Guard on decompressed shard bytes. */
-  final val MaxShardBytes: Int = 1 << 26 // 64 MiB
+  /** Default guard on any SINGLE framed record (header block + body +
+    * separator). NOT a whole-shard cap — total shard size is unbounded. */
+  final val MaxRecordBytes: Int = 1 << 26 // 64 MiB
 
   /** One parsed record: `http_status`/HTTP split only for response
     * records whose payload parses; otherwise the block IS the body. */
@@ -45,28 +53,29 @@ object WarcShard {
                               http_status: Option[Long],
                               body_len: Long, body_sum: Long)
 
-  // ---- gzip member walk ----------------------------------------------
+  // ---- streaming gzip member walk ------------------------------------
 
-  /** Split concatenated gzip members, inflating each with its own
-    * CRC-32/ISIZE verification. Input without the gzip magic passes
-    * through as a single pseudo-member (plain `.warc`). None on any
-    * corruption or when the total inflated size exceeds the guard. */
-  def gunzipMembers(p: Array[Byte]): Option[Vector[Array[Byte]]] = {
-    if (p == null || p.length == 0) return None
+  /** Walk the concatenated gzip members of `p`, inflating in chunks pushed
+    * to `sink` (sink returning false aborts the walk). Every member's
+    * CRC-32 and ISIZE trailer is verified before `memberDone` may fire —
+    * the multi-member structure `GZIPInputStream` would silently flatten.
+    * Input without the gzip magic passes through as one pseudo-member
+    * (plain `.warc`). Returns false on any corruption or abort. */
+  private def gzipWalk(p: Array[Byte],
+                       sink: (Array[Byte], Int) => Boolean,
+                       memberDone: () => Boolean): Boolean = {
     if (p.length < 2 || (p(0) & 0xff) != 0x1f || (p(1) & 0xff) != 0x8b)
-      return Some(Vector(p))
-    val out = Vector.newBuilder[Array[Byte]]
+      return sink(p, p.length) && memberDone()
     var at = 0
-    var total = 0L
     while (at < p.length) {
       // -- member header
-      if (at + 10 > p.length) return None
-      if ((p(at) & 0xff) != 0x1f || (p(at + 1) & 0xff) != 0x8b) return None
-      if ((p(at + 2) & 0xff) != 8) return None // DEFLATE only
+      if (at + 10 > p.length) return false
+      if ((p(at) & 0xff) != 0x1f || (p(at + 1) & 0xff) != 0x8b) return false
+      if ((p(at + 2) & 0xff) != 8) return false // DEFLATE only
       val flg = p(at + 3) & 0xff
       var h = at + 10
       if ((flg & 4) != 0) { // FEXTRA
-        if (h + 2 > p.length) return None
+        if (h + 2 > p.length) return false
         val xlen = (p(h) & 0xff) | ((p(h + 1) & 0xff) << 8)
         h += 2 + xlen
       }
@@ -75,101 +84,142 @@ object WarcShard {
         while (i < p.length && p(i) != 0) i += 1
         if (i >= p.length) -1 else i + 1
       }
-      if ((flg & 8) != 0) { h = skipZString(h); if (h < 0) return None }
-      if ((flg & 16) != 0) { h = skipZString(h); if (h < 0) return None }
+      if ((flg & 8) != 0) { h = skipZString(h); if (h < 0) return false }
+      if ((flg & 16) != 0) { h = skipZString(h); if (h < 0) return false }
       if ((flg & 2) != 0) h += 2 // FHCRC over the header: length skip
-      if (h > p.length) return None
-      // -- deflate body
+      if (h > p.length) return false
+      // -- deflate body, chunk by chunk
       val inf = new java.util.zip.Inflater(true)
       try {
         inf.setInput(p, h, p.length - h)
-        val bos = new java.io.ByteArrayOutputStream()
         val crc = new java.util.zip.CRC32()
-        val buf = new Array[Byte](8192)
+        var isize = 0L
+        val buf = new Array[Byte](64 << 10)
         while (!inf.finished()) {
           val n =
             try inf.inflate(buf)
-            catch { case _: java.util.zip.DataFormatException => return None }
-          if (n == 0 && !inf.finished()) return None // truncated stream
-          if (total + n > MaxShardBytes) return None
-          total += n
-          bos.write(buf, 0, n)
-          crc.update(buf, 0, n)
+            catch { case _: java.util.zip.DataFormatException => return false }
+          if (n == 0 && !inf.finished()) return false // truncated stream
+          if (n > 0) {
+            crc.update(buf, 0, n)
+            isize += n
+            if (!sink(buf, n)) return false
+          }
         }
-        val member = bos.toByteArray
         val trailerAt = h + inf.getBytesRead.toInt
-        if (trailerAt + 8 > p.length) return None
+        if (trailerAt + 8 > p.length) return false
         def le32(i: Int): Long =
           (p(i) & 0xffL) | ((p(i + 1) & 0xffL) << 8) |
             ((p(i + 2) & 0xffL) << 16) | ((p(i + 3) & 0xffL) << 24)
-        if (le32(trailerAt) != crc.getValue) return None
-        if (le32(trailerAt + 4) != (member.length & 0xffffffffL)) return None
-        out += member
+        if (le32(trailerAt) != crc.getValue) return false
+        if (le32(trailerAt + 4) != (isize & 0xffffffffL)) return false
+        if (!memberDone()) return false
         at = trailerAt + 8
       } finally inf.end()
     }
-    Some(out.result())
+    true
   }
 
-  // ---- WARC record walk ----------------------------------------------
+  // ---- rolling buffer + incremental record framing --------------------
 
-  private final case class RawRecord(warcType: String,
-                                     targetUri: Option[String],
-                                     contentLength: Long,
-                                     blockAt: Int)
-
-  /** Parse every record of an (uncompressed) WARC byte stream
-    * sequentially. None on ANY framing damage. */
-  private def records(p: Array[Byte]): Option[Vector[(RawRecord, Array[Byte])]] = {
-    val out = Vector.newBuilder[(RawRecord, Array[Byte])]
-    var at = 0
-    def lineEnd(from: Int): Int = { // index of CR of the next CRLF
-      var i = from
-      while (i + 1 < p.length && !(p(i) == '\r' && p(i + 1) == '\n')) i += 1
-      if (i + 1 >= p.length) -1 else i
-    }
-    while (at < p.length) {
-      val ve = lineEnd(at)
-      if (ve < 0) return None
-      val version = new String(p, at, ve - at, "ISO-8859-1")
-      if (version != "WARC/1.0" && version != "WARC/1.1") return None
-      var i = ve + 2
-      var warcType: String = null
-      var uri: Option[String] = None
-      var clen = -1L
-      var headersDone = false
-      while (!headersDone) {
-        val he = lineEnd(i)
-        if (he < 0) return None
-        if (he == i) { headersDone = true; i += 2 } // empty line
-        else {
-          val line = new String(p, i, he - i, "ISO-8859-1")
-          val colon = line.indexOf(':')
-          if (colon <= 0) return None
-          val name = line.substring(0, colon).trim
-          val value = line.substring(colon + 1).trim
-          name.toLowerCase match {
-            case "warc-type" => warcType = value
-            case "warc-target-uri" => uri = Some(value)
-            case "content-length" =>
-              clen = try value.toLong catch { case _: NumberFormatException => return None }
-            case _ => ()
-          }
-          i = he + 2
-        }
+  /** Growable byte window with a consumed head — the O(largest record)
+    * working set of the streaming walk. Compaction shifts the unconsumed
+    * tail to the front before growing. */
+  private final class RollingBuffer {
+    private var buf = new Array[Byte](64 << 10)
+    private var head = 0
+    private var tail = 0
+    def size: Int = tail - head
+    def append(b: Array[Byte], len: Int): Unit = {
+      if (tail + len > buf.length) {
+        val need = size + len
+        val target =
+          if (need <= buf.length) buf
+          else new Array[Byte](math.max(buf.length * 2, Integer.highestOneBit(need) * 2))
+        System.arraycopy(buf, head, target, 0, size)
+        tail -= head
+        head = 0
+        buf = target
       }
-      if (warcType == null || clen < 0) return None
-      if (i + clen > p.length) return None
-      val block = java.util.Arrays.copyOfRange(p, i, (i + clen).toInt)
-      // mandatory two CRLFs after the block
-      val sep = i + clen.toInt
-      if (sep + 4 > p.length) return None
-      if (!(p(sep) == '\r' && p(sep + 1) == '\n' &&
-            p(sep + 2) == '\r' && p(sep + 3) == '\n')) return None
-      out += ((RawRecord(warcType, uri, clen, i), block))
-      at = sep + 4
+      System.arraycopy(b, 0, buf, tail, len)
+      tail += len
     }
-    Some(out.result())
+    def apply(i: Int): Byte = buf(head + i)
+    /** Relative index of the CR of the next CRLF at-or-after `from`; -1
+      * when no complete CRLF is in the window. */
+    def crlfAt(from: Int): Int = {
+      var i = head + from
+      while (i + 1 < tail && !(buf(i) == '\r' && buf(i + 1) == '\n')) i += 1
+      if (i + 1 >= tail) -1 else i - head
+    }
+    def string(from: Int, len: Int): String =
+      new String(buf, head + from, len, "ISO-8859-1")
+    def bytes(from: Int, len: Int): Array[Byte] =
+      java.util.Arrays.copyOfRange(buf, head + from, head + from + len)
+    def drop(n: Int): Unit = {
+      head += n
+      if (head == tail) { head = 0; tail = 0 }
+    }
+  }
+
+  private final val NeedMore = -1
+  private final val Broken = -2
+
+  /** Try to frame ONE record at the buffer head: returns the bytes
+    * consumed (the row lands in `out`), [[NeedMore]] when the window holds
+    * only a prefix, or [[Broken]] on framing damage / a record whose
+    * framed size exceeds `maxRecordBytes`. */
+  private def frameOne(rb: RollingBuffer, shardId: Long, recIdx: Long,
+                       maxRecordBytes: Int,
+                       out: scala.collection.mutable.Builder[WarcRecord, Vector[WarcRecord]]): Int = {
+    val ve = rb.crlfAt(0)
+    if (ve < 0) return NeedMore
+    val version = rb.string(0, ve)
+    if (version != "WARC/1.0" && version != "WARC/1.1") return Broken
+    var i = ve + 2
+    var warcType: String = null
+    var uri: Option[String] = None
+    var clen = -1L
+    var headersDone = false
+    while (!headersDone) {
+      val he = rb.crlfAt(i)
+      if (he < 0) return NeedMore
+      if (he == i) { headersDone = true; i += 2 } // empty line
+      else {
+        val line = rb.string(i, he - i)
+        val colon = line.indexOf(':')
+        if (colon <= 0) return Broken
+        val name = line.substring(0, colon).trim
+        val value = line.substring(colon + 1).trim
+        name.toLowerCase match {
+          case "warc-type" => warcType = value
+          case "warc-target-uri" => uri = Some(value)
+          case "content-length" =>
+            clen = try value.toLong catch { case _: NumberFormatException => return Broken }
+          case _ => ()
+        }
+        i = he + 2
+      }
+    }
+    if (warcType == null || clen < 0) return Broken
+    val framed = i.toLong + clen + 4L // header + block + CRLF CRLF
+    if (framed > maxRecordBytes) return Broken
+    if (framed > rb.size) return NeedMore
+    val sep = i + clen.toInt
+    if (!(rb(sep) == '\r' && rb(sep + 1) == '\n' &&
+          rb(sep + 2) == '\r' && rb(sep + 3) == '\n')) return Broken
+    val block = rb.bytes(i, clen.toInt)
+    val http = if (warcType == "response") httpSplit(block) else None
+    val (status, body) = http match {
+      case Some((s, b)) => (Some(s), b)
+      case None => (None, block)
+    }
+    var sum = 0L
+    var j = 0
+    while (j < body.length) { sum += body(j) & 0xff; j += 1 }
+    out += WarcRecord(shardId, recIdx, warcType, uri, clen, status,
+      body.length.toLong, sum)
+    framed.toInt
   }
 
   /** Split an HTTP/1.x response payload into (status, body). None when
@@ -188,45 +238,62 @@ object WarcShard {
     Some((status, java.util.Arrays.copyOfRange(block, i + 4, block.length)))
   }
 
-  /** All records of one shard, or empty on any damage. */
-  def parseShard(shardId: Long, payload: Array[Byte]): Seq[WarcRecord] = {
-    val parsed = for {
-      members <- gunzipMembers(payload)
-      all <- {
-        // concatenate members, then walk records: correct for the
-        // record-per-member convention AND for multi-record members
-        val size = members.map(_.length.toLong).sum
-        if (size > MaxShardBytes) None
-        else {
-          val buf = new java.io.ByteArrayOutputStream(size.toInt)
-          members.foreach(m => buf.write(m, 0, m.length))
-          records(buf.toByteArray)
+  /** All records of one shard, or empty on any damage. Streaming: memory
+    * is bounded by the largest single record (`maxRecordBytes`), never the
+    * shard — records drain off the rolling buffer as each gzip member
+    * inflates, and the member/record structures need not align (the
+    * record-per-member Common Crawl convention AND multi-record members
+    * both walk correctly). Rows buffer until the WHOLE shard verifies
+    * (rows are small stats; damage anywhere must reject everything). */
+  def parseShard(shardId: Long, payload: Array[Byte],
+                 maxRecordBytes: Int = MaxRecordBytes): Seq[WarcRecord] = {
+    if (payload == null || payload.length == 0) return Vector.empty
+    val out = Vector.newBuilder[WarcRecord]
+    val rb = new RollingBuffer
+    var recIdx = 0L
+    // Drain complete records off the buffer head; false on framing damage.
+    def drain(): Boolean = {
+      var going = true
+      while (going) {
+        frameOne(rb, shardId, recIdx, maxRecordBytes, out) match {
+          case NeedMore => going = false
+          case Broken => return false
+          case consumed =>
+            rb.drop(consumed)
+            recIdx += 1
         }
       }
-    } yield all.zipWithIndex.map { case ((r, block), idx) =>
-      val http = if (r.warcType == "response") httpSplit(block) else None
-      val (status, body) = http match {
-        case Some((s, b)) => (Some(s), b)
-        case None => (None, block)
-      }
-      var sum = 0L
-      var i = 0
-      while (i < body.length) { sum += body(i) & 0xff; i += 1 }
-      WarcRecord(shardId, idx.toLong, r.warcType, r.targetUri,
-        r.contentLength, status, body.length.toLong, sum)
+      true
     }
-    parsed.getOrElse(Vector.empty)
+    // Chunk sink: drain lazily (only past the guard) so the per-record
+    // rescan cost amortizes to ~one framing pass per record; a window the
+    // guard's size that still frames nothing IS the damage case (this is
+    // what bounds a gzip bomb — bytes that never frame a record).
+    def push(chunk: Array[Byte], len: Int): Boolean = {
+      rb.append(chunk, len)
+      if (rb.size > maxRecordBytes) {
+        if (!drain()) return false
+        if (rb.size > maxRecordBytes) return false
+      }
+      true
+    }
+    val ok = gzipWalk(payload, push, () => drain()) &&
+      drain() && rb.size == 0 // trailing partial record = truncation
+    if (ok) out.result() else Vector.empty
   }
 
   /** Explode (shard_id, payload) rows into one row per WARC record,
-    * partition-parallel — the scan step of a crawl-curation ingest. */
-  def explodeRecords(spark: SparkSession, shards: DataFrame): Dataset[WarcRecord] = {
+    * partition-parallel — the scan step of a crawl-curation ingest.
+    * `maxRecordBytes` is the per-record guard [[parseShard]] applies. */
+  def explodeRecords(spark: SparkSession, shards: DataFrame,
+                     maxRecordBytes: Int = MaxRecordBytes): Dataset[WarcRecord] = {
     import spark.implicits._
     shards
       .where(col("payload").isNotNull)
       .select(col("shard_id"), col("payload"))
       .as[(Long, Array[Byte])]
-      .mapPartitions(_.flatMap { case (id, bytes) => parseShard(id, bytes) })
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        parseShard(id, bytes, maxRecordBytes) })
   }
 
   // ---- fixture encoders ----------------------------------------------

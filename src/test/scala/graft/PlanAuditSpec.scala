@@ -279,12 +279,15 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
     assert(!plan("d42_host_pagerank").contains("CartesianProduct"))
   }
 
-  test("SQ8 search broadcasts the query side; codes are a codegen projection") {
+  test("SQ8 search broadcasts the query side; codes are a codegen projection; " +
+       "scoring runs the fused code-sqdist kernel") {
     val p = plan("e13_sq8_topk")
     assert(!p.contains("CartesianProduct"), p.take(800))
     assert(!p.contains("ScalaUDF"), p.take(800))
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
       p.take(800))
+    assert(p.contains("graft_code_sqdist"), p.take(800))
+    assert(plan("e14_ivf_sq8_topk").contains("graft_code_sqdist"))
   }
 
   test("WARC explode is a single-pass scan: no join") {

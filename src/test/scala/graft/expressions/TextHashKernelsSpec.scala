@@ -45,6 +45,26 @@ class TextHashKernelsSpec extends AnyFunSuite with SparkSpec {
     both.collect().foreach(r => assert(r.getSeq[Long](0) == r.getSeq[Long](1)))
   }
 
+  test("code-sqdist kernel == HOF zip_with formulation, incl. ragged-null") {
+    val df = Seq(
+      (Array(0L, 255L, 17L, 3L), Array(255L, 0L, 17L, 200L)),
+      (Array(1L, 2L, 3L), Array(1L, 2L, 3L)),
+      (Array.emptyLongArray, Array.emptyLongArray))
+      .toDF("a", "b")
+    df.select(expr("graft_code_sqdist(a, b)").as("kernel"),
+        graft.functions.VectorFunctions.codeSqDistHof(col("a"), col("b")).as("hof"))
+      .collect().foreach { r =>
+        assert(r.isNullAt(0) == r.isNullAt(1))
+        if (!r.isNullAt(0)) assert(r.getLong(0) == r.getLong(1))
+      }
+    // ragged lengths: HOF null-pads then nulls the sum; kernel must agree
+    val ragged = Seq((Array(1L, 2L), Array(1L, 2L, 3L))).toDF("a", "b")
+    val rr = ragged.select(expr("graft_code_sqdist(a, b)").as("kernel"),
+      graft.functions.VectorFunctions.codeSqDistHof(col("a"), col("b")).as("hof"))
+      .collect().head
+    assert(rr.isNullAt(0) && rr.isNullAt(1))
+  }
+
   test("sortedIU computes exact intersection/union of sorted sets") {
     val df = Seq((Array(1L, 3L, 5L, 7L), Array(3L, 4L, 5L, 9L, 11L))).toDF("a", "b")
     val r = df.select(expr("graft_sorted_iu(a, b)")).collect().head.getSeq[Long](0)

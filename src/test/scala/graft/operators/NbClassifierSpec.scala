@@ -93,7 +93,7 @@ class NbClassifierSpec extends AnyFunSuite with SparkSpec {
     val df = Seq((1L, Seq("a"), true), (2L, Seq("b"), true))
       .toDF("doc_id", "tokens", "y")
     intercept[IllegalArgumentException] {
-      NbClassifier.fit(df, "doc_id", "tokens", "y", persistTables = false)
+      NbClassifier.fit(df, "doc_id", "tokens", "y", cacheHook = identity)
     }
   }
 }

@@ -112,6 +112,26 @@ class WarcShardSpec extends AnyFunSuite with SparkSpec {
     assert(parseShard(1L, wrapped).isEmpty)
   }
 
+  test("shards inflating past 64 MiB parse when every record is in-guard (streaming walk)") {
+    // 70 x 1 MiB records = 70 MiB inflated — over the old whole-shard cap;
+    // the rolling buffer must stream them in O(record) memory.
+    val big = new Array[Byte](1 << 20)
+    val recs = (1 to 70).map(i =>
+      encodeRecord("resource", Some(s"urn:blob:$i"), big))
+    val out = parseShard(4L, encodeWarcGz(recs))
+    assert(out.size == 70)
+    assert(out.forall(_.body_len == (1L << 20)))
+    assert(out.map(_.rec_idx) == (0L until 70L))
+  }
+
+  test("a single record over maxRecordBytes rejects the shard; raising the guard admits it") {
+    val body = new Array[Byte](96 << 10)
+    val shard = gz(encodeRecord("resource", None, body))
+    assert(parseShard(1L, shard, maxRecordBytes = 64 << 10).isEmpty)
+    assert(parseShard(1L, shard, maxRecordBytes = 128 << 10).size == 1)
+    assert(parseShard(1L, shard).size == 1) // default 64 MiB guard
+  }
+
   test("bit-flip fuzz never throws") {
     val p = gz(infoRec, resp)
     val rnd = new scala.util.Random(5)

@@ -44,7 +44,13 @@ object Bench {
     "d33_bm25_topk", "d34_bm25_capped", "x05_bpe_train_encode",
     "d37_lm_perplexity", "d38_exact_substr", "d39_suffix_ranks",
     "d40_nb_quality", "d41_token_budget", "d42_host_pagerank",
-    "d43_host_budget", "d44_lsh_estimate", "x06_host_budget_skew")
+    "d43_host_budget", "d44_lsh_estimate", "x06_host_budget_skew",
+    // r9: the previously-unbenched r8 families (VERDICT r8 missing #3) +
+    // the x07 degenerate-score stress
+    "x07_token_budget_degenerate",
+    "e13_sq8_topk", "e14_ivf_sq8_topk",
+    "m15_tar_shards", "m16_zip_shards", "m17_warc_records",
+    "m20_arrow_shards", "t11_stream_warc_ingest")
 
   /** SURVEY §6 per-query budgets (sec, sf0.1 median). A breach triggers an
     * automatic isolated forked-JVM re-run so the artifact adjudicates
@@ -81,11 +87,21 @@ object Bench {
     // at sf0.1; the per-round data cost only matters at real scale.
     "d37_lm_perplexity" -> 2.0, "d38_exact_substr" -> 4.5,
     "d39_suffix_ranks" -> 13.0,
-    "d40_nb_quality" -> 2.0, "d41_token_budget" -> 1.0,
+    "d40_nb_quality" -> 2.0,
     // d42: ~3 graph rounds of fixed job overhead dominate at sf0.1 (the
     // d31 situation); measured 3.0s isolated -> 1.5x budget.
     "d42_host_pagerank" -> 4.5, "d43_host_budget" -> 1.6,
-    "d44_lsh_estimate" -> 3.1, "x06_host_budget_skew" -> 1.6)
+    "d44_lsh_estimate" -> 3.1, "x06_host_budget_skew" -> 1.6,
+    // r9 rows, 1.5x rule on fresh sf0.1 medians. d41 re-measured after the
+    // adaptive plan switch (0.92s: the histogram now also counts rows);
+    // x07 is the forced two-level plan on the constant-score corpus.
+    // e13/e14 run the fused graft_code_sqdist kernel (0.63/0.53s vs
+    // 0.99/0.74s interpreted HOF — the d44 result reproduced here).
+    "d41_token_budget" -> 1.4, "x07_token_budget_degenerate" -> 1.4,
+    "e13_sq8_topk" -> 1.0, "e14_ivf_sq8_topk" -> 0.8,
+    "m15_tar_shards" -> 1.4, "m16_zip_shards" -> 1.0,
+    "m17_warc_records" -> 2.4, "m20_arrow_shards" -> 0.8,
+    "t11_stream_warc_ingest" -> 2.2)
 
   /** Total GC time (ms) accumulated by all collectors since JVM start. */
   private def gcMillis(): Long = {

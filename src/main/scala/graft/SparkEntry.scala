@@ -1014,6 +1014,25 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // X7: adversarial stress of d41's boundary bucket — a CONSTANT-score
+    // corpus collapses the cutoff bucket to the WHOLE corpus, the
+    // documented degenerate of score-partitioned selection (x06's
+    // treatment applied to the corpus-global form). The two-level cumsum
+    // inside tokenBudgetSelect bounds every window partition regardless
+    // of score skew (4096-doc_id leaves + a coarse pass over leaf
+    // totals); the oracle states the same naive global-window rule as
+    // d41 over the degenerate input.
+    "x07_token_budget_degenerate" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"), TF.cleanTokens(col("text")).as("w"))
+        .select(col("doc_id"), lit(500L).as("score"),
+          size(col("w")).cast("long").as("n_tokens"))
+      graft.operators.CorpusSelect.tokenBudgetSelectFraction(
+          d, "doc_id", "score", "n_tokens", 3L, 10L,
+          maxBucketRows = 0L) // pin the two-level plan at gate scale
+        .orderBy("doc_id")
+    }),
+
     // D44: LSH estimator quality measurement (the e11 recall gate's
     // text-side sibling): per band-candidate pair, the 200-permutation
     // signature-agreement Jaccard estimate vs the exact shingle Jaccard,
@@ -3672,6 +3691,21 @@ object SparkEntry {
            CAST(CASE WHEN cum <= 400 THEN 1 ELSE 0 END AS BIGINT)
              AS selected
          FROM c ORDER BY doc_id""",
+
+    "x07_token_budget_degenerate" ->
+      """WITH toks AS (
+           SELECT doc_id, [x for x in string_split(text, ' ')
+                           if length(x) > 0] AS w
+           FROM documents),
+         d AS (SELECT doc_id, 500 AS score, len(w) AS n_tokens FROM toks),
+         b AS (SELECT SUM(n_tokens) * 3 // 10 AS budget FROM d),
+         c AS (SELECT d.*, SUM(n_tokens) OVER (ORDER BY score DESC, doc_id)
+                 AS cum FROM d)
+         SELECT doc_id, CAST(score AS BIGINT) AS score,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(CASE WHEN c.cum <= b.budget THEN 1 ELSE 0 END AS BIGINT)
+             AS selected
+         FROM c CROSS JOIN b ORDER BY doc_id""",
 
     "d43_host_budget" ->
       """WITH toks AS (

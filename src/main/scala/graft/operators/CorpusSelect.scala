@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -24,9 +24,27 @@ import org.apache.spark.sql.functions._
   *     score s* and the residual budget r inside the boundary bucket;
   *  3. selection is then a map-side comparison for every bucket except
   *     the boundary one, which needs a cumsum WITHIN that single bucket —
-  *     a window partitioned BY SCORE (parallel across buckets, no global
-  *     exchange; skew is bounded by the largest bucket, which the score
-  *     contract keeps a vanishing corpus fraction).
+  *     and the PLAN for that cumsum is chosen ADAPTIVELY from the exact
+  *     histogram the driver already holds: when every bucket is small
+  *     (row counts are in the histogram), a window partitioned by score
+  *     does bounded per-bucket work in one exchange; when any bucket is
+  *     large (the degenerate: a constant-score corpus collapses the
+  *     boundary bucket to the WHOLE corpus), a TWO-LEVEL cumsum bounds
+  *     every window partition regardless of skew.
+  *
+  * The two-level cumsum: doc_ids group by their high bits
+  * (`doc_id >> groupShift`, arithmetic shift — monotone over the FULL
+  * signed range, so group order extends doc_id order). A per-(score,
+  * group) partial-sum table (corpus/2^groupShift rows) takes a window
+  * over GROUPS per score for each group's exclusive prefix, then joins
+  * back and a window inside each (score, group) leaf — at most
+  * 2^groupShift doc_id values — finishes the cumsum. No window partition
+  * ever exceeds max(#groups, leaf width) rows regardless of score skew:
+  * the x07 adversarial gate holds by construction, not by data luck.
+  * Exactness: group order refines doc_id order, so exclusive-group-prefix
+  * + within-group inclusive cumsum IS the within-bucket inclusive cumsum.
+  * The adaptive switch trades the two extra exchanges for skew immunity
+  * exactly when the stats say the immunity is needed.
   *
   * Equivalence to the naive rule is exact: docs above the boundary bucket
   * have running totals <= the full-prefix total <= budget; docs inside it
@@ -36,51 +54,92 @@ import org.apache.spark.sql.functions._
   */
 object CorpusSelect {
 
+  /** Default leaf width (log2) of the two-level cumsum: level-2 windows
+    * hold at most 2^12 = 4096 rows; level-1 windows hold corpus/4096
+    * rows per score bucket. */
+  val DefaultGroupShift: Int = 12
+
+  /** Largest per-score bucket (rows) the single-window plan may sort in
+    * one partition before the adaptive switch picks the two-level cumsum.
+    * 4M rows of (long, long, long) is tens of MB per task — comfortably
+    * in-memory on any executor profile. */
+  val DefaultMaxBucketRows: Long = 1L << 22
+
   /** Flag every doc with whether it makes the cut: input (idCol, scoreCol,
     * tokensCol) -> output (doc_id, score, n_tokens, selected 0/1).
-    * `budget` is the inclusive running-token ceiling. */
+    * `budget` is the inclusive running-token ceiling. `maxBucketRows`
+    * tunes the adaptive plan switch (0 forces the two-level cumsum —
+    * what the x07 gate pins). */
   def tokenBudgetSelect(docs: DataFrame, idCol: String, scoreCol: String,
-                        tokensCol: String, budget: Long): DataFrame = {
+                        tokensCol: String, budget: Long,
+                        groupShift: Int = DefaultGroupShift,
+                        maxBucketRows: Long = DefaultMaxBucketRows): DataFrame = {
     val d = docs.select(col(idCol).as("doc_id"),
       col(scoreCol).cast("long").as("score"),
       col(tokensCol).cast("long").as("n_tokens"))
-    // 1. score histogram (bounded by score cardinality).
-    val hist = d.groupBy("score").agg(sum("n_tokens").as("bt"))
-      .collect().map(r => r.getLong(0) -> r.getLong(1))
-      .sortBy { case (s, _) => -s }
+    // 1. score histogram (bounded by score cardinality), with row counts
+    //    so the plan switch below decides from exact stats.
+    val hist = d.groupBy("score")
+      .agg(sum("n_tokens").as("bt"), count(lit(1)).as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy { case (s, _, _) => -s }
     // 2. fold to (cutoff, residual-in-cutoff-bucket). No boundary bucket
     //    (everything fits) -> cutoff below every score, select all.
     var cum = 0L
     var cutoff = Long.MinValue
     var residual = 0L
     var exhausted = false
-    hist.foreach { case (s, bt) =>
+    hist.foreach { case (s, bt, _) =>
       if (!exhausted) {
         if (cum + bt <= budget) cum += bt
         else { cutoff = s; residual = budget - cum; exhausted = true }
       }
     }
     // 3. boundary bucket resolves by a within-bucket cumsum; every other
-    //    bucket is a constant comparison. The window partitions by score,
-    //    so only the one boundary partition does ordered work.
-    val w = Window.partitionBy("score").orderBy("doc_id")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val inBucketCum = sum("n_tokens").over(w)
-    d.withColumn("selected",
-        when(col("score") > cutoff, 1L)
-          .when(col("score") === cutoff,
-            when(inBucketCum <= residual, 1L).otherwise(0L))
-          .otherwise(0L))
+    //    bucket is a constant comparison.
+    val biggest = if (hist.isEmpty) 0L else hist.map(_._3).max
+    val inBucketCum =
+      if (biggest <= maxBucketRows) {
+        // Every bucket is small: one exchange on score, bounded
+        // per-bucket ordered work.
+        val w = Window.partitionBy("score").orderBy("doc_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        sum("n_tokens").over(w)
+      } else null // marker: take the two-level path below
+    val flag = (cumCol: Column) =>
+      when(col("score") > cutoff, 1L)
+        .when(col("score") === cutoff,
+          when(cumCol <= residual, 1L).otherwise(0L))
+        .otherwise(0L)
+    if (inBucketCum != null) d.withColumn("selected", flag(inBucketCum))
+    else {
+      val dg = d.withColumn("g", shiftright(col("doc_id"), groupShift))
+      val coarse = dg.groupBy("score", "g").agg(sum("n_tokens").as("gt"))
+      val wg = Window.partitionBy("score").orderBy("g")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val offsets = coarse
+        .withColumn("goff", coalesce(sum("gt").over(wg), lit(0L)))
+        .select("score", "g", "goff")
+      val wl = Window.partitionBy("score", "g").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      dg.join(offsets, Seq("score", "g"))
+        .withColumn("selected",
+          flag(col("goff") + sum("n_tokens").over(wl)))
+        .select("doc_id", "score", "n_tokens", "selected")
+    }
   }
 
   /** Budget as a fraction `num/den` of the corpus's own total tokens —
     * the scale-free form a recipe config states ("keep the top 30%"). */
   def tokenBudgetSelectFraction(docs: DataFrame, idCol: String,
                                 scoreCol: String, tokensCol: String,
-                                num: Long, den: Long): DataFrame = {
+                                num: Long, den: Long,
+                                groupShift: Int = DefaultGroupShift,
+                                maxBucketRows: Long = DefaultMaxBucketRows): DataFrame = {
     val total = docs.agg(coalesce(sum(col(tokensCol).cast("long")), lit(0L)))
       .collect()(0).getLong(0)
-    tokenBudgetSelect(docs, idCol, scoreCol, tokensCol, total * num / den)
+    tokenBudgetSelect(docs, idCol, scoreCol, tokensCol, total * num / den,
+      groupShift, maxBucketRows)
   }
 
   /** PER-KEY token-budget selection — "no host contributes more than B

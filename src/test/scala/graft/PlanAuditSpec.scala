@@ -275,6 +275,20 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
       s"window not partitioned by score:\n${windows.mkString("\n")}")
   }
 
+  test("x07: the degenerate-score path runs the two-level cumsum — the " +
+       "corpus-sized window is leaf-keyed, never an unkeyed global sort") {
+    val p = plan("x07_token_budget_degenerate")
+    val windows = "Window .*".r.findAllIn(p).toSeq
+    // The doc-level cumsum (the only window ordering by doc_id) must be
+    // partitioned by the leaf key g — 4096-doc_id partitions regardless of
+    // score skew. (score is a literal in this gate, so Catalyst folds it
+    // out of the partition specs; the coarse level-1 window correctly runs
+    // over the corpus/4096-row GROUP table, which may single-partition.)
+    val docWindows = windows.filter(_.contains("doc_id"))
+    assert(docWindows.nonEmpty && docWindows.forall(_.contains("[g#")),
+      s"corpus-sized window not leaf-keyed:\n${windows.mkString("\n")}")
+  }
+
   test("PageRank rounds leave no cartesian in the trajectory assembly") {
     assert(!plan("d42_host_pagerank").contains("CartesianProduct"))
   }

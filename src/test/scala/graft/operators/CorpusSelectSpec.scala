@@ -60,6 +60,28 @@ class CorpusSelectSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("two-level boundary cumsum is exact across leaf widths, negative " +
+       "doc_ids and the constant-score degenerate") {
+    val rnd = new scala.util.Random(41)
+    // constant score -> the boundary bucket IS the whole corpus (the x07
+    // shape); shift 0 = every doc its own leaf (level-1 window does all
+    // the work), 63 = two sign groups, 3 = mixed.
+    for (shift <- Seq(0, 1, 3, 63)) {
+      val ids = rnd.shuffle((-75L until 75L).toList)
+      val d = ids.map(i => (i, 5L, rnd.nextInt(20).toLong))
+      val total = d.map(_._3).sum
+      for (budget <- Seq(0L, total / 3, total)) {
+        val got = CorpusSelect.tokenBudgetSelect(
+            d.toDF("doc_id", "score", "n_tokens"),
+            "doc_id", "score", "n_tokens", budget, groupShift = shift,
+            maxBucketRows = 0L)
+          .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("selected"))
+          .toMap
+        assert(got == naive(d, budget), s"shift=$shift budget=$budget")
+      }
+    }
+  }
+
   private def runPerKey(docs: Seq[(Long, String, Long, Long)],
                         budget: Long): Map[Long, Long] =
     CorpusSelect.perKeyTokenBudgetSelect(

@@ -50,7 +50,8 @@ object Bench {
     "x07_token_budget_degenerate",
     "e13_sq8_topk", "e14_ivf_sq8_topk",
     "m15_tar_shards", "m16_zip_shards", "m17_warc_records",
-    "m20_arrow_shards", "t11_stream_warc_ingest")
+    "m20_arrow_shards", "t11_stream_warc_ingest",
+    "d45_curation_pipeline")
 
   /** SURVEY §6 per-query budgets (sec, sf0.1 median). A breach triggers an
     * automatic isolated forked-JVM re-run so the artifact adjudicates
@@ -101,7 +102,12 @@ object Bench {
     "e13_sq8_topk" -> 1.0, "e14_ivf_sq8_topk" -> 0.8,
     "m15_tar_shards" -> 1.4, "m16_zip_shards" -> 1.0,
     "m17_warc_records" -> 2.4, "m20_arrow_shards" -> 0.8,
-    "t11_stream_warc_ingest" -> 2.2)
+    "t11_stream_warc_ingest" -> 2.2,
+    // d45 composes six stages yet runs near d02 alone: every stage
+    // operates on the previous stage's SURVIVORS (the LSH pass sees only
+    // the classifier+perplexity pool), and stage checkpoints keep the
+    // composed plan linear. 2.35s measured -> 1.5x rule.
+    "d45_curation_pipeline" -> 3.5)
 
   /** Total GC time (ms) accumulated by all collectors since JVM start. */
   private def gcMillis(): Long = {

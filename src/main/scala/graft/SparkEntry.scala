@@ -1043,6 +1043,105 @@ object SparkEntry {
       Dedup.minhashEstimateQuality(t(s, dir, "documents"), "doc_id", "text")
         .orderBy("doc_a", "doc_b")),
 
+    // D45: the COMPOSED curation pipeline — the product the whole §2.11
+    // roster exists to ship, as one gate: NB classifier (d40) -> LM
+    // perplexity filter (d37) -> near-dup prune (d02's verified-pair
+    // rule) -> per-host cap (d43) -> global token budget (d41) ->
+    // temperature mixture (k04), each stage consuming the PREVIOUS
+    // stage's survivors (d11 proved composition gates catch semantics
+    // stage gates can't: stage ordering, survivor-set plumbing, cache
+    // discipline across consumers). The classifier's score_bits rides
+    // through as the selection signal; the LM trains on the SURVIVORS'
+    // trusted slice and keeps docs no worse than the survivor-mean
+    // bits/kilotoken (zero-token docs keep — no evidence against them).
+    // Output: one row per ORIGINAL doc with monotone per-stage survival
+    // flags, so the hash compare pins every stage's survivor set. Scale
+    // shape: every stage is its gated operator's exact plan over a
+    // shrinking survivor set; survivor join-backs all key on doc_id (one
+    // reusable shuffle key); at production scale each stage's survivors
+    // would checkpoint to a lake table instead of the session cache.
+    "d45_curation_pipeline" -> ((s, dir) => {
+      import graft.operators.{BoundedRank, CorpusSelect, NbClassifier, NgramLm}
+      // Stage boundary: materialize the survivors and CUT the lineage.
+      // Without the cut the composed analyzed plan grows MULTIPLICATIVELY
+      // (every stage's tree embeds the whole prefix several times over —
+      // measured 195s of pure Catalyst plan processing at sf0.01, nearly
+      // data-independent); with it each stage optimizes its own small
+      // plan. localCheckpoint is the session-local stand-in for what a
+      // production pipeline does anyway: checkpoint each stage's
+      // survivors to a lake table.
+      def stage(df: DataFrame): DataFrame = df.localCheckpoint(true)
+      val docs = t(s, dir, "documents").select("doc_id", "text", "lang")
+      val tok = registerCache(docs.select(col("doc_id"), col("lang"),
+        col("text"), TF.cleanTokens(col("text")).as("tokens")))
+      // 1. quality classifier: train on the raw corpus's trusted slice,
+      //    keep docs the model calls positive.
+      val s1 = stage(NbClassifier.classify(
+          tok.select(col("doc_id"), col("tokens"),
+            (col("lang") === "en").as("y")),
+          "doc_id", "tokens", "y", isTrain = col("doc_id") % 3 =!= 0,
+          cacheHook = registerCache)
+        .where(col("predicted") === 1L)
+        .select(col("doc_id"), col("score_bits")))
+      val d1 = registerCache(tok.join(s1, "doc_id"))
+      // 2. LM perplexity filter over the survivors.
+      val ppl = NgramLm.perplexityBits(d1, "doc_id", "tokens",
+        isTrain = col("doc_id") % 3 =!= 0)
+      val lmd = d1.select(col("doc_id"), col("score_bits"))
+        .join(ppl.select(col("doc_id"), col("n_tokens"), col("bits")),
+          Seq("doc_id"), "left")
+        .select(col("doc_id"), col("score_bits"),
+          coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+          coalesce(col("bits"), lit(0L)).as("bits"))
+      val mstat = lmd.agg(sum("bits").as("tb"), sum("n_tokens").as("tt"))
+      val s2 = stage(lmd.crossJoin(broadcast(mstat))
+        .where(col("n_tokens") === 0L ||
+          expr("bits * 1000 div n_tokens") <=
+            when(col("tt") > 0L, expr("tb * 1000 div tt")).otherwise(lit(0L)))
+        .select("doc_id", "score_bits", "n_tokens"))
+      // 3. near-dup prune: drop the larger id of every verified pair
+      //    among survivors (keep-first, d11's rule).
+      val pairs = Dedup.minhashNearDupPairs(
+        tok.join(s2.select("doc_id"), "doc_id").select("doc_id", "text"),
+        "doc_id", "text")
+      val s3 = stage(s2.join(
+        pairs.select(col("doc_b").as("doc_id")).distinct(),
+        Seq("doc_id"), "left_anti"))
+      // 4. per-host contribution cap, best-first by the classifier signal.
+      val s4 = stage(CorpusSelect.perKeyTokenBudgetSelect(
+          s3.withColumn("host",
+            concat(lit("h"), (col("doc_id") % 50).cast("string"))),
+          "doc_id", "host", "score_bits", "n_tokens", budget = 400L)
+        .where(col("selected") === 1L)
+        .select(col("doc_id"), col("score"), col("n_tokens")))
+      // 5. global token budget: 30% of the SURVIVING tokens.
+      val s5 = stage(CorpusSelect.tokenBudgetSelectFraction(
+          s4, "doc_id", "score", "n_tokens", 3L, 10L)
+        .where(col("selected") === 1L).select("doc_id"))
+      // 6. temperature mixture over the final pool.
+      val l6 = registerCache(s5.join(tok.select("doc_id", "lang"), "doc_id"))
+      val wts = l6.groupBy("lang").agg(count(lit(1)).as("c"))
+        .withColumn("w", TR.isqrt(col("c")))
+      val quotas = wts.crossJoin(wts.agg(sum(col("w")).as("tot_w")))
+        .select(col("lang"), expr("(100 * w) div tot_w").as("quota"))
+      val s6 = BoundedRank.topKPerKey(l6, Seq("lang"),
+          Seq(md5(col("doc_id").cast("string")), col("doc_id")), k = 100)
+        .join(broadcast(quotas), "lang")
+        .where(col("rk") <= col("quota"))
+        .select("doc_id")
+      def f(ids: DataFrame, n: String) =
+        ids.select(col("doc_id")).withColumn(n, lit(1L))
+      val flags = Seq("s_quality", "s_perplexity", "s_neardup",
+        "s_hostcap", "s_budget", "s_mixture")
+      Seq(s1, s2, s3, s4, s5, s6).zip(flags)
+        .foldLeft(docs.select("doc_id")) { case (acc, (ids, n)) =>
+          acc.join(f(ids, n), Seq("doc_id"), "left")
+        }
+        .select(col("doc_id") +:
+          flags.map(n => coalesce(col(n), lit(0L)).as(n)): _*)
+        .orderBy("doc_id")
+    }),
+
     // D43: per-host token budgets (the C4/RefinedWeb per-domain
     // contribution cap): within each host, best docs first until 400
     // tokens. The Spark side never holds a whole host in one task (the
@@ -2582,6 +2681,149 @@ object SparkEntry {
         WHERE doc_id NOT IN (SELECT doc_b FROM neardrop)
         ORDER BY doc_id"""
 
+  /** d45: the composed curation pipeline, every stage restated naively
+    * over the previous stage's survivors — d40's classifier, d37's LM
+    * (trained on the SURVIVORS' trusted slice), d02's verified-pair prune,
+    * d43's per-host cap, d41's global budget (both as naive windows), and
+    * k04's mixture — with one monotone survival flag per stage. */
+  private def curationPipelineOracle: String =
+    s"""WITH toks AS MATERIALIZED (
+          SELECT doc_id, lang, (doc_id % 3 <> 0) AS train,
+                 (lang = 'en') AS ispos,
+                 [x for x in string_split(text, ' ')
+                  if length(x) > 0] AS w
+          FROM documents),
+        -- stage 1: quantized NB classifier (d40) on the raw corpus
+        tok1 AS (SELECT doc_id, train, ispos, unnest(w) AS w FROM toks),
+        tr1 AS (SELECT * FROM tok1 WHERE train),
+        cnt1 AS (SELECT w, SUM(CASE WHEN ispos THEN 1 ELSE 0 END) AS cp,
+                        SUM(CASE WHEN ispos THEN 0 ELSE 1 END) AS cn
+                 FROM tr1 GROUP BY 1),
+        tot1 AS (SELECT SUM(CASE WHEN ispos THEN 1 ELSE 0 END) AS tp,
+                        SUM(CASE WHEN ispos THEN 0 ELSE 1 END) AS tn
+                 FROM tr1),
+        nd1 AS (SELECT SUM(CASE WHEN ispos THEN 1 ELSE 0 END) AS np,
+                       SUM(CASE WHEN ispos THEN 0 ELSE 1 END) AS nn
+                FROM toks WHERE train),
+        sc1 AS (SELECT t.doc_id,
+                  (length(bin(COALESCE(c.cp, 0) + 1)) - 1)
+                  - (length(bin(COALESCE(c.cn, 0) + 1)) - 1)
+                  + (length(bin(tt.tn)) - 1) - (length(bin(tt.tp)) - 1) AS b
+                FROM tok1 t LEFT JOIN cnt1 c USING (w) CROSS JOIN tot1 tt),
+        agg1 AS (SELECT doc_id, SUM(b) AS tb FROM sc1 GROUP BY 1),
+        s1 AS MATERIALIZED (
+          SELECT d.doc_id,
+            (length(bin(n.np)) - 1) - (length(bin(n.nn)) - 1)
+              + COALESCE(a.tb, 0) AS score_bits
+          FROM documents d LEFT JOIN agg1 a USING (doc_id)
+          CROSS JOIN nd1 n
+          WHERE (length(bin(n.np)) - 1) - (length(bin(n.nn)) - 1)
+              + COALESCE(a.tb, 0) > 0),
+        -- stage 2: bigram LM (d37) trained on the survivors' trusted slice
+        t2 AS (SELECT toks.doc_id, toks.train, toks.w
+               FROM toks JOIN s1 USING (doc_id)),
+        p2 AS (SELECT doc_id, train, pos, w[pos] AS cur,
+                 CASE WHEN pos > 1 THEN w[pos-1] END AS prev
+               FROM (SELECT doc_id, train,
+                       unnest(range(1, len(w)+1)) AS pos, w FROM t2)),
+        tr2 AS (SELECT * FROM p2 WHERE train),
+        ts2 AS (SELECT COUNT(*) AS t FROM tr2),
+        u2 AS (SELECT cur AS w, COUNT(*) AS c FROM tr2 GROUP BY 1),
+        bg2 AS (SELECT prev, cur, COUNT(*) AS c FROM tr2
+                WHERE prev IS NOT NULL GROUP BY 1, 2),
+        sc2 AS (SELECT p.doc_id,
+                  CASE WHEN p.pos = 1 THEN
+                    CASE WHEN u.c IS NOT NULL
+                         THEN (length(bin(s.t))-1) - (length(bin(u.c))-1)
+                         ELSE (length(bin(s.t))-1) + 4 END
+                  ELSE
+                    CASE WHEN b.c IS NOT NULL
+                         THEN (length(bin(up.c))-1) - (length(bin(b.c))-1)
+                         WHEN u.c IS NOT NULL
+                         THEN 3 + (length(bin(s.t))-1) - (length(bin(u.c))-1)
+                         ELSE 3 + (length(bin(s.t))-1) + 4 END
+                  END AS bits
+                FROM p2 p
+                LEFT JOIN u2 u ON u.w = p.cur
+                LEFT JOIN u2 up ON up.w = p.prev
+                LEFT JOIN bg2 b ON b.prev = p.prev AND b.cur = p.cur
+                CROSS JOIN ts2 s),
+        lm2 AS (SELECT doc_id, COUNT(*) AS n_tokens, SUM(bits) AS bits
+                FROM sc2 GROUP BY 1),
+        lmd AS (SELECT s1.doc_id, s1.score_bits,
+                  COALESCE(l.n_tokens, 0) AS n_tokens,
+                  COALESCE(l.bits, 0) AS bits
+                FROM s1 LEFT JOIN lm2 l USING (doc_id)),
+        mstat AS (SELECT SUM(bits) AS tb, SUM(n_tokens) AS tt FROM lmd),
+        s2 AS MATERIALIZED (
+          SELECT doc_id, score_bits, n_tokens FROM lmd CROSS JOIN mstat
+          WHERE n_tokens = 0 OR (bits * 1000 // n_tokens) <=
+            (CASE WHEN tt > 0 THEN tb * 1000 // tt ELSE 0 END)),
+        -- stage 3: MinHash-LSH near-dup prune (d02 rule) over survivors
+        docs3 AS (SELECT d.doc_id, d.text
+                  FROM documents d JOIN s2 USING (doc_id)),
+        ${minhashCtes("docs3")},
+        neardrop AS (SELECT DISTINCT doc_b FROM ver WHERE i * 5 >= u * 4),
+        s3 AS MATERIALIZED (
+          SELECT * FROM s2
+          WHERE doc_id NOT IN (SELECT doc_b FROM neardrop)),
+        -- stage 4: per-host 400-token cap (d43 rule), best-first by score
+        c4 AS (SELECT s3.*, SUM(n_tokens) OVER (
+                 PARTITION BY 'h' || (doc_id % 50)
+                 ORDER BY score_bits DESC, doc_id) AS cum FROM s3),
+        s4 AS MATERIALIZED (
+          SELECT doc_id, score_bits, n_tokens FROM c4 WHERE cum <= 400),
+        -- stage 5: global 30-percent token budget (d41 rule)
+        b5 AS (SELECT SUM(n_tokens) * 3 // 10 AS budget FROM s4),
+        c5 AS (SELECT s4.*, SUM(n_tokens) OVER (
+                 ORDER BY score_bits DESC, doc_id) AS cum FROM s4),
+        s5 AS MATERIALIZED (
+          SELECT doc_id FROM c5 CROSS JOIN b5 WHERE cum <= budget),
+        -- stage 6: sqrt-temperature mixture (k04 rule) over the pool
+        l6 AS (SELECT s5.doc_id, d.lang
+               FROM s5 JOIN documents d USING (doc_id)),
+        cnt6 AS (SELECT lang, COUNT(*) AS c FROM l6 GROUP BY 1),
+        w6 AS (SELECT lang,
+                 (CASE
+                   WHEN CAST(floor(sqrt(CAST(c AS DOUBLE))) AS BIGINT)
+                        * CAST(floor(sqrt(CAST(c AS DOUBLE))) AS BIGINT) > c
+                     THEN CAST(floor(sqrt(CAST(c AS DOUBLE))) AS BIGINT) - 1
+                   WHEN (CAST(floor(sqrt(CAST(c AS DOUBLE))) AS BIGINT) + 1)
+                        * (CAST(floor(sqrt(CAST(c AS DOUBLE))) AS BIGINT) + 1) <= c
+                     THEN CAST(floor(sqrt(CAST(c AS DOUBLE))) AS BIGINT) + 1
+                   ELSE CAST(floor(sqrt(CAST(c AS DOUBLE))) AS BIGINT)
+                  END) AS w
+               FROM cnt6),
+        q6 AS (SELECT lang, (100 * w) // (SELECT SUM(w) FROM w6) AS quota
+               FROM w6),
+        r6 AS (SELECT lang, doc_id,
+                 ROW_NUMBER() OVER (PARTITION BY lang
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+               FROM l6),
+        s6 AS (SELECT r6.doc_id FROM r6 JOIN q6 USING (lang)
+               WHERE rk <= quota)
+        SELECT d.doc_id,
+          CAST(CASE WHEN f1.doc_id IS NULL THEN 0 ELSE 1 END AS BIGINT)
+            AS s_quality,
+          CAST(CASE WHEN f2.doc_id IS NULL THEN 0 ELSE 1 END AS BIGINT)
+            AS s_perplexity,
+          CAST(CASE WHEN f3.doc_id IS NULL THEN 0 ELSE 1 END AS BIGINT)
+            AS s_neardup,
+          CAST(CASE WHEN f4.doc_id IS NULL THEN 0 ELSE 1 END AS BIGINT)
+            AS s_hostcap,
+          CAST(CASE WHEN f5.doc_id IS NULL THEN 0 ELSE 1 END AS BIGINT)
+            AS s_budget,
+          CAST(CASE WHEN f6.doc_id IS NULL THEN 0 ELSE 1 END AS BIGINT)
+            AS s_mixture
+        FROM documents d
+        LEFT JOIN s1 f1 ON f1.doc_id = d.doc_id
+        LEFT JOIN s2 f2 ON f2.doc_id = d.doc_id
+        LEFT JOIN s3 f3 ON f3.doc_id = d.doc_id
+        LEFT JOIN s4 f4 ON f4.doc_id = d.doc_id
+        LEFT JOIN s5 f5 ON f5.doc_id = d.doc_id
+        LEFT JOIN s6 f6 ON f6.doc_id = d.doc_id
+        ORDER BY d.doc_id"""
+
   /** d24: surviving-doc counts per corpus-clean stage. */
   private def cleanReportOracle: String =
     s"""WITH $corpusCleanCtes
@@ -3296,6 +3538,7 @@ object SparkEntry {
     "d03_simhash" -> simhashOracle,
 
     "d11_corpus_clean" -> corpusCleanOracle,
+    "d45_curation_pipeline" -> curationPipelineOracle,
     "d23_incremental_dedup" -> incrementalDedupOracle,
     "d30_lsh_index_probe" -> lshIndexProbeOracle,
     // t07 (StreamingGates): the streaming admission gate drains one

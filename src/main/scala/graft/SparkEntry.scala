@@ -2345,6 +2345,41 @@ object SparkEntry {
         .orderBy("shard_id", "row_idx")
     }),
 
+    // M1 (Arrow schema breadth): schema-DRIVEN shard materialization —
+    // published HF shards ship ARBITRARY schemas (typed ints, float4,
+    // bool, lists, dictionary-encoded strings), not one fixed layout.
+    // Each doc becomes a typed one-batch shard (rid int32, name utf8 —
+    // DICTIONARY-encoded on odd ids, score float4, flags bool, tags
+    // list<int64>); the reader materializes under the caller's Spark
+    // contract (int32->long and float4->double widening, dictionary
+    // decode — all analytically stated by the oracle). The tags array
+    // projects to (count, sum) so the compare stays scalar.
+    "m21_arrow_schema" -> ((s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.types._
+      val contract = StructType(Seq(
+        StructField("rid", LongType), StructField("name", StringType),
+        StructField("score", DoubleType), StructField("flags", BooleanType),
+        StructField("tags", ArrayType(LongType))))
+      val shards = t(s, dir, "documents").select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { id =>
+          val k = (2 + id % 3).toInt
+          val rows = (0 until k).map { r =>
+            (((id % 100000000L) * 10 + r).toInt, s"n${(id + r) % 5}",
+              ((id % 7) + r * 0.5).toFloat, (id + r) % 2 == 0,
+              Seq(id, id + r, r.toLong))
+          }
+          (id, graft.operators.ArrowShard.encodeTypedShard(rows,
+            dictEncodeName = id % 2 == 1))
+        }).toDF("shard_id", "payload")
+      graft.operators.ArrowShard.explodeRowsAs(s, shards, contract)
+        .select(col("shard_id"), col("row_idx"), col("rid"), col("name"),
+          col("score"), col("flags").cast("long").as("flag"),
+          size(col("tags")).cast("long").as("n_tags"),
+          aggregate(col("tags"), lit(0L), (a, x) => a + x).as("tags_sum"))
+        .orderBy("shard_id", "row_idx")
+    }),
+
     // F1-F3: the electricity-CSV parser family end to end, oracle-gated.
     // Each doc becomes a multi-section CSV (preamble block + automated
     // 3-column section + manual 2-column section; docs with id % 7 == 0
@@ -4349,6 +4384,19 @@ object SparkEntry {
            CAST(id * 10 + r AS BIGINT) AS rec_id,
            'l' || ((id + r) % 4) AS label,
            CAST((id % 97) + r * 0.25 AS DOUBLE) AS value
+         FROM r ORDER BY shard_id, row_idx""",
+
+    "m21_arrow_schema" ->
+      """WITH d AS (SELECT doc_id AS id, 2 + doc_id % 3 AS k FROM documents),
+         r AS (SELECT id, unnest(range(0, k)) AS r FROM d)
+         SELECT id AS shard_id, CAST(r AS BIGINT) AS row_idx,
+           CAST((id % 100000000) * 10 + r AS BIGINT) AS rid,
+           'n' || ((id + r) % 5) AS name,
+           CAST((id % 7) + r * 0.5 AS DOUBLE) AS score,
+           CAST(CASE WHEN (id + r) % 2 = 0 THEN 1 ELSE 0 END AS BIGINT)
+             AS flag,
+           CAST(3 AS BIGINT) AS n_tags,
+           CAST(id + (id + r) + r AS BIGINT) AS tags_sum
          FROM r ORDER BY shard_id, row_idx""",
 
     "m16_zip_shards" ->

@@ -1,13 +1,16 @@
 package graft.operators
 
 import org.apache.arrow.memory.RootAllocator
-import org.apache.arrow.vector.{BigIntVector, Float8Vector, VarCharVector, VectorSchemaRoot}
+import org.apache.arrow.vector.{BigIntVector, BitVector, FieldVector, Float4Vector, Float8Vector, IntVector, SmallIntVector, TinyIntVector, VarBinaryVector, VarCharVector, VectorSchemaRoot}
+import org.apache.arrow.vector.complex.ListVector
+import org.apache.arrow.vector.dictionary.{Dictionary, DictionaryProvider}
 import org.apache.arrow.vector.ipc.{ArrowFileReader, ArrowFileWriter, SeekableReadChannel}
 import org.apache.arrow.vector.types.FloatingPointPrecision
-import org.apache.arrow.vector.types.pojo.{ArrowType, Field, FieldType, Schema}
+import org.apache.arrow.vector.types.pojo.{ArrowType, DictionaryEncoding, Field, FieldType, Schema}
 import org.apache.arrow.vector.util.ByteArrayReadableSeekableByteChannel
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, BinaryType, BooleanType, DataType, DoubleType, FloatType, IntegerType, LongType, StringType, StructField, StructType}
 
 import scala.jdk.CollectionConverters._
 
@@ -40,12 +43,12 @@ object ArrowShard {
     * observable instead of silent. */
   val allocatorLeakReports = new java.util.concurrent.atomic.AtomicLong(0L)
 
-  /** Parse one shard. Schema contract: columns `rec_id` (Int64),
-    * `label` (Utf8), `value` (Float64) — extra columns tolerated,
-    * missing/mistyped ones reject the shard. */
-  def parseShard(shardId: Long, payload: Array[Byte]): Seq[ArrowRow] = {
-    if (payload == null || payload.length == 0) return Seq.empty
-    val out = Seq.newBuilder[ArrowRow]
+  /** Shared reader lifecycle: per-payload allocator, guarded separate
+    * closes, leak accounting, no-rows-never-throw. `f` returns None to
+    * signal a contract violation (→ empty). */
+  private def withShard[T](payload: Array[Byte])
+                          (f: (ArrowFileReader, VectorSchemaRoot) => Option[T]): Option[T] = {
+    if (payload == null || payload.length == 0) return None
     val allocator = new RootAllocator(64L << 20)
     var reader: ArrowFileReader = null
     var root: VectorSchemaRoot = null
@@ -54,28 +57,9 @@ object ArrowShard {
         new SeekableReadChannel(
           new ByteArrayReadableSeekableByteChannel(payload)), allocator)
       root = reader.getVectorSchemaRoot
-      var idx = 0L
-      var ok = true
-      while (ok && reader.loadNextBatch()) {
-        (root.getVector("rec_id"), root.getVector("label"),
-          root.getVector("value")) match {
-          case (id: BigIntVector, lab: VarCharVector, v: Float8Vector) =>
-            var i = 0
-            val n = root.getRowCount
-            while (i < n) {
-              if (!id.isNull(i) && !lab.isNull(i) && !v.isNull(i)) {
-                out += ArrowRow(shardId, idx, id.get(i),
-                  new String(lab.get(i), "UTF-8"), v.get(i))
-              }
-              idx += 1
-              i += 1
-            }
-          case _ => ok = false // schema contract violated
-        }
-      }
-      if (ok) out.result() else Seq.empty
+      f(reader, root)
     } catch {
-      case scala.util.control.NonFatal(_) => Seq.empty
+      case scala.util.control.NonFatal(_) => None
     } finally {
       // Separate guarded close steps: a throw from one must not skip the
       // next. root.close() releases the loaded batch vectors even when
@@ -101,6 +85,34 @@ object ArrowShard {
     }
   }
 
+  /** Parse one shard. Schema contract: columns `rec_id` (Int64),
+    * `label` (Utf8), `value` (Float64) — extra columns tolerated,
+    * missing/mistyped ones reject the shard. */
+  def parseShard(shardId: Long, payload: Array[Byte]): Seq[ArrowRow] =
+    withShard(payload) { (reader, root) =>
+      val out = Seq.newBuilder[ArrowRow]
+      var idx = 0L
+      var ok = true
+      while (ok && reader.loadNextBatch()) {
+        (root.getVector("rec_id"), root.getVector("label"),
+          root.getVector("value")) match {
+          case (id: BigIntVector, lab: VarCharVector, v: Float8Vector) =>
+            var i = 0
+            val n = root.getRowCount
+            while (i < n) {
+              if (!id.isNull(i) && !lab.isNull(i) && !v.isNull(i)) {
+                out += ArrowRow(shardId, idx, id.get(i),
+                  new String(lab.get(i), "UTF-8"), v.get(i))
+              }
+              idx += 1
+              i += 1
+            }
+          case _ => ok = false // schema contract violated
+        }
+      }
+      if (ok) Some(out.result()) else None
+    }.getOrElse(Seq.empty)
+
   /** Explode (shard_id, payload) rows into one row per record,
     * partition-parallel. */
   def explodeRows(spark: SparkSession, shards: DataFrame): Dataset[ArrowRow] = {
@@ -112,7 +124,208 @@ object ArrowShard {
       .mapPartitions(_.flatMap { case (id, bytes) => parseShard(id, bytes) })
   }
 
-  // ---- fixture encoder ------------------------------------------------
+  // ---- schema-driven materialization ----------------------------------
+
+  /** Thrown (privately) on a shard whose columns don't satisfy the
+    * caller's schema contract; caught by the lifecycle wrapper → the
+    * whole shard yields no rows. */
+  private final class ContractViolation extends RuntimeException
+
+  /** Row i of vector `v` as the Spark-facing value for target type `t`.
+    * Accepted (widening) pairs — the primitive+list subset HF-datasets
+    * shards actually use:
+    *   LongType    <- Int 8/16/32/64 (signed)
+    *   IntegerType <- Int 8/16/32
+    *   DoubleType  <- FloatingPoint SINGLE/DOUBLE
+    *   FloatType   <- FloatingPoint SINGLE
+    *   StringType  <- Utf8 / LargeUtf8, incl. dictionary-encoded Utf8
+    *   BooleanType <- Bool
+    *   BinaryType  <- Binary
+    *   ArrayType(e)<- List / LargeList of any accepted element
+    * Anything else violates the contract. */
+  private def cellValue(v: FieldVector, i: Int, t: DataType,
+                        dicts: java.util.Map[java.lang.Long, Dictionary]): Any = {
+    if (v.isNull(i)) return null
+    val enc = v.getField.getDictionary
+    if (enc != null) {
+      // dictionary-encoded: the loaded vector holds indices; values live
+      // in the file's dictionary batch.
+      val idx = v match {
+        case x: TinyIntVector => x.get(i).toInt
+        case x: SmallIntVector => x.get(i).toInt
+        case x: IntVector => x.get(i)
+        case x: BigIntVector => x.get(i).toInt
+        case _ => throw new ContractViolation
+      }
+      val d = dicts.get(enc.getId)
+      if (d == null) throw new ContractViolation
+      (t, d.getVector) match {
+        case (StringType, dv: VarCharVector) =>
+          if (dv.isNull(idx)) null else new String(dv.get(idx), "UTF-8")
+        case _ => throw new ContractViolation
+      }
+    } else (t, v) match {
+      case (LongType, x: BigIntVector) => x.get(i)
+      case (LongType, x: IntVector) => x.get(i).toLong
+      case (LongType, x: SmallIntVector) => x.get(i).toLong
+      case (LongType, x: TinyIntVector) => x.get(i).toLong
+      case (IntegerType, x: IntVector) => x.get(i)
+      case (IntegerType, x: SmallIntVector) => x.get(i).toInt
+      case (IntegerType, x: TinyIntVector) => x.get(i).toInt
+      case (DoubleType, x: Float8Vector) => x.get(i)
+      case (DoubleType, x: Float4Vector) => x.get(i).toDouble
+      case (FloatType, x: Float4Vector) => x.get(i)
+      case (StringType, x: VarCharVector) => new String(x.get(i), "UTF-8")
+      case (StringType, x: org.apache.arrow.vector.LargeVarCharVector) =>
+        new String(x.get(i), "UTF-8")
+      case (BooleanType, x: BitVector) => x.get(i) == 1
+      case (BinaryType, x: VarBinaryVector) => x.get(i)
+      case (ArrayType(et, _), x: ListVector) =>
+        val from = x.getElementStartIndex(i)
+        val until = x.getElementEndIndex(i)
+        val inner = x.getDataVector
+        (from until until).map(k => cellValue(inner, k, et, dicts))
+      case (ArrayType(et, _), x: org.apache.arrow.vector.complex.LargeListVector) =>
+        val from = x.getElementStartIndex(i).toInt
+        val until = x.getElementEndIndex(i).toInt
+        val inner = x.getDataVector
+        (from until until).map(k => cellValue(inner, k, et, dicts))
+      case _ => throw new ContractViolation
+    }
+  }
+
+  /** Schema-driven shard materialization — the HF-datasets reality:
+    * published shards ship ARBITRARY schemas (nested lists, dictionary-
+    * encoded strings, large_utf8), not one fixed layout. `schema` states
+    * the caller's column contract by NAME and Spark type (see
+    * [[cellValue]] for the accepted Arrow encodings per type); extra
+    * shard columns are ignored, a missing or incompatible column rejects
+    * the WHOLE shard — no rows, never a task-killing throw. Output rows
+    * are (shard_id, row_idx) ++ schema fields; rows with a null in any
+    * requested column keep the null (unlike the fixed-contract
+    * [[parseShard]], which drops them — a typed row can't carry nulls). */
+  def parseShardAs(shardId: Long, payload: Array[Byte],
+                   schema: StructType): Seq[Row] =
+    withShard(payload) { (reader, root) =>
+      try {
+        val out = Seq.newBuilder[Row]
+        var idx = 0L
+        while (reader.loadNextBatch()) {
+          val dicts = reader.getDictionaryVectors
+          val cols = schema.fields.map { f =>
+            val v = root.getVector(f.name)
+            if (v == null) throw new ContractViolation
+            v
+          }
+          val n = root.getRowCount
+          var i = 0
+          while (i < n) {
+            val values = new Array[Any](2 + cols.length)
+            values(0) = shardId
+            values(1) = idx
+            var j = 0
+            while (j < cols.length) {
+              values(2 + j) = cellValue(cols(j), i, schema.fields(j).dataType, dicts)
+              j += 1
+            }
+            out += Row.fromSeq(scala.collection.immutable.ArraySeq.unsafeWrapArray(values))
+            idx += 1
+            i += 1
+          }
+        }
+        Some(out.result())
+      } catch { case _: ContractViolation => None }
+    }.getOrElse(Seq.empty)
+
+  /** Partition-parallel schema-driven explode: output columns are
+    * (shard_id, row_idx) ++ `schema`. */
+  def explodeRowsAs(spark: SparkSession, shards: DataFrame,
+                    schema: StructType): DataFrame = {
+    val full = StructType(
+      StructField("shard_id", LongType, nullable = false) +:
+      StructField("row_idx", LongType, nullable = false) +:
+      schema.fields.map(_.copy(nullable = true)).toSeq)
+    val rdd = shards
+      .where(col("payload").isNotNull)
+      .select(col("shard_id").cast("long"), col("payload"))
+      .rdd
+      .flatMap(r => parseShardAs(r.getLong(0), r.getAs[Array[Byte]](1), schema))
+    spark.createDataFrame(rdd, full)
+  }
+
+  // ---- fixture encoders -----------------------------------------------
+
+  /** Write a one-batch Arrow IPC file with the typed-fixture layout the
+    * schema-breadth gate exercises: rid int32, name utf8 (dictionary-
+    * encoded when `dictEncodeName` — index int32, dictionary id 7),
+    * score float4, flags bool, tags list&lt;int64&gt;. */
+  def encodeTypedShard(rows: Seq[(Int, String, Float, Boolean, Seq[Long])],
+                       dictEncodeName: Boolean): Array[Byte] = {
+    val allocator = new RootAllocator(64L << 20)
+    val toClose = scala.collection.mutable.ArrayBuffer.empty[AutoCloseable]
+    try {
+      val n = rows.length
+      val rid = new IntVector("rid", allocator)
+      rid.allocateNew(n)
+      val nameRaw = new VarCharVector("name", allocator)
+      nameRaw.allocateNew()
+      val score = new Float4Vector("score", allocator)
+      score.allocateNew(n)
+      val flags = new BitVector("flags", allocator)
+      flags.allocateNew(n)
+      val tags = ListVector.empty("tags", allocator)
+      val tw = tags.getWriter
+      tw.allocate()
+      rows.zipWithIndex.foreach { case ((r, nm, sc, fl, tg), i) =>
+        rid.setSafe(i, r)
+        nameRaw.setSafe(i, nm.getBytes("UTF-8"))
+        score.setSafe(i, sc)
+        flags.setSafe(i, if (fl) 1 else 0)
+        tw.setPosition(i)
+        tw.startList()
+        tg.foreach(v => tw.bigInt().writeBigInt(v))
+        tw.endList()
+      }
+      rid.setValueCount(n)
+      nameRaw.setValueCount(n)
+      score.setValueCount(n)
+      flags.setValueCount(n)
+      tags.setValueCount(n)
+      val provider = new DictionaryProvider.MapDictionaryProvider()
+      val nameVec: FieldVector =
+        if (dictEncodeName) {
+          val distinct = rows.map(_._2).distinct.sorted
+          val dictVec = new VarCharVector("name_dict", allocator)
+          dictVec.allocateNew()
+          distinct.zipWithIndex.foreach { case (v, i) =>
+            dictVec.setSafe(i, v.getBytes("UTF-8")) }
+          dictVec.setValueCount(distinct.length)
+          toClose += dictVec
+          val dict = new Dictionary(dictVec,
+            new DictionaryEncoding(7L, false, new ArrowType.Int(32, true)))
+          provider.put(dict)
+          toClose += nameRaw
+          org.apache.arrow.vector.dictionary.DictionaryEncoder
+            .encode(nameRaw, dict).asInstanceOf[FieldVector]
+        } else nameRaw
+      val root = new VectorSchemaRoot(
+        List[FieldVector](rid, nameVec, score, flags, tags).asJava)
+      toClose += root
+      root.setRowCount(n)
+      val bos = new java.io.ByteArrayOutputStream()
+      val writer = new ArrowFileWriter(root, provider,
+        java.nio.channels.Channels.newChannel(bos))
+      writer.start()
+      writer.writeBatch()
+      writer.end()
+      writer.close()
+      bos.toByteArray
+    } finally {
+      toClose.foreach(c =>
+        try c.close() catch { case scala.util.control.NonFatal(_) => () })
+      allocator.close()
+    }
+  }
 
   /** Write a real Arrow IPC file of (rec_id, label, value) rows, split
     * into record batches of `batchRows`. */

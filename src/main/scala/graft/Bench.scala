@@ -51,6 +51,8 @@ object Bench {
     "e13_sq8_topk", "e14_ivf_sq8_topk",
     "m15_tar_shards", "m16_zip_shards", "m17_warc_records",
     "m20_arrow_shards", "t11_stream_warc_ingest",
+    "t08_stream_quality_gate", "t09_stream_classifier_gate",
+    "t10_stream_host_budget",
     "d45_curation_pipeline")
 
   /** SURVEY §6 per-query budgets (sec, sf0.1 median). A breach triggers an
@@ -107,7 +109,11 @@ object Bench {
     // operates on the previous stage's SURVIVORS (the LSH pass sees only
     // the classifier+perplexity pool), and stage checkpoints keep the
     // composed plan linear. 2.35s measured -> 1.5x rule.
-    "d45_curation_pipeline" -> 3.5)
+    "d45_curation_pipeline" -> 3.5,
+    // streaming admission gates: each run spins a fresh AvailableNow
+    // drain (checkpoint + lake-table merge included in the time).
+    "t08_stream_quality_gate" -> 4.6, "t09_stream_classifier_gate" -> 3.7,
+    "t10_stream_host_budget" -> 3.0)
 
   /** Total GC time (ms) accumulated by all collectors since JVM start. */
   private def gcMillis(): Long = {

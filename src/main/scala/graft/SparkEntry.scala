@@ -1167,6 +1167,36 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // D46: sequence packing (GPT-style concatenate-and-chunk placement) —
+    // the LAST transform of a pretraining pipeline: docs concatenate in
+    // doc_id order and the token stream cuts into 512-token training
+    // sequences; the output maps every doc to its global offset and
+    // spanned sequences. The Spark side NEVER sorts the corpus in one
+    // partition (two-level prefix sum over doc_id high-bit leaves); the
+    // oracle states the naive global-window cumsum — the equivalence is
+    // the gate.
+    // D47: the exact-substring CUT applied (the action d38 reports): every
+    // duplicate span removed, kept segments re-assembled per document —
+    // the md5 of the rebuilt text puts the whole cut path (span detection,
+    // merge, segment stitching, edge spans at both ends) under the hash
+    // compare. Span lists are bounded by document length; the rebuild is
+    // one in-row fold.
+    "d47_exact_substr_cut" -> ((s, dir) =>
+      graft.operators.ExactSubstr.removeDupSpans(
+          t(s, dir, "documents"), "doc_id", "text", minLen = 30)
+        .select(col("doc_id"),
+          length(col("clean_text")).cast("long").as("clean_len"),
+          md5(col("clean_text").cast("binary")).as("clean_md5"))
+        .orderBy("doc_id")),
+
+    "d46_sequence_pack" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"),
+          size(TF.cleanTokens(col("text"))).cast("long").as("n"))
+      graft.operators.SequencePack.packStats(d, "doc_id", "n", cap = 512L)
+        .orderBy("doc_id")
+    }),
+
     // D15: LSH pairs -> per-cluster canonical keeper via distributed
     // connected components (min-label propagation over the pair graph).
     "d15_dup_clusters" -> ((s, dir) =>
@@ -3818,6 +3848,43 @@ object SparkEntry {
            CAST(d.len - COALESCE(agg.chars_dup, 0) AS BIGINT) AS clean_len
          FROM d LEFT JOIN agg USING (doc_id) ORDER BY doc_id""",
 
+    "d47_exact_substr_cut" ->
+      """WITH d AS (SELECT doc_id, text, length(text) AS len FROM documents),
+         pos AS (SELECT doc_id, unnest(range(1, len - 30 + 2)) AS p, text
+                 FROM d WHERE len >= 30),
+         g AS (SELECT doc_id, p, substr(text, p, 30) AS gram FROM pos),
+         occ AS (SELECT gram FROM g GROUP BY gram HAVING COUNT(*) >= 2),
+         dup AS (SELECT doc_id, p FROM g JOIN occ USING (gram)),
+         mk AS (SELECT doc_id, p,
+                  CASE WHEN p - LAG(p) OVER (PARTITION BY doc_id ORDER BY p)
+                         <= 30 THEN 0 ELSE 1 END AS brk
+                FROM dup),
+         sp AS (SELECT doc_id, p,
+                  SUM(brk) OVER (PARTITION BY doc_id ORDER BY p
+                                 ROWS UNBOUNDED PRECEDING) AS sid
+                FROM mk),
+         spans AS (SELECT doc_id, sid, MIN(p) AS s, MAX(p) + 30 AS e
+                   FROM sp GROUP BY 1, 2),
+         segs AS (SELECT doc_id, s, e,
+                    COALESCE(LAG(e) OVER (PARTITION BY doc_id ORDER BY s),
+                             1) AS pe
+                  FROM spans),
+         cutp AS (SELECT sg.doc_id,
+                    string_agg(substr(d.text, CAST(sg.pe AS INT),
+                                      CAST(sg.s - sg.pe AS INT)),
+                               '' ORDER BY sg.s) AS head,
+                    MAX(sg.e) AS elast
+                  FROM segs sg JOIN d USING (doc_id) GROUP BY sg.doc_id),
+         clean AS (SELECT d.doc_id,
+                     CASE WHEN c.doc_id IS NULL THEN d.text
+                          ELSE COALESCE(c.head, '')
+                               || substr(d.text, CAST(c.elast AS INT)) END
+                       AS ct
+                   FROM d LEFT JOIN cutp c USING (doc_id))
+         SELECT doc_id, CAST(length(ct) AS BIGINT) AS clean_len,
+           md5(ct) AS clean_md5
+         FROM clean ORDER BY doc_id""",
+
     "d37_lm_perplexity" ->
       """WITH toks AS (
            SELECT doc_id, (doc_id % 3 <> 0) AS train,
@@ -3968,6 +4035,25 @@ object SparkEntry {
            CAST(n_tokens AS BIGINT) AS n_tokens,
            CAST(CASE WHEN cum <= 400 THEN 1 ELSE 0 END AS BIGINT)
              AS selected
+         FROM c ORDER BY doc_id""",
+
+    "d46_sequence_pack" ->
+      """WITH toks AS (
+           SELECT doc_id, len([x for x in string_split(text, ' ')
+                               if length(x) > 0]) AS n
+           FROM documents),
+         c AS (SELECT doc_id, n,
+                 COALESCE(SUM(n) OVER (ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS s
+               FROM toks)
+         SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+           CAST(s AS BIGINT) AS start_offset,
+           CAST(s // 512 AS BIGINT) AS first_seq,
+           CAST((s + GREATEST(n, 1) - 1) // 512 AS BIGINT) AS last_seq,
+           CAST(CASE WHEN n = 0 THEN 0
+                ELSE (s + n - 1) // 512 - s // 512 + 1 END AS BIGINT)
+             AS n_seqs
          FROM c ORDER BY doc_id""",
 
     "x07_token_budget_degenerate" ->

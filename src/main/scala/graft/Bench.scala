@@ -53,7 +53,8 @@ object Bench {
     "m20_arrow_shards", "t11_stream_warc_ingest",
     "t08_stream_quality_gate", "t09_stream_classifier_gate",
     "t10_stream_host_budget",
-    "d45_curation_pipeline", "d46_sequence_pack", "d47_exact_substr_cut")
+    "d45_curation_pipeline", "d46_sequence_pack", "d47_exact_substr_cut",
+    "t12_stream_sequence_pack")
 
   /** SURVEY §6 per-query budgets (sec, sf0.1 median). A breach triggers an
     * automatic isolated forked-JVM re-run so the artifact adjudicates
@@ -115,8 +116,10 @@ object Bench {
     "t08_stream_quality_gate" -> 4.6, "t09_stream_classifier_gate" -> 3.7,
     "t10_stream_host_budget" -> 3.0,
     // d46 two-level global prefix sum; d47 = d38's span machinery + the
-    // per-doc cut rebuild (so it budgets near d38).
-    "d46_sequence_pack" -> 1.3, "d47_exact_substr_cut" -> 4.4)
+    // per-doc cut rebuild (so it budgets near d38). t12 = two drains +
+    // two lake merges + the table-derived base agg.
+    "d46_sequence_pack" -> 1.3, "d47_exact_substr_cut" -> 4.4,
+    "t12_stream_sequence_pack" -> 5.4)
 
   /** Total GC time (ms) accumulated by all collectors since JVM start. */
   private def gcMillis(): Long = {

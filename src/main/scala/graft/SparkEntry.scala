@@ -4037,6 +4037,27 @@ object SparkEntry {
              AS selected
          FROM c ORDER BY doc_id""",
 
+    "t12_stream_sequence_pack" ->
+      """WITH a AS (
+           SELECT doc_id,
+             len([x for x in string_split(text, ' ')
+                  if length(x) > 0]) AS n,
+             CASE WHEN doc_id % 3 <> 0 THEN 0 ELSE 1 END AS wv
+           FROM documents WHERE doc_id % 10 = 0),
+         c AS (SELECT doc_id, n, wv,
+                 COALESCE(SUM(n) OVER (ORDER BY wv, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS s
+               FROM a)
+         SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+           CAST(s AS BIGINT) AS start_offset,
+           CAST(s // 512 AS BIGINT) AS first_seq,
+           CAST((s + GREATEST(n, 1) - 1) // 512 AS BIGINT) AS last_seq,
+           CAST(CASE WHEN n = 0 THEN 0
+                ELSE (s + n - 1) // 512 - s // 512 + 1 END AS BIGINT)
+             AS n_seqs
+         FROM c ORDER BY doc_id""",
+
     "d46_sequence_pack" ->
       """WITH toks AS (
            SELECT doc_id, len([x for x in string_split(text, ' ')

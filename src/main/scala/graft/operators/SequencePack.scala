@@ -65,13 +65,18 @@ object SequencePack {
   }
 
   /** Per-document packing placement under capacity `cap`:
-    * (doc_id, n_tokens, start_offset, first_seq, last_seq, n_seqs). */
+    * (doc_id, n_tokens, start_offset, first_seq, last_seq, n_seqs).
+    * `base` shifts every offset — the already-placed stream length, which
+    * is how the STREAMING form continues packing across micro-batches. */
   def packStats(docs: DataFrame, idCol: String, nCol: String, cap: Long,
-                groupShift: Int = DefaultGroupShift): DataFrame = {
+                groupShift: Int = DefaultGroupShift,
+                base: Long = 0L): DataFrame = {
     require(cap > 0, s"capacity must be positive, got $cap")
+    require(base >= 0, s"base offset must be non-negative, got $base")
     val d = docs.select(col(idCol).as("doc_id"),
       col(nCol).cast("long").as("n_tokens"))
     exclusivePrefixSum(d, "doc_id", "n_tokens", groupShift)
+      .withColumn("start_offset", col("start_offset") + base)
       .select(col("doc_id"), col("n_tokens"), col("start_offset"),
         expr(s"start_offset div $cap").as("first_seq"),
         expr(s"(start_offset + greatest(n_tokens, 1L) - 1L) div $cap")

@@ -333,6 +333,33 @@ object StreamingGates {
       graft.tables.LakeTable.load(s, aLoc).read().orderBy("doc_id")
     }),
 
+    // T12: streaming sequence packing — d46 as continuous ingest: two
+    // arrival waves drain through the SAME checkpoint; the second wave
+    // continues the concatenated token stream exactly where the first
+    // ended (the base offset derives from the placed TABLE minus the
+    // batch's own keys — replay-idempotent by construction, no side
+    // state). The oracle states the naive global cumsum over
+    // (arrival wave, doc_id) order.
+    "t12_stream_sequence_pack" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+        .where(col("doc_id") % 10 === 0)
+        .select(col("doc_id"),
+          size(graft.functions.TextFunctions.cleanTokens(col("text")))
+            .cast("long").as("n"))
+      val wave1 = docs.where(col("doc_id") % 3 =!= 0)
+      val wave2 = docs.where(col("doc_id") % 3 === 0)
+      val in = freshDir("graft_t12_in")
+      val loc = freshDir("graft_t12_tbl").resolve("placed").toString
+      val ck = freshDir("graft_t12_ck").toString
+      writeWave(wave1, in, "wave1.parquet", mtimeSec = 1000)
+      StreamingPack.packToTable(s, in.toString, wave1.schema, cap = 512L,
+        placedLocation = loc, checkpointDir = ck)
+      writeWave(wave2, in, "wave2.parquet", mtimeSec = 2000)
+      StreamingPack.packToTable(s, in.toString, wave1.schema, cap = 512L,
+        placedLocation = loc, checkpointDir = ck)
+      graft.tables.LakeTable.load(s, loc).read().orderBy("doc_id")
+    }),
+
     // T3: streaming exact dedup within the watermark — key state evicted
     // as the watermark advances; over one batch the surviving key set is
     // exactly DISTINCT.

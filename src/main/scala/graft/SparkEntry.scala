@@ -1175,6 +1175,26 @@ object SparkEntry {
     // partition (two-level prefix sum over doc_id high-bit leaves); the
     // oracle states the naive global-window cumsum — the equivalence is
     // the gate.
+    // D48: classifier calibration — the threshold sweep over the held-out
+    // slice that a curation team consults before fixing d40's admission
+    // threshold: per distinct score, confusion counts + floor-scaled
+    // precision/recall of "admit iff score >= t". One histogram groupBy
+    // (bounded by score cardinality) + a window over HISTOGRAM rows; the
+    // oracle recomputes the full quantized NB scoring, then the sweep.
+    "d48_classifier_calibration" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val scored = graft.operators.NbClassifier.classify(
+          docs.select(col("doc_id"), TF.cleanTokens(col("text")).as("tokens"),
+            (col("lang") === "en").as("y")),
+          "doc_id", "tokens", "y", isTrain = col("doc_id") % 3 =!= 0,
+          cacheHook = registerCache)
+        .where(col("is_train") === 0L)
+        .join(docs.select(col("doc_id"), (col("lang") === "en").as("y")),
+          "doc_id")
+      graft.operators.ClassifierEval.thresholdSweep(scored, "score_bits", "y")
+        .orderBy("threshold")
+    }),
+
     // D47: the exact-substring CUT applied (the action d38 reports): every
     // duplicate span removed, kept segments re-assembled per document —
     // the md5 of the rebuilt text puts the whole cut path (span detection,
@@ -3847,6 +3867,55 @@ object SparkEntry {
            CAST(COALESCE(agg.chars_dup, 0) AS BIGINT) AS chars_dup,
            CAST(d.len - COALESCE(agg.chars_dup, 0) AS BIGINT) AS clean_len
          FROM d LEFT JOIN agg USING (doc_id) ORDER BY doc_id""",
+
+    "d48_classifier_calibration" ->
+      """WITH toks AS (
+           SELECT doc_id, (doc_id % 3 <> 0) AS train, (lang = 'en') AS pos,
+                  [x for x in string_split(text, ' ')
+                   if length(x) > 0] AS w
+           FROM documents),
+         tok AS (SELECT doc_id, train, pos, unnest(w) AS w FROM toks),
+         tr AS (SELECT * FROM tok WHERE train),
+         cnt AS (SELECT w, SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS cp,
+                        SUM(CASE WHEN pos THEN 0 ELSE 1 END) AS cn
+                 FROM tr GROUP BY 1),
+         tot AS (SELECT SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS tp,
+                        SUM(CASE WHEN pos THEN 0 ELSE 1 END) AS tn FROM tr),
+         nd AS (SELECT SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS np,
+                       SUM(CASE WHEN pos THEN 0 ELSE 1 END) AS nn
+                FROM toks WHERE train),
+         sc AS (SELECT t.doc_id,
+                  (length(bin(COALESCE(c.cp, 0) + 1)) - 1)
+                  - (length(bin(COALESCE(c.cn, 0) + 1)) - 1)
+                  + (length(bin(tt.tn)) - 1) - (length(bin(tt.tp)) - 1) AS b
+                FROM tok t LEFT JOIN cnt c USING (w) CROSS JOIN tot tt),
+         agg AS (SELECT doc_id, SUM(b) AS tb FROM sc GROUP BY 1),
+         sb AS (SELECT d.doc_id,
+                  (length(bin(n.np)) - 1) - (length(bin(n.nn)) - 1)
+                    + COALESCE(a.tb, 0) AS s,
+                  (d.lang = 'en') AS y
+                FROM documents d LEFT JOIN agg a USING (doc_id)
+                CROSS JOIN nd n
+                WHERE d.doc_id % 3 = 0),
+         h AS (SELECT s AS threshold,
+                 SUM(CASE WHEN y THEN 1 ELSE 0 END) AS p,
+                 SUM(CASE WHEN y THEN 0 ELSE 1 END) AS n
+               FROM sb GROUP BY 1),
+         tt2 AS (SELECT SUM(p) AS tot_p, SUM(n) AS tot_n FROM h),
+         cw AS (SELECT threshold, p, n,
+                  SUM(p) OVER (ORDER BY threshold DESC
+                               ROWS UNBOUNDED PRECEDING) AS ctp,
+                  SUM(n) OVER (ORDER BY threshold DESC
+                               ROWS UNBOUNDED PRECEDING) AS cfp
+                FROM h)
+         SELECT threshold, CAST(ctp + cfp AS BIGINT) AS n_ge,
+           CAST(ctp AS BIGINT) AS tp, CAST(cfp AS BIGINT) AS fp,
+           CAST(t.tot_p - ctp AS BIGINT) AS fn,
+           CAST(t.tot_n - cfp AS BIGINT) AS tn,
+           CAST(ctp * 1000000 // (ctp + cfp) AS BIGINT) AS precision_e6,
+           CAST(CASE WHEN t.tot_p = 0 THEN 0
+                ELSE ctp * 1000000 // t.tot_p END AS BIGINT) AS recall_e6
+         FROM cw CROSS JOIN tt2 t ORDER BY threshold""",
 
     "d47_exact_substr_cut" ->
       """WITH d AS (SELECT doc_id, text, length(text) AS len FROM documents),

@@ -2375,6 +2375,38 @@ object SparkEntry {
         .orderBy("shard_id", "rec_idx")
     }),
 
+    // M1 (raster resize): decode -> k x k box-average downsample -> sums
+    // of the RESIZED pixels, the resize step an image-training pipeline
+    // runs before feature extraction. Same 16x16 formula fixture as m01
+    // (BMP even / PNG odd ids), k=2 -> 8x8; the integer area filter keeps
+    // the whole decode->resize path analytically stated by the oracle.
+    "m22_raster_resize" -> ((s, dir) => {
+      import s.implicits._
+      val W = 16; val H = 16
+      val media = t(s, dir, "documents").select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { id =>
+          val rgb = new Array[Byte](W * H * 3)
+          var y = 0
+          while (y < H) {
+            var x = 0
+            while (x < W) {
+              val p = (y * W + x) * 3
+              rgb(p) = ((id + x) % 256).toByte
+              rgb(p + 1) = ((id + y) % 256).toByte
+              rgb(p + 2) = ((x * y + id) % 256).toByte
+              x += 1
+            }
+            y += 1
+          }
+          val payload =
+            if (id % 2 == 0) graft.operators.RasterCodec.encodeBmp(W, H, rgb)
+            else graft.operators.RasterCodec.encodePng(W, H, rgb)
+          (id, payload)
+        }).toDF("media_id", "payload")
+      graft.operators.Multimodal.resizeRasterFeatures(s, media, k = 2).toDF()
+        .orderBy("media_id")
+    }),
+
     // M1 (Arrow shards): the Hugging Face datasets container, oracle-
     // gated. Each doc becomes a real multi-batch Arrow IPC file of
     // (rec_id, label, value) rows; the partition-parallel explode (strict
@@ -4561,6 +4593,27 @@ object SparkEntry {
            'l' || ((id + r) % 4) AS label,
            CAST((id % 97) + r * 0.25 AS DOUBLE) AS value
          FROM r ORDER BY shard_id, row_idx""",
+
+    "m22_raster_resize" ->
+      """WITH cells AS (
+           SELECT d.doc_id, x.r AS gx, y.r AS gy
+           FROM documents d
+           CROSS JOIN range(0, 8) x(r) CROSS JOIN range(0, 8) y(r))
+         SELECT doc_id AS media_id,
+           CASE WHEN doc_id % 2 = 0 THEN 'bmp' ELSE 'png' END AS fmt,
+           8 AS out_width, 8 AS out_height,
+           CAST(SUM((2 * ((doc_id + 2*gx) % 256)
+                   + 2 * ((doc_id + 2*gx + 1) % 256)) // 4) AS BIGINT)
+             AS sum_r,
+           CAST(SUM((2 * ((doc_id + 2*gy) % 256)
+                   + 2 * ((doc_id + 2*gy + 1) % 256)) // 4) AS BIGINT)
+             AS sum_g,
+           CAST(SUM(((2*gx * 2*gy + doc_id) % 256
+                   + ((2*gx + 1) * 2*gy + doc_id) % 256
+                   + (2*gx * (2*gy + 1) + doc_id) % 256
+                   + ((2*gx + 1) * (2*gy + 1) + doc_id) % 256) // 4)
+                AS BIGINT) AS sum_b
+         FROM cells GROUP BY 1, 2, 3, 4 ORDER BY media_id""",
 
     "m21_arrow_schema" ->
       """WITH d AS (SELECT doc_id AS id, 2 + doc_id % 3 AS k FROM documents),

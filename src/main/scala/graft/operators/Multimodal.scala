@@ -134,6 +134,49 @@ object Multimodal {
       })
   }
 
+  /** Raster RESIZE features — decode, k x k box-average downsample
+    * ([[RasterCodec.boxDownsample]] — integer-exact area filter), then
+    * per-channel sums of the RESIZED image. The resize step every
+    * image-training pipeline runs before feature extraction, with the
+    * integer contract that keeps the whole decode->resize path under an
+    * analytic oracle. Partition-parallel; undecodable or
+    * smaller-than-one-block payloads drop. */
+  final case class ResizedFeatures(media_id: Long, fmt: String,
+                                   out_width: Int, out_height: Int,
+                                   sum_r: Long, sum_g: Long, sum_b: Long)
+
+  def resizeRasterFeatures(spark: SparkSession, media: DataFrame,
+                           k: Int): Dataset[ResizedFeatures] = {
+    import spark.implicits._
+    media
+      .where(col("payload").isNotNull)
+      .select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        for {
+          (fmt, _, _) <- sniffImageHeader(bytes)
+          r <- RasterCodec.decode(bytes)
+          small <- RasterCodec.boxDownsample(r, k)
+        } yield {
+          val sums = new Array[Long](3)
+          var i = 0
+          val n = small.width * small.height
+          while (i < n) {
+            val base = i * small.channels
+            var c = 0
+            while (c < 3) {
+              sums(c) += (small.data(base +
+                (if (small.channels >= 3) c else 0)) & 0xff)
+              c += 1
+            }
+            i += 1
+          }
+          ResizedFeatures(id, fmt, small.width, small.height,
+            sums(0), sums(1), sums(2))
+        }
+      })
+  }
+
   /** Integer-exact PCM features from the REAL WAV decode path: per-channel
     * sample sums (first two channels) + true stream parameters, skipping
     * undecodable/non-PCM payloads. Exact integers make this

@@ -273,4 +273,42 @@ object RasterCodec {
       case ("tiff", _, _) => TiffCodec.decode(p)
       case _ => None
     }
+
+  /** Exact k x k box-average downsample (area filter, integer floor):
+    * out(x, y, c) = floor(sum of the k*k input block / k^2), output dims
+    * floor(w/k) x floor(h/k) — partial edge blocks DROP, the
+    * deterministic contract an external oracle can restate analytically
+    * (float bilinear would couple the gate to rounding modes). None when
+    * the image is smaller than one block or k is not positive. */
+  def boxDownsample(r: Raster, k: Int): Option[Raster] = {
+    if (k <= 0 || r.width < k || r.height < k) return None
+    val ow = r.width / k
+    val oh = r.height / k
+    val kk = k * k
+    val out = new Array[Byte](ow * oh * r.channels)
+    var y = 0
+    while (y < oh) {
+      var x = 0
+      while (x < ow) {
+        var c = 0
+        while (c < r.channels) {
+          var s = 0
+          var dy = 0
+          while (dy < k) {
+            var dx = 0
+            while (dx < k) {
+              s += r.sample(x * k + dx, y * k + dy, c)
+              dx += 1
+            }
+            dy += 1
+          }
+          out((y * ow + x) * r.channels + c) = (s / kk).toByte
+          c += 1
+        }
+        x += 1
+      }
+      y += 1
+    }
+    Some(Raster(ow, oh, r.channels, out))
+  }
 }

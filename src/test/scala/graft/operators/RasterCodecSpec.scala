@@ -91,6 +91,23 @@ class RasterCodecSpec extends AnyFunSuite {
     assert(decoded.get.data.toSeq == rgb.toSeq)
   }
 
+  test("boxDownsample: exact floor averages, edge truncation, undersized reject") {
+    // 5x3 gray-ish RGB: pixel value = x + 10*y per channel
+    val w = 5; val h = 3
+    val rgb = Array.tabulate(w * h * 3)(i => ((i / 3 % w) + 10 * (i / 3 / w)).toByte)
+    val r = RasterCodec.Raster(w, h, 3, rgb)
+    val Some(small) = RasterCodec.boxDownsample(r, 2)
+    // 2x1 output (partial right column and bottom row drop)
+    assert(small.width == 2 && small.height == 1)
+    // block (0,0): values 0,1,10,11 -> floor(22/4)=5; block (1,0): 2,3,12,13 -> 7
+    assert(small.sample(0, 0, 0) == 5 && small.sample(1, 0, 0) == 7)
+    // k = 1 is identity
+    assert(RasterCodec.boxDownsample(r, 1).get.data.toSeq == rgb.toSeq)
+    // undersized or bad k reject
+    assert(RasterCodec.boxDownsample(r, 4).isEmpty)
+    assert(RasterCodec.boxDownsample(r, 0).isEmpty)
+  }
+
   test("decode rejects junk, truncation, and unsupported shapes") {
     assert(RasterCodec.decode(Array[Byte](1, 2, 3)).isEmpty)
     assert(RasterCodec.decode(null).isEmpty)

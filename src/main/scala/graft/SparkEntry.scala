@@ -1175,6 +1175,20 @@ object SparkEntry {
     // partition (two-level prefix sum over doc_id high-bit leaves); the
     // oracle states the naive global-window cumsum — the equivalence is
     // the gate.
+    // D49: multi-class quantized Naive Bayes — lang-id over the observed
+    // language set (the many-label sibling of d40's binary gate; CLD-style
+    // classification where log-odds don't apply). Per-class floor-log2
+    // scores with Laplace smoothing + prior, argmax with smallest-label
+    // tie-break — integer-exact, the full K-class scoring matrix under
+    // the hash compare.
+    "d49_nb_multiclass" -> ((s, dir) =>
+      graft.operators.MulticlassNb.classify(
+          t(s, dir, "documents")
+            .select(col("doc_id"), TF.cleanTokens(col("text")).as("tokens"),
+              col("lang")),
+          "doc_id", "tokens", "lang", isTrain = col("doc_id") % 3 =!= 0)
+        .orderBy("doc_id")),
+
     // D48: classifier calibration — the threshold sweep over the held-out
     // slice that a curation team consults before fixing d40's admission
     // threshold: per distinct score, confusion counts + floor-scaled
@@ -3899,6 +3913,42 @@ object SparkEntry {
            CAST(COALESCE(agg.chars_dup, 0) AS BIGINT) AS chars_dup,
            CAST(d.len - COALESCE(agg.chars_dup, 0) AS BIGINT) AS clean_len
          FROM d LEFT JOIN agg USING (doc_id) ORDER BY doc_id""",
+
+    "d49_nb_multiclass" ->
+      """WITH toks AS (
+           SELECT doc_id, lang, (doc_id % 3 <> 0) AS train,
+                  [x for x in string_split(text, ' ')
+                   if length(x) > 0] AS w
+           FROM documents),
+         occ AS (SELECT doc_id, lang, train, unnest(w) AS w FROM toks),
+         tr AS (SELECT * FROM occ WHERE train),
+         cnt AS (SELECT w, lang AS cls, COUNT(*) AS c FROM tr GROUP BY 1, 2),
+         roster AS (
+           SELECT t.cls, t.tc, n.nc
+           FROM (SELECT lang AS cls, COUNT(*) AS tc FROM tr GROUP BY 1) t
+           JOIN (SELECT lang AS cls, COUNT(*) AS nc FROM toks
+                 WHERE train GROUP BY 1) n USING (cls)),
+         po AS (SELECT o.doc_id, r.cls,
+                  (length(bin(COALESCE(c.c, 0) + 1)) - 1)
+                  - (length(bin(r.tc)) - 1) AS b
+                FROM occ o CROSS JOIN roster r
+                LEFT JOIN cnt c ON c.w = o.w AND c.cls = r.cls),
+         pdc AS (SELECT doc_id, cls, COUNT(*) AS nt, SUM(b) AS tb
+                 FROM po GROUP BY 1, 2),
+         sc AS (SELECT d.doc_id, r.cls, COALESCE(p.nt, 0) AS nt,
+                  COALESCE(p.tb, 0) + (length(bin(r.nc)) - 1) AS bits
+                FROM documents d CROSS JOIN roster r
+                LEFT JOIN pdc p ON p.doc_id = d.doc_id AND p.cls = r.cls),
+         best AS (SELECT doc_id, cls, nt, bits,
+                    ROW_NUMBER() OVER (PARTITION BY doc_id
+                      ORDER BY bits DESC, cls ASC) AS rk
+                  FROM sc)
+         SELECT doc_id,
+           CAST(CASE WHEN doc_id % 3 <> 0 THEN 1 ELSE 0 END AS BIGINT)
+             AS is_train,
+           CAST(nt AS BIGINT) AS n_tokens, cls AS predicted,
+           CAST(bits AS BIGINT) AS best_bits
+         FROM best WHERE rk = 1 ORDER BY doc_id""",
 
     "d48_classifier_calibration" ->
       """WITH toks AS (

@@ -289,6 +289,15 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
       s"corpus-sized window not leaf-keyed:\n${windows.mkString("\n")}")
   }
 
+  test("d46: the global prefix sum never sorts the corpus in one " +
+       "partition — the doc-level window is leaf-keyed") {
+    val p = plan("d46_sequence_pack")
+    val windows = "Window .*".r.findAllIn(p).toSeq
+    val docWindows = windows.filter(_.contains("doc_id#"))
+    assert(docWindows.nonEmpty && docWindows.forall(_.contains("__g")),
+      s"corpus-sized window not leaf-keyed:\n${windows.mkString("\n")}")
+  }
+
   test("PageRank rounds leave no cartesian in the trajectory assembly") {
     assert(!plan("d42_host_pagerank").contains("CartesianProduct"))
   }

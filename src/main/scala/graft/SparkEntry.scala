@@ -2330,6 +2330,30 @@ object SparkEntry {
         .orderBy("shard_id", "member_name")
     }),
 
+    // M1 (WebDataset samples): the CONSUMER contract of the tar-shard
+    // format — members sharing a basename key assemble into one training
+    // sample with per-extension columns and a completeness flag. Same
+    // fixture as m15 except sample s0 of id%5==0 shards MISSES its json
+    // member, so incomplete samples are exercised, not just asserted.
+    "m23_webdataset_samples" -> ((s, dir) => {
+      import s.implicits._
+      val shards = t(s, dir, "documents").select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { id =>
+          val k = (2 + id % 3).toInt
+          val members = (0 until k).flatMap { j =>
+            val content = (sz: Int) => Array.tabulate(sz)(i =>
+              ((id * 3 + j * 5 + i) % 256).toByte)
+            Seq((s"s$j.txt", content((10 + (id + j * 7) % 90).toInt))) ++
+              (if (j == 0 && id % 5 == 0) Seq.empty
+               else Seq((s"s$j.json", content((5 + (id + j * 11) % 20).toInt))))
+          }
+          val tar = graft.operators.TarShard.encodeTar(members)
+          (id, if (id % 2 == 1) graft.operators.TarShard.gzip(tar) else tar)
+        }).toDF("shard_id", "payload")
+      graft.operators.TarShard.samples(s, shards, Seq("txt", "json"))
+        .orderBy("shard_id", "sample_key")
+    }),
+
     // M1 (zip shards): the ZIP analogue of m15, oracle-gated. Each doc
     // becomes a real classic ZIP (local headers + central directory +
     // EOCD, real CRC-32s) whose sN.txt members are DEFLATE-compressed
@@ -4715,6 +4739,40 @@ object SparkEntry {
                  FROM range(0, 110) i(r) WHERE i.r < m.sz) AS BIGINT)
              AS byte_sum
          FROM m ORDER BY shard_id, member_name""",
+
+    "m23_webdataset_samples" ->
+      """WITH m AS (
+           SELECT d.doc_id AS shard_id, j.r AS j, e.ext AS ext,
+             CASE WHEN e.ext = 'txt' THEN 10 + (d.doc_id + j.r * 7) % 90
+                  ELSE 5 + (d.doc_id + j.r * 11) % 20 END AS sz
+           FROM documents d
+           CROSS JOIN range(0, 5) j(r)
+           CROSS JOIN (SELECT 'txt' AS ext UNION ALL SELECT 'json') e
+           WHERE j.r < 2 + d.doc_id % 3
+             AND NOT (e.ext = 'json' AND j.r = 0 AND d.doc_id % 5 = 0)
+         ),
+         ms AS (
+           SELECT shard_id, j, ext, sz,
+             (SELECT SUM((shard_id * 3 + j * 5 + i.r) % 256)
+              FROM range(0, 110) i(r) WHERE i.r < sz) AS bsum
+           FROM m)
+         SELECT shard_id, 's' || j AS sample_key,
+           CAST(COALESCE(SUM(CASE WHEN ext = 'txt' THEN sz END), 0)
+                AS BIGINT) AS txt_size,
+           CAST(COALESCE(SUM(CASE WHEN ext = 'txt' THEN bsum END), 0)
+                AS BIGINT) AS txt_sum,
+           CAST(COUNT(CASE WHEN ext = 'txt' THEN 1 END) AS BIGINT)
+             AS txt_n,
+           CAST(COALESCE(SUM(CASE WHEN ext = 'json' THEN sz END), 0)
+                AS BIGINT) AS json_size,
+           CAST(COALESCE(SUM(CASE WHEN ext = 'json' THEN bsum END), 0)
+                AS BIGINT) AS json_sum,
+           CAST(COUNT(CASE WHEN ext = 'json' THEN 1 END) AS BIGINT)
+             AS json_n,
+           CAST(CASE WHEN COUNT(CASE WHEN ext = 'txt' THEN 1 END) = 1
+                      AND COUNT(CASE WHEN ext = 'json' THEN 1 END) = 1
+                THEN 1 ELSE 0 END AS BIGINT) AS complete
+         FROM ms GROUP BY 1, 2 ORDER BY shard_id, sample_key""",
 
     "m14_ogg_sniff" ->
       """SELECT d.doc_id AS media_id,

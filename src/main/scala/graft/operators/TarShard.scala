@@ -156,6 +156,33 @@ object TarShard {
       })
   }
 
+  /** WebDataset SAMPLE assembly — the consumer contract of the format:
+    * members sharing a basename key ARE one training sample (000017.jpg +
+    * 000017.txt + 000017.json), so the usable row is per (shard, key)
+    * with the per-extension member facts pivoted to columns and a
+    * completeness flag for the extensions the recipe requires. One
+    * groupBy on (shard_id, sample_key); a shard's members arrive in one
+    * partition, so assembly is map-side-combined. Missing-extension
+    * sizes/sums read 0 with the `<ext>_n` count 0 — `complete` = every
+    * required extension present exactly once. */
+  def samples(spark: SparkSession, shards: DataFrame,
+              exts: Seq[String]): DataFrame = {
+    require(exts.nonEmpty, "samples() needs at least one required extension")
+    val m = explodeMembers(spark, shards).toDF()
+    val aggs = exts.flatMap { e =>
+      Seq(
+        coalesce(sum(when(col("ext") === e, col("size_bytes"))), lit(0L))
+          .as(s"${e}_size"),
+        coalesce(sum(when(col("ext") === e, col("byte_sum"))), lit(0L))
+          .as(s"${e}_sum"),
+        count(when(col("ext") === e, lit(1))).as(s"${e}_n"))
+    }
+    m.groupBy("shard_id", "sample_key")
+      .agg(aggs.head, aggs.tail: _*)
+      .withColumn("complete",
+        exts.map(e => col(s"${e}_n") === 1L).reduce(_ && _).cast("long"))
+  }
+
   /** Slice one member's bytes out of a (possibly gzipped) shard. */
   def memberBytes(shard: Array[Byte], e: TarEntry): Option[Array[Byte]] =
     unwrap(shard).flatMap { p =>

@@ -55,7 +55,7 @@ object Bench {
     "t10_stream_host_budget",
     "d45_curation_pipeline", "d46_sequence_pack", "d47_exact_substr_cut",
     "t12_stream_sequence_pack", "d48_classifier_calibration",
-    "d49_nb_multiclass", "m23_webdataset_samples")
+    "d49_nb_multiclass", "m23_webdataset_samples", "d50_doc_chunking")
 
   /** SURVEY §6 per-query budgets (sec, sf0.1 median). A breach triggers an
     * automatic isolated forked-JVM re-run so the artifact adjudicates
@@ -122,7 +122,7 @@ object Bench {
     "d46_sequence_pack" -> 1.3, "d47_exact_substr_cut" -> 4.4,
     "t12_stream_sequence_pack" -> 5.4,
     "d48_classifier_calibration" -> 2.0, "d49_nb_multiclass" -> 2.3,
-    "m23_webdataset_samples" -> 1.6)
+    "m23_webdataset_samples" -> 1.6, "d50_doc_chunking" -> 1.0)
 
   /** Total GC time (ms) accumulated by all collectors since JVM start. */
   private def gcMillis(): Long = {

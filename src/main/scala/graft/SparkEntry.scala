@@ -1175,6 +1175,16 @@ object SparkEntry {
     // partition (two-level prefix sum over doc_id high-bit leaves); the
     // oracle states the naive global-window cumsum — the equivalence is
     // the gate.
+    // D50: sliding-window document chunking — the retrieval/embedding
+    // prep transform (RAG indexing, long-doc embedding): 120-char chunks
+    // every 40 chars with exact 1-based offsets and per-chunk md5, so
+    // the extraction itself sits under the hash compare. One in-row
+    // explode, no shuffle until presentation.
+    "d50_doc_chunking" -> ((s, dir) =>
+      graft.operators.DocChunk.chunks(
+          t(s, dir, "documents"), "doc_id", "text", size = 120, stride = 40)
+        .orderBy("doc_id", "chunk_id")),
+
     // D49: multi-class quantized Naive Bayes — lang-id over the observed
     // language set (the many-label sibling of d40's binary gate; CLD-style
     // classification where log-odds don't apply). Per-class floor-log2
@@ -3937,6 +3947,21 @@ object SparkEntry {
            CAST(COALESCE(agg.chars_dup, 0) AS BIGINT) AS chars_dup,
            CAST(d.len - COALESCE(agg.chars_dup, 0) AS BIGINT) AS clean_len
          FROM d LEFT JOIN agg USING (doc_id) ORDER BY doc_id""",
+
+    "d50_doc_chunking" ->
+      """WITH d AS (SELECT doc_id, text, length(text) AS len FROM documents),
+         n AS (SELECT doc_id, text, len,
+                 CASE WHEN len = 0 THEN 0
+                      ELSE 1 + GREATEST(0, (len - 120 + 40 - 1) // 40) END
+                   AS nc
+               FROM d),
+         c AS (SELECT doc_id, text, len, unnest(range(0, nc)) AS i
+               FROM n WHERE nc > 0)
+         SELECT doc_id, CAST(i AS BIGINT) AS chunk_id,
+           CAST(i * 40 + 1 AS BIGINT) AS chunk_start,
+           CAST(LEAST(120, len - i * 40) AS BIGINT) AS chunk_len,
+           md5(substr(text, CAST(i * 40 + 1 AS INT), 120)) AS chunk_md5
+         FROM c ORDER BY doc_id, chunk_id""",
 
     "d49_nb_multiclass" ->
       """WITH toks AS (

@@ -132,6 +132,9 @@ object TextHashKernels {
     var i = 0
     var s = 0L
     while (i < na) {
+      // null elements null the whole sum, exactly as the zip_with
+      // reference does — the two formulations must stay bitwise-equal
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
       val d = a.getLong(i) - b.getLong(i)
       s += d * d
       i += 1

@@ -37,9 +37,12 @@ object ClassifierEval {
     val hist = scored.groupBy(col(scoreCol).cast("long").as("threshold"))
       .agg(sum(when(y, 1L).otherwise(0L)).as("p"),
         sum(when(y, 0L).otherwise(1L)).as("n"))
-    val totals = scored.agg(
-      coalesce(sum(when(y, 1L).otherwise(0L)), lit(0L)).as("tot_p"),
-      coalesce(sum(when(y, 0L).otherwise(1L)), lit(0L)).as("tot_n"))
+    // totals fold the HISTOGRAM, not the corpus: the subtree under both
+    // aggregations is identical, so Spark's exchange reuse runs the
+    // corpus-sized scan once per query instead of twice
+    val totals = hist.agg(
+      coalesce(sum("p"), lit(0L)).as("tot_p"),
+      coalesce(sum("n"), lit(0L)).as("tot_n"))
     // cumulative at-or-above counts: a window over HISTOGRAM rows — the
     // ordered pass is bounded by score cardinality, not corpus size
     val w = Window.orderBy(col("threshold").desc)

@@ -32,18 +32,11 @@ import org.apache.spark.sql.functions._
   *     boundary bucket to the WHOLE corpus), a TWO-LEVEL cumsum bounds
   *     every window partition regardless of skew.
   *
-  * The two-level cumsum: doc_ids group by their high bits
-  * (`doc_id >> groupShift`, arithmetic shift — monotone over the FULL
-  * signed range, so group order extends doc_id order). A per-(score,
-  * group) partial-sum table (corpus/2^groupShift rows) takes a window
-  * over GROUPS per score for each group's exclusive prefix, then joins
-  * back and a window inside each (score, group) leaf — at most
-  * 2^groupShift doc_id values — finishes the cumsum. No window partition
-  * ever exceeds max(#groups, leaf width) rows regardless of score skew:
-  * the x07 adversarial gate holds by construction, not by data luck.
-  * Exactness: group order refines doc_id order, so exclusive-group-prefix
-  * + within-group inclusive cumsum IS the within-bucket inclusive cumsum.
-  * The adaptive switch trades the two extra exchanges for skew immunity
+  * The two-level cumsum is the shared [[PrefixSum.twoLevel]] machinery
+  * (keyed by score, inclusive frame): no window partition ever exceeds
+  * max(#leaves, leaf width) rows regardless of score skew — the x07
+  * adversarial gate holds by construction, not by data luck. The
+  * adaptive switch trades the two extra exchanges for skew immunity
   * exactly when the stats say the immunity is needed.
   *
   * Equivalence to the naive rule is exact: docs above the boundary bucket
@@ -112,21 +105,10 @@ object CorpusSelect {
           when(cumCol <= residual, 1L).otherwise(0L))
         .otherwise(0L)
     if (inBucketCum != null) d.withColumn("selected", flag(inBucketCum))
-    else {
-      val dg = d.withColumn("g", shiftright(col("doc_id"), groupShift))
-      val coarse = dg.groupBy("score", "g").agg(sum("n_tokens").as("gt"))
-      val wg = Window.partitionBy("score").orderBy("g")
-        .rowsBetween(Window.unboundedPreceding, -1)
-      val offsets = coarse
-        .withColumn("goff", coalesce(sum("gt").over(wg), lit(0L)))
-        .select("score", "g", "goff")
-      val wl = Window.partitionBy("score", "g").orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      dg.join(offsets, Seq("score", "g"))
-        .withColumn("selected",
-          flag(col("goff") + sum("n_tokens").over(wl)))
-        .select("doc_id", "score", "n_tokens", "selected")
-    }
+    else PrefixSum.twoLevel(d, Seq("score"), "doc_id", "n_tokens",
+        "__cum", inclusive = true, groupShift)
+      .withColumn("selected", flag(col("__cum")))
+      .select("doc_id", "score", "n_tokens", "selected")
   }
 
   /** Budget as a fraction `num/den` of the corpus's own total tokens —

@@ -52,6 +52,8 @@ object MulticlassNb {
     val roster = trainOcc.groupBy("cls").agg(count(lit(1)).as("tc"))
       .join(d.where(col("is_train")).groupBy("cls")
         .agg(count(lit(1)).as("nc")), "cls")
+    require(!roster.isEmpty,
+      "multi-class NB needs a non-empty training slice (isTrain matched no docs)")
     val classes = broadcast(roster)
     // per-occurrence, per-class quantized bits
     val perOcc = occ.select(col("doc_id"), col("w"))

@@ -45,24 +45,13 @@ object SequencePack {
     * the level-1 ordered pass holds corpus/2^12 leaf rows. */
   val DefaultGroupShift: Int = 12
 
-  /** Global exclusive prefix sum of `nCol` in `idCol` order, two-level:
-    * input + `start_offset`. */
+  /** Global exclusive prefix sum of `nCol` in `idCol` order — the shared
+    * [[PrefixSum.twoLevel]] machinery with no keys and the exclusive
+    * frame: input + `start_offset`. */
   def exclusivePrefixSum(docs: DataFrame, idCol: String, nCol: String,
-                         groupShift: Int = DefaultGroupShift): DataFrame = {
-    val dg = docs.withColumn("__g", shiftright(col(idCol), groupShift))
-    val leaves = dg.groupBy("__g").agg(sum(col(nCol)).as("__gt"))
-    val wg = Window.orderBy("__g")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = leaves
-      .withColumn("__goff", coalesce(sum("__gt").over(wg), lit(0L)))
-      .select("__g", "__goff")
-    val wl = Window.partitionBy("__g").orderBy(idCol)
-      .rowsBetween(Window.unboundedPreceding, -1)
-    dg.join(offsets, Seq("__g"))
-      .withColumn("start_offset",
-        col("__goff") + coalesce(sum(col(nCol)).over(wl), lit(0L)))
-      .drop("__g", "__goff")
-  }
+                         groupShift: Int = DefaultGroupShift): DataFrame =
+    PrefixSum.twoLevel(docs, Seq.empty, idCol, nCol, "start_offset",
+      inclusive = false, groupShift)
 
   /** Per-document packing placement under capacity `cap`:
     * (doc_id, n_tokens, start_offset, first_seq, last_seq, n_seqs).

@@ -36,13 +36,26 @@ import org.apache.spark.sql.functions._
   * (`maxRecordBytes`, default 64 MiB — parameterized, so a multi-GiB
   * Common Crawl shard of ordinary-sized records parses in O(record)
   * memory), and a gzip bomb meets the same per-record guard: bytes that
-  * never frame a record within the guard reject the shard.
+  * never frame a record within the guard reject the shard. Parsed row
+  * STATS still buffer until the whole shard verifies, so a second guard
+  * caps the per-shard record COUNT (`maxRecords`) — a bomb of millions
+  * of tiny valid records rejects instead of accumulating rows.
   */
 object WarcShard {
 
   /** Default guard on any SINGLE framed record (header block + body +
-    * separator). NOT a whole-shard cap — total shard size is unbounded. */
+    * separator). NOT a whole-shard byte cap — total shard size is
+    * unbounded. */
   final val MaxRecordBytes: Int = 1 << 26 // 64 MiB
+
+  /** Default guard on the RECORD COUNT of one shard: the streaming walk
+    * bounds byte memory by one record, but the parsed row STATS still
+    * buffer until the whole shard verifies (damage anywhere must reject
+    * everything) — a gzip bomb made of millions of tiny VALID records
+    * would otherwise OOM through the row buffer. Real Common Crawl
+    * shards hold tens of thousands of records; 1M is two orders of
+    * magnitude of headroom. */
+  final val MaxShardRecords: Int = 1 << 20
 
   /** One parsed record: `http_status`/HTTP split only for response
     * records whose payload parses; otherwise the block IS the body. */
@@ -62,10 +75,21 @@ object WarcShard {
     * Input without the gzip magic passes through as one pseudo-member
     * (plain `.warc`). Returns false on any corruption or abort. */
   private def gzipWalk(p: Array[Byte],
-                       sink: (Array[Byte], Int) => Boolean,
+                       sink: (Array[Byte], Int, Int) => Boolean,
                        memberDone: () => Boolean): Boolean = {
-    if (p.length < 2 || (p(0) & 0xff) != 0x1f || (p(1) & 0xff) != 0x8b)
-      return sink(p, p.length) && memberDone()
+    if (p.length < 2 || (p(0) & 0xff) != 0x1f || (p(1) & 0xff) != 0x8b) {
+      // plain passthrough in bounded chunks, so the sink's size guards
+      // interleave with buffer growth instead of facing one giant append
+      // (a multi-GiB plain payload in a single append would overflow the
+      // growth arithmetic before any guard could fire)
+      var at0 = 0
+      while (at0 < p.length) {
+        val n = math.min(64 << 10, p.length - at0)
+        if (!sink(p, at0, n)) return false
+        at0 += n
+      }
+      return memberDone()
+    }
     var at = 0
     while (at < p.length) {
       // -- member header
@@ -103,7 +127,7 @@ object WarcShard {
           if (n > 0) {
             crc.update(buf, 0, n)
             isize += n
-            if (!sink(buf, n)) return false
+            if (!sink(buf, 0, n)) return false
           }
         }
         val trailerAt = h + inf.getBytesRead.toInt
@@ -130,18 +154,24 @@ object WarcShard {
     private var head = 0
     private var tail = 0
     def size: Int = tail - head
-    def append(b: Array[Byte], len: Int): Unit = {
+    def append(b: Array[Byte], off: Int, len: Int): Unit = {
       if (tail + len > buf.length) {
-        val need = size + len
+        // Long arithmetic: Int doubling/highestOneBit would overflow past
+        // 2^30 and allocate an undersized target. Callers' guards keep
+        // `need` far below Int range (maxRecordBytes is capped at 1 GiB
+        // and appends arrive in <= 64 KiB chunks).
+        val need = size.toLong + len
         val target =
           if (need <= buf.length) buf
-          else new Array[Byte](math.max(buf.length * 2, Integer.highestOneBit(need) * 2))
+          else new Array[Byte](
+            math.min(math.max(buf.length.toLong * 2L, need * 2L),
+              Int.MaxValue - 8L).toInt)
         System.arraycopy(buf, head, target, 0, size)
         tail -= head
         head = 0
         buf = target
       }
-      System.arraycopy(b, 0, buf, tail, len)
+      System.arraycopy(b, off, buf, tail, len)
       tail += len
     }
     def apply(i: Int): Byte = buf(head + i)
@@ -191,7 +221,7 @@ object WarcShard {
         if (colon <= 0) return Broken
         val name = line.substring(0, colon).trim
         val value = line.substring(colon + 1).trim
-        name.toLowerCase match {
+        name.toLowerCase(java.util.Locale.ROOT) match {
           case "warc-type" => warcType = value
           case "warc-target-uri" => uri = Some(value)
           case "content-length" =>
@@ -202,6 +232,11 @@ object WarcShard {
       }
     }
     if (warcType == null || clen < 0) return Broken
+    // Guard clen BEFORE any arithmetic: a crafted Content-Length near
+    // Long.MaxValue would otherwise overflow `framed` negative, slip both
+    // guards, and reach copyOfRange with a negative length — a
+    // task-killing throw the no-throw contract forbids.
+    if (clen > maxRecordBytes) return Broken
     val framed = i.toLong + clen + 4L // header + block + CRLF CRLF
     if (framed > maxRecordBytes) return Broken
     if (framed > rb.size) return NeedMore
@@ -246,12 +281,16 @@ object WarcShard {
     * both walk correctly). Rows buffer until the WHOLE shard verifies
     * (rows are small stats; damage anywhere must reject everything). */
   def parseShard(shardId: Long, payload: Array[Byte],
-                 maxRecordBytes: Int = MaxRecordBytes): Seq[WarcRecord] = {
+                 maxRecordBytes: Int = MaxRecordBytes,
+                 maxRecords: Int = MaxShardRecords): Seq[WarcRecord] = {
+    require(maxRecordBytes > 0 && maxRecordBytes <= (1 << 30),
+      s"maxRecordBytes must be in (0, 1 GiB], got $maxRecordBytes")
     if (payload == null || payload.length == 0) return Vector.empty
     val out = Vector.newBuilder[WarcRecord]
     val rb = new RollingBuffer
     var recIdx = 0L
-    // Drain complete records off the buffer head; false on framing damage.
+    // Drain complete records off the buffer head; false on framing damage
+    // or a shard exceeding the record-count guard.
     def drain(): Boolean = {
       var going = true
       while (going) {
@@ -261,6 +300,7 @@ object WarcShard {
           case consumed =>
             rb.drop(consumed)
             recIdx += 1
+            if (recIdx > maxRecords) return false
         }
       }
       true
@@ -269,8 +309,8 @@ object WarcShard {
     // rescan cost amortizes to ~one framing pass per record; a window the
     // guard's size that still frames nothing IS the damage case (this is
     // what bounds a gzip bomb — bytes that never frame a record).
-    def push(chunk: Array[Byte], len: Int): Boolean = {
-      rb.append(chunk, len)
+    def push(chunk: Array[Byte], off: Int, len: Int): Boolean = {
+      rb.append(chunk, off, len)
       if (rb.size > maxRecordBytes) {
         if (!drain()) return false
         if (rb.size > maxRecordBytes) return false

@@ -285,7 +285,7 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
     // out of the partition specs; the coarse level-1 window correctly runs
     // over the corpus/4096-row GROUP table, which may single-partition.)
     val docWindows = windows.filter(_.contains("doc_id"))
-    assert(docWindows.nonEmpty && docWindows.forall(_.contains("[g#")),
+    assert(docWindows.nonEmpty && docWindows.forall(_.contains("__g")),
       s"corpus-sized window not leaf-keyed:\n${windows.mkString("\n")}")
   }
 

@@ -63,6 +63,14 @@ class TextHashKernelsSpec extends AnyFunSuite with SparkSpec {
       graft.functions.VectorFunctions.codeSqDistHof(col("a"), col("b")).as("hof"))
       .collect().head
     assert(rr.isNullAt(0) && rr.isNullAt(1))
+    // a null ELEMENT nulls the HOF aggregate; the kernel must agree too
+    val withNull = spark.range(1).select(
+      expr("array(1L, cast(null as bigint))").as("a"),
+      expr("array(1L, 2L)").as("b"))
+    val nn = withNull.select(expr("graft_code_sqdist(a, b)").as("kernel"),
+      graft.functions.VectorFunctions.codeSqDistHof(col("a"), col("b")).as("hof"))
+      .collect().head
+    assert(nn.isNullAt(0) && nn.isNullAt(1))
   }
 
   test("sortedIU computes exact intersection/union of sorted sets") {

@@ -132,6 +132,31 @@ class WarcShardSpec extends AnyFunSuite with SparkSpec {
     assert(parseShard(1L, shard).size == 1) // default 64 MiB guard
   }
 
+  test("a crafted near-Long.MaxValue Content-Length rejects quietly (no overflow throw)") {
+    val evil = ("WARC/1.0\r\nWARC-Type: metadata\r\n" +
+      s"Content-Length: ${Long.MaxValue - 3}\r\n\r\n\r\n\r\n")
+      .getBytes("ISO-8859-1")
+    assert(parseShard(1L, gz(evil)).isEmpty)
+    assert(parseShard(1L, evil).isEmpty) // plain passthrough too
+  }
+
+  test("a shard exceeding the record-count guard rejects; raising the guard admits it") {
+    val tiny = encodeRecord("metadata", None, Array.emptyByteArray)
+    val many = encodeWarcGz(Seq.fill(50)(tiny))
+    assert(parseShard(1L, many, maxRecords = 10).isEmpty)
+    assert(parseShard(1L, many, maxRecords = 50).size == 50)
+    assert(parseShard(1L, many).size == 50) // default 1M guard
+  }
+
+  test("maxRecordBytes outside (0, 1 GiB] is a caller error") {
+    intercept[IllegalArgumentException] {
+      parseShard(1L, gz(resp), maxRecordBytes = 0)
+    }
+    intercept[IllegalArgumentException] {
+      parseShard(1L, gz(resp), maxRecordBytes = Int.MaxValue)
+    }
+  }
+
   test("bit-flip fuzz never throws") {
     val p = gz(infoRec, resp)
     val rnd = new scala.util.Random(5)

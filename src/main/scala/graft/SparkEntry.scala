@@ -1196,7 +1196,8 @@ object SparkEntry {
           t(s, dir, "documents")
             .select(col("doc_id"), TF.cleanTokens(col("text")).as("tokens"),
               col("lang")),
-          "doc_id", "tokens", "lang", isTrain = col("doc_id") % 3 =!= 0)
+          "doc_id", "tokens", "lang", isTrain = col("doc_id") % 3 =!= 0,
+          cacheHook = registerCache)
         .orderBy("doc_id")),
 
     // D48: classifier calibration — the threshold sweep over the held-out

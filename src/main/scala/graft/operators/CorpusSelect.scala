@@ -67,9 +67,14 @@ object CorpusSelect {
                         tokensCol: String, budget: Long,
                         groupShift: Int = DefaultGroupShift,
                         maxBucketRows: Long = DefaultMaxBucketRows): DataFrame = {
+    // Null scores are excluded BY CONTRACT (a null has no place in the
+    // best-first order) — and explicitly here, so both plan paths agree:
+    // the two-level path's equi-join would drop them silently while the
+    // window path would keep them, making the row set plan-dependent.
     val d = docs.select(col(idCol).as("doc_id"),
       col(scoreCol).cast("long").as("score"),
       col(tokensCol).cast("long").as("n_tokens"))
+      .where(col("score").isNotNull)
     // 1. score histogram (bounded by score cardinality), with row counts
     //    so the plan switch below decides from exact stats.
     val hist = d.groupBy("score")

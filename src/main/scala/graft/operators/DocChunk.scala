@@ -29,9 +29,12 @@ object DocChunk {
     require(size > 0 && stride > 0 && stride <= size,
       s"need 0 < stride <= size, got size=$size stride=$stride")
     val len = length(col(textCol)).cast("long")
+    // ceil((len - size) / stride) clamped at 0, via exact double floor
+    // (values stay far below 2^53) — Column API only, so a textCol
+    // needing quoting cannot break an expr() splice
     val n = when(len === 0L, 0L).otherwise(
       lit(1L) + greatest(lit(0L),
-        expr(s"(length(${textCol}) - $size + $stride - 1) div $stride")))
+        floor((len - size + stride - 1) / lit(stride)).cast("long")))
     docs.select(col(idCol).as("doc_id"), col(textCol).as("__text"),
         n.as("__n"))
       .where(col("__n") > 0L)

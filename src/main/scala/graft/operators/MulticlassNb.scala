@@ -33,13 +33,14 @@ import org.apache.spark.sql.functions._
   */
 object MulticlassNb {
 
-  private def flog2(c: Column): Column = length(bin(c)) - 1
+  private def flog2(c: Column): Column = NbClassifier.flog2(c)
 
   /** Classify every doc: (doc_id, is_train, n_tokens, predicted, best_bits)
     * where `predicted` is the argmax class label (ties -> smallest label).
     * `labelCol` must be a string class label, non-null on training docs. */
   def classify(docs: DataFrame, idCol: String, tokensCol: String,
-               labelCol: String, isTrain: Column): DataFrame = {
+               labelCol: String, isTrain: Column,
+               cacheHook: DataFrame => DataFrame = identity): DataFrame = {
     val d = docs.select(col(idCol).as("doc_id"),
       col(tokensCol).as("tokens"), col(labelCol).as("cls"),
       isTrain.cast("boolean").as("is_train"))
@@ -52,9 +53,13 @@ object MulticlassNb {
     val roster = trainOcc.groupBy("cls").agg(count(lit(1)).as("tc"))
       .join(d.where(col("is_train")).groupBy("cls")
         .agg(count(lit(1)).as("nc")), "cls")
-    require(!roster.isEmpty,
+    // fail fast on an empty training slice, but cheaply: probe one row
+    // (and route the roster through the caller's cache hook so the probe
+    // warms the same table the two broadcast joins read)
+    val rosterC = cacheHook(roster)
+    require(!rosterC.limit(1).isEmpty,
       "multi-class NB needs a non-empty training slice (isTrain matched no docs)")
-    val classes = broadcast(roster)
+    val classes = broadcast(rosterC)
     // per-occurrence, per-class quantized bits
     val perOcc = occ.select(col("doc_id"), col("w"))
       .crossJoin(classes.select(col("cls"), col("tc")))

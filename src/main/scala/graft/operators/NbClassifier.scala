@@ -59,8 +59,10 @@ object NbClassifier {
   }
 
   /** floor(log2(x)) for x >= 1, exactly, via the binary string length —
-    * the one integer-log formulation Spark and DuckDB evaluate identically. */
-  private def flog2(c: Column): Column = length(bin(c)) - 1
+    * the one integer-log formulation Spark and DuckDB evaluate
+    * identically. Package-visible: the d37/d40/d49 exactness contract
+    * depends on every quantized operator using THIS formulation. */
+  private[operators] def flog2(c: Column): Column = length(bin(c)) - 1
 
   private def flog2Long(x: Long): Long =
     63 - java.lang.Long.numberOfLeadingZeros(x)

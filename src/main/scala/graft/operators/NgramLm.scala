@@ -57,7 +57,7 @@ object NgramLm {
 
   /** floor(log2(x)) for x >= 1, exactly, via the binary string length —
     * the one integer-log formulation Spark and DuckDB evaluate identically. */
-  private def flog2(c: Column): Column = length(bin(c)) - 1
+  private def flog2(c: Column): Column = NbClassifier.flog2(c)
 
   /** (doc_id, pos, w, prev) token-position stream for scoring/counting. */
   private def positions(docs: DataFrame, idCol: String, tokensCol: String,

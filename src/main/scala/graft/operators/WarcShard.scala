@@ -155,7 +155,7 @@ object WarcShard {
     private var tail = 0
     def size: Int = tail - head
     def append(b: Array[Byte], off: Int, len: Int): Unit = {
-      if (tail + len > buf.length) {
+      if (tail.toLong + len > buf.length) {
         // Long arithmetic: Int doubling/highestOneBit would overflow past
         // 2^30 and allocate an undersized target. Callers' guards keep
         // `need` far below Int range (maxRecordBytes is capped at 1 GiB

@@ -82,6 +82,26 @@ class CorpusSelectSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("the adaptive switch fires on its own stats: a bucket past maxBucketRows " +
+       "takes the two-level path and still equals the naive rule") {
+    val rnd = new scala.util.Random(67)
+    // one hot score bucket (12 rows) over a 3-row threshold, others small
+    val d = (0L until 20L).map { i =>
+      val score = if (i < 12) 7L else 3L + (i % 3)
+      (i, score, rnd.nextInt(15).toLong)
+    }
+    val total = d.map(_._3).sum
+    for (budget <- Seq(total / 4, total / 2, total)) {
+      val got = CorpusSelect.tokenBudgetSelect(
+          d.toDF("doc_id", "score", "n_tokens"),
+          "doc_id", "score", "n_tokens", budget,
+          groupShift = 2, maxBucketRows = 3L)
+        .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("selected"))
+        .toMap
+      assert(got == naive(d, budget), s"budget=$budget")
+    }
+  }
+
   private def runPerKey(docs: Seq[(Long, String, Long, Long)],
                         budget: Long): Map[Long, Long] =
     CorpusSelect.perKeyTokenBudgetSelect(

@@ -636,6 +636,22 @@ object SparkEntry {
         .orderBy("lang", "source", "rk")
     }),
 
+    // K6: deterministic hash-bucketed dataset split — the train/val/test
+    // assignment every released dataset ships. The portable polynomial
+    // hash of the doc id buckets 0-999 (content-independent, stable under
+    // re-shards and re-runs: a doc's split NEVER changes as the corpus
+    // grows — the property random sampling lacks); 90/5/5 thresholds.
+    // Shuffle-free projection; the oracle restates the hash fold.
+    "k06_dataset_split" -> ((s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"), col("lang"))
+        .withColumn("bucket",
+          TF.portableHash(col("doc_id").cast("string")) % 1000L)
+        .withColumn("split",
+          when(col("bucket") < 900L, "train")
+            .when(col("bucket") < 950L, "validation")
+            .otherwise("test"))
+        .orderBy("doc_id")),
+
     "k01_salted_skew_join" -> ((s, dir) => {
       val o = t(s, dir, "orders")
         .select(col("o_orderkey"), col("o_custkey").as("c_custkey"),
@@ -4531,6 +4547,17 @@ object SparkEntry {
            (n_overlap * 1000000) // n_grams AS overlap_frac_e6,
            ((n_overlap * 1000000) // n_grams) <= 50000 AS keep
          FROM t ORDER BY doc_id""",
+
+    "k06_dataset_split" ->
+      s"""WITH s AS (SELECT doc_id, lang,
+             CAST(doc_id AS VARCHAR) AS ds FROM documents),
+          h AS (SELECT doc_id, lang, ${duckHash("ds")} % 1000 AS bucket
+                FROM s)
+          SELECT doc_id, lang, CAST(bucket AS BIGINT) AS bucket,
+            CASE WHEN bucket < 900 THEN 'train'
+                 WHEN bucket < 950 THEN 'validation'
+                 ELSE 'test' END AS split
+          FROM h ORDER BY doc_id""",
 
     "k04_temperature_mixture" ->
       """WITH cnt AS (SELECT lang, COUNT(*) AS c FROM documents GROUP BY 1),

@@ -642,6 +642,12 @@ object SparkEntry {
     // re-shards and re-runs: a doc's split NEVER changes as the corpus
     // grows — the property random sampling lacks); 90/5/5 thresholds.
     // Shuffle-free projection; the oracle restates the hash fold.
+    // Deliberately a SEPARATE gate from d25's 100-bucket split: released
+    // datasets quote split fractions at 0.1% granularity (90.0/5.0/5.0),
+    // and the 1000-bucket modulus exercises the hash's uniformity in the
+    // low three decimal digits — a bias d25's coarse %100 fold cannot
+    // see; k06 also carries a payload column (lang) through the
+    // projection, pinning that the split is a pure column-add.
     "k06_dataset_split" -> ((s, dir) =>
       t(s, dir, "documents").select(col("doc_id"), col("lang"))
         .withColumn("bucket",
@@ -1150,6 +1156,101 @@ object SparkEntry {
       val flags = Seq("s_quality", "s_perplexity", "s_neardup",
         "s_hostcap", "s_budget", "s_mixture")
       Seq(s1, s2, s3, s4, s5, s6).zip(flags)
+        .foldLeft(docs.select("doc_id")) { case (acc, (ids, n)) =>
+          acc.join(f(ids, n), Seq("doc_id"), "left")
+        }
+        .select(col("doc_id") +:
+          flags.map(n => coalesce(col(n), lit(0L)).as(n)): _*)
+        .orderBy("doc_id")
+    }),
+
+    // D51: d45's pipeline with TRANSACTIONAL LAKE-TABLE stage boundaries
+    // (VERDICT r9 ask #3 — "at production scale the checkpoints are lake
+    // tables", shipped): every stage's survivor set COMMITS as a lake
+    // table before the next stage reads it back, so each stage's plan
+    // roots at a table scan (linear composed plan, same property the d45
+    // localCheckpoint bought) AND the pipeline is durable — a run killed
+    // between stages resumes from the last committed stage under the
+    // build-stamp discipline (run_id + upstream-snapshot match, the
+    // D30/E12 pattern; CurationPipelineSpec gates the restart). Semantics
+    // are d45's exactly — same oracle; the gate uses a fresh run_id per
+    // invocation so the BENCH row measures the full compute-and-commit
+    // cost, never a resume read-back.
+    "d51_curation_lake" -> ((s, dir) => {
+      import graft.operators.{BoundedRank, CorpusSelect, CurationPipeline, NbClassifier, NgramLm}
+      import graft.operators.CurationPipeline.Stage
+      val loc = java.nio.file.Files.createTempDirectory("graft_d51_pipe").toString
+      val docs = t(s, dir, "documents").select("doc_id", "text", "lang")
+      val tok = registerCache(docs.select(col("doc_id"), col("lang"),
+        col("text"), TF.cleanTokens(col("text")).as("tokens")))
+      val stages = Seq(
+        // 1. quality classifier (the root stage reads the corpus, not a
+        //    survivor table — its upstream stamp is the run_id itself).
+        Stage("quality", _ => NbClassifier.classify(
+            tok.select(col("doc_id"), col("tokens"),
+              (col("lang") === "en").as("y")),
+            "doc_id", "tokens", "y", isTrain = col("doc_id") % 3 =!= 0,
+            cacheHook = registerCache)
+          .where(col("predicted") === 1L)
+          .select(col("doc_id"), col("score_bits"))),
+        // 2. LM perplexity filter over the committed quality survivors.
+        Stage("perplexity", prev => {
+          val d1 = registerCache(tok.join(prev, "doc_id"))
+          val ppl = NgramLm.perplexityBits(d1, "doc_id", "tokens",
+            isTrain = col("doc_id") % 3 =!= 0)
+          val lmd = d1.select(col("doc_id"), col("score_bits"))
+            .join(ppl.select(col("doc_id"), col("n_tokens"), col("bits")),
+              Seq("doc_id"), "left")
+            .select(col("doc_id"), col("score_bits"),
+              coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+              coalesce(col("bits"), lit(0L)).as("bits"))
+          val mstat = lmd.agg(sum("bits").as("tb"), sum("n_tokens").as("tt"))
+          lmd.crossJoin(broadcast(mstat))
+            .where(col("n_tokens") === 0L ||
+              expr("bits * 1000 div n_tokens") <=
+                when(col("tt") > 0L, expr("tb * 1000 div tt"))
+                  .otherwise(lit(0L)))
+            .select("doc_id", "score_bits", "n_tokens")
+        }),
+        // 3. near-dup prune among the committed survivors.
+        Stage("neardup", prev => prev.join(
+          Dedup.minhashNearDupPairs(
+              tok.join(prev.select("doc_id"), "doc_id").select("doc_id", "text"),
+              "doc_id", "text")
+            .select(col("doc_b").as("doc_id")).distinct(),
+          Seq("doc_id"), "left_anti")),
+        // 4. per-host contribution cap.
+        Stage("hostcap", prev => CorpusSelect.perKeyTokenBudgetSelect(
+            prev.withColumn("host",
+              concat(lit("h"), (col("doc_id") % 50).cast("string"))),
+            "doc_id", "host", "score_bits", "n_tokens", budget = 400L)
+          .where(col("selected") === 1L)
+          .select(col("doc_id"), col("score"), col("n_tokens"))),
+        // 5. global token budget: 30% of the surviving tokens.
+        Stage("budget", prev => CorpusSelect.tokenBudgetSelectFraction(
+            prev, "doc_id", "score", "n_tokens", 3L, 10L)
+          .where(col("selected") === 1L).select("doc_id")),
+        // 6. temperature mixture over the final pool.
+        Stage("mixture", prev => {
+          val l6 = registerCache(prev.join(tok.select("doc_id", "lang"), "doc_id"))
+          val wts = l6.groupBy("lang").agg(count(lit(1)).as("c"))
+            .withColumn("w", TR.isqrt(col("c")))
+          val quotas = wts.crossJoin(wts.agg(sum(col("w")).as("tot_w")))
+            .select(col("lang"), expr("(100 * w) div tot_w").as("quota"))
+          BoundedRank.topKPerKey(l6, Seq("lang"),
+              Seq(md5(col("doc_id").cast("string")), col("doc_id")), k = 100)
+            .join(broadcast(quotas), "lang")
+            .where(col("rk") <= col("quota"))
+            .select("doc_id")
+        }))
+      val outs = CurationPipeline.run(s, loc,
+        runId = java.util.UUID.randomUUID().toString,
+        input = docs.select("doc_id"), stages)
+      def f(ids: DataFrame, n: String) =
+        ids.select(col("doc_id")).withColumn(n, lit(1L))
+      val flags = Seq("s_quality", "s_perplexity", "s_neardup",
+        "s_hostcap", "s_budget", "s_mixture")
+      outs.zip(flags)
         .foldLeft(docs.select("doc_id")) { case (acc, (ids, n)) =>
           acc.join(f(ids, n), Seq("doc_id"), "left")
         }
@@ -3721,6 +3822,10 @@ object SparkEntry {
 
     "d11_corpus_clean" -> corpusCleanOracle,
     "d45_curation_pipeline" -> curationPipelineOracle,
+    // d51 is d45 with lake-table stage boundaries — semantics identical
+    // by design, so it answers to the same oracle (the equivalence of the
+    // two stage-cut mechanisms is exactly what the shared oracle pins).
+    "d51_curation_lake" -> curationPipelineOracle,
     "d23_incremental_dedup" -> incrementalDedupOracle,
     "d30_lsh_index_probe" -> lshIndexProbeOracle,
     // t07 (StreamingGates): the streaming admission gate drains one

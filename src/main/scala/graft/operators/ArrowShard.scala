@@ -78,8 +78,15 @@ object ArrowShard {
         case _: IllegalStateException =>
           // Outstanding allocations at close = abandoned direct buffers
           // this process will never get back. Count it (observable), but
-          // do not throw — a bad shard must not kill the task.
-          allocatorLeakReports.incrementAndGet()
+          // do not throw — a bad shard must not kill the task. The count
+          // is per-executor-JVM, so ALSO log at every power-of-two total:
+          // a corrupt-heavy scan's native-memory growth then shows in the
+          // executor logs without the consumer knowing to poll the field.
+          val n = allocatorLeakReports.incrementAndGet()
+          if ((n & (n - 1)) == 0L)
+            org.slf4j.LoggerFactory.getLogger(getClass).warn(
+              s"ArrowShard: $n corrupt-shard allocator leak(s) in this " +
+              "executor JVM (abandoned direct buffers are not reclaimable)")
           ()
       }
     }

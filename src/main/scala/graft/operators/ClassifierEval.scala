@@ -29,12 +29,18 @@ object ClassifierEval {
 
   /** PR-curve points over a scored, boolean-labeled eval set: one row per
     * distinct score value, (threshold, n_ge, tp, fp, fn, tn,
-    * precision_e6, recall_e6). Input rows with a null label are rejected
-    * by contract (cast them first); an empty eval set yields no rows. */
+    * precision_e6, recall_e6). Null-labeled rows are DROPPED (enforced
+    * here, not left to the caller — silently counting them as negatives
+    * would skew every confusion count); scores are expected integer-valued
+    * (the bucketed-score contract shared with D41) — the long cast is a
+    * type adapter, and fractional scores would merge into their floor
+    * bucket, so callers with real-valued scores must quantize first.
+    * An empty eval set yields no rows. */
   def thresholdSweep(scored: DataFrame, scoreCol: String,
                      labelCol: String): DataFrame = {
     val y = col(labelCol).cast("boolean")
-    val hist = scored.groupBy(col(scoreCol).cast("long").as("threshold"))
+    val hist = scored.where(col(labelCol).isNotNull)
+      .groupBy(col(scoreCol).cast("long").as("threshold"))
       .agg(sum(when(y, 1L).otherwise(0L)).as("p"),
         sum(when(y, 0L).otherwise(1L)).as("n"))
     // totals fold the HISTOGRAM, not the corpus: the subtree under both

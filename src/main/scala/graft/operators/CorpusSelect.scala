@@ -60,9 +60,12 @@ object CorpusSelect {
 
   /** Flag every doc with whether it makes the cut: input (idCol, scoreCol,
     * tokensCol) -> output (doc_id, score, n_tokens, selected 0/1).
-    * `budget` is the inclusive running-token ceiling. `maxBucketRows`
-    * tunes the adaptive plan switch (0 forces the two-level cumsum —
-    * what the x07 gate pins). */
+    * Null-score rows are ABSENT from the output (not emitted with
+    * selected=0): a null has no place in the best-first order, and
+    * dropping them up front is the only row set both plan paths below
+    * produce identically. `budget` is the inclusive running-token
+    * ceiling. `maxBucketRows` tunes the adaptive plan switch (0 forces
+    * the two-level cumsum — what the x07 gate pins). */
   def tokenBudgetSelect(docs: DataFrame, idCol: String, scoreCol: String,
                         tokensCol: String, budget: Long,
                         groupShift: Int = DefaultGroupShift,

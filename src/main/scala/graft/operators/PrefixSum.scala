@@ -29,6 +29,12 @@ object PrefixSum {
   def twoLevel(df: DataFrame, keys: Seq[String], orderCol: String,
                valueCol: String, outCol: String, inclusive: Boolean,
                groupShift: Int): DataFrame = {
+    // The staging columns are injected by fixed name; an input that
+    // already carries one would silently corrupt the leaf join/window.
+    val taken = df.columns.toSet
+    Seq("__g", "__gt", "__goff").foreach(c =>
+      require(!taken(c), s"PrefixSum.twoLevel: input already has a column " +
+        s"named '$c' (reserved staging name) — rename it first"))
     val keyCols = keys.map(col)
     val dg = df.withColumn("__g", shiftright(col(orderCol), groupShift))
     val leaves = dg.groupBy(keyCols :+ col("__g"): _*)

@@ -68,7 +68,17 @@ object Bench {
     "x02_lsh_skew_atcap" -> 3.4, "x03_semdedup_scaledk" -> 2.7,
     "x04_hyperplane_lsh_scaled" -> 1.0, "d03_simhash" -> 0.4,
     "d07_ngram_jaccard" -> 1.7, "d08_winnow_fingerprints" -> 0.7,
-    "d10_winnow_containment" -> 0.7, "e01_knn_bruteforce" -> 0.5,
+    // d10 re-adjudicated r10 with staged counters (the d38 treatment, on
+    // the r9 breach): the corpus collapses to 32 distinct winnow
+    // fingerprints at EVERY scale, and at sf0.1 the minimum df is 215 —
+    // above the 100 cap — so the anti-join empties the postings and the
+    // query's wall is ~6 sub-100ms stages of fixed job overhead (sf1 runs
+    // the same 0.6s on 10x data). The r9 0.5->1.0s "drift" on identical
+    // code+data is scheduling noise at that overhead floor; budget = 1.5x
+    // the fresh isolated median (0.76s). e01 re-measured 0.47s median —
+    // the old 0.5 budget sat AT the measurement (the r9 phantom breach);
+    // 1.5x rule re-applied.
+    "d10_winnow_containment" -> 1.2, "e01_knn_bruteforce" -> 0.7,
     "e02_ann_ivf" -> 0.5, "e05_kmeans_ivf_cells" -> 1.5,
     "e06_kmeans_ivf_topk" -> 1.7, "e07_hyperplane_lsh_near_dup" -> 0.5,
     "sql02_catalog_join" -> 2.1, "d11_corpus_clean" -> 3.5,

@@ -55,7 +55,11 @@ object Bench {
     "t10_stream_host_budget",
     "d45_curation_pipeline", "d46_sequence_pack", "d47_exact_substr_cut",
     "t12_stream_sequence_pack", "d48_classifier_calibration",
-    "d49_nb_multiclass", "m23_webdataset_samples", "d50_doc_chunking")
+    "d49_nb_multiclass", "m23_webdataset_samples", "d50_doc_chunking",
+    // r10: lake-staged curation pipeline (d45's production form — the
+    // time includes six lake-table commits) and the oracle-gated BPE
+    // train+encode (d52; x05 remains the 200-merge stress form).
+    "d51_curation_lake", "d52_bpe_train_encode")
 
   /** SURVEY §6 per-query budgets (sec, sf0.1 median). A breach triggers an
     * automatic isolated forked-JVM re-run so the artifact adjudicates
@@ -132,7 +136,11 @@ object Bench {
     "d46_sequence_pack" -> 1.3, "d47_exact_substr_cut" -> 4.4,
     "t12_stream_sequence_pack" -> 5.4,
     "d48_classifier_calibration" -> 2.0, "d49_nb_multiclass" -> 2.3,
-    "m23_webdataset_samples" -> 1.6, "d50_doc_chunking" -> 1.0)
+    "m23_webdataset_samples" -> 1.6, "d50_doc_chunking" -> 1.0,
+    // r10 rows, 1.5x rule on fresh isolated sf0.1 medians: d51 = d45's
+    // compute plus six transactional lake-table stage commits (3.17s);
+    // d52 = 16-merge train + encode under the learned table (0.98s).
+    "d51_curation_lake" -> 4.8, "d52_bpe_train_encode" -> 1.5)
 
   /** Total GC time (ms) accumulated by all collectors since JVM start. */
   private def gcMillis(): Long = {

@@ -916,6 +916,39 @@ object SparkEntry {
         .toDF().orderBy("doc_id")
     }),
 
+    // D52: BPE train+encode under ONE oracle (VERDICT r9 ask #4 — x05's
+    // previously rows-only workload, now hash-gated end to end): learn 16
+    // merges from the corpus itself, then encode every document under
+    // them. The oracle UNROLLS the merge loop as 16 chained MATERIALIZED
+    // CTE layers (pair counts -> argmax with the count-desc/lexicographic
+    // tie-break -> token-boundary-exact greedy merge application via a
+    // separator-bracketed string replace), so the learned merge TABLE and
+    // the per-doc subword counts both sit under the hash compare.
+    // topWords is set above any correctness-scale vocabulary so the
+    // truncation-free trainer and the oracle see the same word table; the
+    // lowest-rank-first encode loop equals the oracle's rank-order
+    // application (BpeEncodeEquivalenceSpec pins this on the real corpus).
+    "d52_bpe_train_encode" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val merges = graft.operators.BpeTokenizer.learnMerges(
+        docs, "text", numMerges = 16, topWords = 1 << 20)
+      graft.operators.BpeTokenizer
+        .encodeStats(s, docs, "doc_id", "text", merges)
+        .toDF().orderBy("doc_id")
+    }),
+
+    // D53: the learned merge table itself (rank, lhs, rhs) — the artifact
+    // a tokenizer-training run actually ships; same unrolled oracle, so a
+    // tie-break or merge-sweep bug in the trainer breaks this gate even
+    // when the d52 counts happen to coincide.
+    "d53_bpe_merge_table" -> ((s, dir) => {
+      import s.implicits._
+      graft.operators.BpeTokenizer.learnMerges(
+          t(s, dir, "documents"), "text", numMerges = 16, topWords = 1 << 20)
+        .map(m => (m.rank.toLong, m.left, m.right))
+        .toDF("rank", "lhs", "rhs").orderBy("rank")
+    }),
+
     // D37: CCNet-style LM perplexity filter — a quantized (integer
     // floor-log2) bigram stupid-backoff LM trained on the doc_id%3!=0
     // slice scores EVERY document in whole bits; the per-doc
@@ -2964,6 +2997,71 @@ object SparkEntry {
         WHERE doc_id NOT IN (SELECT doc_b FROM neardrop)
         ORDER BY doc_id"""
 
+  /** d52/d53: BPE training unrolled — the merge loop restated as `k`
+    * chained MATERIALIZED CTE layers (materialization is load-bearing:
+    * each layer references its predecessor several times, so inlined CTEs
+    * would re-expand the whole prefix multiplicatively — the same
+    * composed-plan blowup d45 hit in Catalyst, in DuckDB form). Token
+    * sequences travel as separator-bracketed strings (chr(10) cannot
+    * occur inside a token: words come from splitting on \s+), so one
+    * string `replace` per layer applies the winning merge with exact
+    * token-boundary alignment and left-to-right greedy overlap semantics
+    * — bit-equal to the trainer's array sweep. */
+  private def bpeOracleCtes(k: Int): String = {
+    val S = "chr(10)"
+    val sb = new StringBuilder
+    sb.append(s"""w0 AS MATERIALIZED (
+          SELECT w, CAST(count(*) AS BIGINT) c,
+            $S || array_to_string(string_split(w, ''), $S||$S) || $S AS seq
+          FROM (SELECT unnest(string_split_regex(lower(text), '\\s+')) AS w
+                FROM documents)
+          WHERE len(w) > 0 GROUP BY w)""")
+    for (i <- 0 until k) {
+      // empty pair table (vocab fully merged) -> the coalesce falls back
+      // to a never-matching pattern and the layer is an exact no-op,
+      // mirroring the trainer's early loop exit.
+      sb.append(s""",
+        p$i AS MATERIALIZED (
+          SELECT t.toks[j] AS a, t.toks[j+1] AS b, SUM(t.c) AS pc
+          FROM (SELECT c, list_filter(string_split(seq, $S), x -> x <> '')
+                  AS toks FROM w$i) t,
+               unnest(range(1, len(t.toks))) u(j)
+          GROUP BY 1, 2),
+        b$i AS MATERIALIZED (
+          SELECT a, b FROM p$i ORDER BY pc DESC, a, b LIMIT 1),
+        w${i + 1} AS MATERIALIZED (
+          SELECT w, c, replace(seq,
+            coalesce((SELECT $S||a||$S||$S||b||$S FROM b$i), chr(7)),
+            coalesce((SELECT $S||a||b||$S FROM b$i), '')) AS seq
+          FROM w$i)""")
+    }
+    sb.toString
+  }
+
+  private def bpeMergesOracle(k: Int): String =
+    "WITH " + bpeOracleCtes(k) + "\n" +
+      (0 until k)
+        .map(i => s"SELECT CAST($i AS BIGINT) AS rank, a AS lhs, b AS rhs FROM b$i")
+        .mkString("SELECT * FROM (", " UNION ALL ", ") ORDER BY rank")
+
+  private def bpeEncodeOracle(k: Int): String =
+    s"""WITH ${bpeOracleCtes(k)},
+        fin AS MATERIALIZED (
+          SELECT w, CAST(len(list_filter(string_split(seq, chr(10)),
+            x -> x <> '')) AS BIGINT) AS nt
+          FROM w$k)
+        SELECT d.doc_id,
+          CAST(coalesce(s.nw, 0) AS BIGINT) AS n_words,
+          CAST(coalesce(s.nt, 0) AS BIGINT) AS n_bpe_tokens
+        FROM documents d LEFT JOIN (
+          SELECT dw.doc_id, count(*) AS nw, sum(f.nt) AS nt
+          FROM (SELECT doc_id, w FROM (SELECT doc_id,
+                  unnest(string_split_regex(lower(text), '\\s+')) AS w
+                  FROM documents)
+                WHERE len(w) > 0) dw
+          JOIN fin f USING (w) GROUP BY dw.doc_id) s USING (doc_id)
+        ORDER BY doc_id"""
+
   /** d45: the composed curation pipeline, every stage restated naively
     * over the previous stage's survivors — d40's classifier, d37's LM
     * (trained on the SURVIVORS' trusted slice), d02's verified-pair prune,
@@ -3826,6 +3924,8 @@ object SparkEntry {
     // by design, so it answers to the same oracle (the equivalence of the
     // two stage-cut mechanisms is exactly what the shared oracle pins).
     "d51_curation_lake" -> curationPipelineOracle,
+    "d52_bpe_train_encode" -> bpeEncodeOracle(16),
+    "d53_bpe_merge_table" -> bpeMergesOracle(16),
     "d23_incremental_dedup" -> incrementalDedupOracle,
     "d30_lsh_index_probe" -> lshIndexProbeOracle,
     // t07 (StreamingGates): the streaming admission gate drains one

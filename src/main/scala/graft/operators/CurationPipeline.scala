@@ -33,6 +33,17 @@ import graft.tables.LakeTable
   */
 object CurationPipeline {
 
+  /** Recursive delete of a stage directory (pipeline-owned storage — the
+    * L7 purge semantics applied to one stage table). */
+  private def purge(location: String): Unit = {
+    val p = java.nio.file.Paths.get(location)
+    if (java.nio.file.Files.exists(p)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverseIterator
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
+
   /** One pipeline stage: `compute` maps the upstream stage's survivor
     * table (read back from the lake, not the in-memory lineage) to this
     * stage's survivor set. Closures may capture corpus-side DataFrames
@@ -63,6 +74,12 @@ object CurationPipeline {
           else None
         }
       val table = resumed.getOrElse {
+        // Recompute starts from a CLEAN slate: a stale table from another
+        // run must not survive into this one, because the lake layer's L4
+        // skip-empty contract would otherwise leave its old snapshot in
+        // place when this run's survivor set is empty — and "table has no
+        // snapshot" is how an empty stage is represented (below).
+        purge(loc)
         val out = st.compute(prev)
         LakeTable.ensure(spark, loc, out.schema)
           .write(out, "replace", properties = Map(
@@ -73,7 +90,17 @@ object CurationPipeline {
       }
       val meta = table.metadata
       prevStamp = meta.currentSnapshotId.toString
-      prev = table.readAt(meta.currentSnapshotId)
+      // A stage with ZERO survivors hits the lake layer's L4 skip-empty
+      // contract: the properties payload commits (so the stamp chain and
+      // resume checks still work) but no data snapshot lands, and the
+      // table stays at snapshot -1. Read that as the empty survivor set
+      // under the stage schema — downstream stages then legitimately
+      // compute over (and commit) empty survivor sets too.
+      prev =
+        if (meta.currentSnapshot.isEmpty)
+          spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], meta.schema)
+        else table.readAt(meta.currentSnapshotId)
       outs += prev
     }
     outs.result()

@@ -104,6 +104,29 @@ class CurationPipelineSpec extends AnyFunSuite with SparkSpec {
     assert(fx.computes.map(_.get).toSeq == Seq(2, 2, 2))
   }
 
+  test("an empty survivor set flows through (L4 skip-empty) without stale reads") {
+    val loc = tmpDir("graft_pipe_empty")
+    def stages(cut: Long) = Seq(
+      Stage("filter", prev => prev.where(col("id") > cut)),
+      Stage("double", prev => prev.withColumn("d", col("id") * 2)))
+    // run-A: the filter keeps nothing -> both stages commit EMPTY survivor
+    // sets (no data snapshot under the lake layer's skip-empty contract).
+    val a = CurationPipeline.run(spark, loc, "run-A", inputDf, stages(1000))
+    assert(a.map(_.count()) == Seq(0, 0))
+    assert(a(1).columns.toSeq == Seq("id", "d"))
+    // replay of the empty run resumes (properties committed even without
+    // a data snapshot) and still reads empty.
+    val a2 = CurationPipeline.run(spark, loc, "run-A", inputDf, stages(1000))
+    assert(a2.map(_.count()) == Seq(0, 0))
+    // run-B at the SAME location with survivors: fresh data, no leakage.
+    val b = CurationPipeline.run(spark, loc, "run-B", inputDf, stages(90))
+    assert(b.map(_.count()) == Seq(10, 10))
+    // run-C empty again at the same location: the stale run-B snapshot
+    // must NOT be read back as run-C's survivor set.
+    val c = CurationPipeline.run(spark, loc, "run-C", inputDf, stages(1000))
+    assert(c.map(_.count()) == Seq(0, 0))
+  }
+
   test("d51 (lake-staged) and d45 (localCheckpoint-staged) agree row for row") {
     val dir = "/root/testdata/sf0.001"
     val a = SparkEntry.queries("d45_curation_pipeline")(spark, dir)

@@ -59,7 +59,7 @@ object Bench {
     // r10: lake-staged curation pipeline (d45's production form — the
     // time includes six lake-table commits) and the oracle-gated BPE
     // train+encode (d52; x05 remains the 200-merge stress form).
-    "d51_curation_lake", "d52_bpe_train_encode")
+    "d51_curation_lake", "d52_bpe_train_encode", "m24_arrow_shard_write")
 
   /** SURVEY §6 per-query budgets (sec, sf0.1 median). A breach triggers an
     * automatic isolated forked-JVM re-run so the artifact adjudicates
@@ -140,7 +140,10 @@ object Bench {
     // r10 rows, 1.5x rule on fresh isolated sf0.1 medians: d51 = d45's
     // compute plus six transactional lake-table stage commits (3.17s);
     // d52 = 16-merge train + encode under the learned table (0.98s).
-    "d51_curation_lake" -> 4.8, "d52_bpe_train_encode" -> 1.5)
+    "d51_curation_lake" -> 4.8, "d52_bpe_train_encode" -> 1.5,
+    // m24: distributed write of 7 shards + schema-driven read-back
+    // (0.74s isolated median)
+    "m24_arrow_shard_write" -> 1.1)
 
   /** Total GC time (ms) accumulated by all collectors since JVM start. */
   private def gcMillis(): Long = {

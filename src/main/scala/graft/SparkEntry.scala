@@ -2661,6 +2661,36 @@ object SparkEntry {
         .orderBy("shard_id", "row_idx")
     }),
 
+    // M13 write side (VERDICT r9 ask #6): DISTRIBUTED Arrow shard
+    // publishing — docs hash into shards (doc_id % 7), each shard's rows
+    // stream into one real Arrow IPC file (record batches of 16, so
+    // every shard is multi-batch here), and the gate reads the payloads
+    // back through the schema-driven reader: the whole writer — schema
+    // mapping, batch chunking, within-shard order, list columns, the
+    // footer/magic layout — sits under the analytic oracle. row_idx is
+    // the within-shard doc rank, which the oracle restates as a window.
+    "m24_arrow_shard_write" -> ((s, dir) => {
+      import org.apache.spark.sql.types._
+      val rows = t(s, dir, "documents").select(
+        (col("doc_id") % 7).as("shard"),
+        col("doc_id"), col("lang"),
+        ((col("doc_id") % 13).cast("double") + 0.5).as("score"),
+        (col("doc_id") % 2 === 0).as("flags"),
+        array(col("doc_id"), col("doc_id") % 5).as("tags"))
+      val shards = graft.operators.ArrowShard.writeShards(
+        s, rows, "shard", Seq("doc_id"), batchRows = 16)
+      val contract = StructType(Seq(
+        StructField("doc_id", LongType), StructField("lang", StringType),
+        StructField("score", DoubleType), StructField("flags", BooleanType),
+        StructField("tags", ArrayType(LongType))))
+      graft.operators.ArrowShard.explodeRowsAs(s, shards, contract)
+        .select(col("shard_id"), col("row_idx"), col("doc_id"), col("lang"),
+          col("score"), col("flags").cast("long").as("flag"),
+          size(col("tags")).cast("long").as("n_tags"),
+          aggregate(col("tags"), lit(0L), (a, x) => a + x).as("tags_sum"))
+        .orderBy("shard_id", "row_idx")
+    }),
+
     // F1-F3: the electricity-CSV parser family end to end, oracle-gated.
     // Each doc becomes a multi-section CSV (preamble block + automated
     // 3-column section + manual 2-column section; docs with id % 7 == 0
@@ -4959,6 +4989,18 @@ object SparkEntry {
            CAST(3 AS BIGINT) AS n_tags,
            CAST(id + (id + r) + r AS BIGINT) AS tags_sum
          FROM r ORDER BY shard_id, row_idx""",
+
+    "m24_arrow_shard_write" ->
+      """SELECT CAST(doc_id % 7 AS BIGINT) AS shard_id,
+           CAST(row_number() OVER (PARTITION BY doc_id % 7 ORDER BY doc_id)
+                - 1 AS BIGINT) AS row_idx,
+           doc_id, lang,
+           CAST((doc_id % 13) + 0.5 AS DOUBLE) AS score,
+           CAST(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END AS BIGINT)
+             AS flag,
+           CAST(2 AS BIGINT) AS n_tags,
+           CAST(doc_id + doc_id % 5 AS BIGINT) AS tags_sum
+         FROM documents ORDER BY shard_id, row_idx""",
 
     "m16_zip_shards" ->
       """WITH m AS (

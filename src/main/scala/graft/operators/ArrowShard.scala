@@ -260,6 +260,174 @@ object ArrowShard {
     spark.createDataFrame(rdd, full)
   }
 
+  // ---- distributed shard writing --------------------------------------
+
+  /** Spark StructType -> Arrow schema for the writer, the exact inverse
+    * of the [[cellValue]] read subset's canonical encodings: long->Int64,
+    * int->Int32, double->Float8, float->Float4, string->Utf8,
+    * boolean->Bool, binary->Binary, array&lt;long&gt;->List(Int64),
+    * array&lt;double&gt;->List(Float8). Anything else is rejected up front
+    * (writer contract violations are CALLER bugs, so unlike the read path
+    * they throw). */
+  private def arrowField(name: String, t: DataType): Field = t match {
+    case LongType => new Field(name, FieldType.nullable(new ArrowType.Int(64, true)), null)
+    case IntegerType => new Field(name, FieldType.nullable(new ArrowType.Int(32, true)), null)
+    case DoubleType => new Field(name,
+      FieldType.nullable(new ArrowType.FloatingPoint(FloatingPointPrecision.DOUBLE)), null)
+    case FloatType => new Field(name,
+      FieldType.nullable(new ArrowType.FloatingPoint(FloatingPointPrecision.SINGLE)), null)
+    case StringType => new Field(name, FieldType.nullable(ArrowType.Utf8.INSTANCE), null)
+    case BooleanType => new Field(name, FieldType.nullable(ArrowType.Bool.INSTANCE), null)
+    case BinaryType => new Field(name, FieldType.nullable(ArrowType.Binary.INSTANCE), null)
+    case ArrayType(LongType, _) =>
+      new Field(name, FieldType.nullable(ArrowType.List.INSTANCE),
+        java.util.List.of(arrowField("item", LongType)))
+    case ArrayType(DoubleType, _) =>
+      new Field(name, FieldType.nullable(ArrowType.List.INSTANCE),
+        java.util.List.of(arrowField("item", DoubleType)))
+    case other => throw new IllegalArgumentException(
+      s"ArrowShard.writeShards: unsupported column type $other for '$name'")
+  }
+
+  /** Set row `i` of vector `v` from Spark value `x` (null -> validity 0). */
+  private def setCell(v: FieldVector, i: Int, x: Any): Unit = (v, x) match {
+    case (_, null) => v.setNull(i)
+    case (c: BigIntVector, n: Long) => c.setSafe(i, n)
+    case (c: IntVector, n: Int) => c.setSafe(i, n)
+    case (c: Float8Vector, d: Double) => c.setSafe(i, d)
+    case (c: Float4Vector, f: Float) => c.setSafe(i, f)
+    case (c: VarCharVector, s: String) => c.setSafe(i, s.getBytes("UTF-8"))
+    case (c: BitVector, b: Boolean) => c.setSafe(i, if (b) 1 else 0)
+    case (c: VarBinaryVector, b: Array[Byte]) => c.setSafe(i, b)
+    case (c: ListVector, s: scala.collection.Seq[_]) =>
+      val w = c.getWriter
+      w.setPosition(i)
+      w.startList()
+      s.foreach {
+        case null => c.getDataVector match {
+          case _: BigIntVector => w.bigInt().writeNull()
+          case _ => w.float8().writeNull()
+        }
+        case n: Long => w.bigInt().writeBigInt(n)
+        case d: Double => w.float8().writeFloat8(d)
+        case other => throw new IllegalArgumentException(
+          s"ArrowShard.writeShards: unsupported list element $other")
+      }
+      w.endList()
+    case (c, other) => throw new IllegalArgumentException(
+      s"ArrowShard.writeShards: cannot write ${other.getClass} into ${c.getClass}")
+  }
+
+  /** Encode an iterator of rows (already projected to `schema`'s columns,
+    * in the order they should land) into ONE Arrow IPC file, streaming in
+    * record batches of `batchRows` — peak native memory is O(batchRows),
+    * never O(shard), regardless of shard size; only the output payload
+    * bytes accumulate. */
+  def encodeRows(rows: Iterator[Row], schema: StructType,
+                 batchRows: Int): Array[Byte] = {
+    val arrowSchema = new Schema(
+      schema.fields.map(f => arrowField(f.name, f.dataType)).toList.asJava)
+    // native memory bounds one record batch, not the shard
+    val allocator = new RootAllocator(256L << 20)
+    try {
+      val root = VectorSchemaRoot.create(arrowSchema, allocator)
+      try {
+        val bos = new java.io.ByteArrayOutputStream()
+        val writer = new ArrowFileWriter(root, null,
+          java.nio.channels.Channels.newChannel(bos))
+        writer.start()
+        var i = 0
+        root.allocateNew()
+        while (rows.hasNext) {
+          val r = rows.next()
+          var j = 0
+          while (j < schema.fields.length) {
+            setCell(root.getVector(j), i, r.get(j))
+            j += 1
+          }
+          i += 1
+          if (i == batchRows) {
+            root.setRowCount(i)
+            writer.writeBatch()
+            root.allocateNew()
+            i = 0
+          }
+        }
+        if (i > 0) {
+          root.setRowCount(i)
+          writer.writeBatch()
+        }
+        writer.end()
+        writer.close()
+        bos.toByteArray
+      } finally root.close()
+    } finally allocator.close()
+  }
+
+  /** Distributed Arrow IPC shard WRITING — the publish side of the m20/m21
+    * readers (HF-datasets-style export: a directory of record-batch files
+    * is exactly a result set of (shard_id, payload) rows written out).
+    * Input rows carry `shardCol` plus the data columns; each shard's rows
+    * land in ONE Arrow file, ordered by `orderCols` (a deterministic
+    * within-shard order is what makes a published shard reproducible and
+    * the round-trip gate hashable). One exchange on the shard key; each
+    * task streams its shards' rows straight into record batches of
+    * `batchRows` (O(batchRows) native memory; the payload byte array is
+    * the only per-shard buffer — at production scale shard sizing is the
+    * caller's sharding-key choice, same contract as the read side).
+    * Output: (shard_id, n_rows, payload). */
+  def writeShards(spark: SparkSession, df: DataFrame, shardCol: String,
+                  orderCols: Seq[String], batchRows: Int = 1024): DataFrame = {
+    val dataSchema = StructType(df.schema.fields.filter(_.name != shardCol))
+    // validate the column contract on the DRIVER, not per task
+    dataSchema.fields.foreach(f => arrowField(f.name, f.dataType))
+    val out = StructType(Seq(
+      StructField("shard_id", LongType, nullable = false),
+      StructField("n_rows", LongType, nullable = false),
+      StructField("payload", BinaryType, nullable = false)))
+    val dataCols = dataSchema.fields.map(f => col(f.name))
+    val sorted = df
+      .repartition(col(shardCol))
+      .sortWithinPartitions(col(shardCol) +: orderCols.map(col): _*)
+      .select(col(shardCol).cast("long").as("__shard") +: dataCols: _*)
+    val rdd = sorted.rdd.mapPartitions { it =>
+      // consecutive runs of the same shard id -> one file per shard;
+      // explicit one-row lookahead (a run's terminating row is the next
+      // run's first), so each shard's rows stream straight into the
+      // encoder without buffering the run
+      new Iterator[Row] {
+        private var pending: Row = null
+        def hasNext: Boolean = pending != null || it.hasNext
+        def next(): Row = {
+          val first =
+            if (pending != null) { val f = pending; pending = null; f }
+            else it.next()
+          val shard = first.getLong(0)
+          var n = 0L
+          val shardRows = new Iterator[Row] {
+            private var nxt: Row = first
+            def hasNext: Boolean = {
+              if (nxt == null && pending == null && it.hasNext) {
+                val r = it.next()
+                if (r.getLong(0) == shard) nxt = r else pending = r
+              }
+              nxt != null
+            }
+            def next(): Row = {
+              val r = nxt
+              nxt = null
+              n += 1
+              Row.fromSeq((1 until r.length).map(r.get))
+            }
+          }
+          val payload = encodeRows(shardRows, dataSchema, batchRows)
+          Row(shard, n, payload)
+        }
+      }
+    }
+    spark.createDataFrame(rdd, out)
+  }
+
   // ---- fixture encoders -----------------------------------------------
 
   /** Write a one-batch Arrow IPC file with the typed-fixture layout the

@@ -736,9 +736,11 @@ object SparkEntry {
     // X5 (bench row, rows-only): the REAL tokenizer workload — learn 200
     // BPE merges from the corpus itself (one word-count shuffle + the
     // bounded-vocab merge loop), then encode every document under the
-    // broadcast ranks. No SQL oracle exists for learned merges; the
-    // encode semantics are oracle-gated separately (d36) and training on
-    // hand-computed corpora in BpeTokenizerSpec.
+    // broadcast ranks. The 200-merge stress form stays rows-only, but the
+    // same train+encode path IS hash-gated at 16 merges via the unrolled
+    // training oracle (d52 counts, d53 merge table); fixed-merge encode
+    // semantics in d36; training on hand-computed corpora in
+    // BpeTokenizerSpec.
     "x05_bpe_train_encode" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val merges = graft.operators.BpeTokenizer.learnMerges(

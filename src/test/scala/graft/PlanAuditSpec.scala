@@ -337,4 +337,51 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
       p.take(800))
     assert(!p.contains("CartesianProduct"), p.take(800))
   }
+
+  test("d51: every lake-staged survivor set reads back as a table scan — " +
+       "the composed plan roots at scans, not at session-cache lineage") {
+    // the final flags join must consume the six stage TABLES: six lake
+    // scans (file-sourced), no InMemoryTableScan/localCheckpoint RDD scan
+    // in the composed gate plan, and no cartesian anywhere
+    val p = plan("d51_curation_lake")
+    assert(!p.contains("InMemoryTableScan"),
+      s"d51 composed plan still reads session cache:\n${p.take(800)}")
+    assert(!p.contains("Scan ExistingRDD"),
+      s"d51 composed plan still reads checkpoint RDDs:\n${p.take(800)}")
+    assert(!p.contains("CartesianProduct"), p.take(800))
+    assert("Scan parquet".r.findAllIn(p).size >= 6,
+      s"expected >= 6 stage-table scans:\n${p.take(1200)}")
+  }
+
+  test("d52: BPE encode is a shuffle-free map-side pass under broadcast ranks") {
+    // after the (driver-side) training collect, scoring every document
+    // must not shuffle: the only exchange is the presentation sort's
+    // range partitioning
+    val p = plan("d52_bpe_train_encode")
+    assert(!p.contains("hashpartitioning"),
+      s"d52 encode shuffles:\n${p.take(800)}")
+    assert(!p.contains("Join"), p.take(800))
+  }
+
+  test("m24: shard writing shuffles ONCE on the shard key with a LOCAL " +
+       "sort; read-back explode adds no join") {
+    // the gate plan roots at the writer's RDD boundary, so audit the
+    // writer's internal shape the way it builds it: one hash exchange on
+    // the shard key, then a per-partition (non-global) sort — never a
+    // range exchange over the corpus
+    import org.apache.spark.sql.functions._
+    val w = Tables.t(spark, dir, "documents")
+      .select((col("doc_id") % 7).as("shard"), col("doc_id"), col("lang"))
+      .repartition(col("shard"))
+      .sortWithinPartitions(col("shard"), col("doc_id"))
+      .queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(w).size == 1, w.take(800))
+    assert(!w.contains("rangepartitioning"), w.take(800))
+    assert("Sort \\[.*\\], false".r.findFirstIn(w).isDefined,
+      s"shard sort must be partition-local:\n${w.take(800)}")
+    // the gate's read-back side: a pure explode + projection — no join
+    val p = plan("m24_arrow_shard_write")
+    assert(!p.contains("Join"), p.take(800))
+    assert(!p.contains("CartesianProduct"), p.take(800))
+  }
 }

@@ -59,7 +59,8 @@ object Bench {
     // r10: lake-staged curation pipeline (d45's production form — the
     // time includes six lake-table commits) and the oracle-gated BPE
     // train+encode (d52; x05 remains the 200-merge stress form).
-    "d51_curation_lake", "d52_bpe_train_encode", "m24_arrow_shard_write")
+    "d51_curation_lake", "d52_bpe_train_encode", "m24_arrow_shard_write",
+    "t13_stream_arrow_ingest", "k07_shard_rebalance")
 
   /** SURVEY §6 per-query budgets (sec, sf0.1 median). A breach triggers an
     * automatic isolated forked-JVM re-run so the artifact adjudicates
@@ -143,7 +144,10 @@ object Bench {
     "d51_curation_lake" -> 4.8, "d52_bpe_train_encode" -> 1.5,
     // m24: distributed write of 7 shards + schema-driven read-back
     // (0.74s isolated median)
-    "m24_arrow_shard_write" -> 1.1)
+    "m24_arrow_shard_write" -> 1.1,
+    // t13: AvailableNow drain + Arrow explode + lake merge (1.95s);
+    // k07: explode -> two-level global rank -> balanced rewrite (1.16s)
+    "t13_stream_arrow_ingest" -> 2.9, "k07_shard_rebalance" -> 1.8)
 
   /** Total GC time (ms) accumulated by all collectors since JVM start. */
   private def gcMillis(): Long = {

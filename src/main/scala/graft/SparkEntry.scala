@@ -658,6 +658,30 @@ object SparkEntry {
             .otherwise("test"))
         .orderBy("doc_id")),
 
+    // K7: size-balanced Arrow shard rebalance — the pre-epoch re-shard a
+    // data-parallel trainer wants (skewed shard sizes stall the slowest
+    // reader): skewed source shards (1..13 rows each) explode through the
+    // M13 reader, every record gets its GLOBAL rank via the two-level
+    // prefix sum (never a single-partition window), lands in shard
+    // (rank-1)*8 div total — row counts differ by at most one — and the
+    // new shards write as real Arrow files (M24's writer). The gate reads
+    // the REBALANCED files back; the oracle restates rank + assignment as
+    // the naive global window.
+    "k07_shard_rebalance" -> ((s, dir) => {
+      import s.implicits._
+      val src = t(s, dir, "documents").select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { id =>
+          val k = (1 + 2 * (id % 7)).toInt
+          val rows = (0 until k).map { r =>
+            (id * 100 + r, s"l${(id + r) % 4}", (id % 97).toDouble + r * 0.25)
+          }
+          (id, graft.operators.ArrowShard.encodeShard(rows, batchRows = 4))
+        }).toDF("shard_id", "payload")
+      val out = graft.operators.ArrowShard.rebalanceShards(s, src, nShards = 8)
+      graft.operators.ArrowShard.explodeRows(s, out).toDF()
+        .orderBy("shard_id", "row_idx")
+    }),
+
     "k01_salted_skew_join" -> ((s, dir) => {
       val o = t(s, dir, "orders")
         .select(col("o_orderkey"), col("o_custkey").as("c_custkey"),
@@ -4991,6 +5015,26 @@ object SparkEntry {
            CAST(3 AS BIGINT) AS n_tags,
            CAST(id + (id + r) + r AS BIGINT) AS tags_sum
          FROM r ORDER BY shard_id, row_idx""",
+
+    "k07_shard_rebalance" ->
+      """WITH d AS (SELECT doc_id AS id, 1 + 2 * (doc_id % 7) AS k
+                    FROM documents),
+         r AS (SELECT id, unnest(range(0, k)) AS r FROM d),
+         recs AS (SELECT CAST(id * 100 + r AS BIGINT) AS rec_id,
+             'l' || ((id + r) % 4) AS label,
+             CAST((id % 97) + r * 0.25 AS DOUBLE) AS value
+           FROM r),
+         rk AS (SELECT recs.*, row_number() OVER (ORDER BY rec_id) AS rnk,
+             COUNT(*) OVER () AS tot
+           FROM recs),
+         a AS (SELECT rec_id, label, value, rnk,
+             ((rnk - 1) * 8) // tot AS shard_id
+           FROM rk)
+         SELECT CAST(shard_id AS BIGINT) AS shard_id,
+           CAST(rnk - MIN(rnk) OVER (PARTITION BY shard_id) AS BIGINT)
+             AS row_idx,
+           rec_id, label, value
+         FROM a ORDER BY shard_id, row_idx""",
 
     "m24_arrow_shard_write" ->
       """SELECT CAST(doc_id % 7 AS BIGINT) AS shard_id,

@@ -428,6 +428,40 @@ object ArrowShard {
     spark.createDataFrame(rdd, out)
   }
 
+  /** Size-BALANCED shard rebalance — the re-shard every data-parallel
+    * training job wants before an epoch (skewed shard sizes stall the
+    * slowest reader): records from arbitrarily-skewed input shards are
+    * re-assigned to `nShards` output shards whose row counts differ by at
+    * most one, deterministically. The global record rank that drives the
+    * assignment (`shard = (rank-1)*n div total`) is computed by
+    * [[PrefixSum.twoLevel]] over the record-id high bits — NEVER a
+    * single-partition global window — so the only corpus-sized shuffles
+    * are the leaf groupBy and the final exchange on the new shard key.
+    * `rec_id` values must be unique (they are the rank order; ties would
+    * make the assignment plan-dependent). Output: (shard_id, n_rows,
+    * payload) — real Arrow IPC files via [[writeShards]]. */
+  def rebalanceShards(spark: SparkSession, shards: DataFrame, nShards: Int,
+                      batchRows: Int = 1024): DataFrame = {
+    require(nShards >= 1, s"nShards must be >= 1, got $nShards")
+    val rows = explodeRows(spark, shards).toDF().drop("shard_id", "row_idx")
+    val total = rows.count()
+    if (total == 0L)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[Row],
+        StructType(Seq(
+          StructField("shard_id", LongType, nullable = false),
+          StructField("n_rows", LongType, nullable = false),
+          StructField("payload", BinaryType, nullable = false))))
+    val ranked = PrefixSum.twoLevel(
+      rows.withColumn("__one", lit(1L)),
+      Seq.empty, "rec_id", "__one", "__rank",
+      inclusive = true, groupShift = 12)
+    val assigned = ranked
+      .withColumn("shard", expr(s"((__rank - 1) * $nShards) div ${total}"))
+      .drop("__one", "__rank")
+    writeShards(spark, assigned, "shard", Seq("rec_id"), batchRows)
+  }
+
   // ---- fixture encoders -----------------------------------------------
 
   /** Write a one-batch Arrow IPC file with the typed-fixture layout the

@@ -305,6 +305,38 @@ object StreamingGates {
         .orderBy("shard_id", "rec_idx")
     }),
 
+    // T13: streaming Arrow shard ingest — the published-dataset front
+    // door (HF-datasets directories arrive shard by shard): each
+    // micro-batch's Arrow IPC payloads explode through M13's reader
+    // (per-payload allocator discipline, schema contract, batch-exact row
+    // indices) and MERGE into a lake table keyed on (shard, row). One
+    // AvailableNow batch over the %10==0 arrivals; the oracle restates
+    // m20's analytic rows for that slice.
+    "t13_stream_arrow_ingest" -> ((s, dir) => {
+      import s.implicits._
+      val arrivals = s.read.parquet(s"$dir/documents.parquet")
+        .where(col("doc_id") % 10 === 0)
+        .select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { id =>
+          val k = (2 + id % 3).toInt
+          val rows = (0 until k).map { r =>
+            (id * 10 + r, s"l${(id + r) % 4}", (id % 97).toDouble + r * 0.25)
+          }
+          (id, graft.operators.ArrowShard.encodeShard(rows, batchRows = 2))
+        }).toDF("shard_id", "payload")
+      val in = freshDir("graft_t13_in")
+      writeWave(arrivals, in, "batch.parquet", mtimeSec = 1000)
+      val loc = freshDir("graft_t13_tbl").resolve("records").toString
+      StreamingIngest.drainToTable(s, in.toString, arrivals.schema, loc,
+        freshDir("graft_t13_ck").toString,
+        writeMode = "merge", mergeOn = Seq("shard_id", "row_idx"),
+        batchTransform = batch =>
+          graft.operators.ArrowShard.explodeRows(batch.sparkSession, batch)
+            .toDF())
+      graft.tables.LakeTable.load(s, loc).read()
+        .orderBy("shard_id", "row_idx")
+    }),
+
     // T10: the streaming per-host BUDGET admission gate — d43's host cap
     // with the running per-host token total carried in
     // flatMapGroupsWithState state across micro-batches. One AvailableNow
@@ -546,6 +578,17 @@ object StreamingGates {
            CAST(body_sum AS BIGINT) AS body_sum
          FROM (SELECT * FROM info UNION ALL SELECT * FROM resp)
          ORDER BY shard_id, rec_idx""",
+
+    // t13: m20's analytic Arrow rows restricted to the %10==0 arrivals
+    "t13_stream_arrow_ingest" ->
+      """WITH d AS (SELECT doc_id AS id, 2 + doc_id % 3 AS k
+                    FROM documents WHERE doc_id % 10 = 0),
+         r AS (SELECT id, unnest(range(0, k)) AS r FROM d)
+         SELECT id AS shard_id, CAST(r AS BIGINT) AS row_idx,
+           CAST(id * 10 + r AS BIGINT) AS rec_id,
+           'l' || ((id + r) % 4) AS label,
+           CAST((id % 97) + r * 0.25 AS DOUBLE) AS value
+         FROM r ORDER BY shard_id, row_idx""",
 
     // t10: d43's per-host prefix rule over the %10==0 arrivals, budget 300
     "t10_stream_host_budget" ->

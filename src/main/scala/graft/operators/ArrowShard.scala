@@ -325,6 +325,7 @@ object ArrowShard {
     * bytes accumulate. */
   def encodeRows(rows: Iterator[Row], schema: StructType,
                  batchRows: Int): Array[Byte] = {
+    require(batchRows >= 1, s"batchRows must be >= 1, got $batchRows")
     val arrowSchema = new Schema(
       schema.fields.map(f => arrowField(f.name, f.dataType)).toList.asJava)
     // native memory bounds one record batch, not the shard
@@ -375,6 +376,9 @@ object ArrowShard {
     * `batchRows` (O(batchRows) native memory; the payload byte array is
     * the only per-shard buffer — at production scale shard sizing is the
     * caller's sharding-key choice, same contract as the read side).
+    * `shardCol` must be non-null integral values (the exchange hashes the
+    * RAW column and the output keys its long cast, so two raw values that
+    * cast to one long would split a shard across files).
     * Output: (shard_id, n_rows, payload). */
   def writeShards(spark: SparkSession, df: DataFrame, shardCol: String,
                   orderCols: Seq[String], batchRows: Int = 1024): DataFrame = {

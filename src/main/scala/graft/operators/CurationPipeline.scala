@@ -39,8 +39,10 @@ object CurationPipeline {
     val p = java.nio.file.Paths.get(location)
     if (java.nio.file.Files.exists(p)) {
       import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverseIterator
+      val walk = java.nio.file.Files.walk(p)
+      try walk.iterator().asScala.toSeq.reverseIterator
         .foreach(java.nio.file.Files.deleteIfExists(_))
+      finally walk.close()
     }
   }
 

@@ -94,7 +94,11 @@ object Bench {
     "d14_decontaminate" -> 0.8, "d15_dup_clusters" -> 6.5,
     "d31_dup_clusters_star" -> 4.0, "d17_semdedup" -> 2.1,
     "d18_keyterms" -> 1.4, "e08_pq_adc_topk" -> 2.1,
-    "ev05_asof_join" -> 0.8, "d27_segment_dedup" -> 1.2,
+    // ev05/d27 re-measured r10 on a quiet box (0.69s/1.13s solo-isolated
+    // medians vs r8's 0.46/0.91): overhead-floor drift, same class as
+    // d10 — the old budgets left < 20% headroom and phantom-breached
+    // in-suite; 1.5x rule re-applied.
+    "ev05_asof_join" -> 1.0, "d27_segment_dedup" -> 1.7,
     "d28_overlap_decontaminate" -> 1.3, "d32_dsir_weight" -> 0.6,
     "d33_bm25_topk" -> 4.5,
     // d34 re-measured end of r8: 1.55s in-suite / 1.63s isolated on a

@@ -1361,6 +1361,44 @@ object SparkEntry {
           t(s, dir, "documents"), "doc_id", "text", size = 120, stride = 40)
         .orderBy("doc_id", "chunk_id")),
 
+    // D54: PII redaction — the pre-release scrub every production corpus
+    // runs (C4-style): emails / IPv4 / phones / 13+-digit IDs replaced by
+    // typed placeholders in ONE codegen'd scan (graft_redact_pii — no
+    // UDF, no shuffle; the kernel grammar is documented on
+    // RedactKernels). The gate PLANTS entities analytically (the corpus
+    // text itself is [a-z ]-only, so the expected redacted string is
+    // known byte-for-byte): docs get an email unless id%3==0, a phone
+    // unless id%5==0, and always one IP and one 13-digit account number.
+    // md5 of the redacted text + placeholder counts sit under the hash
+    // compare — a matcher that over- or under-fires anywhere breaks it.
+    "d54_pii_redaction" -> ((s, dir) => {
+      val id = col("doc_id")
+      val planted = concat(
+        col("text"),
+        when(id % 3 =!= 0, concat(lit(" mail u"), id.cast("string"),
+          lit("x@h"), (id % 7).cast("string"), lit("b.example")))
+          .otherwise(lit("")),
+        when(id % 5 =!= 0, concat(lit(" plus +4415550"),
+          lpad((id % 1000).cast("string"), 4, "0"))).otherwise(lit("")),
+        lit(" net 10."), (id % 256).cast("string"), lit("."),
+        ((id * 7) % 256).cast("string"), lit("."), (id % 200).cast("string"),
+        lit(" acct "), lpad((id % 100000).cast("string"), 13, "0"))
+      t(s, dir, "documents").select(id, planted.as("ptext"))
+        .select(id, expr("graft_redact_pii(ptext)").as("red"))
+        .select(id,
+          length(col("red")).cast("long").as("red_len"),
+          md5(col("red").cast("binary")).as("red_md5"),
+          expr("CAST((length(red) - length(replace(red, '[EMAIL]', ''))) div 7 AS BIGINT)")
+            .as("n_email"),
+          expr("CAST((length(red) - length(replace(red, '[PHONE]', ''))) div 7 AS BIGINT)")
+            .as("n_phone"),
+          expr("CAST((length(red) - length(replace(red, '[IP]', ''))) div 4 AS BIGINT)")
+            .as("n_ip"),
+          expr("CAST((length(red) - length(replace(red, '[NUMBER]', ''))) div 8 AS BIGINT)")
+            .as("n_number"))
+        .orderBy("doc_id")
+    }),
+
     // D49: multi-class quantized Naive Bayes — lang-id over the observed
     // language set (the many-label sibling of d40's binary gate; CLD-style
     // classification where log-odds don't apply). Per-class floor-log2
@@ -5015,6 +5053,28 @@ object SparkEntry {
            CAST(3 AS BIGINT) AS n_tags,
            CAST(id + (id + r) + r AS BIGINT) AS tags_sum
          FROM r ORDER BY shard_id, row_idx""",
+
+    // d54: the planted-entity construction makes the redacted text
+    // analytic — the corpus text is [a-z ]-only, so redact(text) == text
+    // and every placeholder position is known.
+    "d54_pii_redaction" ->
+      """WITH r AS (SELECT doc_id,
+           text || CASE WHEN doc_id % 3 <> 0 THEN ' mail [EMAIL]'
+                        ELSE '' END
+                || CASE WHEN doc_id % 5 <> 0 THEN ' plus [PHONE]'
+                        ELSE '' END
+                || ' net [IP] acct [NUMBER]' AS red
+         FROM documents)
+         SELECT doc_id,
+           CAST(length(red) AS BIGINT) AS red_len,
+           md5(red) AS red_md5,
+           CAST(CASE WHEN doc_id % 3 <> 0 THEN 1 ELSE 0 END AS BIGINT)
+             AS n_email,
+           CAST(CASE WHEN doc_id % 5 <> 0 THEN 1 ELSE 0 END AS BIGINT)
+             AS n_phone,
+           CAST(1 AS BIGINT) AS n_ip,
+           CAST(1 AS BIGINT) AS n_number
+         FROM r ORDER BY doc_id""",
 
     "k07_shard_rebalance" ->
       """WITH d AS (SELECT doc_id AS id, 1 + 2 * (doc_id % 7) AS k

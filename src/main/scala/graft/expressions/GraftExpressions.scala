@@ -173,6 +173,21 @@ case class SimhashExpression(child: Expression, bits: Int = 20)
   override def prettyName: String = "graft_simhash"
 }
 
+/** PII redaction: one codegen'd left-to-right scan replacing emails,
+  * IPv4 addresses, phone numbers and 13+-digit runs with typed
+  * placeholders — grammar documented on [[RedactKernels]]. */
+case class RedactPiiExpression(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullSafeEval(input: Any): Any =
+    RedactKernels.redactPii(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expressions.RedactKernels.redactPii($c)")
+  override protected def withNewChildInternal(newChild: Expression): RedactPiiExpression =
+    copy(child = newChild)
+  override def prettyName: String = "graft_redact_pii"
+}
+
 /** Shared shape of the binary vector expressions: double-typed, nullable
   * (ragged or null-element inputs yield SQL null, mirroring the HOF
   * reference), element width resolved from the child array types, codegen
@@ -438,6 +453,10 @@ class GraftSparkSessionExtensions extends (SparkSessionExtensions => Unit) {
         require(n > 0, s"graft_char_gram_hashes: n must be positive, got $n")
         CharGramHashesExpression(children(0), n)
       }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_redact_pii"),
+      new ExpressionInfo(classOf[RedactPiiExpression].getName, "graft_redact_pii"),
+      (children: Seq[Expression]) => RedactPiiExpression(children.head)))
     ext.injectFunction((
       FunctionIdentifier("graft_winnow"),
       new ExpressionInfo(classOf[WinnowExpression].getName, "graft_winnow"),

@@ -363,6 +363,14 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
     assert(!p.contains("Join"), p.take(800))
   }
 
+  test("d54: PII redaction is a shuffle-free codegen projection") {
+    val p = plan("d54_pii_redaction")
+    assert(p.contains("graft_redact_pii"), p.take(800))
+    assert(!p.contains("ScalaUDF"), p.take(800))
+    assert(!p.contains("Join"), p.take(800))
+    assert(!p.contains("hashpartitioning"), p.take(800))
+  }
+
   test("m24: shard writing shuffles ONCE on the shard key with a LOCAL " +
        "sort; read-back explode adds no join") {
     // the gate plan roots at the writer's RDD boundary, so audit the

@@ -60,7 +60,8 @@ object Bench {
     // time includes six lake-table commits) and the oracle-gated BPE
     // train+encode (d52; x05 remains the 200-merge stress form).
     "d51_curation_lake", "d52_bpe_train_encode", "m24_arrow_shard_write",
-    "t13_stream_arrow_ingest", "k07_shard_rebalance", "d54_pii_redaction")
+    "t13_stream_arrow_ingest", "k07_shard_rebalance", "d54_pii_redaction",
+    "m25_jsonl_shards")
 
   /** SURVEY §6 per-query budgets (sec, sf0.1 median). A breach triggers an
     * automatic isolated forked-JVM re-run so the artifact adjudicates
@@ -152,8 +153,9 @@ object Bench {
     // t13: AvailableNow drain + Arrow explode + lake merge (1.95s);
     // k07: explode -> two-level global rank -> balanced rewrite (1.16s)
     "t13_stream_arrow_ingest" -> 2.9, "k07_shard_rebalance" -> 1.8,
-    // d54: one codegen'd redaction scan + md5 (0.59s isolated median)
-    "d54_pii_redaction" -> 0.9)
+    // d54: one codegen'd redaction scan + md5 (0.59s isolated median);
+    // m25: 5000 gz/zst shards encoded + decoded + from_json (2.21s)
+    "d54_pii_redaction" -> 0.9, "m25_jsonl_shards" -> 3.3)
 
   /** Total GC time (ms) accumulated by all collectors since JVM start. */
   private def gcMillis(): Long = {

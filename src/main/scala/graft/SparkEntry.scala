@@ -2755,6 +2755,34 @@ object SparkEntry {
         .orderBy("shard_id", "row_idx")
     }),
 
+    // M14: JSONL shard reading — the fifth (and most common) ML corpus
+    // container: *.jsonl.gz / *.jsonl.zst shard directories (Pile, C4,
+    // RedPajama, Dolma). Even ids gzip their shard, odd ids zstd it (both
+    // codecs exercised under one oracle); ids %5==0 append one MALFORMED
+    // line, which must surface as a null-fielded row at its exact index
+    // (from_json semantics — visible, never fatal). Streaming decode,
+    // line/byte bomb guards, no-throw contract in JsonlShard.
+    "m25_jsonl_shards" -> ((s, dir) => {
+      import s.implicits._
+      val shards = t(s, dir, "documents").select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { id =>
+          val k = (2 + id % 3).toInt
+          val lines = (0 until k).map { r =>
+            s"""{"rec":${id * 10 + r},"label":"l${(id + r) % 4}","value":${(id % 97).toDouble + r * 0.25}}"""
+          } ++ (if (id % 5 == 0) Seq("{oops") else Seq.empty)
+          (id, if (id % 2 == 0) graft.operators.JsonlShard.encodeGz(lines)
+               else graft.operators.JsonlShard.encodeZst(lines))
+        }).toDF("shard_id", "payload")
+      graft.operators.JsonlShard.explodeLines(s, shards).toDF()
+        .select(col("shard_id"), col("line_idx"),
+          from_json(col("line"), org.apache.spark.sql.types.StructType
+            .fromDDL("rec LONG, label STRING, value DOUBLE")).as("j"))
+        .select(col("shard_id"), col("line_idx"),
+          col("j.rec").as("rec"), col("j.label").as("label"),
+          col("j.value").as("value"))
+        .orderBy("shard_id", "line_idx")
+    }),
+
     // F1-F3: the electricity-CSV parser family end to end, oracle-gated.
     // Each doc becomes a multi-section CSV (preamble block + automated
     // 3-column section + manual 2-column section; docs with id % 7 == 0
@@ -5053,6 +5081,22 @@ object SparkEntry {
            CAST(3 AS BIGINT) AS n_tags,
            CAST(id + (id + r) + r AS BIGINT) AS tags_sum
          FROM r ORDER BY shard_id, row_idx""",
+
+    "m25_jsonl_shards" ->
+      """WITH d AS (SELECT doc_id AS id, 2 + doc_id % 3 AS k
+                    FROM documents),
+         good AS (SELECT id, unnest(range(0, k)) AS r, k FROM d),
+         g AS (SELECT id AS shard_id, CAST(r AS BIGINT) AS line_idx,
+             CAST(id * 10 + r AS BIGINT) AS rec,
+             'l' || ((id + r) % 4) AS label,
+             CAST((id % 97) + r * 0.25 AS DOUBLE) AS value
+           FROM good),
+         bad AS (SELECT id AS shard_id, CAST(k AS BIGINT) AS line_idx,
+             CAST(NULL AS BIGINT) AS rec, CAST(NULL AS VARCHAR) AS label,
+             CAST(NULL AS DOUBLE) AS value
+           FROM d WHERE id % 5 = 0)
+         SELECT * FROM (SELECT * FROM g UNION ALL SELECT * FROM bad)
+         ORDER BY shard_id, line_idx""",
 
     // d54: the planted-entity construction makes the redacted text
     // analytic — the corpus text is [a-z ]-only, so redact(text) == text

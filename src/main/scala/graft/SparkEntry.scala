@@ -3403,7 +3403,11 @@ object SparkEntry {
     * plan. `src` is the (vec_id, embedding) relation; CTE names carry
     * `prefix` so multiple unrolls (PQ subspaces) compose in one WITH. */
   private def kmeansCtes(k: Int, iters: Int, src: String = "embeddings",
-                         prefix: String = ""): String = {
+                         prefix: String = "", kSql: String = ""): String = {
+    // kSql (optional) replaces the literal centroid count with a SQL
+    // expression — the x03 scaled-k form, where k derives from the corpus
+    // size at runtime (DuckDB accepts subqueries in LIMIT).
+    val kLimit = if (kSql.nonEmpty) s"($kSql)" else k.toString
     val dist = duckSqDist("e.embedding", "c.c_emb")
     def assign(name: String, cents: String) =
       s"""$name AS (
@@ -3416,7 +3420,7 @@ object SparkEntry {
       s"""${prefix}c0 AS (
           SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cell,
                  [CAST(x AS DOUBLE) for x in embedding] AS c_emb
-          FROM (SELECT vec_id, embedding FROM $src ORDER BY vec_id LIMIT $k))"""
+          FROM (SELECT vec_id, embedding FROM $src ORDER BY vec_id LIMIT $kLimit))"""
     val steps = (1 to iters).map { i =>
       assign(s"${prefix}a$i", s"${prefix}c${i - 1}") + s""",
         ${prefix}c$i AS (
@@ -3635,8 +3639,76 @@ object SparkEntry {
         ORDER BY vec_a, vec_b"""
   }
 
+  /** x04's oracle (r10 — previously rows-only "parameterized by runtime
+    * counts"): the SCALED plane count is SQL-computable —
+    * `GREATEST(8, bit_length((n div 50) - 1))` restates the Scala
+    * `max(8, 64 - nlz(n/50 - 1))` exactly — so the oracle bakes the
+    * first `maxPlanes` hyperplanes as literals (the PRNG emits planes
+    * sequentially, so plane j is identical for every k >= j) and gates
+    * bit j only when `j < np`. maxPlanes=16 covers corpora to ~3.2M
+    * vectors — far past every tested scale. */
+  private def hyperplaneLshScaledOracle(dim: Int, maxPlanes: Int,
+                                        threshold: Double): String = {
+    val planes = graft.operators.Similarity.hyperplanes(maxPlanes, dim)
+    val bucket = planes.zipWithIndex.map { case (p, j) =>
+      val pl = p.mkString("[", ",", "]")
+      s"""(CASE WHEN $j < (SELECT np FROM np)
+             AND ${duckDot("embedding", pl)} > 0
+           THEN ${1L << j} ELSE 0 END)"""
+    }.mkString(" + ")
+    s"""WITH np AS MATERIALIZED (
+          SELECT GREATEST(8, CASE WHEN x <= 0 THEN 0
+                               ELSE length(bin(x)) END) AS np
+          FROM (SELECT (GREATEST(64, (SELECT count(*) FROM embeddings))
+                        // 50) - 1 AS x)),
+        b AS MATERIALIZED (
+          SELECT vec_id, embedding, CAST($bucket AS BIGINT) AS bucket
+          FROM embeddings)
+        SELECT a.vec_id AS vec_a, b2.vec_id AS vec_b,
+               ${duckCos("a.embedding", "b2.embedding")} AS score
+        FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
+        WHERE ${duckCos("a.embedding", "b2.embedding")} >= $threshold
+        ORDER BY vec_a, vec_b"""
+  }
+
+  /** x03's oracle (r10 — previously rows-only): the scaled k and the
+    * training-sample stride are both SQL-computable from the corpus size
+    * (k = max(8, n/1000), stride = max(1, n/20000)), so the k-means
+    * unroll trains on the strided sample with a subquery LIMIT for the
+    * centroid count, then the final assignment covers ALL vectors and the
+    * in-cell cosine dedup is d17's rule verbatim. */
+  private def semDedupScaledOracle(iters: Int, threshold: Double): String = {
+    val dist = duckSqDist("e.embedding", "c.c_emb")
+    s"""WITH kk AS MATERIALIZED (
+          SELECT GREATEST(8, n // 1000) AS k, GREATEST(1, n // 20000) AS stride
+          FROM (SELECT count(*) AS n FROM embeddings)),
+        smp AS MATERIALIZED (
+          SELECT vec_id, embedding FROM embeddings
+          WHERE vec_id % (SELECT stride FROM kk) = 0),
+        ${kmeansCtes(0, iters, "smp", "", kSql = "SELECT k FROM kk")},
+        aall AS (
+          SELECT vec_id, cell FROM (
+            SELECT e.vec_id, c.cell,
+                   ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                                      ORDER BY $dist ASC, c.cell ASC) AS rn
+            FROM embeddings e, c$iters c) WHERE rn = 1),
+        drops AS (
+          SELECT DISTINCT b.vec_id
+          FROM embeddings a
+          JOIN aall ca ON ca.vec_id = a.vec_id
+          JOIN embeddings b ON b.vec_id > a.vec_id
+          JOIN aall cb ON cb.vec_id = b.vec_id AND cb.cell = ca.cell
+          WHERE ${duckCos("a.embedding", "b.embedding")} >= $threshold)
+        SELECT e.vec_id, ca.cell
+        FROM embeddings e JOIN aall ca ON ca.vec_id = e.vec_id
+        WHERE e.vec_id NOT IN (SELECT vec_id FROM drops)
+        ORDER BY e.vec_id"""
+  }
+
   def oracleSql: Map[String, String] =
     graft.streaming.StreamingGates.oracleSql ++ Map(
+    "x03_semdedup_scaledk" -> semDedupScaledOracle(2, 0.35),
+    "x04_hyperplane_lsh_scaled" -> hyperplaneLshScaledOracle(64, 16, 0.35),
     "e05_kmeans_ivf_cells" -> kmeansCellsOracle(8, 2),
     "e06_kmeans_ivf_topk" -> kmeansTopkOracle(8, 2, 5),
     "e11_ivf_recall" -> ivfRecallOracle(8, 2, 5),

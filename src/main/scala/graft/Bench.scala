@@ -61,7 +61,15 @@ object Bench {
     // train+encode (d52; x05 remains the 200-merge stress form).
     "d51_curation_lake", "d52_bpe_train_encode", "m24_arrow_shard_write",
     "t13_stream_arrow_ingest", "k07_shard_rebalance", "d54_pii_redaction",
-    "m25_jsonl_shards")
+    "m25_jsonl_shards",
+    // r11: TFRecord container read/write (the sixth ML corpus container),
+    // streaming JSONL ingest (the most common corpus front door), semantic
+    // decontamination (the embedding-space sibling of d14/d28), and
+    // length-bucketed batching (the padded-batch prep of non-packed
+    // trainers).
+    "m26_tfrecord_shards", "m27_tfrecord_shard_write",
+    "t14_stream_jsonl_ingest", "t15_stream_tfrecord_ingest",
+    "d55_semantic_decontaminate", "k08_length_batching")
 
   /** SURVEY §6 per-query budgets (sec, sf0.1 median). A breach triggers an
     * automatic isolated forked-JVM re-run so the artifact adjudicates
@@ -155,7 +163,15 @@ object Bench {
     "t13_stream_arrow_ingest" -> 2.9, "k07_shard_rebalance" -> 1.8,
     // d54: one codegen'd redaction scan + md5 (0.59s isolated median);
     // m25: 5000 gz/zst shards encoded + decoded + from_json (2.21s)
-    "d54_pii_redaction" -> 0.9, "m25_jsonl_shards" -> 3.3)
+    "d54_pii_redaction" -> 0.9, "m25_jsonl_shards" -> 3.3,
+    // r11 rows, 1.5x rule on fresh sf0.1 medians (quiet box, quiesced
+    // 3-run medians: m26 0.87, m27 0.86, t14 2.45, d55 0.48, k08 0.33).
+    // t14 spins a fresh AvailableNow drain + lake merge per run (the
+    // t13 cost shape); d55 is one broadcast-nested-loop pass over the
+    // corpus embeddings; k08 one exchange + shard-local window.
+    "m26_tfrecord_shards" -> 1.3, "m27_tfrecord_shard_write" -> 1.3,
+    "t14_stream_jsonl_ingest" -> 3.7, "t15_stream_tfrecord_ingest" -> 2.7,
+    "d55_semantic_decontaminate" -> 0.8, "k08_length_batching" -> 0.6)
 
   /** Total GC time (ms) accumulated by all collectors since JVM start. */
   private def gcMillis(): Long = {

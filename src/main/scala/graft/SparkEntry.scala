@@ -682,6 +682,33 @@ object SparkEntry {
         .orderBy("shard_id", "row_idx")
     }),
 
+    // K8: length-bucketed batching — the padded-batch prep of every
+    // trainer with non-packed batches (dynamic batching): within each
+    // hash shard, docs order by token count DESC (doc_id tie-break) and
+    // cut into batches of 32, so batch-mates have near-equal lengths and
+    // the per-batch padded cost (n_docs * max_tokens - sum_tokens) is
+    // minimized vs arrival order. One exchange on the shard key; the
+    // per-shard window is bounded by corpus/nShards (the k05 sharding
+    // stance — nShards scales with the corpus).
+    "k08_length_batching" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"),
+        (col("doc_id") % 8).as("shard_id"),
+        size(TF.cleanTokens(col("text"))).cast("long").as("n_tokens"))
+      val w = Window.partitionBy("shard_id")
+        .orderBy(col("n_tokens").desc, col("doc_id").asc)
+      docs.withColumn("rk", row_number().over(w))
+        .withColumn("batch_idx", expr("(rk - 1) div 32"))
+        .groupBy("shard_id", "batch_idx")
+        .agg(count(lit(1)).as("n_docs"),
+          max("n_tokens").as("max_tokens"),
+          sum("n_tokens").as("sum_tokens"))
+        .select(col("shard_id"), col("batch_idx"), col("n_docs"),
+          col("max_tokens"), col("sum_tokens"),
+          (col("max_tokens") * col("n_docs") - col("sum_tokens"))
+            .as("padding"))
+        .orderBy("shard_id", "batch_idx")
+    }),
+
     "k01_salted_skew_join" -> ((s, dir) => {
       val o = t(s, dir, "orders")
         .select(col("o_orderkey"), col("o_custkey").as("c_custkey"),
@@ -1918,6 +1945,22 @@ object SparkEntry {
       Similarity.cosineNearDupPairs(t(s, dir, "embeddings"), "label", 0.35)
         .orderBy("vec_a", "vec_b")),
 
+    // D55: embedding-space decontamination — the SEMANTIC sibling of the
+    // surface-overlap purge (d14 fingerprints, d28 n-gram fractions): a
+    // training vector cosine-close to any benchmark vector is dropped
+    // even when no n-gram overlaps. Benchmark = vec_id %50==0 (an eval
+    // suite: small by contract, broadcast), corpus = the rest, streamed
+    // once through the codegen cosine kernel. Threshold 0.30 keeps the
+    // hit set non-trivial on the synthetic embeddings (same stance as
+    // e04's 0.35).
+    "d55_semantic_decontaminate" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.semanticDecontaminate(
+          emb.where(col("vec_id") % 50 =!= 0),
+          emb.where(col("vec_id") % 50 === 0), 0.30)
+        .orderBy("vec_id")
+    }),
+
     // Tumbling-window event aggregation (batch form of the streaming
     // windowed counts; §2.9).
     "ev03_tumbling_window" -> ((s, dir) =>
@@ -2781,6 +2824,65 @@ object SparkEntry {
           col("j.rec").as("rec"), col("j.label").as("label"),
           col("j.value").as("value"))
         .orderBy("shard_id", "line_idx")
+    }),
+
+    // M15: TFRecord shard reading — the sixth ML corpus container (the
+    // TensorFlow/TPU-era format: C4's original release, T5 pipelines,
+    // TFDS exports). Even ids gzip their shard whole-file (TFRecordOptions
+    // GZIP), odd ids ship plain; ids %5==0 get record 1's DATA bytes
+    // corrupted (payload CRC fails -> the record is skipped but keeps its
+    // index slot — the gap is visible); ids %7==0 get 12 garbage bytes
+    // appended (the next length CRC fails -> the walk stops with every
+    // real record already out). Masked-CRC32C framing per TF's public
+    // record_writer layout, both CRC grades exercised under one oracle.
+    "m26_tfrecord_shards" -> ((s, dir) => {
+      import s.implicits._
+      val shards = t(s, dir, "documents").select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { id =>
+          val k = (2 + id % 3).toInt
+          val recs = (0 until k).map { r =>
+            val sz = (10 + (id + r * 7) % 90).toInt
+            Array.tabulate(sz)(i => ((id * 3 + r * 5 + i) % 256).toByte)
+          }
+          var framed = graft.operators.TfRecordShard.encodeShard(recs)
+          if (id % 5 == 0)
+            framed = graft.operators.TfRecordShard.corruptRecordData(framed, 1)
+          if (id % 7 == 0) framed = framed ++ Array.fill(12)(0xaa.toByte)
+          val payload =
+            if (id % 2 == 0) {
+              val bos = new java.io.ByteArrayOutputStream()
+              val gz = new java.util.zip.GZIPOutputStream(bos)
+              gz.write(framed); gz.close(); bos.toByteArray
+            } else framed
+          (id, payload)
+        }).toDF("shard_id", "payload")
+      graft.operators.TfRecordShard.explodeRecords(s, shards)
+        .map(r => (r.shard_id, r.rec_idx, r.record.length.toLong,
+          r.record.foldLeft(0L)((a, b) => a + (b & 0xff))))
+        .toDF("shard_id", "rec_idx", "size_bytes", "byte_sum")
+        .orderBy("shard_id", "rec_idx")
+    }),
+
+    // M15 write side: DISTRIBUTED TFRecord shard publishing (the m24
+    // stance for the sixth container) — docs hash into 7 shards, each
+    // shard's records stream through the framing encoder in doc_id order
+    // into ONE gzipped TFRecord payload, and the gate reads the payloads
+    // back through the CRC-verifying reader: framing, masked CRCs, the
+    // gzip wrap, within-shard order all sit under the analytic oracle.
+    "m27_tfrecord_shard_write" -> ((s, dir) => {
+      import s.implicits._
+      val rows = t(s, dir, "documents").select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { id =>
+          val sz = (10 + id % 90).toInt
+          (id % 7, id, Array.tabulate(sz)(i => ((id * 3 + i) % 256).toByte))
+        }).toDF("shard", "doc_id", "rec")
+      val shards = graft.operators.TfRecordShard.writeShards(
+        s, rows, "shard", "rec", Seq("doc_id"), gzip = true)
+      graft.operators.TfRecordShard.explodeRecords(s, shards)
+        .map(r => (r.shard_id, r.rec_idx, r.record.length.toLong,
+          r.record.foldLeft(0L)((a, b) => a + (b & 0xff))))
+        .toDF("shard_id", "rec_idx", "size_bytes", "byte_sum")
+        .orderBy("shard_id", "rec_idx")
     }),
 
     // F1-F3: the electricity-CSV parser family end to end, oracle-gated.
@@ -5170,6 +5272,38 @@ object SparkEntry {
          SELECT * FROM (SELECT * FROM g UNION ALL SELECT * FROM bad)
          ORDER BY shard_id, line_idx""",
 
+    // m26: every record is analytically stated; the %5==0 shards LOSE
+    // record 1 (its data CRC was corrupted — skipped, index preserved)
+    // and the %7==0 trailing garbage stops the walk only after the real
+    // records, so the surviving row set is exactly this.
+    "m26_tfrecord_shards" ->
+      """WITH m AS (
+           SELECT d.doc_id AS shard_id, j.r AS r,
+             10 + (d.doc_id + j.r * 7) % 90 AS sz
+           FROM documents d CROSS JOIN range(0, 5) j(r)
+           WHERE j.r < 2 + d.doc_id % 3
+             AND NOT (d.doc_id % 5 = 0 AND j.r = 1)
+         )
+         SELECT m.shard_id, CAST(m.r AS BIGINT) AS rec_idx,
+           CAST(m.sz AS BIGINT) AS size_bytes,
+           CAST((SELECT SUM((m.shard_id * 3 + m.r * 5 + i.r) % 256)
+                 FROM range(0, 110) i(r) WHERE i.r < m.sz) AS BIGINT)
+             AS byte_sum
+         FROM m ORDER BY shard_id, rec_idx""",
+
+    "m27_tfrecord_shard_write" ->
+      """WITH d AS (SELECT doc_id, doc_id % 7 AS shard_id,
+                  10 + doc_id % 90 AS sz
+                FROM documents)
+         SELECT CAST(shard_id AS BIGINT) AS shard_id,
+           CAST(row_number() OVER (PARTITION BY shard_id ORDER BY doc_id)
+                - 1 AS BIGINT) AS rec_idx,
+           CAST(sz AS BIGINT) AS size_bytes,
+           CAST((SELECT SUM((d.doc_id * 3 + i.r) % 256)
+                 FROM range(0, 110) i(r) WHERE i.r < d.sz) AS BIGINT)
+             AS byte_sum
+         FROM d ORDER BY shard_id, rec_idx""",
+
     // d54: the planted-entity construction makes the redacted text
     // analytic — the corpus text is [a-z ]-only, so redact(text) == text
     // and every placeholder position is known.
@@ -5191,6 +5325,24 @@ object SparkEntry {
            CAST(1 AS BIGINT) AS n_ip,
            CAST(1 AS BIGINT) AS n_number
          FROM r ORDER BY doc_id""",
+
+    "k08_length_batching" ->
+      """WITH d AS (SELECT doc_id, doc_id % 8 AS shard_id,
+             CAST(len([x for x in string_split(text, ' ')
+                       if length(x) > 0]) AS BIGINT) AS n_tokens
+           FROM documents),
+         r AS (SELECT *, row_number() OVER (PARTITION BY shard_id
+                 ORDER BY n_tokens DESC, doc_id ASC) AS rk FROM d),
+         a AS (SELECT shard_id, (rk - 1) // 32 AS batch_idx, n_tokens
+               FROM r)
+         SELECT CAST(shard_id AS BIGINT) AS shard_id,
+           CAST(batch_idx AS BIGINT) AS batch_idx,
+           COUNT(*) AS n_docs,
+           MAX(n_tokens) AS max_tokens,
+           CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+           CAST(MAX(n_tokens) * COUNT(*) - SUM(n_tokens) AS BIGINT)
+             AS padding
+         FROM a GROUP BY 1, 2 ORDER BY shard_id, batch_idx""",
 
     "k07_shard_rebalance" ->
       """WITH d AS (SELECT doc_id AS id, 1 + 2 * (doc_id % 7) AS k
@@ -5516,6 +5668,22 @@ object SparkEntry {
            ON a.label = b.label AND a.vec_id < b.vec_id
          WHERE ${duckCos("a.embedding", "b.embedding")} >= 0.35
          ORDER BY vec_a, vec_b""",
+
+    "d55_semantic_decontaminate" ->
+      s"""WITH b AS (SELECT vec_id AS bench_id, embedding AS b_emb
+                     FROM embeddings WHERE vec_id % 50 = 0),
+         c AS (SELECT vec_id, embedding FROM embeddings
+               WHERE vec_id % 50 <> 0),
+         h AS (SELECT c.vec_id, COUNT(*) AS n_hits
+               FROM c JOIN b
+                 ON ${duckCos("c.embedding", "b.b_emb")} >= 0.30
+               GROUP BY 1)
+         SELECT c.vec_id,
+           CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+           CAST(CASE WHEN h.vec_id IS NULL THEN 1 ELSE 0 END AS BIGINT)
+             AS kept
+         FROM c LEFT JOIN h ON c.vec_id = h.vec_id
+         ORDER BY c.vec_id""",
 
     "ev03_tumbling_window" ->
       """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS window_epoch,

@@ -102,6 +102,32 @@ object Similarity {
       .where(col("score") >= threshold)
   }
 
+  /** Embedding-space benchmark decontamination — the semantic sibling of
+    * the surface-overlap purge (D14/D28): a training vector whose cosine
+    * to ANY benchmark vector reaches the threshold is contaminated (its
+    * content is too close to an eval item for the eval to stay honest,
+    * even when no n-gram overlaps). The benchmark side is an eval suite —
+    * small by contract — and BROADCASTS; the corpus streams ONCE through
+    * the codegen cosine kernel (a map-side nested loop like E1), and the
+    * only shuffle is the per-vector hit-count aggregation over the hit
+    * subset. Output: one row per corpus vector with its benchmark hit
+    * count and the keep flag.
+    */
+  def semanticDecontaminate(corpus: DataFrame, benchmark: DataFrame,
+                            threshold: Double): DataFrame = {
+    val b = broadcast(benchmark.select(col("vec_id").as("bench_id"),
+      col("embedding").as("b_emb")))
+    val hits = corpus.select(col("vec_id"), col("embedding"))
+      .crossJoin(b) // deliberate: broadcast nested loop, corpus streamed once
+      .where(round(cosine(col("embedding"), col("b_emb")), 6) >= threshold)
+      .groupBy("vec_id").agg(count(lit(1)).as("n_hits"))
+    corpus.select(col("vec_id"))
+      .join(hits, Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        when(col("n_hits").isNotNull, lit(0L)).otherwise(lit(1L)).as("kept"))
+  }
+
   /** Per-cell centroids of the embedding column, computed with fixed-scale
     * decimal accumulation so the result is independent of partial-agg order
     * (and reproducible by an external oracle). */

@@ -1,0 +1,271 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** TFRecord shard reading/writing — the sixth ML corpus container beside
+  * WebDataset tar (M8), ZIP (M9), WARC (M10), Arrow (M13) and JSONL (M14):
+  * the TensorFlow-ecosystem format TPU-era corpora ship in (C4's original
+  * release, T5 pipelines, TFDS exports — directories of `*.tfrecord` /
+  * `*.tfrecord.gz` shards).
+  *
+  * The on-disk format is public and tiny (TensorFlow's
+  * `io/record_writer.h`): each record is
+  *
+  *   uint64 length        (little-endian)
+  *   uint32 masked_crc32c (of the 8 length bytes, little-endian)
+  *   byte   data[length]
+  *   uint32 masked_crc32c (of the data bytes, little-endian)
+  *
+  * where `masked_crc = rotr(crc32c(x), 15) + 0xa282ead8` — CRC-32C being
+  * the Castagnoli polynomial the JDK ships as `java.util.zip.CRC32C`
+  * (cross-validated in the spec against an independently-written bitwise
+  * reference).
+  *
+  * Failure contract (the codec-family stance, graded by which CRC fails):
+  *   - a corrupt LENGTH crc means the framing itself is untrusted — the
+  *     walk STOPS with the records already decoded (no resync exists:
+  *     nothing after an untrusted length can be attributed to a record
+  *     boundary); same for a truncated header/body;
+  *   - a corrupt DATA crc leaves the framing intact — the record is
+  *     SKIPPED but still consumes its index slot (the gap is visible to
+  *     downstream joins), and the walk continues at the next frame;
+  *   - a record longer than `maxRecordBytes` (the bomb guard) is skipped
+  *     by streaming past it — its bytes never materialize — and also
+  *     consumes its index; `maxRecords` caps a bomb of tiny records.
+  *
+  * Whole-file gzip compression (TF's `TFRecordOptions(compression_type=
+  * "GZIP")`) is transparent by magic sniff, decompressed streaming —
+  * O(chunk) memory regardless of ratio. Nothing in the walk ever throws:
+  * a malformed shard yields the rows decodable before the damage.
+  */
+object TfRecordShard {
+
+  /** One decoded record, 0-indexed within its shard. Skipped records
+    * (corrupt data CRC / over-guard) consume an index without a row. */
+  final case class TfRec(shard_id: Long, rec_idx: Long, record: Array[Byte])
+
+  private val MaskDelta = 0xa282ead8 // TF's kMaskDelta (crc/crc32c.h)
+
+  /** Masked CRC-32C exactly as TFRecord frames carry it. */
+  def maskedCrc32c(bytes: Array[Byte], off: Int, len: Int): Int = {
+    val c = new java.util.zip.CRC32C
+    c.update(bytes, off, len)
+    Integer.rotateRight(c.getValue.toInt, 15) + MaskDelta
+  }
+
+  private def readLeInt(b: Array[Byte], off: Int): Int =
+    (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8) |
+      ((b(off + 2) & 0xff) << 16) | ((b(off + 3) & 0xff) << 24)
+
+  private def writeLeInt(out: java.io.OutputStream, v: Int): Unit = {
+    out.write(v & 0xff); out.write((v >>> 8) & 0xff)
+    out.write((v >>> 16) & 0xff); out.write((v >>> 24) & 0xff)
+  }
+
+  private def readLeLong(b: Array[Byte], off: Int): Long = {
+    var v = 0L
+    var i = 7
+    while (i >= 0) { v = (v << 8) | (b(off + i) & 0xffL); i -= 1 }
+    v
+  }
+
+  /** Read exactly n bytes unless EOF intervenes; returns bytes read. */
+  private def readFully(in: java.io.InputStream, buf: Array[Byte],
+                        n: Int): Int = {
+    var got = 0
+    while (got < n) {
+      val k = in.read(buf, got, n - got)
+      if (k < 0) return got
+      got += k
+    }
+    got
+  }
+
+  /** Stream-skip exactly n bytes; false if EOF arrives first. `skip` on a
+    * GZIPInputStream may return short without EOF, so loop via reads. */
+  private def skipFully(in: java.io.InputStream, n: Long): Boolean = {
+    val buf = new Array[Byte](64 << 10)
+    var left = n
+    while (left > 0) {
+      val k = in.read(buf, 0, math.min(left, buf.length.toLong).toInt)
+      if (k < 0) return false
+      left -= k
+    }
+    true
+  }
+
+  private def open(payload: Array[Byte]): java.io.InputStream = {
+    val raw = new java.io.ByteArrayInputStream(payload)
+    if (payload.length >= 2 && (payload(0) & 0xff) == 0x1f &&
+        (payload(1) & 0xff) == 0x8b)
+      new java.util.zip.GZIPInputStream(raw, 64 << 10)
+    else raw
+  }
+
+  /** Decode one shard into complete records under the failure contract
+    * documented on the object. */
+  def parseShard(shardId: Long, payload: Array[Byte],
+                 maxRecordBytes: Int = 64 << 20,
+                 maxRecords: Int = 1 << 20): Seq[TfRec] = {
+    if (payload == null || payload.length == 0) return Seq.empty
+    val out = Seq.newBuilder[TfRec]
+    var idx = 0L
+    var in: java.io.InputStream = null
+    try {
+      in = open(payload)
+      val head = new Array[Byte](12)
+      val crcBuf = new Array[Byte](4)
+      var done = false
+      while (!done && idx < maxRecords) {
+        val h = readFully(in, head, 12)
+        if (h == 0) done = true // clean EOF at a record boundary
+        else if (h < 12) done = true // truncated header
+        else {
+          val wantLenCrc = maskedCrc32c(head, 0, 8)
+          if (readLeInt(head, 8) != wantLenCrc) done = true // framing gone
+          else {
+            val len = readLeLong(head, 0)
+            if (len < 0 || len > maxRecordBytes) {
+              // trusted length, over the bomb guard: stream past it
+              if (!skipFully(in, len + 4)) done = true
+              else idx += 1
+            } else {
+              val data = new Array[Byte](len.toInt)
+              if (readFully(in, data, len.toInt) < len.toInt) done = true
+              else if (readFully(in, crcBuf, 4) < 4) done = true
+              else {
+                if (readLeInt(crcBuf, 0) == maskedCrc32c(data, 0, data.length))
+                  out += TfRec(shardId, idx, data)
+                // else: data corrupt, framing intact — skip, keep walking
+                idx += 1
+              }
+            }
+          }
+        }
+      }
+    } catch {
+      case scala.util.control.NonFatal(_) => () // keep complete records
+    } finally {
+      if (in != null) {
+        try in.close() catch { case scala.util.control.NonFatal(_) => () }
+      }
+    }
+    out.result()
+  }
+
+  /** Partition-parallel explode of (shard_id, payload) rows into one row
+    * per CRC-verified record. */
+  def explodeRecords(spark: SparkSession, shards: DataFrame,
+                     maxRecordBytes: Int = 64 << 20,
+                     maxRecords: Int = 1 << 20): Dataset[TfRec] = {
+    import spark.implicits._
+    shards
+      .where(col("payload").isNotNull)
+      .select(col("shard_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        parseShard(id, bytes, maxRecordBytes, maxRecords)
+      })
+  }
+
+  // ---- write side --------------------------------------------------------
+
+  /** Frame one record (length + masked length CRC + data + masked data
+    * CRC) onto `out`. */
+  def writeRecord(out: java.io.OutputStream, data: Array[Byte]): Unit = {
+    val lenBytes = new Array[Byte](8)
+    var v = data.length.toLong
+    var i = 0
+    while (i < 8) { lenBytes(i) = (v & 0xff).toByte; v >>>= 8; i += 1 }
+    out.write(lenBytes)
+    writeLeInt(out, maskedCrc32c(lenBytes, 0, 8))
+    out.write(data)
+    writeLeInt(out, maskedCrc32c(data, 0, data.length))
+  }
+
+  /** Encode a whole shard; `gzip=true` wraps the stream whole-file, the
+    * TFRecordOptions GZIP layout. */
+  def encodeShard(records: Seq[Array[Byte]], gzip: Boolean = false): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val out: java.io.OutputStream =
+      if (gzip) new java.util.zip.GZIPOutputStream(bos) else bos
+    records.foreach(writeRecord(out, _))
+    out match {
+      case g: java.util.zip.GZIPOutputStream => g.finish(); g.close()
+      case _ => ()
+    }
+    bos.toByteArray
+  }
+
+  /** DISTRIBUTED TFRecord shard publishing (M24's stance for the sixth
+    * container): rows carrying raw record bytes hash to shards, each
+    * shard's records stream into one framed (optionally gzipped) TFRecord
+    * payload in deterministic `orderCols` order. One exchange on the
+    * shard key; per-task memory is the shard payload being assembled
+    * (records stream through the framing encoder one at a time).
+    *
+    * Input: `df` with `shardCol` (numeric), `recordCol` (binary) and
+    * `orderCols` fixing the within-shard order. Output: one
+    * (shard_id, payload) row per non-empty shard.
+    */
+  def writeShards(spark: SparkSession, df: DataFrame, shardCol: String,
+                  recordCol: String, orderCols: Seq[String],
+                  gzip: Boolean = false): DataFrame = {
+    import spark.implicits._
+    val cols = col(shardCol).cast("long").as("__shard") +:
+      col(recordCol).as("__rec") +: orderCols.map(col)
+    df.select(cols: _*)
+      .repartition(col("__shard"))
+      .sortWithinPartitions(col("__shard") +: orderCols.map(col): _*)
+      .select(col("__shard"), col("__rec"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        val done = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Byte])]
+        var cur = Long.MinValue
+        var bos: java.io.ByteArrayOutputStream = null
+        var out: java.io.OutputStream = null
+        def close(): Unit = if (out != null) {
+          out match {
+            case g: java.util.zip.GZIPOutputStream => g.finish(); g.close()
+            case _ => ()
+          }
+          done += ((cur, bos.toByteArray))
+          out = null; bos = null
+        }
+        it.foreach { case (sid, rec) =>
+          if (out == null || sid != cur) {
+            close()
+            cur = sid
+            bos = new java.io.ByteArrayOutputStream()
+            out = if (gzip) new java.util.zip.GZIPOutputStream(bos) else bos
+          }
+          writeRecord(out, rec)
+        }
+        close()
+        done.iterator
+      }
+      .toDF("shard_id", "payload")
+  }
+
+  // ---- fixture corruption helpers ---------------------------------------
+
+  /** Flip one byte inside record `recIdx`'s DATA region of an UNCOMPRESSED
+    * framed shard (CRCs untouched — the data-CRC-fail path). */
+  def corruptRecordData(framed: Array[Byte], recIdx: Int): Array[Byte] = {
+    val out = framed.clone()
+    var off = 0
+    var i = 0
+    while (off + 12 <= out.length) {
+      val len = readLeLong(out, off).toInt
+      if (i == recIdx) {
+        require(len > 0, "cannot corrupt an empty record")
+        out(off + 12) = (out(off + 12) ^ 0x5a).toByte
+        return out
+      }
+      off += 12 + len + 4
+      i += 1
+    }
+    throw new IllegalArgumentException(s"record $recIdx not found")
+  }
+}

@@ -337,6 +337,93 @@ object StreamingGates {
         .orderBy("shard_id", "row_idx")
     }),
 
+    // T14: streaming JSONL shard ingest — the MOST COMMON corpus front
+    // door (jsonl.gz/jsonl.zst directories arriving shard by shard, the
+    // Pile/C4/Dolma layout): each micro-batch's payloads explode through
+    // M14's streaming-decompress line walk, parse in the SQL layer
+    // (from_json — a malformed line is a null-fielded row, visible never
+    // fatal), and MERGE into a lake table keyed on (shard, line). One
+    // AvailableNow batch over the %10==0 arrivals; the oracle restates
+    // m25's analytic rows for that slice.
+    "t14_stream_jsonl_ingest" -> ((s, dir) => {
+      import s.implicits._
+      val arrivals = s.read.parquet(s"$dir/documents.parquet")
+        .where(col("doc_id") % 10 === 0)
+        .select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { id =>
+          val k = (2 + id % 3).toInt
+          val lines = (0 until k).map { r =>
+            s"""{"rec":${id * 10 + r},"label":"l${(id + r) % 4}","value":${(id % 97).toDouble + r * 0.25}}"""
+          } ++ (if (id % 5 == 0) Seq("{oops") else Seq.empty)
+          (id, if (id % 2 == 0) graft.operators.JsonlShard.encodeGz(lines)
+               else graft.operators.JsonlShard.encodeZst(lines))
+        }).toDF("shard_id", "payload")
+      val in = freshDir("graft_t14_in")
+      writeWave(arrivals, in, "batch.parquet", mtimeSec = 1000)
+      val loc = freshDir("graft_t14_tbl").resolve("records").toString
+      StreamingIngest.drainToTable(s, in.toString, arrivals.schema, loc,
+        freshDir("graft_t14_ck").toString,
+        writeMode = "merge", mergeOn = Seq("shard_id", "line_idx"),
+        batchTransform = batch =>
+          graft.operators.JsonlShard
+            .explodeLines(batch.sparkSession, batch).toDF()
+            .select(col("shard_id"), col("line_idx"),
+              from_json(col("line"), org.apache.spark.sql.types.StructType
+                .fromDDL("rec LONG, label STRING, value DOUBLE")).as("j"))
+            .select(col("shard_id"), col("line_idx"),
+              col("j.rec").as("rec"), col("j.label").as("label"),
+              col("j.value").as("value")))
+      graft.tables.LakeTable.load(s, loc).read()
+        .orderBy("shard_id", "line_idx")
+    }),
+
+    // T15: streaming TFRecord shard ingest — the TFDS/TPU-pipeline front
+    // door (directories of *.tfrecord.gz arriving shard by shard),
+    // completing the streaming form for every exploded container (WARC
+    // t11, Arrow t13, JSONL t14, TFRecord t15): each micro-batch's
+    // payloads walk M15's CRC-verifying record reader and MERGE into a
+    // lake table keyed on (shard, rec). The %10==0 arrival slice is all
+    // even (gzip) and all %5==0 (record 1's data CRC corrupted -> skipped
+    // with its index slot preserved), so the corruption contract is
+    // itself under the streaming oracle.
+    "t15_stream_tfrecord_ingest" -> ((s, dir) => {
+      import s.implicits._
+      val arrivals = s.read.parquet(s"$dir/documents.parquet")
+        .where(col("doc_id") % 10 === 0)
+        .select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { id =>
+          val k = (2 + id % 3).toInt
+          val recs = (0 until k).map { r =>
+            val sz = (10 + (id + r * 7) % 90).toInt
+            Array.tabulate(sz)(i => ((id * 3 + r * 5 + i) % 256).toByte)
+          }
+          var framed = graft.operators.TfRecordShard.encodeShard(recs)
+          if (id % 5 == 0)
+            framed = graft.operators.TfRecordShard.corruptRecordData(framed, 1)
+          if (id % 7 == 0) framed = framed ++ Array.fill(12)(0xaa.toByte)
+          val bos = new java.io.ByteArrayOutputStream()
+          val gz = new java.util.zip.GZIPOutputStream(bos)
+          gz.write(framed); gz.close()
+          (id, bos.toByteArray)
+        }).toDF("shard_id", "payload")
+      val in = freshDir("graft_t15_in")
+      writeWave(arrivals, in, "batch.parquet", mtimeSec = 1000)
+      val loc = freshDir("graft_t15_tbl").resolve("records").toString
+      StreamingIngest.drainToTable(s, in.toString, arrivals.schema, loc,
+        freshDir("graft_t15_ck").toString,
+        writeMode = "merge", mergeOn = Seq("shard_id", "rec_idx"),
+        batchTransform = batch => {
+          import batch.sparkSession.implicits._
+          graft.operators.TfRecordShard
+            .explodeRecords(batch.sparkSession, batch)
+            .map(r => (r.shard_id, r.rec_idx, r.record.length.toLong,
+              r.record.foldLeft(0L)((a, b) => a + (b & 0xff))))
+            .toDF("shard_id", "rec_idx", "size_bytes", "byte_sum")
+        })
+      graft.tables.LakeTable.load(s, loc).read()
+        .orderBy("shard_id", "rec_idx")
+    }),
+
     // T10: the streaming per-host BUDGET admission gate — d43's host cap
     // with the running per-host token total carried in
     // flatMapGroupsWithState state across micro-batches. One AvailableNow
@@ -589,6 +676,43 @@ object StreamingGates {
            'l' || ((id + r) % 4) AS label,
            CAST((id % 97) + r * 0.25 AS DOUBLE) AS value
          FROM r ORDER BY shard_id, row_idx""",
+
+    // t14: m25's analytic JSONL rows restricted to the %10==0 arrivals
+    // (the %5==0 malformed tail line surfaces as a null-fielded row)
+    "t14_stream_jsonl_ingest" ->
+      """WITH d AS (SELECT doc_id AS id, 2 + doc_id % 3 AS k
+                    FROM documents WHERE doc_id % 10 = 0),
+         good AS (SELECT id, unnest(range(0, k)) AS r, k FROM d),
+         g AS (SELECT id AS shard_id, CAST(r AS BIGINT) AS line_idx,
+             CAST(id * 10 + r AS BIGINT) AS rec,
+             'l' || ((id + r) % 4) AS label,
+             CAST((id % 97) + r * 0.25 AS DOUBLE) AS value
+           FROM good),
+         bad AS (SELECT id AS shard_id, CAST(k AS BIGINT) AS line_idx,
+             CAST(NULL AS BIGINT) AS rec, CAST(NULL AS VARCHAR) AS label,
+             CAST(NULL AS DOUBLE) AS value
+           FROM d WHERE id % 5 = 0)
+         SELECT * FROM (SELECT * FROM g UNION ALL SELECT * FROM bad)
+         ORDER BY shard_id, line_idx""",
+
+    // t15: m26's analytic TFRecord rows restricted to the %10==0 arrivals
+    // (every arrival is %5==0, so record 1 is always the preserved gap;
+    // the %7==0 trailing garbage stops the walk after the real records)
+    "t15_stream_tfrecord_ingest" ->
+      """WITH m AS (
+           SELECT d.doc_id AS shard_id, j.r AS r,
+             10 + (d.doc_id + j.r * 7) % 90 AS sz
+           FROM documents d CROSS JOIN range(0, 5) j(r)
+           WHERE d.doc_id % 10 = 0
+             AND j.r < 2 + d.doc_id % 3
+             AND NOT (d.doc_id % 5 = 0 AND j.r = 1)
+         )
+         SELECT m.shard_id, CAST(m.r AS BIGINT) AS rec_idx,
+           CAST(m.sz AS BIGINT) AS size_bytes,
+           CAST((SELECT SUM((m.shard_id * 3 + m.r * 5 + i.r) % 256)
+                 FROM range(0, 110) i(r) WHERE i.r < m.sz) AS BIGINT)
+             AS byte_sum
+         FROM m ORDER BY shard_id, rec_idx""",
 
     // t10: d43's per-host prefix rule over the %10==0 arrivals, budget 300
     "t10_stream_host_budget" ->

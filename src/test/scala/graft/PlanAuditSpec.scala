@@ -392,4 +392,47 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
     assert(!p.contains("Join"), p.take(800))
     assert(!p.contains("CartesianProduct"), p.take(800))
   }
+
+  test("m26: TFRecord explode is a single-pass partition-parallel scan — " +
+       "no join, no hash exchange") {
+    val p = plan("m26_tfrecord_shards")
+    assert(!p.contains("Join"), p.take(800))
+    assert(!p.contains("Exchange hashpartitioning"), p.take(800))
+  }
+
+  test("m27: TFRecord shard writing shuffles ONCE on the shard key with a " +
+       "LOCAL sort") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val rows = Tables.t(spark, dir, "documents")
+      .select((col("doc_id") % 7).as("shard"), col("doc_id"),
+        col("text").cast("binary").as("rec"))
+    val w = graft.operators.TfRecordShard
+      .writeShards(spark, rows, "shard", "rec", Seq("doc_id"))
+      .queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(w).size == 1, w.take(800))
+    assert(!w.contains("rangepartitioning"), w.take(800))
+    assert("Sort \\[.*\\], false".r.findFirstIn(w).isDefined,
+      s"shard sort must be partition-local:\n${w.take(800)}")
+    val p = plan("m27_tfrecord_shard_write")
+    assert(!p.contains("Join"), p.take(800))
+  }
+
+  test("d55: semantic decontamination streams the corpus ONCE through a " +
+       "broadcast nested loop over the codegen cosine kernel — no " +
+       "cartesian, no corpus-keyed shuffle before the hit cut") {
+    val p = plan("d55_semantic_decontaminate")
+    assert(p.contains("BroadcastNestedLoopJoin"), p.take(800))
+    assert(p.contains("graft_cosine"), p.take(800))
+    assert(!p.contains("CartesianProduct"), p.take(800))
+    assert(!p.contains("ScalaUDF"), p.take(800))
+  }
+
+  test("k08: length batching shuffles ONCE on the shard key — the batch " +
+       "agg reuses the shard partitioning, no global sort before the " +
+       "presentation order") {
+    val p = plan("k08_length_batching")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p.take(1200))
+    assert(!p.contains("Join"), p.take(800))
+  }
 }

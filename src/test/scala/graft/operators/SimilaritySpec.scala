@@ -42,6 +42,31 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     assert(probed.toSeq == exact.toSeq)
   }
 
+  test("semanticDecontaminate: cosine-close vectors drop, orthogonal keep, counts exact") {
+    val corpus = emb(
+      1L -> Seq(1f, 0f, 0f, 0f),   // parallel to bench 100 -> contaminated
+      2L -> Seq(0.9f, 0.1f, 0f, 0f), // close to bench 100 -> contaminated
+      3L -> Seq(0f, 0f, 1f, 0f),   // orthogonal to both benches -> kept
+      4L -> Seq(1f, 1f, 0f, 0f))   // cos to BOTH benches high -> 2 hits
+    val bench = emb(
+      100L -> Seq(1f, 0f, 0f, 0f),
+      101L -> Seq(0f, 1f, 0f, 0f))
+    val got = Similarity.semanticDecontaminate(corpus, bench, 0.7)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1).toSeq
+    assert(got == Seq((1L, 1L, 0L), (2L, 1L, 0L), (3L, 0L, 1L),
+      (4L, 2L, 0L)))
+  }
+
+  test("semanticDecontaminate at an unreachable threshold keeps everything") {
+    val corpus = emb(1L -> Seq(1f, 0f), 2L -> Seq(0f, 1f))
+    val bench = emb(100L -> Seq(1f, 0f))
+    val got = Similarity.semanticDecontaminate(corpus, bench, 1.01)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1).toSeq
+    assert(got == Seq((1L, 0L, 1L), (2L, 0L, 1L)))
+  }
+
   test("semDedupKeep at an unreachable threshold keeps every vector") {
     val corpus = emb(
       0L -> Seq(1f, 0f), 1L -> Seq(0.9f, 0.1f), 2L -> Seq(0f, 1f))

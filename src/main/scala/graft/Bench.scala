@@ -173,6 +173,27 @@ object Bench {
     "t14_stream_jsonl_ingest" -> 3.7, "t15_stream_tfrecord_ingest" -> 2.7,
     "d55_semantic_decontaminate" -> 0.8, "k08_length_batching" -> 0.6)
 
+  /** Cluster-cost observability (r11): per-query SHUFFLE WRITE and SPILL
+    * volume next to every wall time, so the artifact itself shows which
+    * rows move data and which stream — at 100 TB the shuffle column IS
+    * the cost model, and a plan regression that keeps the wall time but
+    * doubles the shuffle would otherwise be invisible at sf0.1.
+    * Listener deltas are read after the run (the bus drains within the
+    * quiesce sleep; values are observability, not gates). */
+  private object TaskMetricsListener
+      extends org.apache.spark.scheduler.SparkListener {
+    val shuffleBytes = new java.util.concurrent.atomic.AtomicLong
+    val spillBytes = new java.util.concurrent.atomic.AtomicLong
+    override def onTaskEnd(
+        e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+      val m = e.taskMetrics
+      if (m != null) {
+        shuffleBytes.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+        spillBytes.addAndGet(m.memoryBytesSpilled + m.diskBytesSpilled)
+      }
+    }
+  }
+
   /** Total GC time (ms) accumulated by all collectors since JVM start. */
   private def gcMillis(): Long = {
     import scala.jdk.CollectionConverters._
@@ -235,6 +256,7 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    spark.sparkContext.addSparkListener(TaskMetricsListener)
     val results = headline.filter(n => only.forall(_.contains(n))).flatMap { name =>
       SparkEntry.queries.get(name).map { fn =>
         // Warm the JVM/page cache once so numbers measure the engine, not
@@ -246,16 +268,23 @@ object Bench {
           val runs = (1 to 3).map { _ =>
             quiesce()
             val gc0 = gcMillis()
+            val sh0 = TaskMetricsListener.shuffleBytes.get
+            val sp0 = TaskMetricsListener.spillBytes.get
             val t0 = System.nanoTime()
             fn(spark, sfDir).write.format("noop").mode("overwrite").save()
             val t = (System.nanoTime() - t0) / 1e9
-            (t, gcMillis() - gc0)
+            // quiesce()'s settle sleep next iteration drains the listener
+            // bus; for the LAST run drain here before reading the deltas.
+            Thread.sleep(150)
+            (t, gcMillis() - gc0,
+              TaskMetricsListener.shuffleBytes.get - sh0,
+              TaskMetricsListener.spillBytes.get - sp0)
           }
-          val (medT, medGc) = runs.sortBy(_._1).apply(1)
-          name -> (medT, medGc)
+          val (medT, medGc, medSh, medSp) = runs.sortBy(_._1).apply(1)
+          name -> (medT, medGc, medSh, medSp)
         } catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
-          name -> (-1.0, 0L)
+          name -> (-1.0, 0L, 0L, 0L)
         } finally SparkEntry.releaseCaches()
       }
     }
@@ -264,17 +293,22 @@ object Bench {
     val breaches =
       if (isChild) Seq.empty
       else results.collect {
-        case (n, (t, _)) if t >= 0 && budgets.get(n).exists(t > _) => n
+        case (n, (t, _, _, _)) if t >= 0 && budgets.get(n).exists(t > _) => n
       }
     val isolated = breaches.flatMap(n => isolatedRun(n, sfDir, cpus).map(n -> _))
-    val qs = results.map { case (k, (t, _)) => "\"" + k + "\":" + t }
+    val qs = results.map { case (k, (t, _, _, _)) => "\"" + k + "\":" + t }
       .mkString("{", ",", "}")
-    val gcs = results.map { case (k, (_, g)) => "\"" + k + "\":" + g }
+    val gcs = results.map { case (k, (_, g, _, _)) => "\"" + k + "\":" + g }
+      .mkString("{", ",", "}")
+    def mb(b: Long): String = "%.2f".formatLocal(java.util.Locale.ROOT, b / 1048576.0)
+    val shs = results.map { case (k, (_, _, s, _)) => "\"" + k + "\":" + mb(s) }
+      .mkString("{", ",", "}")
+    val sps = results.map { case (k, (_, _, _, s)) => "\"" + k + "\":" + mb(s) }
       .mkString("{", ",", "}")
     val iso = isolated.map { case (k, t) => "\"" + k + "\":" + t }
       .mkString("{", ",", "}")
     val total = results.map(_._2._1).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"gc_ms":$gcs,"isolated":$iso,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"gc_ms":$gcs,"shuffle_mb":$shs,"spill_mb":$sps,"isolated":$iso,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -709,6 +709,30 @@ object SparkEntry {
         .orderBy("shard_id", "batch_idx")
     }),
 
+    // K9: deterministic epoch shuffle — the per-epoch corpus permutation
+    // every trainer wants WITHOUT `ORDER BY rand()` (not reproducible, a
+    // global sort): sort key = portable hash of "epoch:doc_id", shard =
+    // key % 8, position = rank within shard by (key, doc_id tie-break).
+    // Content-independent, reshard-stable, reproducible on any engine or
+    // partitioning; a different epoch value yields an uncorrelated
+    // permutation through the same machinery (both epochs 0 and 1 sit
+    // under this one gate). One exchange on (epoch, shard); the per-shard
+    // window is bounded by corpus/nShards (nShards scales with the
+    // corpus, the k05/k08 sharding stance).
+    "k09_epoch_shuffle" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"),
+        explode(array(lit(0L), lit(1L))).as("epoch"))
+      val keyed = docs.withColumn("sort_key",
+          TF.portableHash(concat(col("epoch").cast("string"), lit(":"),
+            col("doc_id").cast("string"))))
+        .withColumn("shard_id", col("sort_key") % 8L)
+      val w = Window.partitionBy("epoch", "shard_id")
+        .orderBy(col("sort_key"), col("doc_id"))
+      keyed.withColumn("position", row_number().over(w).cast("long"))
+        .select("epoch", "shard_id", "position", "doc_id", "sort_key")
+        .orderBy("epoch", "shard_id", "position")
+    }),
+
     "k01_salted_skew_join" -> ((s, dir) => {
       val o = t(s, dir, "orders")
         .select(col("o_orderkey"), col("o_custkey").as("c_custkey"),
@@ -1959,6 +1983,20 @@ object SparkEntry {
           emb.where(col("vec_id") % 50 =!= 0),
           emb.where(col("vec_id") % 50 === 0), 0.30)
         .orderBy("vec_id")
+    }),
+
+    // D56: hard-negative mining — the contrastive-training batch builder:
+    // for each anchor (vec_id %50==0, the d55 eval-slice convention, here
+    // standing in for a training batch), the 5 nearest-by-cosine corpus
+    // vectors with a DIFFERENT label. Anchors broadcast; the corpus
+    // streams once through the codegen cosine kernel; the rank is the
+    // salted two-level bounded top-k.
+    "d56_hard_negatives" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.hardNegatives(
+          emb.where(col("vec_id") % 50 =!= 0),
+          emb.where(col("vec_id") % 50 === 0), 5)
+        .orderBy("anchor_id", "rank")
     }),
 
     // Tumbling-window event aggregation (batch form of the streaming
@@ -5344,6 +5382,21 @@ object SparkEntry {
              AS padding
          FROM a GROUP BY 1, 2 ORDER BY shard_id, batch_idx""",
 
+    "k09_epoch_shuffle" ->
+      s"""WITH d AS (SELECT e.epoch, doc_id,
+             CAST(e.epoch AS VARCHAR) || ':' || CAST(doc_id AS VARCHAR) AS ds
+           FROM documents CROSS JOIN (SELECT unnest([0, 1]) AS epoch) e),
+         h AS (SELECT epoch, doc_id, ${duckHash("ds")} AS key FROM d),
+         r AS (SELECT epoch, doc_id, key, key % 8 AS shard_id,
+                 ROW_NUMBER() OVER (PARTITION BY epoch, key % 8
+                   ORDER BY key, doc_id) AS position
+               FROM h)
+         SELECT CAST(epoch AS BIGINT) AS epoch,
+           CAST(shard_id AS BIGINT) AS shard_id,
+           CAST(position AS BIGINT) AS position, doc_id,
+           CAST(key AS BIGINT) AS sort_key
+         FROM r ORDER BY epoch, shard_id, position""",
+
     "k07_shard_rebalance" ->
       """WITH d AS (SELECT doc_id AS id, 1 + 2 * (doc_id % 7) AS k
                     FROM documents),
@@ -5684,6 +5737,22 @@ object SparkEntry {
              AS kept
          FROM c LEFT JOIN h ON c.vec_id = h.vec_id
          ORDER BY c.vec_id""",
+
+    "d56_hard_negatives" ->
+      s"""WITH a AS (SELECT vec_id AS anchor_id, label AS a_label,
+                     embedding AS a_emb
+                   FROM embeddings WHERE vec_id % 50 = 0),
+        scored AS (
+          SELECT a.anchor_id, e.vec_id AS negative_id,
+                 ${duckCos("a.a_emb", "e.embedding")} AS score
+          FROM a JOIN embeddings e
+            ON e.vec_id % 50 <> 0 AND e.label <> a.a_label),
+        ranked AS (SELECT anchor_id, negative_id, score,
+                     ROW_NUMBER() OVER (PARTITION BY anchor_id
+                       ORDER BY score DESC, negative_id ASC) AS rank
+                   FROM scored)
+        SELECT anchor_id, rank, negative_id, score
+        FROM ranked WHERE rank <= 5 ORDER BY anchor_id, rank""",
 
     "ev03_tumbling_window" ->
       """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS window_epoch,

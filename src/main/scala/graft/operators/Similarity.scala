@@ -128,6 +128,31 @@ object Similarity {
         when(col("n_hits").isNotNull, lit(0L)).otherwise(lit(1L)).as("kept"))
   }
 
+  /** Hard-negative mining for contrastive / embedding-model training: for
+    * each anchor, the k corpus vectors NEAREST by cosine that carry a
+    * DIFFERENT label — close enough to confuse the model, labeled apart
+    * (the negatives a triplet/InfoNCE batch builder wants; random
+    * negatives are too easy and stall training). Anchors are a training
+    * batch — small by contract — and BROADCAST; the corpus streams ONCE
+    * through the codegen cosine kernel (the E1 cost shape with a label
+    * guard); ranking is the salted two-level bounded top-k, never a
+    * global sort, so a skewed anchor's candidate set still ranks in
+    * bounded per-task state. */
+  def hardNegatives(corpus: DataFrame, anchors: DataFrame, k: Int): DataFrame = {
+    val a = broadcast(anchors.select(col("vec_id").as("anchor_id"),
+      col("label").as("anchor_label"), col("embedding").as("a_emb")))
+    val scored = corpus
+      .select(col("vec_id").as("negative_id"), col("label").as("neg_label"),
+        col("embedding").as("c_emb"))
+      .crossJoin(a) // deliberate: broadcast nested loop, corpus streamed once
+      .where(col("neg_label") =!= col("anchor_label"))
+      .select(col("anchor_id"), col("negative_id"),
+        round(cosine(col("a_emb"), col("c_emb")), 6).as("score"))
+    BoundedRank.topKPerKey(scored, Seq("anchor_id"),
+        Seq(negate(col("score")), col("negative_id")), k, rankCol = "rank")
+      .select(col("anchor_id"), col("rank"), col("negative_id"), col("score"))
+  }
+
   /** Per-cell centroids of the embedding column, computed with fixed-scale
     * decimal accumulation so the result is independent of partial-agg order
     * (and reproducible by an external oracle). */

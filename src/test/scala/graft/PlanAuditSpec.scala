@@ -428,6 +428,24 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
     assert(!p.contains("ScalaUDF"), p.take(800))
   }
 
+  test("d56: hard-negative mining streams the corpus once through the " +
+       "broadcast cosine kernel and ranks with the salted bounded top-k") {
+    val p = plan("d56_hard_negatives")
+    assert(p.contains("BroadcastNestedLoopJoin"), p.take(800))
+    assert(p.contains("graft_cosine"), p.take(800))
+    assert(!p.contains("CartesianProduct"), p.take(800))
+    assert(!p.contains("ScalaUDF"), p.take(800))
+  }
+
+  test("k09: epoch shuffle exchanges ONCE on (epoch, shard) — a keyed " +
+       "window, never a global sort of the permutation") {
+    val p = plan("k09_epoch_shuffle")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p.take(1200))
+    assert(!p.contains("Join"), p.take(800))
+    // exactly the one range exchange of the presentation orderBy
+    assert("Exchange rangepartitioning".r.findAllIn(p).size == 1, p.take(1200))
+  }
+
   test("k08: length batching shuffles ONCE on the shard key — the batch " +
        "agg reuses the shard partitioning, no global sort before the " +
        "presentation order") {

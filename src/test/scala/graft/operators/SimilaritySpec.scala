@@ -67,6 +67,30 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     assert(got == Seq((1L, 0L, 1L), (2L, 0L, 1L)))
   }
 
+  test("hardNegatives ranks ONLY different-label neighbors, nearest first") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "a", Seq(0.95f, 0.05f, 0f)), // same label as anchor -> ineligible
+      (2L, "b", Seq(0.9f, 0.1f, 0f)),   // closest different-label -> rank 1
+      (3L, "b", Seq(0f, 1f, 0f)),       // orthogonal-ish -> rank 2
+      (4L, "c", Seq(-1f, 0f, 0f)))      // anti-parallel -> rank 3 (cut at k=2)
+      .toDF("vec_id", "label", "embedding")
+    val anchors = Seq((100L, "a", Seq(1f, 0f, 0f)))
+      .toDF("vec_id", "label", "embedding")
+    val got = Similarity.hardNegatives(corpus, anchors, 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(x => (x._1, x._2)).toSeq
+    assert(got == Seq((100L, 1L, 2L), (100L, 2L, 3L)))
+  }
+
+  test("hardNegatives with fewer candidates than k returns what exists") {
+    import spark.implicits._
+    val corpus = Seq((1L, "b", Seq(1f, 0f))).toDF("vec_id", "label", "embedding")
+    val anchors = Seq((9L, "a", Seq(1f, 0f))).toDF("vec_id", "label", "embedding")
+    val got = Similarity.hardNegatives(corpus, anchors, 5).collect()
+    assert(got.length == 1 && got.head.getLong(2) == 1L)
+  }
+
   test("semDedupKeep at an unreachable threshold keeps every vector") {
     val corpus = emb(
       0L -> Seq(1f, 0f), 1L -> Seq(0.9f, 0.1f), 2L -> Seq(0f, 1f))

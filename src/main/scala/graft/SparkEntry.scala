@@ -709,6 +709,33 @@ object SparkEntry {
         .orderBy("shard_id", "batch_idx")
     }),
 
+    // K10: stratified mixture sampling — how a training recipe actually
+    // HITS a token mixture: a global budget (1/10 of corpus tokens)
+    // apportions across languages by LARGEST-REMAINDER (exact integer
+    // Hamilton allocation — floors + one extra token to the largest
+    // remainders; sums to the budget by construction, no floating point
+    // anywhere), then each language selects best-first by a deterministic
+    // pseudo-random order (portable hash of the doc id bucketed %1024 —
+    // the bounded-score-cardinality contract) under ITS OWN allocation
+    // through the per-key histogram machinery (d43's shape with a
+    // per-key budget join). The apportionment windows run over ONE ROW
+    // PER LANGUAGE — dimension-sized, never the corpus.
+    "k10_stratified_sample" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"), col("lang"),
+        size(TF.cleanTokens(col("text"))).cast("long").as("n_tokens"),
+        (TF.portableHash(col("doc_id").cast("string")) % 1024L).as("score"))
+      val total = d.agg(coalesce(sum("n_tokens"), lit(0L)))
+        .collect()(0).getLong(0) // bounded: one driver-side row
+      val totals = d.groupBy(col("lang").as("key"))
+        .agg(sum("n_tokens").as("tok"))
+      val alloc = graft.operators.CorpusSelect
+        .largestRemainderAlloc(totals, total / 10)
+      graft.operators.CorpusSelect.perKeyTokenBudgetSelectAllocated(
+          d, "doc_id", "lang", "score", "n_tokens", alloc)
+        .withColumnRenamed("key", "lang")
+        .orderBy("doc_id")
+    }),
+
     // K9: deterministic epoch shuffle — the per-epoch corpus permutation
     // every trainer wants WITHOUT `ORDER BY rand()` (not reproducible, a
     // global sort): sort key = portable hash of "epoch:doc_id", shard =
@@ -5381,6 +5408,39 @@ object SparkEntry {
            CAST(MAX(n_tokens) * COUNT(*) - SUM(n_tokens) AS BIGINT)
              AS padding
          FROM a GROUP BY 1, 2 ORDER BY shard_id, batch_idx""",
+
+    // k10: the naive statement — Hamilton apportionment over per-lang
+    // token masses, then the per-lang best-first prefix rule
+    "k10_stratified_sample" ->
+      s"""WITH s0 AS (SELECT doc_id, lang,
+             CAST(len([x for x in string_split(text, ' ')
+                       if length(x) > 0]) AS BIGINT) AS n_tokens,
+             CAST(doc_id AS VARCHAR) AS ds
+           FROM documents),
+         d AS (SELECT doc_id, lang, n_tokens,
+                 ${duckHash("ds")} % 1024 AS score FROM s0),
+         tot AS (SELECT SUM(n_tokens) AS t, SUM(n_tokens) // 10 AS b FROM d),
+         tl AS (SELECT lang, SUM(n_tokens) AS tok FROM d GROUP BY 1),
+         q AS (SELECT lang, tok, (tot.b * tok) // tot.t AS fl,
+                 (tot.b * tok) % tot.t AS rem
+               FROM tl, tot),
+         sf AS (SELECT SUM(fl) AS sfl FROM q),
+         rk AS (SELECT lang, fl,
+                  ROW_NUMBER() OVER (ORDER BY rem DESC, lang ASC) AS r
+                FROM q),
+         alloc AS (SELECT lang,
+                     fl + CASE WHEN r <= (SELECT b FROM tot)
+                                         - (SELECT sfl FROM sf)
+                               THEN 1 ELSE 0 END AS budget
+                   FROM rk),
+         c AS (SELECT d.*, a.budget,
+                 SUM(n_tokens) OVER (PARTITION BY d.lang
+                   ORDER BY score DESC, doc_id ASC) AS cum
+               FROM d JOIN alloc a ON d.lang = a.lang)
+         SELECT doc_id, lang, CAST(score AS BIGINT) AS score, n_tokens,
+           CAST(CASE WHEN cum <= budget THEN 1 ELSE 0 END AS BIGINT)
+             AS selected
+         FROM c ORDER BY doc_id""",
 
     "k09_epoch_shuffle" ->
       s"""WITH d AS (SELECT e.epoch, doc_id,

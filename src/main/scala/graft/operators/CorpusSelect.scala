@@ -187,4 +187,70 @@ object CorpusSelect {
           .otherwise(0L))
       .select("doc_id", "key", "score", "n_tokens", "selected")
   }
+
+  /** [[perKeyTokenBudgetSelect]] with a PER-KEY budget table instead of a
+    * constant — the stratified-mixture form: "this language gets 1.2B
+    * tokens, that one 0.4B". Same three-step shape (per-(key, score)
+    * histogram → boundary window over HISTOGRAM rows → map-side resolve
+    * with a within-boundary-bucket cumsum); the only addition is the
+    * equi-join of the histogram with `alloc` (key, budget) — one row per
+    * key, i.e. dimension-sized, so the join is broadcast-able whenever
+    * the key cardinality is (Spark decides from stats). Every key in
+    * `docs` MUST appear in `alloc`; a zero budget selects nothing, a
+    * budget >= the key's total selects everything. */
+  def perKeyTokenBudgetSelectAllocated(docs: DataFrame, idCol: String,
+                                       keyCol: String, scoreCol: String,
+                                       tokensCol: String,
+                                       alloc: DataFrame): DataFrame = {
+    val d = docs.select(col(idCol).as("doc_id"), col(keyCol).as("key"),
+      col(scoreCol).cast("long").as("score"),
+      col(tokensCol).cast("long").as("n_tokens"))
+    val a = alloc.select(col("key"), col("budget").cast("long").as("__budget"))
+    val levels = d.groupBy("key", "score").agg(sum("n_tokens").as("bt"))
+      .join(a, Seq("key"))
+    val wl = Window.partitionBy("key").orderBy(col("score").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bounds = levels
+      .withColumn("cumBefore", coalesce(sum("bt").over(wl), lit(0L)))
+      .where(col("cumBefore") <= col("__budget") &&
+        col("cumBefore") + col("bt") > col("__budget"))
+      .select(col("key"), col("score").as("cutoff"),
+        (col("__budget") - col("cumBefore")).as("residual"))
+    val wb = Window.partitionBy("key", "score").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    d.join(bounds, Seq("key"), "left")
+      .withColumn("selected",
+        when(col("cutoff").isNull, 1L)
+          .when(col("score") > col("cutoff"), 1L)
+          .when(col("score") === col("cutoff"),
+            when(sum("n_tokens").over(wb) <= col("residual"), 1L).otherwise(0L))
+          .otherwise(0L))
+      .select("doc_id", "key", "score", "n_tokens", "selected")
+  }
+
+  /** Largest-remainder (Hamilton) apportionment of a global token budget
+    * across keys, proportional to each key's token mass — the EXACT
+    * integer allocation a mixture recipe wants (floors + one extra token
+    * to the largest remainders, ties by key; sums to the budget by
+    * construction, no floating point anywhere). Input: per-key totals
+    * (key, tok); output (key, budget). The window runs over ONE ROW PER
+    * KEY — dimension-sized by contract (languages, sources), never the
+    * corpus. */
+  def largestRemainderAlloc(totals: DataFrame, budget: Long): DataFrame = {
+    val g = totals.select(col("key"), col("tok").cast("long").as("tok"))
+      .withColumn("__tot", sum("tok").over(
+        Window.partitionBy()
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+    val q = g.withColumn("__num", lit(budget) * col("tok"))
+      .withColumn("__fl", expr("__num div __tot"))
+      .withColumn("__rem", col("__num") % col("__tot"))
+    val withLeft = q.withColumn("__sfl", sum("__fl").over(
+        Window.partitionBy()
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .withColumn("__rk", row_number().over(
+        Window.partitionBy().orderBy(col("__rem").desc, col("key").asc)))
+    withLeft.select(col("key"),
+      (col("__fl") + when(col("__rk") <= lit(budget) - col("__sfl"), 1L)
+        .otherwise(0L)).as("budget"))
+  }
 }

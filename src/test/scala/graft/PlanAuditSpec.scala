@@ -446,6 +446,21 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
     assert("Exchange rangepartitioning".r.findAllIn(p).size == 1, p.take(1200))
   }
 
+  test("k10: stratified sampling — the corpus-side windows are all keyed; " +
+       "single-partition exchanges touch only the dimension-sized " +
+       "apportionment rows") {
+    val p = plan("k10_stratified_sample")
+    assert(!p.contains("CartesianProduct"), p.take(800))
+    // Any window that ranks DOC rows (its spec mentions doc_id) must be
+    // keyed — an unkeyed one would pull the corpus into one task. The
+    // apportionment's global windows never touch doc rows: they consume
+    // the one-row-per-language totals aggregate (largestRemainderAlloc),
+    // so they are allowed to stay unkeyed/dimension-sized.
+    val docWindows = "Window .*doc_id.*".r.findAllIn(p).toSeq
+    assert(docWindows.nonEmpty && docWindows.forall(_.contains("key")),
+      s"doc-ranking window not keyed:\n${docWindows.mkString("\n")}")
+  }
+
   test("k08: length batching shuffles ONCE on the shard key — the batch " +
        "agg reuses the shard partitioning, no global sort before the " +
        "presentation order") {

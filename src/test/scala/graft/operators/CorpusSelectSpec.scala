@@ -156,6 +156,46 @@ class CorpusSelectSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("largest-remainder allocation: exact floors + biggest remainders, " +
+       "sums to the budget") {
+    val totals = Seq(("a", 5L), ("b", 3L), ("c", 2L)).toDF("key", "tok")
+    // budget 7 over masses 5/3/2 (total 10): quotas 3.5/2.1/1.4 ->
+    // floors 3/2/1 (sum 6), remainders .5/.1/.4 -> the 1 leftover goes
+    // to a (largest remainder) => 4/2/1
+    val got = CorpusSelect.largestRemainderAlloc(totals, 7L)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("a" -> 4L, "b" -> 2L, "c" -> 1L))
+    assert(got.values.sum == 7L)
+  }
+
+  test("allocated per-key budgets cut independently; zero allocation " +
+       "selects nothing sized") {
+    val d = Seq((1L, "a", 9L, 10L), (2L, "a", 8L, 10L),
+        (3L, "b", 5L, 3L), (4L, "b", 4L, 30L))
+      .toDF("doc_id", "key", "score", "n_tokens")
+    val alloc = Seq(("a", 10L), ("b", 0L)).toDF("key", "budget")
+    val got = CorpusSelect.perKeyTokenBudgetSelectAllocated(
+        d, "doc_id", "key", "score", "n_tokens", alloc)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("selected"))
+      .toMap
+    assert(got == Map(1L -> 1L, 2L -> 0L, 3L -> 0L, 4L -> 0L))
+  }
+
+  test("allocated form with a constant budget equals the constant form") {
+    val rnd = new scala.util.Random(7)
+    val d = (0L until 200L).map { i =>
+      (i, "k" + rnd.nextInt(6), rnd.nextInt(8).toLong, rnd.nextInt(15).toLong)
+    }.toDF("doc_id", "key", "score", "n_tokens")
+    val alloc = d.select("key").distinct().withColumn("budget", lit(40L))
+    val a = CorpusSelect.perKeyTokenBudgetSelectAllocated(
+        d, "doc_id", "key", "score", "n_tokens", alloc)
+      .collect().map(r => (r.getLong(0), r.getAs[Long]("selected"))).toMap
+    val b = CorpusSelect.perKeyTokenBudgetSelect(
+        d, "doc_id", "key", "score", "n_tokens", 40L)
+      .collect().map(r => (r.getLong(0), r.getAs[Long]("selected"))).toMap
+    assert(a == b)
+  }
+
   test("fractional budget matches the absolute form") {
     val total = docs.map(_._3).sum
     val frac = CorpusSelect.tokenBudgetSelectFraction(

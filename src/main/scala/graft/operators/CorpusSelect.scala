@@ -241,7 +241,11 @@ object CorpusSelect {
       .withColumn("__tot", sum("tok").over(
         Window.partitionBy()
           .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
-    val q = g.withColumn("__num", lit(budget) * col("tok"))
+    // budget * tok overflows Long at real corpus scale (1e13 tokens each
+    // side -> 1e26); decimal(38,0) holds the product exactly, and the
+    // integral divide / modulo stay exact integers.
+    val q = g.withColumn("__num",
+        lit(budget).cast("decimal(38,0)") * col("tok").cast("decimal(19,0)"))
       .withColumn("__fl", expr("__num div __tot"))
       .withColumn("__rem", col("__num") % col("__tot"))
     val withLeft = q.withColumn("__sfl", sum("__fl").over(

@@ -126,7 +126,11 @@ object TfRecordShard {
           if (readLeInt(head, 8) != wantLenCrc) done = true // framing gone
           else {
             val len = readLeLong(head, 0)
-            if (len < 0 || len > maxRecordBytes) {
+            if (len < 0 || len > Long.MaxValue - 4) {
+              // a CRC-valid length this size is not producible by a real
+              // writer, and len+4 would overflow the skip: stop the walk
+              done = true
+            } else if (len > maxRecordBytes) {
               // trusted length, over the bomb guard: stream past it
               if (!skipFully(in, len + 4)) done = true
               else idx += 1
@@ -202,8 +206,12 @@ object TfRecordShard {
     * container): rows carrying raw record bytes hash to shards, each
     * shard's records stream into one framed (optionally gzipped) TFRecord
     * payload in deterministic `orderCols` order. One exchange on the
-    * shard key; per-task memory is the shard payload being assembled
-    * (records stream through the framing encoder one at a time).
+    * shard key; records stream through the framing encoder one at a time,
+    * so per-task memory is the assembled payloads of the shards routed to
+    * that task — size nShards ~ shuffle partitions (one shard per task,
+    * the production setting) and it is O(one shard). A single-payload
+    * output row is inherently O(shard bytes); callers wanting bounded
+    * rows should bound the shard size upstream (k07's rebalance).
     *
     * Input: `df` with `shardCol` (numeric), `recordCol` (binary) and
     * `orderCols` fixing the within-shard order. Output: one

@@ -70,7 +70,8 @@ object Bench {
     "m26_tfrecord_shards", "m27_tfrecord_shard_write",
     "t14_stream_jsonl_ingest", "t15_stream_tfrecord_ingest",
     "d55_semantic_decontaminate", "k08_length_batching",
-    "d56_hard_negatives", "k09_epoch_shuffle", "k10_stratified_sample")
+    "d56_hard_negatives", "k09_epoch_shuffle", "k10_stratified_sample",
+    "t16_stream_semantic_decontaminate")
 
   /** SURVEY §6 per-query budgets (sec, sf0.1 median). A breach triggers an
     * automatic isolated forked-JVM re-run so the artifact adjudicates
@@ -174,7 +175,8 @@ object Bench {
     "t14_stream_jsonl_ingest" -> 3.7, "t15_stream_tfrecord_ingest" -> 2.7,
     "d55_semantic_decontaminate" -> 0.8, "k08_length_batching" -> 0.6,
     "d56_hard_negatives" -> 1.4, "k09_epoch_shuffle" -> 0.7,
-    "k10_stratified_sample" -> 2.2)
+    "k10_stratified_sample" -> 2.2,
+    "t16_stream_semantic_decontaminate" -> 3.5)
 
   /** Cluster-cost observability (r11): per-query SHUFFLE WRITE and SPILL
     * volume next to every wall time, so the artifact itself shows which

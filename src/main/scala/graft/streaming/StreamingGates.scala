@@ -424,6 +424,31 @@ object StreamingGates {
         .orderBy("shard_id", "rec_idx")
     }),
 
+    // T16: streaming SEMANTIC decontamination gate — d55 as admission
+    // control: the benchmark embeddings are RESIDENT (an eval suite,
+    // small by contract — broadcast into each trigger); every arriving
+    // batch of training vectors streams once through the codegen cosine
+    // kernel and MERGES into a lake table with its benchmark hit count +
+    // keep flag, keyed on vec_id. Completes the admission family's
+    // modalities: surface near-dup (t06), perplexity (t08), classifier
+    // (t09), host budget (t10), embedding space (t16).
+    "t16_stream_semantic_decontaminate" -> ((s, dir) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      val bench = emb.where(col("vec_id") % 50 === 0)
+      val arrivals = emb
+        .where(col("vec_id") % 10 === 0 && col("vec_id") % 50 =!= 0)
+        .select(col("vec_id"), col("embedding"))
+      val in = freshDir("graft_t16_in")
+      writeWave(arrivals, in, "batch.parquet", mtimeSec = 1000)
+      val loc = freshDir("graft_t16_tbl").resolve("scored").toString
+      StreamingIngest.drainToTable(s, in.toString, arrivals.schema, loc,
+        freshDir("graft_t16_ck").toString,
+        writeMode = "merge", mergeOn = Seq("vec_id"),
+        batchTransform = batch =>
+          graft.operators.Similarity.semanticDecontaminate(batch, bench, 0.30))
+      graft.tables.LakeTable.load(s, loc).read().orderBy("vec_id")
+    }),
+
     // T10: the streaming per-host BUDGET admission gate — d43's host cap
     // with the running per-host token total carried in
     // flatMapGroupsWithState state across micro-batches. One AvailableNow
@@ -713,6 +738,29 @@ object StreamingGates {
                  FROM range(0, 110) i(r) WHERE i.r < m.sz) AS BIGINT)
              AS byte_sum
          FROM m ORDER BY shard_id, rec_idx""",
+
+    // t16: d55's cosine rule over the %10==0 (non-benchmark) arrivals
+    "t16_stream_semantic_decontaminate" -> {
+      def dot(a: String, b: String) =
+        s"list_reduce([CAST(x[1] AS DOUBLE)*CAST(x[2] AS DOUBLE) " +
+          s"for x in list_zip($a,$b)], (p,q) -> p+q)"
+      def cos(a: String, b: String) =
+        s"ROUND(${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)})), 6)"
+      s"""WITH b AS (SELECT vec_id AS bench_id, embedding AS b_emb
+                     FROM embeddings WHERE vec_id % 50 = 0),
+         c AS (SELECT vec_id, embedding FROM embeddings
+               WHERE vec_id % 10 = 0 AND vec_id % 50 <> 0),
+         h AS (SELECT c.vec_id, COUNT(*) AS n_hits
+               FROM c JOIN b
+                 ON ${cos("c.embedding", "b.b_emb")} >= 0.30
+               GROUP BY 1)
+         SELECT c.vec_id,
+           CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+           CAST(CASE WHEN h.vec_id IS NULL THEN 1 ELSE 0 END AS BIGINT)
+             AS kept
+         FROM c LEFT JOIN h ON c.vec_id = h.vec_id
+         ORDER BY c.vec_id"""
+    },
 
     // t10: d43's per-host prefix rule over the %10==0 arrivals, budget 300
     "t10_stream_host_budget" ->

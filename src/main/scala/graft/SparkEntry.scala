@@ -1961,6 +1961,19 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // E17: two-stage retrieval — the faiss IndexRefineFlat pattern (the
+    // production vector-store shape): SQ8 code scan keeps a 20-candidate
+    // pool per query, ONLY the pool re-ranks by exact squared L2 on the
+    // raw vectors. Full-precision cost per query collapses from |corpus|
+    // to 20; the final order is exact over the pool.
+    "e17_sq8_refine_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val model = graft.operators.ScalarQuant.fit(emb)
+      graft.operators.ScalarQuant.topKRefined(
+          emb, emb.where(col("vec_id") < 10), 5, 20, model)
+        .orderBy("query_id", "rank")
+    }),
+
     // E15: SQ8 recall measurement (e11's gate for this compression tier):
     // per query, |SQ top-5 ∩ exact-L2 top-5| / 5 — the number a recipe
     // consults before trusting the 4x-compressed index.
@@ -5745,6 +5758,46 @@ object SparkEntry {
          SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id,
            CAST(dist AS BIGINT) AS dist
          FROM r WHERE rank <= 5 ORDER BY query_id, rank""",
+
+    // e17: e13's coded candidate CTE cut at 20, then exact L2 re-rank of
+    // the pool only (the SQ8 boundary ties break by neighbor_id in both
+    // engines, so the pool itself is deterministic)
+    "e17_sq8_refine_topk" ->
+      s"""WITH v AS (SELECT vec_id, embedding,
+                  unnest(range(1, len(embedding) + 1)) AS pos
+                FROM embeddings),
+         x AS (SELECT vec_id, pos,
+                 CAST(embedding[pos] AS DOUBLE) AS x FROM v),
+         st AS (SELECT pos, MIN(x) AS mn, MAX(x) AS mx FROM x GROUP BY 1),
+         c AS (SELECT x.vec_id, x.pos,
+                 CASE WHEN st.mx = st.mn THEN 0
+                      ELSE LEAST(255, GREATEST(0,
+                        CAST(floor(((x.x - st.mn) * 255.0) / (st.mx - st.mn))
+                          AS BIGINT))) END AS code
+               FROM x JOIN st USING (pos)),
+         qd AS (SELECT vec_id AS query_id, pos, code AS qc
+                FROM c WHERE vec_id < 10),
+         s AS (SELECT qd.query_id, c.vec_id AS neighbor_id,
+                 SUM((qd.qc - c.code) * (qd.qc - c.code)) AS cdist
+               FROM qd JOIN c ON c.pos = qd.pos AND c.vec_id <> qd.query_id
+               GROUP BY 1, 2),
+         r AS (SELECT query_id, neighbor_id,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                                    ORDER BY cdist ASC, neighbor_id ASC)
+                   AS crank FROM s),
+         pool AS (SELECT query_id, neighbor_id FROM r WHERE crank <= 20),
+         rr AS (SELECT p.query_id, p.neighbor_id,
+                  ROUND(${duckSqDist("qe.embedding", "ne.embedding")}, 6)
+                    AS dist
+                FROM pool p
+                JOIN embeddings qe ON qe.vec_id = p.query_id
+                JOIN embeddings ne ON ne.vec_id = p.neighbor_id),
+         rr2 AS (SELECT query_id, neighbor_id, dist,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                     ORDER BY dist ASC, neighbor_id ASC) AS rank
+                 FROM rr)
+         SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, dist
+         FROM rr2 WHERE rank <= 5 ORDER BY query_id, rank""",
 
     "e14_ivf_sq8_topk" ->
       """WITH v AS (SELECT vec_id, label, embedding,

@@ -83,6 +83,36 @@ object ScalarQuant {
       .select("query_id", "rank", "neighbor_id", "dist")
   }
 
+  /** Two-stage retrieval (the faiss `IndexRefineFlat` pattern every
+    * production vector store runs): the SQ8 code scan keeps a candidate
+    * POOL of `cand` per query on the 4x-compressed codes, then ONLY those
+    * candidates re-rank by exact squared L2 against the raw vectors —
+    * full-precision cost collapses from |corpus| per query to `cand` per
+    * query, and the final order is exact over the pool. The re-rank joins
+    * the (|queries| x cand)-row pool back to the corpus on the vector id
+    * (an equi-join Spark can broadcast — the pool is query-sized, never
+    * corpus-sized); distances are the codegen sqdist kernel rounded to
+    * 6dp for cross-engine rank stability, ranked by the salted bounded
+    * top-k. */
+  def topKRefined(index: DataFrame, queries: DataFrame, k: Int, cand: Int,
+                  model: Model): DataFrame = {
+    require(cand >= k, s"candidate pool must cover k (cand=$cand, k=$k)")
+    val pool = topK(index, queries, cand, model)
+      .select(col("query_id"), col("neighbor_id"))
+    val qv = broadcast(queries.select(col("vec_id").as("query_id"),
+      col("embedding").as("q_emb")))
+    val rescored = pool
+      .join(index.select(col("vec_id").as("neighbor_id"),
+        col("embedding").as("c_emb")), Seq("neighbor_id"))
+      .join(qv, Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(graft.functions.VectorFunctions.sqDist(
+          col("q_emb"), col("c_emb")), 6).as("dist"))
+    BoundedRank.topKPerKey(rescored, Seq("query_id"),
+        Seq(col("dist"), col("neighbor_id")), k, rankCol = "rank")
+      .select("query_id", "rank", "neighbor_id", "dist")
+  }
+
   /** Recall@k of the SQ8 search against exact squared-L2 truth — E11's
     * measurement applied to this compression tier: per query,
     * |SQ top-k ∩ exact top-k| / k, the number a recipe consults before

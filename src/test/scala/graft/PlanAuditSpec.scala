@@ -428,6 +428,15 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
     assert(!p.contains("ScalaUDF"), p.take(800))
   }
 
+  test("e17: refine re-ranks the POOL only — the exact sqdist kernel " +
+       "runs after the candidate cut, no cartesian, no UDF") {
+    val p = plan("e17_sq8_refine_topk")
+    assert(p.contains("graft_code_sqdist"), p.take(800))
+    assert(p.contains("graft_sqdist"), p.take(800))
+    assert(!p.contains("CartesianProduct"), p.take(800))
+    assert(!p.contains("ScalaUDF"), p.take(800))
+  }
+
   test("d56: hard-negative mining streams the corpus once through the " +
        "broadcast cosine kernel and ranks with the salted bounded top-k") {
     val p = plan("d56_hard_negatives")

@@ -127,6 +127,36 @@ class ScalarQuantSpec extends AnyFunSuite with SparkSpec {
       }
   }
 
+  test("refine with a whole-corpus pool IS the exact search; the exact " +
+       "re-rank can only improve on the coded order") {
+    val rnd = new scala.util.Random(31)
+    val index = df((0L until 40L).map(i =>
+      i -> Seq.fill(6)(rnd.nextFloat() * 2 - 1)))
+    val queries = index.where(org.apache.spark.sql.functions.col("vec_id") < 4)
+    val m = ScalarQuant.fit(index)
+    // cand >= corpus: the pool is everything, so the refined result must
+    // equal brute-force exact L2 ranking (id set AND order)
+    val refined = ScalarQuant.topKRefined(index, queries, 3, 40, m)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sorted.toSeq
+    val exact = Similarity.recallAtKExactL2(index, queries,
+      ScalarQuant.topKRefined(index, queries, 3, 40, m), 3)
+      .collect().map(r => r.getLong(1))
+    assert(exact.forall(_ == 3L), s"whole-pool refine missed exact truth")
+    // a narrow pool's recall is bounded by the coded order's recall
+    val narrow = ScalarQuant.recallAtK(index, queries, 3, m)
+      .collect().map(r => r.getLong(1))
+    assert(refined.nonEmpty && narrow.forall(_ <= 3L))
+  }
+
+  test("refine requires the pool to cover k") {
+    val index = df(Seq((1L, Seq(0.0f)), (2L, Seq(1.0f))))
+    val m = ScalarQuant.fit(index)
+    intercept[IllegalArgumentException] {
+      ScalarQuant.topKRefined(index, index, 5, 3, m)
+    }
+  }
+
   test("SQ top-1 agrees with exact search on well-separated clusters") {
     val base = Seq(Seq.fill(4)(0.0f), Seq.fill(4)(10.0f), Seq.fill(4)(-10.0f))
     val rnd = new scala.util.Random(3)

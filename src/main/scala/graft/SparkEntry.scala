@@ -2700,6 +2700,33 @@ object SparkEntry {
         .orderBy("shard_id", "sample_key")
     }),
 
+    // M1 write side: DISTRIBUTED WebDataset shard publishing (m28) — the
+    // m24/m27 stance for the tar container, completing the publish story
+    // for every container family that has one: each doc contributes a
+    // 2-member sample (dN.txt + dN.cls) hashed into 7 shards, members
+    // stream through the ustar writer in name order into ONE gzipped
+    // archive per shard, and the gate reads the payloads back through the
+    // checksum-verifying reader's SAMPLE assembly — headers, checksums,
+    // 512-byte padding, the terminator, the gzip wrap, within-shard
+    // order, and the sample pairing all sit under one analytic oracle.
+    "m28_webdataset_shard_write" -> ((s, dir) => {
+      import s.implicits._
+      val rows = t(s, dir, "documents").select(col("doc_id")).as[Long]
+        .mapPartitions(_.flatMap { id =>
+          val tsz = (10 + id % 90).toInt
+          val csz = (5 + id % 20).toInt
+          Seq(
+            (id % 7, s"d$id.txt",
+              Array.tabulate(tsz)(i => ((id * 3 + i) % 256).toByte)),
+            (id % 7, s"d$id.cls",
+              Array.tabulate(csz)(i => ((id * 7 + i) % 256).toByte)))
+        }).toDF("shard", "name", "bytes")
+      val shards = graft.operators.TarShard.writeShards(
+        s, rows, "shard", "name", "bytes", Seq("name"), gzip = true)
+      graft.operators.TarShard.samples(s, shards, Seq("txt", "cls"))
+        .orderBy("shard_id", "sample_key")
+    }),
+
     // M1 (zip shards): the ZIP analogue of m15, oracle-gated. Each doc
     // becomes a real classic ZIP (local headers + central directory +
     // EOCD, real CRC-32s) whose sN.txt members are DEFLATE-compressed
@@ -5539,6 +5566,27 @@ object SparkEntry {
                  FROM range(0, 110) i(r) WHERE i.r < m.sz) AS BIGINT)
              AS byte_sum
          FROM m ORDER BY shard_id, member_name""",
+
+    // m28: every published member is analytically stated, so the whole
+    // write->read round trip reduces to this closed form
+    "m28_webdataset_shard_write" ->
+      """WITH d AS (SELECT doc_id, doc_id % 7 AS shard_id,
+             'd' || doc_id AS sample_key,
+             10 + doc_id % 90 AS tsz, 5 + doc_id % 20 AS csz
+           FROM documents)
+         SELECT CAST(shard_id AS BIGINT) AS shard_id, sample_key,
+           CAST(tsz AS BIGINT) AS txt_size,
+           CAST((SELECT SUM((d.doc_id * 3 + i.r) % 256)
+                 FROM range(0, 110) i(r) WHERE i.r < d.tsz) AS BIGINT)
+             AS txt_sum,
+           CAST(1 AS BIGINT) AS txt_n,
+           CAST(csz AS BIGINT) AS cls_size,
+           CAST((SELECT SUM((d.doc_id * 7 + i.r) % 256)
+                 FROM range(0, 25) i(r) WHERE i.r < d.csz) AS BIGINT)
+             AS cls_sum,
+           CAST(1 AS BIGINT) AS cls_n,
+           CAST(1 AS BIGINT) AS complete
+         FROM d ORDER BY shard_id, sample_key""",
 
     "m23_webdataset_samples" ->
       """WITH m AS (

@@ -193,43 +193,106 @@ object TarShard {
 
   // ---- fixture encoder ------------------------------------------------
 
+  /** Append one ustar member (header with correct checksum + data +
+    * 512-byte padding) to an open archive stream. Member names must fit
+    * the 100-byte base field (WebDataset keys do by convention; no PAX
+    * extension here). */
+  def writeMember(out: java.io.OutputStream, name: String,
+                  data: Array[Byte]): Unit = {
+    require(name.length <= 100, "member names must fit the ustar base field")
+    val h = new Array[Byte](512)
+    val nb = name.getBytes("US-ASCII")
+    System.arraycopy(nb, 0, h, 0, nb.length)
+    def oct(v: Long, off: Int, len: Int): Unit = {
+      val s = java.lang.Long.toOctalString(v)
+      val padded = ("0" * (len - 1 - s.length)) + s
+      val b = padded.getBytes("US-ASCII")
+      System.arraycopy(b, 0, h, off, b.length) // NUL terminator stays
+    }
+    oct(420 /*0644*/, 100, 8) // mode 0644
+    oct(0, 108, 8); oct(0, 116, 8) // uid/gid
+    oct(data.length.toLong, 124, 12)
+    oct(0, 136, 12) // mtime
+    h(156) = '0' // regular file
+    val magic = Array[Byte]('u', 's', 't', 'a', 'r', 0, '0', '0')
+    System.arraycopy(magic, 0, h, 257, 8)
+    // checksum with the field as spaces, then store
+    java.util.Arrays.fill(h, 148, 156, ' '.toByte)
+    var sum = 0L
+    for (i <- 0 until 512) sum += h(i) & 0xff
+    val cs = java.lang.Long.toOctalString(sum)
+    val csPad = ("0" * (6 - cs.length)) + cs
+    System.arraycopy(csPad.getBytes("US-ASCII"), 0, h, 148, 6)
+    h(154) = 0; h(155) = ' '
+    out.write(h, 0, 512)
+    out.write(data, 0, data.length)
+    val pad = (512 - data.length % 512) % 512
+    out.write(new Array[Byte](pad), 0, pad)
+  }
+
+  /** Close an archive stream: the two-zero-block terminator. */
+  def writeTerminator(out: java.io.OutputStream): Unit =
+    out.write(new Array[Byte](1024), 0, 1024)
+
   /** Write a real ustar archive (correct checksums, 512-byte padding,
     * two-zero-block terminator). */
   def encodeTar(members: Seq[(String, Array[Byte])]): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream()
-    for ((name, data) <- members) {
-      require(name.length <= 100, "fixture names fit the base field")
-      val h = new Array[Byte](512)
-      val nb = name.getBytes("US-ASCII")
-      System.arraycopy(nb, 0, h, 0, nb.length)
-      def oct(v: Long, off: Int, len: Int): Unit = {
-        val s = java.lang.Long.toOctalString(v)
-        val padded = ("0" * (len - 1 - s.length)) + s
-        val b = padded.getBytes("US-ASCII")
-        System.arraycopy(b, 0, h, off, b.length) // NUL terminator stays
-      }
-      oct(420 /*0644*/, 100, 8) // mode 0644
-      oct(0, 108, 8); oct(0, 116, 8) // uid/gid
-      oct(data.length.toLong, 124, 12)
-      oct(0, 136, 12) // mtime
-      h(156) = '0' // regular file
-      val magic = Array[Byte]('u', 's', 't', 'a', 'r', 0, '0', '0')
-      System.arraycopy(magic, 0, h, 257, 8)
-      // checksum with the field as spaces, then store
-      java.util.Arrays.fill(h, 148, 156, ' '.toByte)
-      var sum = 0L
-      for (i <- 0 until 512) sum += h(i) & 0xff
-      val cs = java.lang.Long.toOctalString(sum)
-      val csPad = ("0" * (6 - cs.length)) + cs
-      System.arraycopy(csPad.getBytes("US-ASCII"), 0, h, 148, 6)
-      h(154) = 0; h(155) = ' '
-      out.write(h, 0, 512)
-      out.write(data, 0, data.length)
-      val pad = (512 - data.length % 512) % 512
-      out.write(new Array[Byte](pad), 0, pad)
-    }
-    out.write(new Array[Byte](1024), 0, 1024)
+    for ((name, data) <- members) writeMember(out, name, data)
+    writeTerminator(out)
     out.toByteArray
+  }
+
+  /** DISTRIBUTED WebDataset/tar shard publishing — the write side of the
+    * M1 tar reader, completing the publish story for every container
+    * family that has one (Arrow m24, TFRecord m27, tar m28): rows
+    * carrying (member name, member bytes) hash to shards, each shard's
+    * members stream one at a time through the ustar member writer in
+    * deterministic `orderCols` order into ONE (optionally whole-file
+    * gzipped) archive payload. One exchange on the shard key with a
+    * partition-LOCAL sort; per-task memory is the assembled payloads of
+    * the shards routed to that task — size output shards ~ shuffle
+    * partitions (one per task, the production setting) and it stays
+    * O(one shard). */
+  def writeShards(spark: SparkSession, df: DataFrame, shardCol: String,
+                  nameCol: String, bytesCol: String, orderCols: Seq[String],
+                  gzip: Boolean = false): DataFrame = {
+    import spark.implicits._
+    val cols = col(shardCol).cast("long").as("__shard") +:
+      col(nameCol).as("__name") +: col(bytesCol).as("__bytes") +:
+      orderCols.map(col)
+    df.select(cols: _*)
+      .repartition(col("__shard"))
+      .sortWithinPartitions(col("__shard") +: orderCols.map(col): _*)
+      .select(col("__shard"), col("__name"), col("__bytes"))
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions { it =>
+        val done = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Byte])]
+        var cur = Long.MinValue
+        var bos: java.io.ByteArrayOutputStream = null
+        var out: java.io.OutputStream = null
+        def close(): Unit = if (out != null) {
+          writeTerminator(out)
+          out match {
+            case g: java.util.zip.GZIPOutputStream => g.finish(); g.close()
+            case _ => ()
+          }
+          done += ((cur, bos.toByteArray))
+          out = null; bos = null
+        }
+        it.foreach { case (sid, name, bytes) =>
+          if (out == null || sid != cur) {
+            close()
+            cur = sid
+            bos = new java.io.ByteArrayOutputStream()
+            out = if (gzip) new java.util.zip.GZIPOutputStream(bos) else bos
+          }
+          writeMember(out, name, bytes)
+        }
+        close()
+        done.iterator
+      }
+      .toDF("shard_id", "payload")
   }
 
   /** Gzip a shard (one member stream, as tar.gz shards ship). */

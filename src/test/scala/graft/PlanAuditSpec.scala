@@ -437,6 +437,25 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
     assert(!p.contains("ScalaUDF"), p.take(800))
   }
 
+  test("m28: WebDataset shard writing shuffles ONCE on the shard key " +
+       "with a LOCAL sort; the sample read-back adds one keyed agg") {
+    import org.apache.spark.sql.functions._
+    val rows = Tables.t(spark, dir, "documents")
+      .select((col("doc_id") % 7).as("shard"),
+        concat(lit("d"), col("doc_id"), lit(".txt")).as("name"),
+        col("text").cast("binary").as("bytes"))
+    val w = graft.operators.TarShard
+      .writeShards(spark, rows, "shard", "name", "bytes", Seq("name"))
+      .queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(w).size == 1, w.take(800))
+    assert(!w.contains("rangepartitioning"), w.take(800))
+    assert("Sort \\[.*\\], false".r.findFirstIn(w).isDefined,
+      s"shard sort must be partition-local:\n${w.take(800)}")
+    val p = plan("m28_webdataset_shard_write")
+    assert(!p.contains("Join"), p.take(800))
+    assert(!p.contains("CartesianProduct"), p.take(800))
+  }
+
   test("d56: hard-negative mining streams the corpus once through the " +
        "broadcast cosine kernel and ranks with the salted bounded top-k") {
     val p = plan("d56_hard_negatives")

@@ -88,4 +88,37 @@ class TarShardSpec extends AnyFunSuite with SparkSpec {
     // sample assembly: key "000017" groups three members
     assert(rows.count(m => m.shard_id == 1L && m.sample_key == "000017") == 3)
   }
+
+  test("writeShards: deterministic archives round-trip through the " +
+       "reader; raw layout is 512-blocked with the terminator") {
+    import spark.implicits._
+    val rows = (0L until 30L).flatMap { i =>
+      Seq((i % 4, s"k$i.txt", s"text-$i".getBytes("UTF-8")),
+        (i % 4, s"k$i.json", s"{}$i".getBytes("UTF-8")))
+    }
+    val df = rows.toDF("shard", "name", "bytes").repartition(5)
+    for (gz <- Seq(false, true)) {
+      val shards = TarShard.writeShards(spark, df, "shard", "name", "bytes",
+        Seq("name"), gzip = gz)
+      val back = TarShard.explodeMembers(spark, shards).collect()
+        .map(m => (m.shard_id, m.member_name, m.size_bytes, m.byte_sum))
+        .sorted.toSeq
+      val want = rows.map { case (s, n, b) =>
+        (s, n, b.length.toLong, b.map(x => (x & 0xff).toLong).sum)
+      }.sorted
+      assert(back == want, s"gzip=$gz")
+      val again = TarShard.writeShards(spark, df, "shard", "name", "bytes",
+        Seq("name"), gzip = gz)
+      val h1 = shards.collect().map(r => (r.getLong(0),
+        java.util.Arrays.hashCode(r.getAs[Array[Byte]](1)))).sorted.toSeq
+      val h2 = again.collect().map(r => (r.getLong(0),
+        java.util.Arrays.hashCode(r.getAs[Array[Byte]](1)))).sorted.toSeq
+      assert(h1 == h2, s"nondeterministic write gzip=$gz")
+      if (!gz) shards.collect().foreach { r =>
+        val p = r.getAs[Array[Byte]](1)
+        assert(p.length % 512 == 0, "archive not 512-blocked")
+        assert(p.takeRight(1024).forall(_ == 0), "missing terminator")
+      }
+    }
+  }
 }

@@ -72,7 +72,7 @@ object Bench {
     "d55_semantic_decontaminate", "k08_length_batching",
     "d56_hard_negatives", "k09_epoch_shuffle", "k10_stratified_sample",
     "t16_stream_semantic_decontaminate", "e17_sq8_refine_topk",
-    "m28_webdataset_shard_write")
+    "m28_webdataset_shard_write", "m29_jsonl_shard_write")
 
   /** SURVEY §6 per-query budgets (sec, sf0.1 median). A breach triggers an
     * automatic isolated forked-JVM re-run so the artifact adjudicates
@@ -178,7 +178,8 @@ object Bench {
     "d56_hard_negatives" -> 1.4, "k09_epoch_shuffle" -> 0.7,
     "k10_stratified_sample" -> 2.2,
     "t16_stream_semantic_decontaminate" -> 3.5,
-    "e17_sq8_refine_topk" -> 1.8, "m28_webdataset_shard_write" -> 1.3)
+    "e17_sq8_refine_topk" -> 1.8, "m28_webdataset_shard_write" -> 1.3,
+    "m29_jsonl_shard_write" -> 1.2)
 
   /** Cluster-cost observability (r11): per-query SHUFFLE WRITE and SPILL
     * volume next to every wall time, so the artifact itself shows which

@@ -2990,6 +2990,31 @@ object SparkEntry {
         .orderBy("shard_id", "rec_idx")
     }),
 
+    // M14 write side: DISTRIBUTED JSONL shard publishing (m29) — the
+    // m24/m27/m28 stance for the MOST COMMON publish format. JSON
+    // serialization stays in the SQL layer (to_json builds each line);
+    // shards < 4 publish gzip, >= 4 zstd, so BOTH codecs' write paths sit
+    // under one oracle; the gate reads the payloads back through the
+    // streaming-decompress line walk + from_json.
+    "m29_jsonl_shard_write" -> ((s, dir) => {
+      import s.implicits._
+      val rows = t(s, dir, "documents")
+        .select((col("doc_id") % 7).as("shard"), col("doc_id"),
+          to_json(struct(col("doc_id").as("rec"), col("lang").as("label")))
+            .as("line"))
+      val gz = graft.operators.JsonlShard.writeShards(
+        s, rows.where(col("shard") < 4), "shard", "line", Seq("doc_id"), "gzip")
+      val zs = graft.operators.JsonlShard.writeShards(
+        s, rows.where(col("shard") >= 4), "shard", "line", Seq("doc_id"), "zstd")
+      graft.operators.JsonlShard.explodeLines(s, gz.union(zs)).toDF()
+        .select(col("shard_id"), col("line_idx"),
+          from_json(col("line"), org.apache.spark.sql.types.StructType
+            .fromDDL("rec LONG, label STRING")).as("j"))
+        .select(col("shard_id"), col("line_idx"),
+          col("j.rec").as("rec"), col("j.label").as("label"))
+        .orderBy("shard_id", "line_idx")
+    }),
+
     // F1-F3: the electricity-CSV parser family end to end, oracle-gated.
     // Each doc becomes a multi-section CSV (preamble block + automated
     // 3-column section + manual 2-column section; docs with id % 7 == 0
@@ -5566,6 +5591,18 @@ object SparkEntry {
                  FROM range(0, 110) i(r) WHERE i.r < m.sz) AS BIGINT)
              AS byte_sum
          FROM m ORDER BY shard_id, member_name""",
+
+    // m29: the published lines are the corpus rows themselves, so the
+    // write->decompress->parse round trip reduces to a window
+    "m29_jsonl_shard_write" ->
+      """WITH d AS (SELECT doc_id % 7 AS shard_id, doc_id, lang,
+             ROW_NUMBER() OVER (PARTITION BY doc_id % 7
+               ORDER BY doc_id) - 1 AS line_idx
+           FROM documents)
+         SELECT CAST(shard_id AS BIGINT) AS shard_id,
+           CAST(line_idx AS BIGINT) AS line_idx,
+           doc_id AS rec, lang AS label
+         FROM d ORDER BY shard_id, line_idx""",
 
     // m28: every published member is analytically stated, so the whole
     // write->read round trip reduces to this closed form

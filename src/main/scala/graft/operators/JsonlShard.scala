@@ -117,6 +117,58 @@ object JsonlShard {
       })
   }
 
+  /** DISTRIBUTED JSONL shard publishing — the write side of the M14
+    * reader, for the MOST COMMON publish format (jsonl.gz / jsonl.zst
+    * directories). JSON serialization stays in the SQL layer (callers
+    * build the line with `to_json`; the writer is format-agnostic): rows
+    * carrying one LINE hash to shards, each shard's lines stream one at a
+    * time through the compressor in deterministic `orderCols` order into
+    * ONE payload. One exchange on the shard key with a partition-local
+    * sort; per-task memory is the assembled payloads of the shards routed
+    * to that task — O(one shard) at the one-shard-per-task production
+    * setting. `codec`: "gzip", "zstd" or "none". */
+  def writeShards(spark: SparkSession, df: DataFrame, shardCol: String,
+                  lineCol: String, orderCols: Seq[String],
+                  codec: String = "gzip"): DataFrame = {
+    require(Seq("gzip", "zstd", "none").contains(codec),
+      s"unknown codec '$codec' (gzip | zstd | none)")
+    import spark.implicits._
+    val cols = col(shardCol).cast("long").as("__shard") +:
+      col(lineCol).cast("string").as("__line") +: orderCols.map(col)
+    df.select(cols: _*)
+      .repartition(col("__shard"))
+      .sortWithinPartitions(col("__shard") +: orderCols.map(col): _*)
+      .select(col("__shard"), col("__line"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val done = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Byte])]
+        var cur = Long.MinValue
+        var bos: java.io.ByteArrayOutputStream = null
+        var out: java.io.OutputStream = null
+        def close(): Unit = if (out != null) {
+          out.close() // flushes + finishes both compressors; no-op on raw
+          done += ((cur, bos.toByteArray))
+          out = null; bos = null
+        }
+        it.foreach { case (sid, line) =>
+          if (out == null || sid != cur) {
+            close()
+            cur = sid
+            bos = new java.io.ByteArrayOutputStream()
+            out = codec match {
+              case "gzip" => new java.util.zip.GZIPOutputStream(bos)
+              case "zstd" => new com.github.luben.zstd.ZstdOutputStream(bos)
+              case _ => bos
+            }
+          }
+          out.write(line.getBytes("UTF-8")); out.write('\n')
+        }
+        close()
+        done.iterator
+      }
+      .toDF("shard_id", "payload")
+  }
+
   // ---- fixture encoders ------------------------------------------------
 
   def encodeGz(lines: Seq[String]): Array[Byte] = {

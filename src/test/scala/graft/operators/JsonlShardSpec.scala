@@ -68,4 +68,34 @@ class JsonlShardSpec extends AnyFunSuite with SparkSpec {
     assert(got == Seq((0L, 0L, "g0"), (0L, 1L, "g1"),
       (1L, 0L, "z0"), (1L, 1L, "z1"), (1L, 2L, "z2")))
   }
+
+  test("writeShards: all three codecs round-trip deterministically " +
+       "through the reader in order") {
+    import spark.implicits._
+    val rows = (0L until 25L).map(i => (i % 3, i, s"""{"n":$i}"""))
+    val df = rows.toDF("shard", "ord", "line").repartition(4)
+    for (codec <- Seq("none", "gzip", "zstd")) {
+      val shards = JsonlShard.writeShards(spark, df, "shard", "line",
+        Seq("ord"), codec)
+      val got = JsonlShard.explodeLines(spark, shards).collect()
+        .map(r => (r.shard_id, r.line_idx, r.line)).sorted.toSeq
+      val want = rows.groupBy(_._1).toSeq.flatMap { case (s, rs) =>
+        rs.sortBy(_._2).zipWithIndex.map { case ((_, i, _), k) =>
+          (s, k.toLong, s"""{"n":$i}""")
+        }
+      }.sorted
+      assert(got == want, s"codec=$codec")
+      val again = JsonlShard.writeShards(spark, df, "shard", "line",
+        Seq("ord"), codec).collect()
+        .map(r => (r.getLong(0),
+          java.util.Arrays.hashCode(r.getAs[Array[Byte]](1)))).sorted.toSeq
+      val first = shards.collect()
+        .map(r => (r.getLong(0),
+          java.util.Arrays.hashCode(r.getAs[Array[Byte]](1)))).sorted.toSeq
+      assert(again == first, s"nondeterministic write codec=$codec")
+    }
+    intercept[IllegalArgumentException] {
+      JsonlShard.writeShards(spark, df, "shard", "line", Seq("ord"), "lz4")
+    }
+  }
 }

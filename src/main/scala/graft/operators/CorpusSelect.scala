@@ -195,8 +195,9 @@ object CorpusSelect {
     * with a within-boundary-bucket cumsum); the only addition is the
     * equi-join of the histogram with `alloc` (key, budget) — one row per
     * key, i.e. dimension-sized, so the join is broadcast-able whenever
-    * the key cardinality is (Spark decides from stats). Every key in
-    * `docs` MUST appear in `alloc`; a zero budget selects nothing, a
+    * the key cardinality is (Spark decides from stats). A key absent from
+    * `alloc` is a ZERO allocation (left join + coalesce — it selects
+    * nothing sized, same as an explicit 0), never a silent select-all; a
     * budget >= the key's total selects everything. */
   def perKeyTokenBudgetSelectAllocated(docs: DataFrame, idCol: String,
                                        keyCol: String, scoreCol: String,
@@ -207,7 +208,8 @@ object CorpusSelect {
       col(tokensCol).cast("long").as("n_tokens"))
     val a = alloc.select(col("key"), col("budget").cast("long").as("__budget"))
     val levels = d.groupBy("key", "score").agg(sum("n_tokens").as("bt"))
-      .join(a, Seq("key"))
+      .join(a, Seq("key"), "left")
+      .withColumn("__budget", coalesce(col("__budget"), lit(0L)))
     val wl = Window.partitionBy("key").orderBy(col("score").desc)
       .rowsBetween(Window.unboundedPreceding, -1)
     val bounds = levels
@@ -237,6 +239,7 @@ object CorpusSelect {
     * KEY — dimension-sized by contract (languages, sources), never the
     * corpus. */
   def largestRemainderAlloc(totals: DataFrame, budget: Long): DataFrame = {
+    require(budget >= 0, s"budget must be non-negative (got $budget)")
     val g = totals.select(col("key"), col("tok").cast("long").as("tok"))
       .withColumn("__tot", sum("tok").over(
         Window.partitionBy()

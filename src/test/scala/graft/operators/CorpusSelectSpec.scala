@@ -181,6 +181,20 @@ class CorpusSelectSpec extends AnyFunSuite with SparkSpec {
     assert(got == Map(1L -> 1L, 2L -> 0L, 3L -> 0L, 4L -> 0L))
   }
 
+  test("a key missing from the allocation is a zero budget, never a " +
+       "silent select-all") {
+    val d = Seq((1L, "a", 9L, 10L), (2L, "b", 5L, 3L), (3L, "b", 4L, 0L))
+      .toDF("doc_id", "key", "score", "n_tokens")
+    val alloc = Seq(("a", 100L)).toDF("key", "budget") // no row for b
+    val got = CorpusSelect.perKeyTokenBudgetSelectAllocated(
+        d, "doc_id", "key", "score", "n_tokens", alloc)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("selected"))
+      .toMap
+    // b's boundary lands at its top score level with residual 0: the
+    // sized doc drops, and the below-cutoff doc drops too
+    assert(got == Map(1L -> 1L, 2L -> 0L, 3L -> 0L))
+  }
+
   test("allocated form with a constant budget equals the constant form") {
     val rnd = new scala.util.Random(7)
     val d = (0L until 200L).map { i =>

@@ -111,7 +111,12 @@ object Bench {
     // d10 — the old budgets left < 20% headroom and phantom-breached
     // in-suite; 1.5x rule re-applied.
     "ev05_asof_join" -> 1.0, "d27_segment_dedup" -> 1.7,
-    "d28_overlap_decontaminate" -> 1.3, "d32_dsir_weight" -> 0.6,
+    // d32 re-measured r11 (0.67/0.84/0.92 fresh solo-isolated on a quiet
+    // box vs r8's 0.39; ImportanceWeights untouched since r8, gate rows
+    // byte-identical): overhead-floor drift, the d10/ev05/d27 class —
+    // the old 0.6 budget phantom-breached in-suite by 2%; 1.5x rule on
+    // the new 0.84 median.
+    "d28_overlap_decontaminate" -> 1.3, "d32_dsir_weight" -> 1.3,
     "d33_bm25_topk" -> 4.5,
     // d34 re-measured end of r8: 1.55s in-suite / 1.63s isolated on a
     // quiet box (the earlier 1.5 budget sat AT the measurement with no

@@ -72,7 +72,13 @@ object Bench {
     "d55_semantic_decontaminate", "k08_length_batching",
     "d56_hard_negatives", "k09_epoch_shuffle", "k10_stratified_sample",
     "t16_stream_semantic_decontaminate", "e17_sq8_refine_topk",
-    "m28_webdataset_shard_write", "m29_jsonl_shard_write")
+    "m28_webdataset_shard_write", "m29_jsonl_shard_write",
+    // r12: Avro OCF container read/write (the seventh container; the
+    // read gate's shards are encoded by the org.apache.avro REFERENCE
+    // writer, so the bench also prices the cross-engine path) and
+    // corpus-wide paragraph dedup (C4 dedupe_lines).
+    "m30_avro_shards", "m31_avro_shard_write", "d57_paragraph_dedup",
+    "d58_blocklist_filter", "d59_charset_sniff")
 
   /** SURVEY §6 per-query budgets (sec, sf0.1 median). A breach triggers an
     * automatic isolated forked-JVM re-run so the artifact adjudicates
@@ -184,7 +190,13 @@ object Bench {
     "k10_stratified_sample" -> 2.2,
     "t16_stream_semantic_decontaminate" -> 3.5,
     "e17_sq8_refine_topk" -> 1.8, "m28_webdataset_shard_write" -> 1.3,
-    "m29_jsonl_shard_write" -> 1.2)
+    "m29_jsonl_shard_write" -> 1.2,
+    // r12 rows (fresh sf0.1 medians: m30 0.98, m31 0.50, d57 0.74 —
+    // budgets at the 1.5x headroom rule)
+    "m30_avro_shards" -> 1.6, "m31_avro_shard_write" -> 0.9,
+    "d57_paragraph_dedup" -> 1.2,
+    // d58 0.74 / d59 0.38 measured sf0.1 medians
+    "d58_blocklist_filter" -> 1.2, "d59_charset_sniff" -> 0.7)
 
   /** Cluster-cost observability (r11): per-query SHUFFLE WRITE and SPILL
     * volume next to every wall time, so the artifact itself shows which

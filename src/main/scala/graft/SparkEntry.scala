@@ -2039,6 +2039,72 @@ object SparkEntry {
         .orderBy("anchor_id", "rank")
     }),
 
+    // D57: corpus-wide paragraph dedup (C4's dedupe_lines) — keep ONE
+    // occurrence of every unique paragraph across the corpus (first in
+    // (doc, position) order), reassemble docs, drop emptied docs. The
+    // fixture text carries no newlines, so the gate synthesizes the
+    // paragraph structure deterministically (a break before every
+    // "merge " token) with the oracle applying the identical rewrite —
+    // the operator itself only ever sees a text column with separators.
+    "d57_paragraph_dedup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"),
+        regexp_replace(col("text"), " merge ", "\nmerge ").as("text"))
+      Dedup.paragraphDedup(docs, "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
+    // D58: domain-blocklist filtering (the UT1-style scrub) — hosts are
+    // synthesized deterministically from doc_id; the 5-entry blocklist
+    // exercises suffix-at-dot-boundary matching (t1.com blocks every
+    // *.t1.com), an exact-full-host entry, a never-matching entry, case
+    // folding (hosts carry an uppercase label), and the lexicographic
+    // matched_domain tie-break (s1.t1.com vs t1.com on b=1,c=1 hosts).
+    "d58_blocklist_filter" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents").select(col("doc_id"),
+        concat(lit("W"), (col("doc_id") % 5).cast("string"),
+          lit(".s"), (col("doc_id") % 17).cast("string"),
+          lit(".t"), (col("doc_id") % 3).cast("string"),
+          lit(".com")).as("host"))
+      val blocklist = Seq("t1.com", "s5.t2.com", "w3.s7.t0.com", "x9.net",
+        "s1.t1.com").toDF("domain")
+      graft.functions.UrlFunctions
+        .blocklistFilter(docs, "doc_id", "host", blocklist)
+        .select("doc_id", "host", "matched_domain", "blocked")
+        .orderBy("doc_id")
+    }),
+
+    // D59: charset detection + transcoding — each doc's text is RE-ENCODED
+    // deterministically by id class (UTF-8 BOM / UTF-16LE BOM / UTF-16BE
+    // BOM / plain UTF-8 with a planted non-ASCII char / Latin-1 with the
+    // same char, which is INVALID UTF-8 and must fall through the strict
+    // validation walk), then sniffed+decoded back; the oracle states the
+    // expected label and the byte-exact recovered text analytically, so
+    // the whole ladder (BOM strip, RFC 3629 walk, Latin-1 fallback) sits
+    // under the hash compare.
+    "d59_charset_sniff" -> ((s, dir) => {
+      import s.implicits._
+      val raw = t(s, dir, "documents").select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .mapPartitions(_.map { case (id, text) =>
+          import java.nio.charset.StandardCharsets._
+          val bytes = (id % 5) match {
+            case 0 =>
+              val tb = text.getBytes(UTF_8)
+              Array[Byte](0xef.toByte, 0xbb.toByte, 0xbf.toByte) ++ tb
+            case 1 =>
+              Array[Byte](0xff.toByte, 0xfe.toByte) ++ text.getBytes(UTF_16LE)
+            case 2 =>
+              Array[Byte](0xfe.toByte, 0xff.toByte) ++ text.getBytes(UTF_16BE)
+            case 3 => (text + "é").getBytes(UTF_8)
+            case _ => (text + "é").getBytes(ISO_8859_1)
+          }
+          (id, bytes)
+        }).toDF("doc_id", "raw")
+      graft.operators.CharsetSniff.decodeDocs(s, raw, "doc_id", "raw").toDF()
+        .orderBy("doc_id")
+    }),
+
     // Tumbling-window event aggregation (batch form of the streaming
     // windowed counts; §2.9).
     "ev03_tumbling_window" -> ((s, dir) =>
@@ -3013,6 +3079,82 @@ object SparkEntry {
         .select(col("shard_id"), col("line_idx"),
           col("j.rec").as("rec"), col("j.label").as("label"))
         .orderBy("shard_id", "line_idx")
+    }),
+
+    // M16: Avro OCF shard reading — the seventh ML corpus container
+    // (Hadoop-era corpus publishes: Hive exports, Kafka archive dumps).
+    // The gate is CROSS-ENGINE by construction: every shard is encoded
+    // by the org.apache.avro REFERENCE writer (on Spark's provided
+    // classpath) — even ids null codec, odd ids deflate, ids %5==0
+    // carry one null label (the union path) — and decoded by the
+    // hand-rolled graft reader under the analytic oracle, so the whole
+    // container walk (metadata map, sync framing, zigzag varints, raw
+    // deflate, nullable unions) answers to an independent implementation
+    // on every drive, not just in the spec.
+    "m30_avro_shards" -> ((s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.types._
+      val schemaJson = graft.operators.AvroShard.schemaJson("graft_rec", Seq(
+        "rec" -> graft.operators.AvroShard.ALong,
+        "label" -> graft.operators.AvroShard.AString,
+        "value" -> graft.operators.AvroShard.ADouble))
+      val shards = t(s, dir, "documents").select(col("doc_id")).as[Long]
+        .mapPartitions { it =>
+          import org.apache.avro.file.{CodecFactory, DataFileWriter}
+          import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
+          val schema = new org.apache.avro.Schema.Parser().parse(schemaJson)
+          it.map { id =>
+            val bos = new java.io.ByteArrayOutputStream()
+            val w = new DataFileWriter[GenericRecord](
+              new GenericDatumWriter[GenericRecord](schema))
+            w.setCodec(if (id % 2 == 0) CodecFactory.nullCodec()
+                       else CodecFactory.deflateCodec(6))
+            w.create(schema, bos)
+            val k = (2 + id % 3).toInt
+            (0 until k).foreach { r =>
+              val rec = new GenericData.Record(schema)
+              rec.put("rec", id * 10 + r)
+              rec.put("label", if ((id + r) % 5 == 0) null else s"l${(id + r) % 4}")
+              rec.put("value", (id % 97).toDouble + r * 0.25)
+              w.append(rec)
+            }
+            w.close()
+            (id, bos.toByteArray)
+          }
+        }.toDF("shard_id", "payload")
+      val contract = StructType(Seq(StructField("rec", LongType),
+        StructField("label", StringType), StructField("value", DoubleType)))
+      graft.operators.AvroShard.explodeRowsAs(s, shards, contract)
+        .orderBy("shard_id", "rec_idx")
+    }),
+
+    // M16 write side: DISTRIBUTED Avro OCF shard publishing (the
+    // m24/m27/m28/m29 stance for the seventh container) — docs hash into
+    // 7 shards, each shard's rows stream through the block encoder
+    // (blocks of 16, so every shard is multi-block; deflate codec), and
+    // the gate reads the payloads back through the schema-driven
+    // reader: schema render, nullable-union encode, block framing, sync
+    // discipline and within-shard order all sit under the oracle.
+    "m31_avro_shard_write" -> ((s, dir) => {
+      import org.apache.spark.sql.types._
+      val rows = t(s, dir, "documents").select(
+        (col("doc_id") % 7).as("shard"),
+        col("doc_id"), col("lang"),
+        ((col("doc_id") % 13).cast("double") + 0.5).as("score"),
+        (col("doc_id") % 2 === 0).as("flags"),
+        array(col("doc_id"), col("doc_id") % 5).as("tags"))
+      val shards = graft.operators.AvroShard.writeShards(
+        s, rows, "shard", Seq("doc_id"), codec = "deflate", blockRows = 16)
+      val contract = StructType(Seq(
+        StructField("doc_id", LongType), StructField("lang", StringType),
+        StructField("score", DoubleType), StructField("flags", BooleanType),
+        StructField("tags", ArrayType(LongType))))
+      graft.operators.AvroShard.explodeRowsAs(s, shards, contract)
+        .select(col("shard_id"), col("rec_idx"), col("doc_id"), col("lang"),
+          col("score"), col("flags").cast("long").as("flag"),
+          size(col("tags")).cast("long").as("n_tags"),
+          aggregate(col("tags"), lit(0L), (a, x) => a + x).as("tags_sum"))
+        .orderBy("shard_id", "rec_idx")
     }),
 
     // F1-F3: the electricity-CSV parser family end to end, oracle-gated.
@@ -5402,6 +5544,31 @@ object SparkEntry {
          SELECT * FROM (SELECT * FROM g UNION ALL SELECT * FROM bad)
          ORDER BY shard_id, line_idx""",
 
+    // m30: every record is analytically stated; ids %5-aligned rows
+    // carry a null label through the nullable union
+    "m30_avro_shards" ->
+      """WITH d AS (SELECT doc_id AS id, 2 + doc_id % 3 AS k
+                    FROM documents),
+         g AS (SELECT id, unnest(range(0, k)) AS r FROM d)
+         SELECT id AS shard_id, CAST(r AS BIGINT) AS rec_idx,
+           CAST(id * 10 + r AS BIGINT) AS rec,
+           CASE WHEN (id + r) % 5 = 0 THEN NULL
+                ELSE 'l' || ((id + r) % 4) END AS label,
+           CAST((id % 97) + r * 0.25 AS DOUBLE) AS value
+         FROM g ORDER BY shard_id, rec_idx""",
+
+    "m31_avro_shard_write" ->
+      """SELECT CAST(doc_id % 7 AS BIGINT) AS shard_id,
+           CAST(row_number() OVER (PARTITION BY doc_id % 7 ORDER BY doc_id)
+                - 1 AS BIGINT) AS rec_idx,
+           doc_id, lang,
+           CAST((doc_id % 13) + 0.5 AS DOUBLE) AS score,
+           CAST(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END AS BIGINT)
+             AS flag,
+           CAST(2 AS BIGINT) AS n_tags,
+           CAST(doc_id + doc_id % 5 AS BIGINT) AS tags_sum
+         FROM documents ORDER BY shard_id, rec_idx""",
+
     // m26: every record is analytically stated; the %5==0 shards LOSE
     // record 1 (its data CRC was corrupted — skipped, index preserved)
     // and the %7==0 trailing garbage stops the walk only after the real
@@ -5951,6 +6118,62 @@ object SparkEntry {
                    FROM scored)
         SELECT anchor_id, rank, negative_id, score
         FROM ranked WHERE rank <= 5 ORDER BY anchor_id, rank""",
+
+    // d57: the same synthesized paragraph rewrite, restated relationally:
+    // first-occurrence-wins via a ROW_NUMBER over (doc, position)
+    "d57_paragraph_dedup" ->
+      """WITH p AS (
+           SELECT doc_id, generate_subscripts(paras, 1) AS para_idx,
+                  unnest(paras) AS para
+           FROM (SELECT doc_id,
+                   string_split(replace(text, ' merge ', chr(10) || 'merge '),
+                     chr(10)) AS paras
+                 FROM documents) t
+         ),
+         k AS (
+           SELECT doc_id, para_idx, para,
+             ROW_NUMBER() OVER (PARTITION BY para
+               ORDER BY doc_id, para_idx) AS rn
+           FROM p
+         )
+         SELECT doc_id,
+           string_agg(para, chr(10) ORDER BY para_idx) AS cleaned_text,
+           CAST(count(*) AS BIGINT) AS n_kept
+         FROM k WHERE rn = 1 GROUP BY doc_id ORDER BY doc_id""",
+
+    // d58: the suffix chain restated with list slicing; min() is the
+    // same lexicographic matched_domain rule
+    "d58_blocklist_filter" ->
+      """WITH d AS (SELECT doc_id,
+             'W' || (doc_id % 5) || '.s' || (doc_id % 17) || '.t' ||
+               (doc_id % 3) || '.com' AS host
+           FROM documents),
+         b(domain) AS (VALUES ('t1.com'), ('s5.t2.com'), ('w3.s7.t0.com'),
+                              ('x9.net'), ('s1.t1.com')),
+         lx AS (SELECT doc_id, string_split(lower(host), '.') AS l FROM d),
+         s AS (SELECT doc_id, array_to_string(l[i:], '.') AS sfx
+               FROM (SELECT doc_id, l, unnest(range(1, len(l)+1)) AS i
+                     FROM lx) t),
+         h AS (SELECT s.doc_id, min(b.domain) AS matched_domain
+               FROM s JOIN b ON s.sfx = b.domain GROUP BY s.doc_id)
+         SELECT d.doc_id, d.host, h.matched_domain,
+           CAST(CASE WHEN h.matched_domain IS NULL THEN 0 ELSE 1 END
+             AS BIGINT) AS blocked
+         FROM d LEFT JOIN h ON d.doc_id = h.doc_id ORDER BY d.doc_id""",
+
+    // d59: the encode->sniff->decode round trip is the identity on the
+    // text (plus the planted char for the two non-BOM classes), and the
+    // label is a pure function of the id class
+    "d59_charset_sniff" ->
+      """SELECT doc_id,
+           CASE doc_id % 5 WHEN 0 THEN 'utf8-bom' WHEN 1 THEN 'utf16le-bom'
+             WHEN 2 THEN 'utf16be-bom' WHEN 3 THEN 'utf8'
+             ELSE 'latin1' END AS charset,
+           CASE WHEN doc_id % 5 IN (3, 4) THEN text || 'é' ELSE text END
+             AS text_utf8,
+           CAST(length(text) + CASE WHEN doc_id % 5 IN (3, 4) THEN 1 ELSE 0
+             END AS BIGINT) AS n_chars
+         FROM documents ORDER BY doc_id""",
 
     "ev03_tumbling_window" ->
       """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS window_epoch,

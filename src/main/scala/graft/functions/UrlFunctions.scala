@@ -81,4 +81,43 @@ object UrlFunctions {
   def withCanonicalUrls(df: DataFrame, urlCol: String): DataFrame =
     df.withColumn("canonical_url", canonicalize(col(urlCol)))
       .withColumn("url_host", host(col(urlCol)))
+
+  /** The dot-boundary suffix chain of a host, most-specific first:
+    * `a.b.com` -> [`a.b.com`, `b.com`, `com`]. Pure built-ins (split /
+    * sequence / transform / slice / array_join) so the explode stays a
+    * codegen projection — no UDF in the hot path. */
+  def hostSuffixes(c: Column): Column = {
+    val labels = split(c, "\\.")
+    transform(sequence(lit(1), size(labels)),
+      i => array_join(slice(labels, i, size(labels) - i + 1), "."))
+  }
+
+  /** Domain-blocklist filtering (the UT1/adult-list scrub every crawl
+    * pipeline runs before anything else): a doc is BLOCKED when its host
+    * equals a listed domain or is a subdomain of one (suffix match on
+    * dot boundaries — `x.ads.example` matches listed `ads.example`,
+    * `notads.example` does not).
+    *
+    * Scale shape: real blocklists are millions of domains — far too big
+    * to regex-alternate, small enough to broadcast (~100 MB). A host has
+    * at most its label count of candidate suffixes, so each doc explodes
+    * into that BOUNDED chain (a projection, no shuffle) and the match is
+    * one broadcast equality semi-join against the list; the corpus is
+    * never shuffled at all. The per-doc hit aggregation groups only the
+    * HIT subset (<= corpus, usually tiny).
+    *
+    * Output: `docs` + `matched_domain` (lexicographically smallest
+    * matched list entry, null when clean) + `blocked` (0/1). */
+  def blocklistFilter(docs: DataFrame, idCol: String, hostCol: String,
+                      blocklist: DataFrame): DataFrame = {
+    val listKey = blocklist.columns.head
+    val hits = docs
+      .select(col(idCol), explode(hostSuffixes(lower(col(hostCol)))).as("__sfx"))
+      .join(broadcast(blocklist.select(lower(col(listKey)).as("__sfx"))), Seq("__sfx"))
+      .groupBy(idCol)
+      .agg(min(col("__sfx")).as("matched_domain"))
+    docs.join(hits, Seq(idCol), "left_outer")
+      .withColumn("blocked",
+        when(col("matched_domain").isNotNull, 1L).otherwise(0L))
+  }
 }

@@ -615,4 +615,44 @@ object Dedup {
     (labels.join(sizes, "cluster_id")
       .select("doc_id", "cluster_id", "cluster_size"), iters, converged)
   }
+
+  /** Corpus-wide PARAGRAPH dedup (the C4 `dedupe_lines` semantics): split
+    * every document on `sep`, keep exactly ONE occurrence of each unique
+    * paragraph across the whole corpus — the first in (doc, position)
+    * order — and reassemble the surviving paragraphs back into documents
+    * in their original order. Documents that lose every paragraph drop
+    * out entirely (C4 drops empties).
+    *
+    * Scale shape: paragraphs shuffle ONCE on their content digest for the
+    * winner aggregation (`min(struct(doc, pos))` — map-side partial, so a
+    * boilerplate paragraph duplicated a billion times arrives at its
+    * reducer as one row per upstream partition, never a hot-key row
+    * flood); the winner set joins back on the same digest key (the
+    * exchange is reused — both sides hash-partition on `__ph`), and
+    * reassembly is one shuffle on the doc id. No window ever sees the
+    * corpus-wide posting list of a hot paragraph.
+    *
+    * Output: (doc_id, cleaned_text, n_kept) for docs with >= 1 surviving
+    * paragraph.
+    */
+  def paragraphDedup(docs: DataFrame, idCol: String, textCol: String,
+                     sep: String = "\n"): DataFrame = {
+    val paras = docs
+      .select(col(idCol).as("doc_id"),
+        posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep)))
+          .as(Seq("para_idx", "para")))
+    val hashed = paras.withColumn("__ph", md5(col("para")))
+    val winners = hashed
+      .groupBy("__ph")
+      .agg(min(struct(col("doc_id"), col("para_idx"))).as("__w"))
+      .select(col("__ph"), col("__w.doc_id").as("doc_id"),
+        col("__w.para_idx").as("para_idx"))
+    hashed.join(winners, Seq("__ph", "doc_id", "para_idx"))
+      .groupBy("doc_id")
+      .agg(
+        array_join(transform(array_sort(
+          collect_list(struct(col("para_idx"), col("para")))),
+          x => x("para")), sep).as("cleaned_text"),
+        count(lit(1)).as("n_kept"))
+  }
 }

@@ -74,4 +74,35 @@ class UrlFunctionsSpec extends AnyFunSuite with SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), plan.take(300))
   }
+
+  test("hostSuffixes yields the dot-boundary chain, most-specific first") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val out = Seq("a.b.com", "com", "x.y").toDF("h")
+      .select(UrlFunctions.hostSuffixes(col("h")).as("s"))
+      .collect().map(_.getSeq[String](0))
+    assert(out(0) == Seq("a.b.com", "b.com", "com"))
+    assert(out(1) == Seq("com"))
+    assert(out(2) == Seq("x.y", "y"))
+  }
+
+  test("blocklistFilter: suffix-at-dot-boundary, case-folded, " +
+       "subdomain blocked, lookalike label NOT blocked") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "Ads.Example.com"),      // exact listed domain (case folded)
+      (2L, "x.ads.example.com"),    // subdomain of listed -> blocked
+      (3L, "notads.example.com"),   // label boundary: NOT a suffix match
+      (4L, "example.com"),          // parent of listed -> clean
+      (5L, "clean.org")).toDF("doc_id", "host")
+    val bl = Seq("ads.example.com").toDF("domain")
+    val out = UrlFunctions.blocklistFilter(docs, "doc_id", "host", bl)
+      .orderBy("doc_id")
+      .select("doc_id", "matched_domain", "blocked").collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)), r.getLong(2)))
+    assert(out.toSeq == Seq(
+      (1L, Some("ads.example.com"), 1L),
+      (2L, Some("ads.example.com"), 1L),
+      (3L, None, 0L), (4L, None, 0L), (5L, None, 0L)))
+  }
 }

@@ -243,6 +243,23 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     assert(!out.keySet.exists { case (a, b) => a == 5L || b == 5L })
   }
 
+  test("paragraphDedup: first (doc, position) occurrence wins corpus-wide; " +
+       "docs reassemble in order; emptied docs drop") {
+    val docs = Tables.docsLike(Seq(
+      1L -> "alpha\nshared\nbeta",
+      2L -> "shared\ngamma",       // 'shared' already taken by doc 1
+      3L -> "shared",              // loses its only paragraph -> dropped
+      4L -> "delta\ndelta\nepsilon")) // in-doc dup: first position wins
+    val out = Dedup.paragraphDedup(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getAs[Long]("doc_id"),
+        r.getAs[String]("cleaned_text"), r.getAs[Long]("n_kept")))
+    assert(out.toSeq == Seq(
+      (1L, "alpha\nshared\nbeta", 3L),
+      (2L, "gamma", 1L),
+      (4L, "delta\nepsilon", 2L)))
+  }
+
   private object Tables {
     def docsLike(rows: Seq[(Long, String)]) = {
       import spark.implicits._

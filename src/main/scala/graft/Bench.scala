@@ -78,7 +78,8 @@ object Bench {
     // writer, so the bench also prices the cross-engine path) and
     // corpus-wide paragraph dedup (C4 dedupe_lines).
     "m30_avro_shards", "m31_avro_shard_write", "d57_paragraph_dedup",
-    "d58_blocklist_filter", "d59_charset_sniff")
+    "d58_blocklist_filter", "d59_charset_sniff",
+    "t17_stream_avro_ingest", "d60_robots_rules")
 
   /** SURVEY §6 per-query budgets (sec, sf0.1 median). A breach triggers an
     * automatic isolated forked-JVM re-run so the artifact adjudicates
@@ -196,7 +197,11 @@ object Bench {
     "m30_avro_shards" -> 1.6, "m31_avro_shard_write" -> 0.9,
     "d57_paragraph_dedup" -> 1.2,
     // d58 0.74 / d59 0.38 measured sf0.1 medians
-    "d58_blocklist_filter" -> 1.2, "d59_charset_sniff" -> 0.7)
+    "d58_blocklist_filter" -> 1.2, "d59_charset_sniff" -> 0.7,
+    // t17 spins a fresh AvailableNow drain + lake merge per run (the
+    // t13/t14 cost shape, 2.12 measured); d60 is a shuffle-free per-row
+    // parse+match kernel (0.30 measured)
+    "t17_stream_avro_ingest" -> 3.3, "d60_robots_rules" -> 0.6)
 
   /** Cluster-cost observability (r11): per-query SHUFFLE WRITE and SPILL
     * volume next to every wall time, so the artifact itself shows which

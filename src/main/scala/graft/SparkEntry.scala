@@ -2074,6 +2074,31 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // D60: robots.txt evaluation (RFC 9309) — per doc a synthesized
+    // robots body (a `*` group with a Disallow + an anchored Allow, and
+    // a `graftbot` group with an id-dependent Disallow), an id-dependent
+    // crawler agent and path. Outcomes are analytic: group selection
+    // (exact token beats `*`, NO rule inheritance), longest-match
+    // precedence, Allow-wins-ties and the `$` anchor all decide at least
+    // one id class each, so the oracle pins the whole evaluator.
+    "d60_robots_rules" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"),
+        concat(lit("User-agent: *\nDisallow: /private/\n" +
+            "Allow: /private/ok$\nCrawl-delay: 2\n" +
+            "User-agent: graftbot\nDisallow: /g"),
+          (col("doc_id") % 5).cast("string"), lit("/\n")).as("body"),
+        when(col("doc_id") % 3 === 0, lit("graftbot-fetch/1.0"))
+          .otherwise(lit("genericbot/2.0")).as("agent"),
+        when(col("doc_id") % 4 === 0, lit("/private/ok"))
+          .when(col("doc_id") % 4 === 1, lit("/private/deep"))
+          .when(col("doc_id") % 4 === 2,
+            concat(lit("/g"), (col("doc_id") % 5).cast("string"), lit("/page")))
+          .otherwise(lit("/open/x")).as("path"))
+      graft.operators.RobotsTxt
+        .evaluateDocs(s, docs, "doc_id", "body", "agent", "path").toDF()
+        .orderBy("doc_id")
+    }),
+
     // D59: charset detection + transcoding — each doc's text is RE-ENCODED
     // deterministically by id class (UTF-8 BOM / UTF-16LE BOM / UTF-16BE
     // BOM / plain UTF-8 with a planted non-ASCII char / Latin-1 with the
@@ -6160,6 +6185,22 @@ object SparkEntry {
            CAST(CASE WHEN h.matched_domain IS NULL THEN 0 ELSE 1 END
              AS BIGINT) AS blocked
          FROM d LEFT JOIN h ON d.doc_id = h.doc_id ORDER BY d.doc_id""",
+
+    // d60: the evaluator's four decision mechanisms restated as an
+    // analytic CASE over the id classes
+    "d60_robots_rules" ->
+      """SELECT doc_id,
+           CAST(CASE WHEN doc_id % 3 = 0 AND doc_id % 4 = 2 THEN 0
+                     WHEN doc_id % 3 <> 0 AND doc_id % 4 = 1 THEN 0
+                     ELSE 1 END AS BIGINT) AS allowed,
+           CASE WHEN doc_id % 3 = 0 AND doc_id % 4 = 2
+                  THEN '/g' || (doc_id % 5) || '/'
+                WHEN doc_id % 3 <> 0 AND doc_id % 4 = 0
+                  THEN '/private/ok$'
+                WHEN doc_id % 3 <> 0 AND doc_id % 4 = 1
+                  THEN '/private/'
+                ELSE NULL END AS matched_rule
+         FROM documents ORDER BY doc_id""",
 
     // d59: the encode->sniff->decode round trip is the identity on the
     // text (plus the planted char for the two non-BOM classes), and the

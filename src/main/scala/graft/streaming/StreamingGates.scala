@@ -424,6 +424,46 @@ object StreamingGates {
         .orderBy("shard_id", "rec_idx")
     }),
 
+    // T17: streaming Avro OCF shard ingest — the Hadoop-era front door
+    // (directories of *.avro arriving shard by shard), completing the
+    // streaming form for every exploded container (WARC t11, Arrow t13,
+    // JSONL t14, TFRecord t15, Avro t17): each micro-batch's payloads
+    // walk M16's container reader (sync framing, nullable unions, raw
+    // deflate) and MERGE into a lake table keyed on (shard, rec). The
+    // arrival slice carries m30's null-label union rows, so the union
+    // decode sits under the streaming oracle too.
+    "t17_stream_avro_ingest" -> ((s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.types.{StringType => SStr}
+      val contract = StructType(Seq(
+        StructField("rec", LongType), StructField("label", SStr),
+        StructField("value", DoubleType)))
+      val arrivals = s.read.parquet(s"$dir/documents.parquet")
+        .where(col("doc_id") % 10 === 0)
+        .select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { id =>
+          val k = (2 + id % 3).toInt
+          val rows = (0 until k).map { r =>
+            org.apache.spark.sql.Row(id * 10 + r,
+              if ((id + r) % 5 == 0) null else s"l${(id + r) % 4}",
+              (id % 97).toDouble + r * 0.25)
+          }
+          (id, graft.operators.AvroShard.encodeShard(rows.iterator, contract,
+            id, codec = if (id % 2 == 0) "null" else "deflate", blockRows = 2))
+        }).toDF("shard_id", "payload")
+      val in = freshDir("graft_t17_in")
+      writeWave(arrivals, in, "batch.parquet", mtimeSec = 1000)
+      val loc = freshDir("graft_t17_tbl").resolve("records").toString
+      StreamingIngest.drainToTable(s, in.toString, arrivals.schema, loc,
+        freshDir("graft_t17_ck").toString,
+        writeMode = "merge", mergeOn = Seq("shard_id", "rec_idx"),
+        batchTransform = batch =>
+          graft.operators.AvroShard.explodeRowsAs(
+            batch.sparkSession, batch, contract))
+      graft.tables.LakeTable.load(s, loc).read()
+        .orderBy("shard_id", "rec_idx")
+    }),
+
     // T16: streaming SEMANTIC decontamination gate — d55 as admission
     // control: the benchmark embeddings are RESIDENT (an eval suite,
     // small by contract — broadcast into each trigger); every arriving
@@ -738,6 +778,18 @@ object StreamingGates {
                  FROM range(0, 110) i(r) WHERE i.r < m.sz) AS BIGINT)
              AS byte_sum
          FROM m ORDER BY shard_id, rec_idx""",
+
+    // t17: m30's analytic Avro rows restricted to the %10==0 arrivals
+    "t17_stream_avro_ingest" ->
+      """WITH d AS (SELECT doc_id AS id, 2 + doc_id % 3 AS k
+                    FROM documents WHERE doc_id % 10 = 0),
+         g AS (SELECT id, unnest(range(0, k)) AS r FROM d)
+         SELECT id AS shard_id, CAST(r AS BIGINT) AS rec_idx,
+           CAST(id * 10 + r AS BIGINT) AS rec,
+           CASE WHEN (id + r) % 5 = 0 THEN NULL
+                ELSE 'l' || ((id + r) % 4) END AS label,
+           CAST((id % 97) + r * 0.25 AS DOUBLE) AS value
+         FROM g ORDER BY shard_id, rec_idx""",
 
     // t16: d55's cosine rule over the %10==0 (non-benchmark) arrivals
     "t16_stream_semantic_decontaminate" -> {

@@ -2074,6 +2074,33 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // D61: HTML main-content extraction (boilerplate removal) — each doc
+    // is wrapped into a synthetic page exercising every classifier path:
+    // script/style bodies (must not leak), a link-dense nav (>= length
+    // threshold but 96% link density -> dropped), a too-short heading, two
+    // real prose paragraphs built from the doc text (kept), an
+    // all-anchor ad block and a footer (dropped), plus an entity in the
+    // kept text. The oracle restates the kept blocks analytically (same
+    // whitespace collapse + trim).
+    "d61_html_extract" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"),
+        concat(
+          lit("<html><head><script>var trap = \"<p>no</p>\";</script>" +
+            "<style>p{color:red}</style></head><body>" +
+            "<nav><a href=\"/\">Home page</a> <a href=\"/about\">About this site</a></nav>" +
+            "<h1>Tiny</h1><p>Paragraph one: "),
+          substring(col("text"), 1, 30),
+          lit("</p><div><a href=\"/ad\">sponsored advertisement placement</a></div>" +
+            "<p>Paragraph two says "),
+          substring(col("text"), 31, 16),
+          lit(" &amp; more words here</p>" +
+            "<footer><a href=\"/c\">contact</a> <a href=\"/i\">imprint</a></footer>" +
+            "</body></html>")).as("html"))
+      graft.operators.HtmlExtract
+        .extractDocs(s, docs, "doc_id", "html").toDF()
+        .orderBy("doc_id")
+    }),
+
     // D60: robots.txt evaluation (RFC 9309) — per doc a synthesized
     // robots body (a `*` group with a Disallow + an anchored Allow, and
     // a `graftbot` group with an id-dependent Disallow), an id-dependent
@@ -6185,6 +6212,19 @@ object SparkEntry {
            CAST(CASE WHEN h.matched_domain IS NULL THEN 0 ELSE 1 END
              AS BIGINT) AS blocked
          FROM d LEFT JOIN h ON d.doc_id = h.doc_id ORDER BY d.doc_id""",
+
+    // d61: the two kept prose blocks restated analytically with the same
+    // whitespace collapse + trim; block counts are structural constants
+    "d61_html_extract" ->
+      """WITH b AS (SELECT doc_id,
+           trim(regexp_replace('Paragraph one: ' || substr(text, 1, 30),
+             ' +', ' ', 'g')) AS p1,
+           trim(regexp_replace('Paragraph two says ' || substr(text, 31, 16)
+             || ' & more words here', ' +', ' ', 'g')) AS p2
+         FROM documents)
+         SELECT doc_id, p1 || chr(10) || p2 AS main_text,
+           CAST(6 AS BIGINT) AS n_blocks, CAST(2 AS BIGINT) AS n_content
+         FROM b ORDER BY doc_id""",
 
     // d60: the evaluator's four decision mechanisms restated as an
     // analytic CASE over the id classes

@@ -79,7 +79,8 @@ object Bench {
     // corpus-wide paragraph dedup (C4 dedupe_lines).
     "m30_avro_shards", "m31_avro_shard_write", "d57_paragraph_dedup",
     "d58_blocklist_filter", "d59_charset_sniff",
-    "t17_stream_avro_ingest", "d60_robots_rules", "d61_html_extract")
+    "t17_stream_avro_ingest", "d60_robots_rules", "d61_html_extract",
+    "d62_frontdoor_pipeline")
 
   /** SURVEY §6 per-query budgets (sec, sf0.1 median). A breach triggers an
     * automatic isolated forked-JVM re-run so the artifact adjudicates
@@ -203,7 +204,10 @@ object Bench {
     // parse+match kernel (0.30 measured)
     "t17_stream_avro_ingest" -> 3.3, "d60_robots_rules" -> 0.6,
     // d61: shuffle-free per-row HTML block walk (0.45 measured)
-    "d61_html_extract" -> 0.8)
+    "d61_html_extract" -> 0.8,
+    // d62: the composed front door — blocklist broadcast + fused per-row
+    // stage + paragraph-dedup shuffles (1.30 measured)
+    "d62_frontdoor_pipeline" -> 2.0)
 
   /** Cluster-cost observability (r11): per-query SHUFFLE WRITE and SPILL
     * volume next to every wall time, so the artifact itself shows which

@@ -2074,6 +2074,68 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // D62: the crawl FRONT DOOR composed end to end — blocklist (d58's
+    // hosts+list) -> fused per-row robots gate (d60's bodies/agents/
+    // paths) + charset decode (d59's BOM classes over the page bytes) +
+    // HTML extraction (d61's synthetic page) -> corpus-wide paragraph
+    // dedup (d57's first-wins). ONE oracle restates the whole chain:
+    // survivor condition as id arithmetic, kept blocks analytically,
+    // dedup as the ROW_NUMBER rule. The composition is an operator
+    // (CrawlFrontDoor.pipeline): one scan, one broadcast, two keyed
+    // shuffles — the per-row stages fuse into a single projection.
+    "d62_frontdoor_pipeline" -> ((s, dir) => {
+      import s.implicits._
+      val pages = t(s, dir, "documents")
+        .select(col("doc_id"), col("text"),
+          concat(lit("W"), (col("doc_id") % 5).cast("string"),
+            lit(".s"), (col("doc_id") % 17).cast("string"),
+            lit(".t"), (col("doc_id") % 3).cast("string"),
+            lit(".com")).as("host"),
+          concat(lit("User-agent: *\nDisallow: /private/\n" +
+              "Allow: /private/ok$\nUser-agent: graftbot\nDisallow: /g"),
+            (col("doc_id") % 5).cast("string"), lit("/\n")).as("body"),
+          when(col("doc_id") % 3 === 0, lit("graftbot-fetch/1.0"))
+            .otherwise(lit("genericbot/2.0")).as("agent"),
+          when(col("doc_id") % 4 === 0, lit("/private/ok"))
+            .when(col("doc_id") % 4 === 1, lit("/private/deep"))
+            .when(col("doc_id") % 4 === 2,
+              concat(lit("/g"), (col("doc_id") % 5).cast("string"),
+                lit("/page")))
+            .otherwise(lit("/open/x")).as("path"),
+          concat(
+            lit("<html><head><script>var trap = \"<p>no</p>\";</script>" +
+              "</head><body>" +
+              "<nav><a href=\"/\">Home page</a> <a href=\"/about\">About this site</a></nav>" +
+              "<h1>Tiny</h1><p>Paragraph one: "),
+            substring(col("text"), 1, 30),
+            lit("</p><div><a href=\"/ad\">sponsored advertisement placement</a></div>" +
+              "<p>Paragraph two says "),
+            substring(col("text"), 31, 16),
+            lit(" &amp; more words here</p></body></html>")).as("html"))
+        .select(col("doc_id"), col("host"), col("body"), col("agent"),
+          col("path"), col("html")).as[(Long, String, String, String, String, String)]
+        .mapPartitions(_.map { case (id, host, body, agent, path, html) =>
+          import java.nio.charset.StandardCharsets._
+          // the d59 BOM classes over the page bytes (ASCII page, so the
+          // two non-BOM classes decode identically through utf8/latin1)
+          val raw = (id % 5) match {
+            case 0 => Array[Byte](0xef.toByte, 0xbb.toByte, 0xbf.toByte) ++
+              html.getBytes(UTF_8)
+            case 1 => Array[Byte](0xff.toByte, 0xfe.toByte) ++
+              html.getBytes(UTF_16LE)
+            case 2 => Array[Byte](0xfe.toByte, 0xff.toByte) ++
+              html.getBytes(UTF_16BE)
+            case _ => html.getBytes(UTF_8)
+          }
+          (id, host, body, agent, path, raw)
+        }).toDF("doc_id", "host", "body", "agent", "path", "raw")
+      val blocklist = Seq("t1.com", "s5.t2.com", "w3.s7.t0.com", "x9.net",
+        "s1.t1.com").toDF("domain")
+      graft.operators.CrawlFrontDoor.pipeline(s, pages, "doc_id", "host",
+          "raw", "body", "agent", "path", blocklist)
+        .orderBy("doc_id")
+    }),
+
     // D61: HTML main-content extraction (boilerplate removal) — each doc
     // is wrapped into a synthetic page exercising every classifier path:
     // script/style bodies (must not leak), a link-dense nav (>= length
@@ -6212,6 +6274,37 @@ object SparkEntry {
            CAST(CASE WHEN h.matched_domain IS NULL THEN 0 ELSE 1 END
              AS BIGINT) AS blocked
          FROM d LEFT JOIN h ON d.doc_id = h.doc_id ORDER BY d.doc_id""",
+
+    // d62: the whole front door in one statement — the blocklist and
+    // robots survivor conditions reduce to id arithmetic (d58/d60's
+    // oracles), the kept blocks are d61's analytic paragraphs, the dedup
+    // is d57's first-wins rule over the survivors
+    "d62_frontdoor_pipeline" ->
+      """WITH surv AS (
+           SELECT doc_id, text FROM documents
+           WHERE NOT ((doc_id % 3 = 1)
+                   OR (doc_id % 17 = 5 AND doc_id % 3 = 2)
+                   OR (doc_id % 5 = 3 AND doc_id % 17 = 7 AND doc_id % 3 = 0))
+             AND NOT ((doc_id % 3 = 0 AND doc_id % 4 = 2)
+                   OR (doc_id % 3 <> 0 AND doc_id % 4 = 1))),
+         paras AS (
+           SELECT doc_id, 0 AS para_idx,
+             trim(regexp_replace('Paragraph one: ' || substr(text, 1, 30),
+               ' +', ' ', 'g')) AS para
+           FROM surv
+           UNION ALL
+           SELECT doc_id, 1,
+             trim(regexp_replace('Paragraph two says ' || substr(text, 31, 16)
+               || ' & more words here', ' +', ' ', 'g'))
+           FROM surv),
+         k AS (SELECT doc_id, para_idx, para,
+                 ROW_NUMBER() OVER (PARTITION BY para
+                   ORDER BY doc_id, para_idx) AS rn
+               FROM paras)
+         SELECT doc_id,
+           string_agg(para, chr(10) ORDER BY para_idx) AS cleaned_text,
+           CAST(count(*) AS BIGINT) AS n_kept
+         FROM k WHERE rn = 1 GROUP BY doc_id ORDER BY doc_id""",
 
     // d61: the two kept prose blocks restated analytically with the same
     // whitespace collapse + trim; block counts are structural constants

@@ -496,4 +496,20 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
     assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p.take(1200))
     assert(!p.contains("Join"), p.take(800))
   }
+
+  test("d62: the crawl front door's only joins are the blocklist BROADCAST " +
+       "and the dedup winner-set join; robots+charset+extract fuse into " +
+       "one projection (no per-stage doc_id re-joins, no cartesian)") {
+    val p = plan("d62_frontdoor_pipeline")
+    assert(!p.contains("CartesianProduct"))
+    // blocklist side arrives broadcast — the corpus is never shuffled
+    // for the suffix match
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      p.take(800))
+    // exactly one SortMergeJoin-or-shuffle-join family is tolerated (the
+    // paragraph-dedup winner join); stage re-joins would add more
+    val smj = "SortMergeJoin".r.findAllIn(p).size +
+      "ShuffledHashJoin".r.findAllIn(p).size
+    assert(smj <= 1, s"unexpected shuffle joins ($smj):\n${p.take(1200)}")
+  }
 }

@@ -80,7 +80,7 @@ object Bench {
     "m30_avro_shards", "m31_avro_shard_write", "d57_paragraph_dedup",
     "d58_blocklist_filter", "d59_charset_sniff",
     "t17_stream_avro_ingest", "d60_robots_rules", "d61_html_extract",
-    "d62_frontdoor_pipeline")
+    "d62_frontdoor_pipeline", "k11_sft_pack_masks")
 
   /** SURVEY §6 per-query budgets (sec, sf0.1 median). A breach triggers an
     * automatic isolated forked-JVM re-run so the artifact adjudicates
@@ -207,7 +207,10 @@ object Bench {
     "d61_html_extract" -> 0.8,
     // d62: the composed front door — blocklist broadcast + fused per-row
     // stage + paragraph-dedup shuffles (1.30 measured)
-    "d62_frontdoor_pipeline" -> 2.0)
+    "d62_frontdoor_pipeline" -> 2.0,
+    // k11: d46's two-level prefix-sum shape + in-row mask arithmetic
+    // (0.86 measured)
+    "k11_sft_pack_masks" -> 1.3)
 
   /** Cluster-cost observability (r11): per-query SHUFFLE WRITE and SPILL
     * volume next to every wall time, so the artifact itself shows which

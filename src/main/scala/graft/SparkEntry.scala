@@ -1534,6 +1534,22 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // K11: SFT pair packing with LOSS MASKS — d46's concatenate-and-chunk
+    // extended to (prompt, completion) examples: the mask is the
+    // completion's half-open token interval, and its sequence span is
+    // computed alongside the example's. The %19==0 rows are
+    // completion-less (nothing to train on -> null mask span, but the
+    // example still occupies stream space — the oracle states both).
+    "k11_sft_pack_masks" -> ((s, dir) => {
+      val pairs = t(s, dir, "documents").select(col("doc_id"),
+        (lit(5L) + col("doc_id") % 40).as("np"),
+        when(col("doc_id") % 19 === 0, 0L)
+          .otherwise(lit(1L) + col("doc_id") % 60).as("nc"))
+      graft.operators.SequencePack
+        .packPairsWithMasks(pairs, "doc_id", "np", "nc", cap = 256L)
+        .orderBy("pair_id")
+    }),
+
     // D15: LSH pairs -> per-cluster canonical keeper via distributed
     // connected components (min-label propagation over the pair graph).
     "d15_dup_clusters" -> ((s, dir) =>
@@ -5180,6 +5196,31 @@ object SparkEntry {
                 ELSE (s + n - 1) // 512 - s // 512 + 1 END AS BIGINT)
              AS n_seqs
          FROM c ORDER BY doc_id""",
+
+    // k11: the naive global-window restatement of the masked packing
+    "k11_sft_pack_masks" ->
+      """WITH p AS (SELECT doc_id AS pair_id,
+             5 + doc_id % 40 AS np,
+             CASE WHEN doc_id % 19 = 0 THEN 0
+                  ELSE 1 + doc_id % 60 END AS nc
+           FROM documents),
+         o AS (SELECT pair_id, np, nc,
+                 COALESCE(SUM(np + nc) OVER (ORDER BY pair_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS s
+               FROM p)
+         SELECT pair_id, CAST(np AS BIGINT) AS n_prompt,
+           CAST(nc AS BIGINT) AS n_completion,
+           CAST(s AS BIGINT) AS start_offset,
+           CAST(s + np AS BIGINT) AS loss_start,
+           CAST(s + np + nc AS BIGINT) AS loss_end,
+           CAST(s // 256 AS BIGINT) AS first_seq,
+           CAST((s + GREATEST(np + nc, 1) - 1) // 256 AS BIGINT) AS last_seq,
+           CASE WHEN nc > 0 THEN CAST((s + np) // 256 AS BIGINT) END
+             AS mask_first_seq,
+           CASE WHEN nc > 0 THEN CAST((s + np + nc - 1) // 256 AS BIGINT) END
+             AS mask_last_seq
+         FROM o ORDER BY pair_id""",
 
     "x07_token_budget_degenerate" ->
       """WITH toks AS (

@@ -85,4 +85,44 @@ object SequencePack {
       .where(col("n_tokens") > 0L)
       .select(col("doc_id"),
         explode(sequence(col("first_seq"), col("last_seq"))).as("seq_id"))
+
+  /** SFT pair packing with LOSS MASKS — the instruction-tuning variant
+    * of [[packStats]]: each example is (prompt tokens, completion
+    * tokens); examples concatenate-and-chunk exactly like pretraining
+    * docs (spanning cut points, with boundary-aware attention handled by
+    * the same placement bookkeeping), and the loss mask is the HALF-OPEN
+    * TOKEN INTERVAL of the completion — the dataloader trains only on
+    * [loss_start, loss_end) of the global stream. Per example:
+    * start_offset (exclusive prefix sum of total length, the d46
+    * machinery — never a global window), loss_start/loss_end, the
+    * sequence span of the whole example and of the masked region
+    * (mask_first_seq/mask_last_seq are null for completion-less rows:
+    * nothing to train on, but the example still occupies stream space).
+    * Same two-level plan shape as [[packStats]]; the mask arithmetic is
+    * pure in-row projection. */
+  def packPairsWithMasks(pairs: DataFrame, idCol: String, promptCol: String,
+                         completionCol: String, cap: Long,
+                         groupShift: Int = DefaultGroupShift,
+                         base: Long = 0L): DataFrame = {
+    require(cap > 0, s"capacity must be positive, got $cap")
+    require(base >= 0, s"base offset must be non-negative, got $base")
+    val d = pairs.select(col(idCol).as("pair_id"),
+      col(promptCol).cast("long").as("n_prompt"),
+      col(completionCol).cast("long").as("n_completion"))
+      .withColumn("__n", col("n_prompt") + col("n_completion"))
+    PrefixSum.twoLevel(d, Seq.empty, "pair_id", "__n", "start_offset",
+        inclusive = false, groupShift)
+      .withColumn("start_offset", col("start_offset") + base)
+      .select(col("pair_id"), col("n_prompt"), col("n_completion"),
+        col("start_offset"),
+        (col("start_offset") + col("n_prompt")).as("loss_start"),
+        (col("start_offset") + col("__n")).as("loss_end"),
+        expr(s"start_offset div $cap").as("first_seq"),
+        expr(s"(start_offset + greatest(n_prompt + n_completion, 1L) - 1L) " +
+          s"div $cap").as("last_seq"))
+      .withColumn("mask_first_seq",
+        when(col("n_completion") > 0L, expr(s"loss_start div $cap")))
+      .withColumn("mask_last_seq",
+        when(col("n_completion") > 0L, expr(s"(loss_end - 1L) div $cap")))
+  }
 }

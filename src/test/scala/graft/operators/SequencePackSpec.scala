@@ -65,4 +65,23 @@ class SequencePackSpec extends AnyFunSuite with SparkSpec {
     val maxDoc = d.maxBy(_._1)
     assert(stats(maxDoc._1)._1 + 0L == d.sortBy(_._1).dropRight(1).map(_._2).sum)
   }
+
+  test("packPairsWithMasks: loss interval is the completion's token span; " +
+       "completion-less rows get a null mask span but occupy stream space") {
+    // cap 10: pair 1 (3+4) [0,7) loss [3,7) seq 0; pair 2 (5+0) [7,12)
+    // loss empty; pair 3 (2+9) [12,23) loss [14,23) spans seqs 1-2,
+    // mask seqs 1-2
+    val pairs = Seq((1L, 3L, 4L), (2L, 5L, 0L), (3L, 2L, 9L))
+      .toDF("pair_id", "np", "nc")
+    val out = SequencePack
+      .packPairsWithMasks(pairs, "pair_id", "np", "nc", cap = 10L)
+      .orderBy("pair_id").collect()
+      .map(r => (r.getLong(0), r.getLong(3), r.getLong(4), r.getLong(5),
+        r.getLong(6), r.getLong(7),
+        if (r.isNullAt(8)) -1L else r.getLong(8),
+        if (r.isNullAt(9)) -1L else r.getLong(9)))
+    assert(out(0) == ((1L, 0L, 3L, 7L, 0L, 0L, 0L, 0L)))
+    assert(out(1) == ((2L, 7L, 12L, 12L, 0L, 1L, -1L, -1L)))
+    assert(out(2) == ((3L, 12L, 14L, 23L, 1L, 2L, 1L, 2L)))
+  }
 }

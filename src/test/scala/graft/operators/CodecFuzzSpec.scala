@@ -27,6 +27,10 @@ class CodecFuzzSpec extends AnyFunSuite {
     ("sniff-flac", (b: Array[Byte]) => FlacCodec.sniffFlac(b)),
     ("sniff-ogg", (b: Array[Byte]) => OggSniff.sniffOgg(b)),
     ("tar", (b: Array[Byte]) => TarShard.entries(b)),
+    ("avro-ocf", (b: Array[Byte]) => Option(AvroShard.parseShardAs(0L, b,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("rid",
+          org.apache.spark.sql.types.LongType)))))),
     ("dispatch", RasterCodec.decode _))
 
   private def validPayloads: Seq[(String, Array[Byte])] = {
@@ -70,7 +74,19 @@ class CodecFuzzSpec extends AnyFunSuite {
       ("mjpeg-mp4", Mp4Tables.encodeMp4WithSamples(Seq(Mp4Tables.payloadTrack(
         1, 1000, 40, 2, "jpeg",
         (0 until 3).map(j => JpegCodec.encodeJpegGrayBlocks(2, 2,
-          (_, _) => 40 * j + 10)))))))
+          (_, _) => 40 * j + 10)))))),
+      ("avro-ocf", AvroShard.encodeShard(
+        (0 until 9).iterator.map(i => org.apache.spark.sql.Row(
+          i.toLong, s"s$i", Seq(i.toLong))),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("rid",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("name",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("tags",
+            org.apache.spark.sql.types.ArrayType(
+              org.apache.spark.sql.types.LongType)))),
+        syncSeed = 3L, codec = "deflate", blockRows = 3)))
   }
 
   private def exercise(name: String, bytes: Array[Byte]): Unit =

@@ -80,7 +80,7 @@ object Bench {
     "m30_avro_shards", "m31_avro_shard_write", "d57_paragraph_dedup",
     "d58_blocklist_filter", "d59_charset_sniff",
     "t17_stream_avro_ingest", "d60_robots_rules", "d61_html_extract",
-    "d62_frontdoor_pipeline", "k11_sft_pack_masks")
+    "d62_frontdoor_pipeline", "k11_sft_pack_masks", "d63_link_extract")
 
   /** SURVEY §6 per-query budgets (sec, sf0.1 median). A breach triggers an
     * automatic isolated forked-JVM re-run so the artifact adjudicates
@@ -111,7 +111,12 @@ object Bench {
     // d15 re-measured r8: the regenerated driver testdata carries a denser
     // near-dup graph (label propagation 4.3s isolated, vs 1.78s on the r7
     // data); budget follows the 1.5x rule on the new measurement.
-    "d14_decontaminate" -> 0.8, "d15_dup_clusters" -> 6.5,
+    // d14 re-measured r12 (0.77/0.83/0.94 fresh solo-isolated; Dedup's
+    // bloomDecontaminate untouched this round, gate rows identical): the
+    // overhead-floor drift class again — the old 0.8 budget left no 1.5x
+    // headroom over the 0.83 median and breached in-suite by 5%; 1.5x
+    // rule re-applied.
+    "d14_decontaminate" -> 1.3, "d15_dup_clusters" -> 6.5,
     "d31_dup_clusters_star" -> 4.0, "d17_semdedup" -> 2.1,
     "d18_keyterms" -> 1.4, "e08_pq_adc_topk" -> 2.1,
     // ev05/d27 re-measured r10 on a quiet box (0.69s/1.13s solo-isolated
@@ -210,7 +215,9 @@ object Bench {
     "d62_frontdoor_pipeline" -> 2.0,
     // k11: d46's two-level prefix-sum shape + in-row mask arithmetic
     // (0.86 measured)
-    "k11_sft_pack_masks" -> 1.3)
+    "k11_sft_pack_masks" -> 1.3,
+    // d63: shuffle-free per-row link walk (0.44 measured)
+    "d63_link_extract" -> 0.8)
 
   /** Cluster-cost observability (r11): per-query SHUFFLE WRITE and SPILL
     * volume next to every wall time, so the artifact itself shows which

@@ -2090,6 +2090,31 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // D63: link extraction (the link-graph feeder: D42's host PageRank
+    // and anchor-text retrieval stand on this table) — id-dependent
+    // links exercise quoted/single-quoted/unquoted href forms, entity
+    // decoding in both href and anchor, a no-href anchor (skipped), a
+    // script-embedded ghost link (must not leak) and a conditional third
+    // link; the oracle states every row analytically.
+    "d63_link_extract" -> ((s, dir) => {
+      val pages = t(s, dir, "documents").select(col("doc_id"),
+        concat(
+          lit("<p>Intro <a href=\"/p"), (col("doc_id") % 7).cast("string"),
+          lit("\">page "), (col("doc_id") % 7).cast("string"),
+          lit("</a> middle</p><ul><li><a href = 'http://h"),
+          (col("doc_id") % 4).cast("string"),
+          lit(".com/x?a=1&amp;b=2'>host "), (col("doc_id") % 4).cast("string"),
+          lit("</a></li></ul>"),
+          when(col("doc_id") % 3 === 0,
+            lit("<a href=/extra>extra &amp; link</a>")).otherwise(lit("")),
+          lit("<a name=\"x\">no href</a>" +
+            "<script>var a = '<a href=\"/ghost\">g</a>';</script>"))
+          .as("html"))
+      graft.operators.HtmlExtract
+        .extractLinks(s, pages, "doc_id", "html").toDF()
+        .orderBy("doc_id", "link_idx")
+    }),
+
     // D62: the crawl FRONT DOOR composed end to end — blocklist (d58's
     // hosts+list) -> fused per-row robots gate (d60's bodies/agents/
     // paths) + charset decode (d59's BOM classes over the page bytes) +
@@ -6315,6 +6340,25 @@ object SparkEntry {
            CAST(CASE WHEN h.matched_domain IS NULL THEN 0 ELSE 1 END
              AS BIGINT) AS blocked
          FROM d LEFT JOIN h ON d.doc_id = h.doc_id ORDER BY d.doc_id""",
+
+    // d63: every link row is analytic; the %3==0 docs carry the third
+    "d63_link_extract" ->
+      """WITH l AS (
+           SELECT doc_id, 0 AS link_idx,
+             '/p' || (doc_id % 7) AS href,
+             'page ' || (doc_id % 7) AS anchor_text
+           FROM documents
+           UNION ALL
+           SELECT doc_id, 1,
+             'http://h' || (doc_id % 4) || '.com/x?a=1&b=2',
+             'host ' || (doc_id % 4)
+           FROM documents
+           UNION ALL
+           SELECT doc_id, 2, '/extra', 'extra & link'
+           FROM documents WHERE doc_id % 3 = 0)
+         SELECT doc_id, CAST(link_idx AS BIGINT) AS link_idx, href,
+           anchor_text
+         FROM l ORDER BY doc_id, link_idx""",
 
     // d62: the whole front door in one statement — the blocklist and
     // robots survivor conditions reduce to id arithmetic (d58/d60's

@@ -172,6 +172,151 @@ object HtmlExtract {
   final case class Extracted(doc_id: Long, main_text: String,
                              n_blocks: Long, n_content: Long)
 
+  /** One outgoing link: 0-based within-page index, href as written
+    * (entity-decoded), collapsed anchor text. */
+  final case class Link(link_idx: Int, href: String, anchor_text: String)
+
+  /** Extract (href, anchor text) pairs — the LINK GRAPH feeder (D42's
+    * host PageRank and anchor-text retrieval both stand on this table).
+    * Same tokenizer walk as [[blocks]]: script/style/comment bodies
+    * cannot contribute links, entities in href and anchor decode,
+    * nested `<a>` closes the outer anchor first (the browser-lenient
+    * reading), anchors without an href are skipped. Total on hostile
+    * input. */
+  def links(html: String): Seq[Link] = {
+    if (html == null || html.isEmpty) return Seq.empty
+    val out = Seq.newBuilder[Link]
+    var idx = 0
+    var href: String = null
+    val anchor = new StringBuilder
+    var lastWasSpace = true
+
+    def decodeAll(s: String): String = {
+      val sb = new StringBuilder(s.length)
+      var i = 0
+      while (i < s.length) {
+        if (s.charAt(i) == '&') {
+          val (str, next) = entity(s, i)
+          if (str == null) { sb.append('&'); i = next }
+          else { sb.append(str); i = next }
+        } else { sb.append(s.charAt(i)); i += 1 }
+      }
+      sb.toString
+    }
+    def closeAnchor(): Unit = {
+      if (href != null) {
+        out += Link(idx, href, anchor.toString.trim)
+        idx += 1
+      }
+      href = null; anchor.clear(); lastWasSpace = true
+    }
+    /** The href attribute value of an `<a ...>` tag body, or null. */
+    def hrefOf(inner: String): String = {
+      val lower = inner.toLowerCase
+      var at = lower.indexOf("href")
+      while (at >= 0) {
+        // must be a standalone attribute name
+        val beforeOk = at == 0 || !lower.charAt(at - 1).isLetterOrDigit
+        var j = at + 4
+        while (j < inner.length && inner.charAt(j).isWhitespace) j += 1
+        if (beforeOk && j < inner.length && inner.charAt(j) == '=') {
+          j += 1
+          while (j < inner.length && inner.charAt(j).isWhitespace) j += 1
+          if (j < inner.length && (inner.charAt(j) == '"' || inner.charAt(j) == '\'')) {
+            val q = inner.charAt(j)
+            val end = inner.indexOf(q, j + 1)
+            return decodeAll(
+              if (end < 0) inner.substring(j + 1) else inner.substring(j + 1, end))
+          }
+          // unquoted value: runs to whitespace
+          val end0 = inner.indexWhere(_.isWhitespace, j)
+          val end = if (end0 < 0) inner.length else end0
+          if (end > j) return decodeAll(inner.substring(j, end))
+          return ""
+        }
+        at = lower.indexOf("href", at + 4)
+      }
+      null
+    }
+
+    val n = html.length
+    var i = 0
+    while (i < n) {
+      val c = html.charAt(i)
+      if (c == '<') {
+        if (html.startsWith("<!--", i)) {
+          val end = html.indexOf("-->", i + 4)
+          i = if (end < 0) n else end + 3
+        } else {
+          val close = html.indexOf('>', i + 1)
+          if (close < 0) i = n
+          else {
+            val inner = html.substring(i + 1, close).trim
+            val isEnd = inner.startsWith("/")
+            val name = (if (isEnd) inner.drop(1) else inner)
+              .takeWhile(_.isLetterOrDigit).toLowerCase
+            i = close + 1
+            if (!isEnd && RawTextTags(name) && !inner.endsWith("/")) {
+              val endTag = s"</$name"
+              var at = -1
+              var j = i
+              while (at < 0 && j <= n - endTag.length) {
+                if (html.regionMatches(true, j, endTag, 0, endTag.length)) at = j
+                j += 1
+              }
+              if (at < 0) i = n
+              else {
+                val gt = html.indexOf('>', at)
+                i = if (gt < 0) n else gt + 1
+              }
+            } else if (name == "a") {
+              if (isEnd) { if (href != null) closeAnchor() }
+              else {
+                if (href != null) closeAnchor() // nested <a>: close outer
+                href = hrefOf(inner)
+                anchor.clear(); lastWasSpace = true
+              }
+            }
+          }
+        }
+      } else if (href != null) {
+        if (c == '&') {
+          val (str, next) = entity(html, i)
+          val s = if (str == null) "&" else str
+          s.foreach { ch =>
+            if (ch == ' ' || ch == '\t' || ch == '\n' || ch == '\r') {
+              if (!lastWasSpace) { anchor.append(' '); lastWasSpace = true }
+            } else { anchor.append(ch); lastWasSpace = false }
+          }
+          i = next
+        } else {
+          if (c == ' ' || c == '\t' || c == '\n' || c == '\r') {
+            if (!lastWasSpace) { anchor.append(' '); lastWasSpace = true }
+          } else { anchor.append(c); lastWasSpace = false }
+          i += 1
+        }
+      } else i += 1
+    }
+    if (href != null) closeAnchor() // unclosed trailing anchor still counts
+    out.result()
+  }
+
+  final case class PageLink(doc_id: Long, link_idx: Long, href: String,
+                            anchor_text: String)
+
+  /** Partition-parallel link extraction — one (doc, link) row per anchor
+    * with an href; the input table of every link-graph operator. */
+  def extractLinks(spark: SparkSession, df: DataFrame, idCol: String,
+                   htmlCol: String): Dataset[PageLink] = {
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(htmlCol))
+      .as[(Long, String)]
+      .mapPartitions(_.flatMap { case (id, html) =>
+        links(html).map(l => PageLink(id, l.link_idx.toLong, l.href,
+          l.anchor_text))
+      })
+  }
+
   /** Partition-parallel extraction over (id, html) rows. */
   def extractDocs(spark: SparkSession, df: DataFrame, idCol: String,
                   htmlCol: String, minChars: Int = 25,

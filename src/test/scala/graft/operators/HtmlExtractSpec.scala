@@ -59,6 +59,35 @@ class HtmlExtractSpec extends AnyFunSuite with SparkSpec {
       "prose text that dominates the block.")
   }
 
+  test("links: href forms, entities, nesting, script non-leak, totality") {
+    val ls = links("""<a href="/a">first link</a> text""" +
+      """<a href = 'b.html'>second</a>""" +
+      """<a href=plain?x=1&amp;y=2>third &amp; co</a>""" +
+      """<a name="no-href">skipped</a>""" +
+      """<script>var a = '<a href="/ghost">g</a>';</script>""" +
+      """<a href="/outer">out <a href="/inner">in</a>""")
+    assert(ls.map(l => (l.link_idx, l.href, l.anchor_text)) == Seq(
+      (0, "/a", "first link"),
+      (1, "b.html", "second"),
+      (2, "plain?x=1&y=2", "third & co"),
+      (3, "/outer", "out"),     // nested <a> closes the outer
+      (4, "/inner", "in")))     // unclosed trailing anchor still counts
+    assert(links(null).isEmpty && links("").isEmpty)
+    assert(links("<a href=>empty</a>").map(_.href) == Seq(""))
+  }
+
+  test("extractLinks runs distributed") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, """<p><a href="/x">one</a><a href="/y">two</a></p>"""),
+      (2L, "<p>no links at all</p>")).toDF("doc_id", "html")
+    val out = HtmlExtract.extractLinks(spark, df, "doc_id", "html")
+      .collect().sortBy(r => (r.doc_id, r.link_idx))
+    assert(out.toSeq == Seq(
+      HtmlExtract.PageLink(1L, 0L, "/x", "one"),
+      HtmlExtract.PageLink(1L, 1L, "/y", "two")))
+  }
+
   test("extractDocs runs distributed") {
     import spark.implicits._
     val df = Seq(

@@ -2090,6 +2090,60 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // D64: WET extraction — the Common Crawl derivation end to end:
+    // warc.gz shards (warcinfo + a 200 response whose body is the d61
+    // synthetic page in a d59 BOM encoding + a 404 response + a request
+    // record on odd ids) stream through the CRC-verified WARC walk; only
+    // the 200 response survives the status gate, its bytes decode
+    // through the charset ladder and extract through the boilerplate
+    // classifier — one fused scan, no shuffle. The oracle states the one
+    // output row per shard analytically.
+    "d64_wet_extract" -> ((s, dir) => {
+      import s.implicits._
+      val shards = t(s, dir, "documents")
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .mapPartitions(_.map { case (id, text) =>
+          import java.nio.charset.StandardCharsets._
+          val html = "<html><head><script>var trap = \"<p>no</p>\";</script>" +
+            "<style>p{color:red}</style></head><body>" +
+            "<nav><a href=\"/\">Home page</a> <a href=\"/about\">About this site</a></nav>" +
+            "<h1>Tiny</h1><p>Paragraph one: " + text.substring(0, math.min(30, text.length)) +
+            "</p><div><a href=\"/ad\">sponsored advertisement placement</a></div>" +
+            "<p>Paragraph two says " +
+            text.substring(math.min(30, text.length),
+              math.min(46, text.length)) +
+            " &amp; more words here</p></body></html>"
+          val raw = (id % 5) match {
+            case 0 => Array[Byte](0xef.toByte, 0xbb.toByte, 0xbf.toByte) ++
+              html.getBytes(UTF_8)
+            case 1 => Array[Byte](0xff.toByte, 0xfe.toByte) ++
+              html.getBytes(UTF_16LE)
+            case 2 => Array[Byte](0xfe.toByte, 0xff.toByte) ++
+              html.getBytes(UTF_16BE)
+            case _ => html.getBytes(UTF_8)
+          }
+          val W = graft.operators.WarcShard
+          val recs =
+            Seq(W.encodeRecord("warcinfo", None,
+              "software: graft\r\n".getBytes("ISO-8859-1")),
+              W.encodeRecord("response",
+                Some(s"http://h${id % 40}.example/main"),
+                W.encodeHttpResponse(200, "OK", raw)),
+              W.encodeRecord("response",
+                Some(s"http://h${id % 40}.example/gone"),
+                W.encodeHttpResponse(404, "NO",
+                  "not here".getBytes("ISO-8859-1")))) ++
+            (if (id % 2 == 1)
+              Seq(W.encodeRecord("request",
+                Some(s"http://h${id % 40}.example/main"),
+                "GET /main HTTP/1.1\r\n\r\n".getBytes("ISO-8859-1")))
+             else Seq.empty)
+          (id, W.encodeWarcGz(recs))
+        }).toDF("shard_id", "payload")
+      graft.operators.CrawlFrontDoor.wetExtract(s, shards)
+        .orderBy("shard_id")
+    }),
+
     // D63: link extraction (the link-graph feeder: D42's host PageRank
     // and anchor-text retrieval stand on this table) — id-dependent
     // links exercise quoted/single-quoted/unquoted href forms, entity
@@ -6340,6 +6394,22 @@ object SparkEntry {
            CAST(CASE WHEN h.matched_domain IS NULL THEN 0 ELSE 1 END
              AS BIGINT) AS blocked
          FROM d LEFT JOIN h ON d.doc_id = h.doc_id ORDER BY d.doc_id""",
+
+    // d64: one analytic output row per shard — the 200 response's page,
+    // decoded and extracted (d61's kept blocks); 404/request/warcinfo
+    // records vanish at the status gate
+    "d64_wet_extract" ->
+      """WITH b AS (SELECT doc_id,
+           trim(regexp_replace('Paragraph one: ' || substr(text, 1, 30),
+             ' +', ' ', 'g')) AS p1,
+           trim(regexp_replace('Paragraph two says ' || substr(text, 31, 16)
+             || ' & more words here', ' +', ' ', 'g')) AS p2
+         FROM documents)
+         SELECT doc_id AS shard_id, CAST(1 AS BIGINT) AS rec_idx,
+           'http://h' || (doc_id % 40) || '.example/main' AS target_uri,
+           p1 || chr(10) || p2 AS main_text,
+           CAST(5 AS BIGINT) AS n_blocks, CAST(2 AS BIGINT) AS n_content
+         FROM b ORDER BY shard_id""",
 
     // d63: every link row is analytic; the %3==0 docs carry the third
     "d63_link_extract" ->

@@ -46,6 +46,33 @@ object CrawlFrontDoor {
       .toDF("doc_id", "main_text")
   }
 
+  /** WET extraction — the Common Crawl derivation (warc.gz in, clean
+    * text out): shards explode through the streaming WARC walk into
+    * body-carrying records, then HTTP 200 responses decode (charset
+    * ladder) and extract (boilerplate removal) in the SAME partition —
+    * the explode and the per-record stages fuse into one scan, no
+    * intermediate shuffle anywhere. Output: (shard_id, rec_idx,
+    * target_uri, main_text, n_blocks, n_content). */
+  def wetExtract(spark: SparkSession, shards: DataFrame,
+                 minChars: Int = 25, maxLinkDensityPct: Int = 33,
+                 allowStatus: Long = 200L): DataFrame = {
+    import spark.implicits._
+    WarcShard.explodeBodies(spark, shards)
+      .mapPartitions(_.flatMap { r =>
+        if (r.warc_type != "response" || !r.http_status.contains(allowStatus))
+          None
+        else {
+          val (_, html) = CharsetSniff.sniffDecode(r.body)
+          val (text, nb, nc) =
+            HtmlExtract.extractMain(html, minChars, maxLinkDensityPct)
+          Some((r.shard_id, r.rec_idx, r.target_uri.getOrElse(""),
+            text, nb, nc))
+        }
+      })
+      .toDF("shard_id", "rec_idx", "target_uri", "main_text", "n_blocks",
+        "n_content")
+  }
+
   /** The whole front door: blocklist -> (robots, charset, extract) fused
     * -> corpus-wide paragraph dedup. Output: (doc_id, cleaned_text,
     * n_kept) for documents that survive every stage with at least one

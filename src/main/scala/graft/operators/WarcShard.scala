@@ -201,7 +201,7 @@ object WarcShard {
     * framed size exceeds `maxRecordBytes`. */
   private def frameOne(rb: RollingBuffer, shardId: Long, recIdx: Long,
                        maxRecordBytes: Int,
-                       out: scala.collection.mutable.Builder[WarcRecord, Vector[WarcRecord]]): Int = {
+                       emit: (String, Option[String], Long, Option[Long], Array[Byte]) => Unit): Int = {
     val ve = rb.crlfAt(0)
     if (ve < 0) return NeedMore
     val version = rb.string(0, ve)
@@ -249,11 +249,7 @@ object WarcShard {
       case Some((s, b)) => (Some(s), b)
       case None => (None, block)
     }
-    var sum = 0L
-    var j = 0
-    while (j < body.length) { sum += body(j) & 0xff; j += 1 }
-    out += WarcRecord(shardId, recIdx, warcType, uri, clen, status,
-      body.length.toLong, sum)
+    emit(warcType, uri, clen, status, body)
     framed.toInt
   }
 
@@ -280,13 +276,15 @@ object WarcShard {
     * record-per-member Common Crawl convention AND multi-record members
     * both walk correctly). Rows buffer until the WHOLE shard verifies
     * (rows are small stats; damage anywhere must reject everything). */
-  def parseShard(shardId: Long, payload: Array[Byte],
-                 maxRecordBytes: Int = MaxRecordBytes,
-                 maxRecords: Int = MaxShardRecords): Seq[WarcRecord] = {
+  /** The shared streaming walk: frames records off the gzip-member
+    * stream, handing each (type, uri, clen, status, body) to `emit`.
+    * True iff the WHOLE shard verifies (damage anywhere rejects all). */
+  private def walkShard(shardId: Long, payload: Array[Byte],
+                        maxRecordBytes: Int, maxRecords: Int,
+                        emit: (String, Option[String], Long, Option[Long], Array[Byte]) => Unit): Boolean = {
     require(maxRecordBytes > 0 && maxRecordBytes <= (1 << 30),
       s"maxRecordBytes must be in (0, 1 GiB], got $maxRecordBytes")
-    if (payload == null || payload.length == 0) return Vector.empty
-    val out = Vector.newBuilder[WarcRecord]
+    if (payload == null || payload.length == 0) return false
     val rb = new RollingBuffer
     var recIdx = 0L
     // Drain complete records off the buffer head; false on framing damage
@@ -294,7 +292,7 @@ object WarcShard {
     def drain(): Boolean = {
       var going = true
       while (going) {
-        frameOne(rb, shardId, recIdx, maxRecordBytes, out) match {
+        frameOne(rb, shardId, recIdx, maxRecordBytes, emit) match {
           case NeedMore => going = false
           case Broken => return false
           case consumed =>
@@ -317,9 +315,59 @@ object WarcShard {
       }
       true
     }
-    val ok = gzipWalk(payload, push, () => drain()) &&
+    gzipWalk(payload, push, () => drain()) &&
       drain() && rb.size == 0 // trailing partial record = truncation
+  }
+
+  def parseShard(shardId: Long, payload: Array[Byte],
+                 maxRecordBytes: Int = MaxRecordBytes,
+                 maxRecords: Int = MaxShardRecords): Seq[WarcRecord] = {
+    val out = Vector.newBuilder[WarcRecord]
+    var recIdx = 0L
+    val ok = walkShard(shardId, payload, maxRecordBytes, maxRecords,
+      (warcType, uri, clen, status, body) => {
+        var sum = 0L
+        var j = 0
+        while (j < body.length) { sum += body(j) & 0xff; j += 1 }
+        out += WarcRecord(shardId, recIdx, warcType, uri, clen, status,
+          body.length.toLong, sum)
+        recIdx += 1
+      })
     if (ok) out.result() else Vector.empty
+  }
+
+  /** One body-carrying record row — the WET-extraction input (unlike the
+    * stats rows of [[WarcRecord]], these carry the payload; the same
+    * whole-shard-verifies contract applies). */
+  final case class WarcBody(shard_id: Long, rec_idx: Long, warc_type: String,
+                            target_uri: Option[String],
+                            http_status: Option[Long], body: Array[Byte])
+
+  /** All records of one shard WITH their bodies, or empty on damage. */
+  def parseShardBodies(shardId: Long, payload: Array[Byte],
+                       maxRecordBytes: Int = MaxRecordBytes,
+                       maxRecords: Int = MaxShardRecords): Seq[WarcBody] = {
+    val out = Vector.newBuilder[WarcBody]
+    var recIdx = 0L
+    val ok = walkShard(shardId, payload, maxRecordBytes, maxRecords,
+      (warcType, uri, _, status, body) => {
+        out += WarcBody(shardId, recIdx, warcType, uri, status, body)
+        recIdx += 1
+      })
+    if (ok) out.result() else Vector.empty
+  }
+
+  /** Explode (shard_id, payload) rows into body-carrying records — the
+    * front end of the WET pipeline (D64). */
+  def explodeBodies(spark: SparkSession, shards: DataFrame,
+                    maxRecordBytes: Int = MaxRecordBytes): Dataset[WarcBody] = {
+    import spark.implicits._
+    shards
+      .where(col("payload").isNotNull)
+      .select(col("shard_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        parseShardBodies(id, bytes, maxRecordBytes) })
   }
 
   /** Explode (shard_id, payload) rows into one row per WARC record,

@@ -176,4 +176,21 @@ class WarcShardSpec extends AnyFunSuite with SparkSpec {
     val out = WarcShard.explodeRecords(spark, shards).collect()
     assert(out.map(_.shard_id).sorted.toSeq == Seq(1L, 1L, 2L))
   }
+
+  test("parseShardBodies carries the exact body bytes; stats rows agree") {
+    val body = "the actual page bytes".getBytes("ISO-8859-1")
+    val rec = WarcShard.encodeRecord("response", Some("http://x/y"),
+      WarcShard.encodeHttpResponse(200, "OK", body))
+    val shard = gz(infoRec, rec)
+    val bodies = WarcShard.parseShardBodies(7L, shard)
+    val stats = WarcShard.parseShard(7L, shard)
+    assert(bodies.size == 2 && stats.size == 2)
+    assert(bodies(1).warc_type == "response" &&
+      bodies(1).http_status.contains(200L))
+    assert(java.util.Arrays.equals(bodies(1).body, body))
+    assert(stats(1).body_len == body.length.toLong)
+    // damage anywhere rejects the body rows too
+    val broken = shard.clone(); broken(12) = (broken(12) ^ 0x40).toByte
+    assert(WarcShard.parseShardBodies(7L, broken).isEmpty)
+  }
 }

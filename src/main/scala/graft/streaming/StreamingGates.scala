@@ -305,6 +305,65 @@ object StreamingGates {
         .orderBy("shard_id", "rec_idx")
     }),
 
+    // T18: streaming WET extraction — D64 as continuous ingest (the
+    // production Common Crawl shape: warc.gz shards arrive for weeks;
+    // extraction cannot be a batch job). Each micro-batch's shards run
+    // the WHOLE fused pipeline — CRC-verified WARC walk, HTTP-200 gate,
+    // charset ladder, boilerplate classifier — and the clean text MERGES
+    // into a lake table keyed on (shard, rec): AvailableNow + checkpoint
+    // = exactly-once effective text extraction. Oracle: d64's analytic
+    // row for every %10==0 arrival.
+    "t18_stream_wet_extract" -> ((s, dir) => {
+      import s.implicits._
+      val arrivals = s.read.parquet(s"$dir/documents.parquet")
+        .where(col("doc_id") % 10 === 0)
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .mapPartitions(_.map { case (id, text) =>
+          import java.nio.charset.StandardCharsets._
+          val html = "<html><head><script>var trap = \"<p>no</p>\";</script>" +
+            "<style>p{color:red}</style></head><body>" +
+            "<nav><a href=\"/\">Home page</a> <a href=\"/about\">About this site</a></nav>" +
+            "<h1>Tiny</h1><p>Paragraph one: " +
+            text.substring(0, math.min(30, text.length)) +
+            "</p><div><a href=\"/ad\">sponsored advertisement placement</a></div>" +
+            "<p>Paragraph two says " +
+            text.substring(math.min(30, text.length),
+              math.min(46, text.length)) +
+            " &amp; more words here</p></body></html>"
+          val raw = (id % 5) match {
+            case 0 => Array[Byte](0xef.toByte, 0xbb.toByte, 0xbf.toByte) ++
+              html.getBytes(UTF_8)
+            case 1 => Array[Byte](0xff.toByte, 0xfe.toByte) ++
+              html.getBytes(UTF_16LE)
+            case 2 => Array[Byte](0xfe.toByte, 0xff.toByte) ++
+              html.getBytes(UTF_16BE)
+            case _ => html.getBytes(UTF_8)
+          }
+          val W = graft.operators.WarcShard
+          val recs = Seq(
+            W.encodeRecord("warcinfo", None,
+              "software: graft\r\n".getBytes("ISO-8859-1")),
+            W.encodeRecord("response",
+              Some(s"http://h${id % 40}.example/main"),
+              W.encodeHttpResponse(200, "OK", raw)),
+            W.encodeRecord("response",
+              Some(s"http://h${id % 40}.example/gone"),
+              W.encodeHttpResponse(404, "NO",
+                "not here".getBytes("ISO-8859-1"))))
+          (id, W.encodeWarcGz(recs))
+        }).toDF("shard_id", "payload")
+      val in = freshDir("graft_t18_in")
+      writeWave(arrivals, in, "batch.parquet", mtimeSec = 1000)
+      val loc = freshDir("graft_t18_tbl").resolve("text").toString
+      StreamingIngest.drainToTable(s, in.toString, arrivals.schema, loc,
+        freshDir("graft_t18_ck").toString,
+        writeMode = "merge", mergeOn = Seq("shard_id", "rec_idx"),
+        batchTransform = batch =>
+          graft.operators.CrawlFrontDoor.wetExtract(batch.sparkSession, batch))
+      graft.tables.LakeTable.load(s, loc).read()
+        .orderBy("shard_id", "rec_idx")
+    }),
+
     // T13: streaming Arrow shard ingest — the published-dataset front
     // door (HF-datasets directories arrive shard by shard): each
     // micro-batch's Arrow IPC payloads explode through M13's reader
@@ -778,6 +837,20 @@ object StreamingGates {
                  FROM range(0, 110) i(r) WHERE i.r < m.sz) AS BIGINT)
              AS byte_sum
          FROM m ORDER BY shard_id, rec_idx""",
+
+    // t18: d64's analytic WET row for every %10==0 arrival
+    "t18_stream_wet_extract" ->
+      """WITH b AS (SELECT doc_id,
+           trim(regexp_replace('Paragraph one: ' || substr(text, 1, 30),
+             ' +', ' ', 'g')) AS p1,
+           trim(regexp_replace('Paragraph two says ' || substr(text, 31, 16)
+             || ' & more words here', ' +', ' ', 'g')) AS p2
+         FROM documents WHERE doc_id % 10 = 0)
+         SELECT doc_id AS shard_id, CAST(1 AS BIGINT) AS rec_idx,
+           'http://h' || (doc_id % 40) || '.example/main' AS target_uri,
+           p1 || chr(10) || p2 AS main_text,
+           CAST(5 AS BIGINT) AS n_blocks, CAST(2 AS BIGINT) AS n_content
+         FROM b ORDER BY shard_id""",
 
     // t17: m30's analytic Avro rows restricted to the %10==0 arrivals
     "t17_stream_avro_ingest" ->

@@ -3366,6 +3366,31 @@ object SparkEntry {
         .orderBy("shard_id", "rec_idx")
     }),
 
+    // M18 (safetensors): the eighth ML corpus container — the HF
+    // tensor-publishing format (anti-pickle: one JSON header, one flat
+    // buffer). Gate round-trips the WRITE -> READ path over the real
+    // embeddings table: vectors hash into 31 shards, each shard
+    // publishes one F32 tensor per vector plus an I64 ids tensor, and
+    // the reader's per-tensor stats (exact-order double sums, min/max)
+    // answer to DuckDB recomputing them from the source lists.
+    "m32_safetensors_shards" -> ((s, dir) => {
+      import s.implicits._
+      val shards = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
+        .groupByKey(_._1 % 31)
+        .mapGroups { (sid, it) =>
+          import graft.operators.SafetensorsShard._
+          val vecs = it.toSeq.sortBy(_._1)
+          val tensors = vecs.map { case (id, v) =>
+            Tensor(s"v$id", "F32", Seq(v.length.toLong), encodeF32(v))
+          } :+ Tensor("ids", "I64", Seq(vecs.size.toLong),
+            encodeI64(vecs.map(_._1).toArray))
+          (sid, encodeShard(tensors, Seq("producer" -> "graft")))
+        }.toDF("shard_id", "payload")
+      graft.operators.SafetensorsShard.explodeTensors(s, shards)
+        .orderBy("shard_id", "name")
+    }),
+
     // F1-F3: the electricity-CSV parser family end to end, oracle-gated.
     // Each doc becomes a multi-section CSV (preamble block + automated
     // 3-column section + manual 2-column section; docs with id % 7 == 0
@@ -5777,6 +5802,26 @@ object SparkEntry {
            FROM d WHERE id % 5 = 0)
          SELECT * FROM (SELECT * FROM g UNION ALL SELECT * FROM bad)
          ORDER BY shard_id, line_idx""",
+
+    // m32: the reader's stats recomputed from the source lists (the
+    // F32 sums fold left in index order in double on both engines)
+    "m32_safetensors_shards" ->
+      """WITH v AS (SELECT vec_id % 31 AS shard_id, 'v' || vec_id AS name,
+             'F32' AS dtype, CAST(1 AS BIGINT) AS n_dims,
+             CAST(len(embedding) AS BIGINT) AS n_elems,
+             list_reduce([CAST(x AS DOUBLE) for x in embedding],
+               (a, b) -> a + b) AS sum_value,
+             CAST(list_min(embedding) AS DOUBLE) AS min_value,
+             CAST(list_max(embedding) AS DOUBLE) AS max_value
+           FROM embeddings),
+         i AS (SELECT vec_id % 31 AS shard_id, 'ids' AS name,
+             'I64' AS dtype, CAST(1 AS BIGINT) AS n_dims,
+             COUNT(*) AS n_elems, CAST(SUM(vec_id) AS DOUBLE) AS sum_value,
+             CAST(MIN(vec_id) AS DOUBLE) AS min_value,
+             CAST(MAX(vec_id) AS DOUBLE) AS max_value
+           FROM embeddings GROUP BY 1)
+         SELECT * FROM (SELECT * FROM v UNION ALL SELECT * FROM i)
+         ORDER BY shard_id, name""",
 
     // m30: every record is analytically stated; ids %5-aligned rows
     // carry a null label through the nullable union

@@ -3391,6 +3391,30 @@ object SparkEntry {
         .orderBy("shard_id", "name")
     }),
 
+    // M19 (npy/npz): the ninth container — the scientific-Python
+    // interchange format. Same write->read stance as m32 but through
+    // the ZIP composition: vectors hash into 23 npz shards, each a
+    // STORED zip of one f4 .npy per vector plus an i8 ids member,
+    // decoded back through ZipShard's walk + the npy header parse.
+    "m33_npz_shards" -> ((s, dir) => {
+      import s.implicits._
+      val shards = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
+        .groupByKey(_._1 % 23)
+        .mapGroups { (sid, it) =>
+          import graft.operators.{NpyShard, SafetensorsShard}
+          val vecs = it.toSeq.sortBy(_._1)
+          val arrays = vecs.map { case (id, v) =>
+            (s"v$id", "f4", Seq(v.length.toLong),
+              SafetensorsShard.encodeF32(v))
+          } :+ (("ids", "i8", Seq(vecs.size.toLong),
+            SafetensorsShard.encodeI64(vecs.map(_._1).toArray)))
+          (sid, NpyShard.encodeNpz(arrays))
+        }.toDF("shard_id", "payload")
+      graft.operators.NpyShard.explodeNpz(s, shards)
+        .orderBy("shard_id", "name")
+    }),
+
     // F1-F3: the electricity-CSV parser family end to end, oracle-gated.
     // Each doc becomes a multi-section CSV (preamble block + automated
     // 3-column section + manual 2-column section; docs with id % 7 == 0
@@ -5816,6 +5840,25 @@ object SparkEntry {
            FROM embeddings),
          i AS (SELECT vec_id % 31 AS shard_id, 'ids' AS name,
              'I64' AS dtype, CAST(1 AS BIGINT) AS n_dims,
+             COUNT(*) AS n_elems, CAST(SUM(vec_id) AS DOUBLE) AS sum_value,
+             CAST(MIN(vec_id) AS DOUBLE) AS min_value,
+             CAST(MAX(vec_id) AS DOUBLE) AS max_value
+           FROM embeddings GROUP BY 1)
+         SELECT * FROM (SELECT * FROM v UNION ALL SELECT * FROM i)
+         ORDER BY shard_id, name""",
+
+    // m33: m32's recomputation through the npz composition
+    "m33_npz_shards" ->
+      """WITH v AS (SELECT vec_id % 23 AS shard_id, 'v' || vec_id AS name,
+             'f4' AS descr, CAST(1 AS BIGINT) AS n_dims,
+             CAST(len(embedding) AS BIGINT) AS n_elems,
+             list_reduce([CAST(x AS DOUBLE) for x in embedding],
+               (a, b) -> a + b) AS sum_value,
+             CAST(list_min(embedding) AS DOUBLE) AS min_value,
+             CAST(list_max(embedding) AS DOUBLE) AS max_value
+           FROM embeddings),
+         i AS (SELECT vec_id % 23 AS shard_id, 'ids' AS name,
+             'i8' AS descr, CAST(1 AS BIGINT) AS n_dims,
              COUNT(*) AS n_elems, CAST(SUM(vec_id) AS DOUBLE) AS sum_value,
              CAST(MIN(vec_id) AS DOUBLE) AS min_value,
              CAST(MAX(vec_id) AS DOUBLE) AS max_value

@@ -645,9 +645,16 @@ object Dedup {
     val winners = hashed
       .groupBy("__ph")
       .agg(min(struct(col("doc_id"), col("para_idx"))).as("__w"))
-      .select(col("__ph"), col("__w.doc_id").as("doc_id"),
-        col("__w.para_idx").as("para_idx"))
-    hashed.join(winners, Seq("__ph", "doc_id", "para_idx"))
+      .select(col("__ph"), col("__w.doc_id").as("__wdoc"),
+        col("__w.para_idx").as("__widx"))
+    // join on the digest ALONE (winners are unique per __ph, so the
+    // position filter afterwards is equivalent to a 3-key join) — both
+    // sides hash-partition on __ph, so the winner agg's exchange is
+    // reusable and the join never re-keys; at broadcastable winner sizes
+    // AQE still picks BHJ
+    hashed.join(winners, Seq("__ph"))
+      .where(col("doc_id") === col("__wdoc") &&
+        col("para_idx") === col("__widx"))
       .groupBy("doc_id")
       .agg(
         array_join(transform(array_sort(

@@ -193,6 +193,10 @@ object NpyShard {
     val unpadded = 10 + base.length + 1 // +1 for the trailing \n
     val total = ((unpadded + 63) / 64) * 64
     val header = base + " " * (total - unpadded) + "\n"
+    // v1 carries the header length in a u16; a shape long enough to
+    // overflow it needs the v2 format this writer doesn't emit
+    require(header.length <= 0xffff,
+      s"npy v1 header overflows u16 (${header.length} bytes): shape too long")
     val out = new java.io.ByteArrayOutputStream(total + data.length)
     out.write(0x93); out.write('N'); out.write('U'); out.write('M')
     out.write('P'); out.write('Y'); out.write(1); out.write(0)

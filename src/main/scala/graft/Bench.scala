@@ -82,7 +82,7 @@ object Bench {
     "t17_stream_avro_ingest", "d60_robots_rules", "d61_html_extract",
     "d62_frontdoor_pipeline", "k11_sft_pack_masks", "d63_link_extract",
     "d64_wet_extract", "t18_stream_wet_extract",
-    "m32_safetensors_shards", "m33_npz_shards")
+    "m32_safetensors_shards", "m33_npz_shards", "d65_unicode_nfc")
 
   /** SURVEY §6 per-query budgets (sec, sf0.1 median). A breach triggers an
     * automatic isolated forked-JVM re-run so the artifact adjudicates
@@ -229,7 +229,9 @@ object Bench {
     // m32: groupByKey shard assembly + stats explode (0.50 measured)
     "m32_safetensors_shards" -> 0.9,
     // m33: same shape through the zip composition (0.61 measured)
-    "m33_npz_shards" -> 1.0)
+    "m33_npz_shards" -> 1.0,
+    // d65: shuffle-free codegen normalize (0.50 measured)
+    "d65_unicode_nfc" -> 0.9)
 
   /** Cluster-cost observability (r11): per-query SHUFFLE WRITE and SPILL
     * volume next to every wall time, so the artifact itself shows which

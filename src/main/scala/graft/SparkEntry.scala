@@ -2258,6 +2258,26 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // D65: Unicode NFC normalization — the canonicalization every
+    // dedup/hash key needs before hashing ("é" composed vs decomposed
+    // are different bytes to md5/minhash). The planted tail per id class
+    // exercises composition (e+combining acute -> é, A+combining ring ->
+    // Å), idempotence (precomposed é), and NFC-invariance (the fi
+    // ligature must SURVIVE — folding it is NFKC's job, not NFC's).
+    // Runs as the codegen'd graft_nfc expression; DuckDB's native
+    // nfc_normalize is the oracle — a true cross-engine UAX #15 check.
+    "d65_unicode_nfc" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"),
+        concat(col("text"),
+          when(col("doc_id") % 4 === 0, lit(" é"))
+            .when(col("doc_id") % 4 === 1, lit(" Å"))
+            .when(col("doc_id") % 4 === 2, lit(" é"))
+            .otherwise(lit(" ﬁ"))).as("raw"))
+      docs.select(col("doc_id"), expr("graft_nfc(raw)").as("norm_text"))
+        .withColumn("n_chars", length(col("norm_text")).cast("long"))
+        .orderBy("doc_id")
+    }),
+
     // D60: robots.txt evaluation (RFC 9309) — per doc a synthesized
     // robots body (a `*` group with a Disallow + an anchored Allow, and
     // a `graftbot` group with an id-dependent Disallow), an id-dependent
@@ -6561,6 +6581,20 @@ object SparkEntry {
          SELECT doc_id, p1 || chr(10) || p2 AS main_text,
            CAST(6 AS BIGINT) AS n_blocks, CAST(2 AS BIGINT) AS n_content
          FROM b ORDER BY doc_id""",
+
+    // d65: DuckDB's native nfc_normalize recomputes the same UAX #15
+    // composition over the identically-planted tails (built with chr()
+    // so the decomposed forms survive SQL-literal transport)
+    "d65_unicode_nfc" ->
+      """WITH r AS (SELECT doc_id, text || CASE doc_id % 4
+             WHEN 0 THEN ' e' || chr(769)
+             WHEN 1 THEN ' A' || chr(778)
+             WHEN 2 THEN ' ' || chr(233)
+             ELSE ' ' || chr(64257) END AS raw
+           FROM documents)
+         SELECT doc_id, nfc_normalize(raw) AS norm_text,
+           CAST(length(nfc_normalize(raw)) AS BIGINT) AS n_chars
+         FROM r ORDER BY doc_id""",
 
     // d60: the evaluator's four decision mechanisms restated as an
     // analytic CASE over the id classes

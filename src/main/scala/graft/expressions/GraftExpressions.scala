@@ -188,6 +188,23 @@ case class RedactPiiExpression(child: Expression)
   override def prettyName: String = "graft_redact_pii"
 }
 
+/** Unicode NFC/NFKC normalization (UAX #15 via the JDK): the dedup-key
+  * canonicalization, codegen'd — kernels on [[NormKernels]]. */
+case class UnicodeNormalizeExpression(child: Expression, compat: Boolean)
+    extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullSafeEval(input: Any): Any =
+    if (compat) NormKernels.nfkc(input.asInstanceOf[UTF8String])
+    else NormKernels.nfc(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val m = if (compat) "nfkc" else "nfc"
+    defineCodeGen(ctx, ev, c => s"graft.expressions.NormKernels.$m($c)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): UnicodeNormalizeExpression =
+    copy(child = newChild)
+  override def prettyName: String = if (compat) "graft_nfkc" else "graft_nfc"
+}
+
 /** Shared shape of the binary vector expressions: double-typed, nullable
   * (ragged or null-element inputs yield SQL null, mirroring the HOF
   * reference), element width resolved from the child array types, codegen
@@ -457,6 +474,16 @@ class GraftSparkSessionExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_redact_pii"),
       new ExpressionInfo(classOf[RedactPiiExpression].getName, "graft_redact_pii"),
       (children: Seq[Expression]) => RedactPiiExpression(children.head)))
+    ext.injectFunction((
+      FunctionIdentifier("graft_nfc"),
+      new ExpressionInfo(classOf[UnicodeNormalizeExpression].getName, "graft_nfc"),
+      (children: Seq[Expression]) =>
+        UnicodeNormalizeExpression(children.head, compat = false)))
+    ext.injectFunction((
+      FunctionIdentifier("graft_nfkc"),
+      new ExpressionInfo(classOf[UnicodeNormalizeExpression].getName, "graft_nfkc"),
+      (children: Seq[Expression]) =>
+        UnicodeNormalizeExpression(children.head, compat = true)))
     ext.injectFunction((
       FunctionIdentifier("graft_winnow"),
       new ExpressionInfo(classOf[WinnowExpression].getName, "graft_winnow"),

@@ -82,7 +82,8 @@ object Bench {
     "t17_stream_avro_ingest", "d60_robots_rules", "d61_html_extract",
     "d62_frontdoor_pipeline", "k11_sft_pack_masks", "d63_link_extract",
     "d64_wet_extract", "t18_stream_wet_extract",
-    "m32_safetensors_shards", "m33_npz_shards", "d65_unicode_nfc")
+    "m32_safetensors_shards", "m33_npz_shards", "d65_unicode_nfc",
+    "t19_stream_npz_ingest")
 
   /** SURVEY §6 per-query budgets (sec, sf0.1 median). A breach triggers an
     * automatic isolated forked-JVM re-run so the artifact adjudicates
@@ -231,7 +232,10 @@ object Bench {
     // m33: same shape through the zip composition (0.61 measured)
     "m33_npz_shards" -> 1.0,
     // d65: shuffle-free codegen normalize (0.50 measured)
-    "d65_unicode_nfc" -> 0.9)
+    "d65_unicode_nfc" -> 0.9,
+    // t19: AvailableNow drain + lake merge, the t-family cost shape
+    // (1.97 measured)
+    "t19_stream_npz_ingest" -> 3.0)
 
   /** Cluster-cost observability (r11): per-query SHUFFLE WRITE and SPILL
     * volume next to every wall time, so the artifact itself shows which

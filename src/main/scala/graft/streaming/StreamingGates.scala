@@ -523,6 +523,42 @@ object StreamingGates {
         .orderBy("shard_id", "rec_idx")
     }),
 
+    // T19: streaming tensor-shard ingest — the npz/safetensors front
+    // door (embedding dumps arriving shard by shard), keeping the
+    // streaming form true for EVERY exploded container (WARC t11, Arrow
+    // t13, JSONL t14, TFRecord t15, Avro t17, WET t18, npz t19): each
+    // micro-batch's npz payloads walk the ZIP member + npy header parse
+    // and the per-array stats MERGE into a lake table keyed on
+    // (shard, name). Oracle: m33's recomputation over the %5==0 arrival
+    // slice (vec_id % 23 shards restricted to arriving vectors).
+    "t19_stream_npz_ingest" -> ((s, dir) => {
+      import s.implicits._
+      val arrivals = s.read.parquet(s"$dir/embeddings.parquet")
+        .where(col("vec_id") % 5 === 0)
+        .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
+        .groupByKey(_._1 % 23)
+        .mapGroups { (sid, it) =>
+          import graft.operators.{NpyShard, SafetensorsShard}
+          val vecs = it.toSeq.sortBy(_._1)
+          val arrays = vecs.map { case (id, v) =>
+            (s"v$id", "f4", Seq(v.length.toLong),
+              SafetensorsShard.encodeF32(v))
+          } :+ (("ids", "i8", Seq(vecs.size.toLong),
+            SafetensorsShard.encodeI64(vecs.map(_._1).toArray)))
+          (sid, NpyShard.encodeNpz(arrays))
+        }.toDF("shard_id", "payload")
+      val in = freshDir("graft_t19_in")
+      writeWave(arrivals, in, "batch.parquet", mtimeSec = 1000)
+      val loc = freshDir("graft_t19_tbl").resolve("tensors").toString
+      StreamingIngest.drainToTable(s, in.toString, arrivals.schema, loc,
+        freshDir("graft_t19_ck").toString,
+        writeMode = "merge", mergeOn = Seq("shard_id", "name"),
+        batchTransform = batch =>
+          graft.operators.NpyShard.explodeNpz(batch.sparkSession, batch))
+      graft.tables.LakeTable.load(s, loc).read()
+        .orderBy("shard_id", "name")
+    }),
+
     // T16: streaming SEMANTIC decontamination gate — d55 as admission
     // control: the benchmark embeddings are RESIDENT (an eval suite,
     // small by contract — broadcast into each trigger); every arriving
@@ -851,6 +887,26 @@ object StreamingGates {
            p1 || chr(10) || p2 AS main_text,
            CAST(5 AS BIGINT) AS n_blocks, CAST(2 AS BIGINT) AS n_content
          FROM b ORDER BY shard_id""",
+
+    // t19: m33's stats recomputation over the %5==0 arrival slice
+    "t19_stream_npz_ingest" ->
+      """WITH e AS (SELECT * FROM embeddings WHERE vec_id % 5 = 0),
+         v AS (SELECT vec_id % 23 AS shard_id, 'v' || vec_id AS name,
+             'f4' AS descr, CAST(1 AS BIGINT) AS n_dims,
+             CAST(len(embedding) AS BIGINT) AS n_elems,
+             list_reduce([CAST(x AS DOUBLE) for x in embedding],
+               (a, b) -> a + b) AS sum_value,
+             CAST(list_min(embedding) AS DOUBLE) AS min_value,
+             CAST(list_max(embedding) AS DOUBLE) AS max_value
+           FROM e),
+         i AS (SELECT vec_id % 23 AS shard_id, 'ids' AS name,
+             'i8' AS descr, CAST(1 AS BIGINT) AS n_dims,
+             COUNT(*) AS n_elems, CAST(SUM(vec_id) AS DOUBLE) AS sum_value,
+             CAST(MIN(vec_id) AS DOUBLE) AS min_value,
+             CAST(MAX(vec_id) AS DOUBLE) AS max_value
+           FROM e GROUP BY 1)
+         SELECT * FROM (SELECT * FROM v UNION ALL SELECT * FROM i)
+         ORDER BY shard_id, name""",
 
     // t17: m30's analytic Avro rows restricted to the %10==0 arrivals
     "t17_stream_avro_ingest" ->

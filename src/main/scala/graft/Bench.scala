@@ -120,8 +120,12 @@ object Bench {
     // headroom over the 0.83 median and breached in-suite by 5%; 1.5x
     // rule re-applied.
     "d14_decontaminate" -> 1.3, "d15_dup_clusters" -> 6.5,
-    "d31_dup_clusters_star" -> 4.0, "d17_semdedup" -> 2.1,
-    "d18_keyterms" -> 1.4, "e08_pq_adc_topk" -> 2.1,
+    // d31/d18/t10 re-measured r12 (solo medians 4.05/1.40/3.01 on a quiet
+    // box; none of their code paths changed this session) — the
+    // headroom-erosion class: each old budget sat AT its fresh
+    // measurement and breached in-suite by 1-4%; 1.5x rule re-applied.
+    "d31_dup_clusters_star" -> 6.1, "d17_semdedup" -> 2.1,
+    "d18_keyterms" -> 2.1, "e08_pq_adc_topk" -> 2.1,
     // ev05/d27 re-measured r10 on a quiet box (0.69s/1.13s solo-isolated
     // medians vs r8's 0.46/0.91): overhead-floor drift, same class as
     // d10 — the old budgets left < 20% headroom and phantom-breached
@@ -167,7 +171,7 @@ object Bench {
     // streaming admission gates: each run spins a fresh AvailableNow
     // drain (checkpoint + lake-table merge included in the time).
     "t08_stream_quality_gate" -> 4.6, "t09_stream_classifier_gate" -> 3.7,
-    "t10_stream_host_budget" -> 3.0,
+    "t10_stream_host_budget" -> 4.5,
     // d46 two-level global prefix sum; d47 = d38's span machinery + the
     // per-doc cut rebuild (so it budgets near d38). t12 = two drains +
     // two lake merges + the table-derived base agg.

@@ -83,7 +83,7 @@ object Bench {
     "d62_frontdoor_pipeline", "k11_sft_pack_masks", "d63_link_extract",
     "d64_wet_extract", "t18_stream_wet_extract",
     "m32_safetensors_shards", "m33_npz_shards", "d65_unicode_nfc",
-    "t19_stream_npz_ingest")
+    "t19_stream_npz_ingest", "x08_paragraph_dedup_hot")
 
   /** SURVEY §6 per-query budgets (sec, sf0.1 median). A breach triggers an
     * automatic isolated forked-JVM re-run so the artifact adjudicates
@@ -239,7 +239,11 @@ object Bench {
     "d65_unicode_nfc" -> 0.9,
     // t19: AvailableNow drain + lake merge, the t-family cost shape
     // (1.97 measured)
-    "t19_stream_npz_ingest" -> 3.0)
+    "t19_stream_npz_ingest" -> 3.0,
+    // x08: d57's hot-digest stress — stays at the uniform d57 cost
+    // (map-side partial agg, never a posting-list window; 1.08 measured
+    // vs d57's 0.74 on one extra paragraph per doc)
+    "x08_paragraph_dedup_hot" -> 1.7)
 
   /** Cluster-cost observability (r11): per-query SHUFFLE WRITE and SPILL
     * volume next to every wall time, so the artifact itself shows which

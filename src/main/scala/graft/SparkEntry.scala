@@ -2069,6 +2069,21 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // X8: adversarial-skew stress of D57 (the 100 TB hot-digest shape):
+    // EVERY doc carries one shared boilerplate paragraph, so one content
+    // digest owns a corpus-sized posting list. The map-side-partial
+    // min(struct) agg must keep the hot key to one row per upstream
+    // partition (never a window over the postings); the winner is the
+    // min-id doc, every other doc silently loses that paragraph. Same
+    // oracle machinery as d57 over the skewed corpus.
+    "x08_paragraph_dedup_hot" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"),
+        concat(regexp_replace(col("text"), " merge ", "\nmerge "),
+          lit("\nmerge shared boilerplate notice")).as("text"))
+      Dedup.paragraphDedup(docs, "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
     // D58: domain-blocklist filtering (the UT1-style scrub) — hosts are
     // synthesized deterministically from doc_id; the 5-entry blocklist
     // exercises suffix-at-dot-boundary matching (t1.com blocks every
@@ -6469,6 +6484,29 @@ object SparkEntry {
                   unnest(paras) AS para
            FROM (SELECT doc_id,
                    string_split(replace(text, ' merge ', chr(10) || 'merge '),
+                     chr(10)) AS paras
+                 FROM documents) t
+         ),
+         k AS (
+           SELECT doc_id, para_idx, para,
+             ROW_NUMBER() OVER (PARTITION BY para
+               ORDER BY doc_id, para_idx) AS rn
+           FROM p
+         )
+         SELECT doc_id,
+           string_agg(para, chr(10) ORDER BY para_idx) AS cleaned_text,
+           CAST(count(*) AS BIGINT) AS n_kept
+         FROM k WHERE rn = 1 GROUP BY doc_id ORDER BY doc_id""",
+
+    // x08: d57's first-wins rule over the skewed corpus (the appended
+    // boilerplate paragraph survives only in the min-id doc)
+    "x08_paragraph_dedup_hot" ->
+      """WITH p AS (
+           SELECT doc_id, generate_subscripts(paras, 1) AS para_idx,
+                  unnest(paras) AS para
+           FROM (SELECT doc_id,
+                   string_split(replace(text, ' merge ', chr(10) || 'merge ')
+                     || chr(10) || 'merge shared boilerplate notice',
                      chr(10)) AS paras
                  FROM documents) t
          ),

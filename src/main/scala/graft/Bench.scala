@@ -83,7 +83,8 @@ object Bench {
     "d62_frontdoor_pipeline", "k11_sft_pack_masks", "d63_link_extract",
     "d64_wet_extract", "t18_stream_wet_extract",
     "m32_safetensors_shards", "m33_npz_shards", "d65_unicode_nfc",
-    "t19_stream_npz_ingest", "x08_paragraph_dedup_hot")
+    "t19_stream_npz_ingest", "x08_paragraph_dedup_hot",
+    "e18_filtered_topk")
 
   /** SURVEY §6 per-query budgets (sec, sf0.1 median). A breach triggers an
     * automatic isolated forked-JVM re-run so the artifact adjudicates
@@ -243,7 +244,9 @@ object Bench {
     // x08: d57's hot-digest stress — stays at the uniform d57 cost
     // (map-side partial agg, never a posting-list window; 1.08 measured
     // vs d57's 0.74 on one extra paragraph per doc)
-    "x08_paragraph_dedup_hot" -> 1.7)
+    "x08_paragraph_dedup_hot" -> 1.7,
+    // e18: the d56 cost shape with an equality guard (0.71 measured)
+    "e18_filtered_topk" -> 1.2)
 
   /** Cluster-cost observability (r11): per-query SHUFFLE WRITE and SPILL
     * volume next to every wall time, so the artifact itself shows which

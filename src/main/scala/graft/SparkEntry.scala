@@ -2055,6 +2055,19 @@ object SparkEntry {
         .orderBy("anchor_id", "rank")
     }),
 
+    // E18: FILTERED top-k retrieval (the vector-DB reality: every
+    // production query carries a metadata predicate). PRE-filter form —
+    // the label cut runs before ranking so k survivors always rank;
+    // post-filtering an unfiltered top-k under-returns at low
+    // selectivity, the classic filtered-ANN bug the gate would catch.
+    "e18_filtered_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.filteredTopK(
+          emb.where(col("vec_id") % 50 =!= 0),
+          emb.where(col("vec_id") % 50 === 0), 5)
+        .orderBy("query_id", "rank")
+    }),
+
     // D57: corpus-wide paragraph dedup (C4's dedupe_lines) — keep ONE
     // occurrence of every unique paragraph across the corpus (first in
     // (doc, position) order), reassemble docs, drop emptied docs. The
@@ -6475,6 +6488,25 @@ object SparkEntry {
                    FROM scored)
         SELECT anchor_id, rank, negative_id, score
         FROM ranked WHERE rank <= 5 ORDER BY anchor_id, rank""",
+
+    // e18: the same cosine window with the EQUALITY predicate inside the
+    // candidate set (pre-filter semantics)
+    "e18_filtered_topk" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, label AS q_label,
+                     embedding AS q_emb
+                   FROM embeddings WHERE vec_id % 50 = 0),
+        scored AS (
+          SELECT q.query_id, e.vec_id AS match_id,
+                 ${duckCos("q.q_emb", "e.embedding")} AS score
+          FROM q JOIN embeddings e
+            ON e.vec_id % 50 <> 0 AND e.label = q.q_label
+               AND e.vec_id <> q.query_id),
+        ranked AS (SELECT query_id, match_id, score,
+                     ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY score DESC, match_id ASC) AS rank
+                   FROM scored)
+        SELECT query_id, rank, match_id, score
+        FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""",
 
     // d57: the same synthesized paragraph rewrite, restated relationally:
     // first-occurrence-wins via a ROW_NUMBER over (doc, position)

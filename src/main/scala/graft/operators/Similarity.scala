@@ -153,6 +153,33 @@ object Similarity {
       .select(col("anchor_id"), col("rank"), col("negative_id"), col("score"))
   }
 
+  /** FILTERED top-k retrieval — the vector-DB reality: every production
+    * query carries a metadata predicate ("top-k WHERE lang = query's").
+    * This is the PRE-FILTER form (exact: the predicate cuts the corpus
+    * BEFORE ranking, so k survivors always rank — post-filtering an
+    * unfiltered top-k silently under-returns at low selectivity, the
+    * classic filtered-ANN bug). Queries broadcast; the corpus streams
+    * ONCE through the codegen cosine kernel with the predicate applied
+    * in the same scan; ranking is the salted bounded top-k (never a
+    * global sort). Here the predicate is label equality — the common
+    * partition-key filter; arbitrary predicates are a `where` on
+    * `corpus` before the call. */
+  def filteredTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val q = broadcast(queries.select(col("vec_id").as("query_id"),
+      col("label").as("q_label"), col("embedding").as("q_emb")))
+    val scored = corpus
+      .select(col("vec_id").as("match_id"), col("label").as("c_label"),
+        col("embedding").as("c_emb"))
+      .crossJoin(q) // deliberate: broadcast nested loop, corpus streamed once
+      .where(col("c_label") === col("q_label") &&
+        col("match_id") =!= col("query_id"))
+      .select(col("query_id"), col("match_id"),
+        round(cosine(col("q_emb"), col("c_emb")), 6).as("score"))
+    BoundedRank.topKPerKey(scored, Seq("query_id"),
+        Seq(negate(col("score")), col("match_id")), k, rankCol = "rank")
+      .select(col("query_id"), col("rank"), col("match_id"), col("score"))
+  }
+
   /** Per-cell centroids of the embedding column, computed with fixed-scale
     * decimal accumulation so the result is independent of partial-agg order
     * (and reproducible by an external oracle). */

@@ -110,6 +110,9 @@ object UrlFunctions {
     * matched list entry, null when clean) + `blocked` (0/1). */
   def blocklistFilter(docs: DataFrame, idCol: String, hostCol: String,
                       blocklist: DataFrame): DataFrame = {
+    require(blocklist.columns.length == 1,
+      s"blocklistFilter: blocklist must be a single domain column, got " +
+        blocklist.columns.mkString("(", ", ", ")"))
     val listKey = blocklist.columns.head
     val hits = docs
       .select(col(idCol), explode(hostSuffixes(lower(col(hostCol)))).as("__sfx"))

@@ -497,6 +497,47 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
     assert(!p.contains("Join"), p.take(800))
   }
 
+  test("x08: the hot-digest paragraph dedup keeps the posting list inside " +
+       "a partial aggregate — no window over occurrences, no cartesian") {
+    val p = plan("x08_paragraph_dedup_hot")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("Window"), p.take(800)) // first-wins is an agg, not a rank
+    assert(p.contains("partial_min") || p.contains("partial_count"), p.take(1200))
+  }
+
+  test("e18: filtered top-k broadcasts the queries and streams the corpus " +
+       "once — Catalyst even turns the equality predicate into a " +
+       "broadcast HASH join on the label, ranking stays keyed") {
+    val p = plan("e18_filtered_topk")
+    assert(p.contains("BroadcastHashJoin") ||
+      p.contains("BroadcastNestedLoopJoin"), p.take(600))
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      p.take(600))
+    // the bounded-rank windows are keyed on query_id (+ salt), never global
+    val windows = "Window .*".r.findAllIn(p).toSeq
+    assert(windows.forall(_.contains("query_id")), windows.mkString("\n"))
+  }
+
+  test("k11: masked pair packing never sorts the corpus in one task — " +
+       "the prefix sum stays two-level, mask arithmetic is in-row") {
+    val p = plan("k11_sft_pack_masks")
+    assert(!p.contains("CartesianProduct"))
+    // no global (unkeyed) window over pair rows: every window carries
+    // the __g leaf key or runs over the leaf-total table
+    val pairWindows = "Window .*pair_id.*".r.findAllIn(p).toSeq
+    assert(pairWindows.forall(_.contains("__g")), pairWindows.mkString("\n"))
+  }
+
+  test("m32/m33: tensor-shard publish is one groupByKey exchange; the " +
+       "read-back explode adds no shuffle") {
+    for (q <- Seq("m32_safetensors_shards", "m33_npz_shards")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), q)
+      assert("Exchange hashpartitioning".r.findAllIn(p).size <= 1,
+        s"$q:\n${p.take(1200)}")
+    }
+  }
+
   test("d62: the crawl front door's only joins are the blocklist BROADCAST " +
        "and the dedup winner-set join; robots+charset+extract fuse into " +
        "one projection (no per-stage doc_id re-joins, no cartesian)") {

@@ -109,7 +109,10 @@ object Bench {
     // 1.5x rule re-applied.
     "d10_winnow_containment" -> 1.2, "e01_knn_bruteforce" -> 0.7,
     "e02_ann_ivf" -> 0.5, "e05_kmeans_ivf_cells" -> 1.5,
-    "e06_kmeans_ivf_topk" -> 1.7, "e07_hyperplane_lsh_near_dup" -> 0.5,
+    // e06 re-measured r12 (1.42/1.45/1.62 solo; Similarity untouched this
+    // session) — headroom erosion below the 1.5x rule over r8's 0.94
+    // base; re-applied on the fresh 1.45 median.
+    "e06_kmeans_ivf_topk" -> 2.2, "e07_hyperplane_lsh_near_dup" -> 0.5,
     "sql02_catalog_join" -> 2.1, "d11_corpus_clean" -> 3.5,
     "d12_repetition" -> 0.7, "d13_vocab" -> 0.7,
     // d15 re-measured r8: the regenerated driver testdata carries a denser

@@ -84,7 +84,7 @@ object Bench {
     "d64_wet_extract", "t18_stream_wet_extract",
     "m32_safetensors_shards", "m33_npz_shards", "d65_unicode_nfc",
     "t19_stream_npz_ingest", "x08_paragraph_dedup_hot",
-    "e18_filtered_topk")
+    "e18_filtered_topk", "d66_gopher_rules")
 
   /** SURVEY §6 per-query budgets (sec, sf0.1 median). A breach triggers an
     * automatic isolated forked-JVM re-run so the artifact adjudicates
@@ -249,7 +249,10 @@ object Bench {
     // vs d57's 0.74 on one extra paragraph per doc)
     "x08_paragraph_dedup_hot" -> 1.7,
     // e18: the d56 cost shape with an equality guard (0.71 measured)
-    "e18_filtered_topk" -> 1.2)
+    "e18_filtered_topk" -> 1.2,
+    // d66: one in-row built-in pass; the rlike filters dominate
+    // (1.42 measured)
+    "d66_gopher_rules" -> 2.2)
 
   /** Cluster-cost observability (r11): per-query SHUFFLE WRITE and SPILL
     * volume next to every wall time, so the artifact itself shows which

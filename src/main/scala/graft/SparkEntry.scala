@@ -2286,6 +2286,27 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // D66: the published Gopher quality-rule composite (Rae et al. 2021)
+    // over synthesized per-class violations: stopword padding (passes),
+    // a '#' flood (symbol rule), a numeral flood (alpha rule), a 9-char
+    // truncation (word-count rule). All ratios floor-scaled integers,
+    // so the rule boundaries are bit-identical to the DuckDB restatement.
+    "d66_gopher_rules" -> ((s, dir) => {
+      val nums = (1 to 20).map(i => (i * 37) % 100).mkString(" ", " ", "")
+      val raw = when(col("doc_id") % 4 === 0,
+          concat(col("text"), lit(" the of the and")))
+        .when(col("doc_id") % 4 === 1,
+          concat(col("text"), lit(" # # # # # # # # # #")))
+        .when(col("doc_id") % 4 === 2, concat(col("text"), lit(nums)))
+        .otherwise(substring(col("text"), 1, 9))
+      t(s, dir, "documents").select(col("doc_id"),
+          TF.gopherQuality(raw).as("q"))
+        .select(col("doc_id"), col("q.n_words"), col("q.mean_wlen_e2"),
+          col("q.symbol_e4"), col("q.alpha_e4"), col("q.stop_count"),
+          col("q.passed"))
+        .orderBy("doc_id")
+    }),
+
     // D65: Unicode NFC normalization — the canonicalization every
     // dedup/hash key needs before hashing ("é" composed vs decomposed
     // are different bytes to md5/minhash). The planted tail per id class
@@ -6651,6 +6672,49 @@ object SparkEntry {
          SELECT doc_id, p1 || chr(10) || p2 AS main_text,
            CAST(6 AS BIGINT) AS n_blocks, CAST(2 AS BIGINT) AS n_content
          FROM b ORDER BY doc_id""",
+
+    // d66: the same floor-scaled integer rules over the same synthesized
+    // violations, restated with list comprehensions
+    "d66_gopher_rules" ->
+      """WITH r AS (SELECT doc_id, CASE doc_id % 4
+             WHEN 0 THEN text || ' the of the and'
+             WHEN 1 THEN text || ' # # # # # # # # # #'
+             WHEN 2 THEN text ||
+               ' 37 74 11 48 85 22 59 96 33 70 7 44 81 18 55 92 29 66 3 40'
+             ELSE substr(text, 1, 9) END AS raw
+           FROM documents),
+         w AS (SELECT doc_id,
+             [x for x in string_split(raw, ' ') if length(x) > 0] AS ws
+           FROM r),
+         m AS (SELECT doc_id,
+             CAST(len(ws) AS BIGINT) AS n_words,
+             CAST(list_reduce(list_prepend(0, [length(x) for x in ws]),
+               (a, b) -> a + b) AS BIGINT) AS total_chars,
+             CAST(len([x for x in ws if regexp_matches(x, '[a-z]')])
+               AS BIGINT) AS alpha_words,
+             CAST(len([x for x in ws if NOT regexp_matches(x, '[a-z0-9]')])
+               AS BIGINT) AS symbol_words,
+             CAST(len([x for x in ws if x IN ('the','be','to','of','and',
+               'that','have','with')]) AS BIGINT) AS stop_count
+           FROM w),
+         f AS (SELECT doc_id, n_words,
+             CASE WHEN n_words > 0 THEN total_chars * 100 // n_words
+                  ELSE 0 END AS mean_wlen_e2,
+             CASE WHEN n_words > 0 THEN symbol_words * 10000 // n_words
+                  ELSE 0 END AS symbol_e4,
+             CASE WHEN n_words > 0 THEN alpha_words * 10000 // n_words
+                  ELSE 0 END AS alpha_e4,
+             stop_count
+           FROM m)
+         SELECT doc_id, n_words,
+           CAST(mean_wlen_e2 AS BIGINT) AS mean_wlen_e2,
+           CAST(symbol_e4 AS BIGINT) AS symbol_e4,
+           CAST(alpha_e4 AS BIGINT) AS alpha_e4, stop_count,
+           CAST(CASE WHEN n_words BETWEEN 5 AND 100000
+                  AND mean_wlen_e2 BETWEEN 300 AND 1000
+                  AND symbol_e4 < 1000 AND alpha_e4 >= 8000
+                  AND stop_count >= 2 THEN 1 ELSE 0 END AS BIGINT) AS passed
+         FROM f ORDER BY doc_id""",
 
     // d65: DuckDB's native nfc_normalize recomputes the same UAX #15
     // composition over the identically-planted tails (built with chr()

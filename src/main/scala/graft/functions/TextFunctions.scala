@@ -157,6 +157,48 @@ object TextFunctions {
   val Ipv4Pattern = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
 
   /** Non-overlapping match count for one PII pattern. */
+  /** The published Gopher document-quality rule set (Rae et al. 2021,
+    * §A1.1 "quality filtering") as ONE integer-exact struct — the
+    * branded composite every curation pipeline name-checks. All ratios
+    * are FLOOR-SCALED integers (x10000) so the rule boundaries are
+    * bit-identical across engines (no float division anywhere):
+    *
+    *   - n_words in [minWords, maxWords]          (word-count rule)
+    *   - mean word length in [3, 10] chars        (mean_wlen_e2/100)
+    *   - symbol-word ratio < 10% — words that are '#' or '...'-ish
+    *     (no alphanumeric at all)                 (symbol_e4 < 1000)
+    *   - >= 80% of words contain an alpha char    (alpha_e4 >= 8000)
+    *   - >= 2 stopwords from the Gopher list      (stop_count)
+    *
+    * Composed entirely from codegen'd built-ins (split/filter/
+    * aggregate) — one in-row pass, no UDF, no shuffle; `passed` is the
+    * conjunction. */
+  def gopherQuality(c: Column, minWords: Int = 5,
+                    maxWords: Int = 100000): Column = {
+    val w = cleanTokens(c)
+    val nW = size(w).cast("long")
+    val totalChars = aggregate(w, lit(0L), (a, x) => a + length(x))
+    // Column `/` is DOUBLE division: floor+cast restores the integer
+    // quotient exactly (numerators here are < 2^53 by construction)
+    def idiv(a: Column, b: Column): Column = floor(a / b).cast("long")
+    val meanE2 = when(nW > 0, idiv(totalChars * 100L, nW)).otherwise(0L)
+    val alphaWords = size(filter(w, x => x.rlike("[a-z]"))).cast("long")
+    val symbolWords = size(filter(w, x => !x.rlike("[a-z0-9]"))).cast("long")
+    val alphaE4 = when(nW > 0, idiv(alphaWords * 10000L, nW)).otherwise(0L)
+    val symbolE4 = when(nW > 0, idiv(symbolWords * 10000L, nW)).otherwise(0L)
+    val gopherStops = Seq("the", "be", "to", "of", "and", "that", "have",
+      "with")
+    val stops = size(filter(w, x =>
+      gopherStops.map(s => x === lit(s)).reduce(_ || _))).cast("long")
+    val passed = (nW >= minWords && nW <= maxWords &&
+      meanE2 >= 300L && meanE2 <= 1000L &&
+      symbolE4 < 1000L && alphaE4 >= 8000L && stops >= 2L)
+    struct(nW.as("n_words"), meanE2.as("mean_wlen_e2"),
+      symbolE4.as("symbol_e4"), alphaE4.as("alpha_e4"),
+      stops.as("stop_count"),
+      when(passed, 1L).otherwise(0L).as("passed"))
+  }
+
   def piiCount(c: Column, pattern: String): Column =
     regexp_count(c, lit(pattern)).cast("long")
 

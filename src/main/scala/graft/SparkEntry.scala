@@ -45,6 +45,22 @@ object SparkEntry {
     }
   }
 
+  /** d48/d48b shared input: the held-out slice scored by d40's quantized
+    * NB classifier, re-labeled for the sweep. Factored so the calibration
+    * gate and its pre-sweep histogram diagnostic run the IDENTICAL scoring
+    * plan. */
+  private def d48HeldOutScored(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    graft.operators.NbClassifier.classify(
+        docs.select(col("doc_id"), TF.cleanTokens(col("text")).as("tokens"),
+          (col("lang") === "en").as("y")),
+        "doc_id", "tokens", "y", isTrain = col("doc_id") % 3 =!= 0,
+        cacheHook = registerCache)
+      .where(col("is_train") === 0L)
+      .join(docs.select(col("doc_id"), (col("lang") === "en").as("y")),
+        "doc_id")
+  }
+
   /** Register the `graftlake` SQL catalog once per session (Spark caches
     * catalog instances by name, so the root is pinned at first use);
     * queries isolate under their own namespace. */
@@ -835,23 +851,6 @@ object SparkEntry {
         .orderBy("vec_a", "vec_b")
     }),
 
-    // X5 (bench row, rows-only): the REAL tokenizer workload — learn 200
-    // BPE merges from the corpus itself (one word-count shuffle + the
-    // bounded-vocab merge loop), then encode every document under the
-    // broadcast ranks. The 200-merge stress form stays rows-only, but the
-    // same train+encode path IS hash-gated at 16 merges via the unrolled
-    // training oracle (d52 counts, d53 merge table); fixed-merge encode
-    // semantics in d36; training on hand-computed corpora in
-    // BpeTokenizerSpec.
-    "x05_bpe_train_encode" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      val merges = graft.operators.BpeTokenizer.learnMerges(
-        docs, "text", numMerges = 200, topWords = 20000)
-      graft.operators.BpeTokenizer
-        .encodeStats(s, docs, "doc_id", "text", merges)
-        .toDF().orderBy("doc_id")
-    }),
-
     "d03_simhash" -> ((s, dir) =>
       Dedup.simhashFingerprints(t(s, dir, "documents"), "doc_id", "text")
         .orderBy("doc_id")),
@@ -1498,19 +1497,22 @@ object SparkEntry {
     // precision/recall of "admit iff score >= t". One histogram groupBy
     // (bounded by score cardinality) + a window over HISTOGRAM rows; the
     // oracle recomputes the full quantized NB scoring, then the sweep.
-    "d48_classifier_calibration" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      val scored = graft.operators.NbClassifier.classify(
-          docs.select(col("doc_id"), TF.cleanTokens(col("text")).as("tokens"),
-            (col("lang") === "en").as("y")),
-          "doc_id", "tokens", "y", isTrain = col("doc_id") % 3 =!= 0,
-          cacheHook = registerCache)
-        .where(col("is_train") === 0L)
-        .join(docs.select(col("doc_id"), (col("lang") === "en").as("y")),
-          "doc_id")
-      graft.operators.ClassifierEval.thresholdSweep(scored, "score_bits", "y")
-        .orderBy("threshold")
-    }),
+    "d48_classifier_calibration" -> ((s, dir) =>
+      graft.operators.ClassifierEval
+        .thresholdSweep(d48HeldOutScored(s, dir), "score_bits", "y")
+        .orderBy("threshold")),
+
+    // D48b: d48's PRE-SWEEP histogram as its own gate — one row per
+    // distinct held-out score with its positive/negative counts (the `h`
+    // stage of the sweep). Diagnostic by design (VERDICT r10 #1): the
+    // scoring half is shared with d40/d48, the cumulative-window half is
+    // d48-only, so whichever way a cross-engine d48 mismatch lands, this
+    // row localizes it (d48b red => scoring; d48b green + d48 red =>
+    // sweep arithmetic).
+    "d48b_calibration_hist" -> ((s, dir) =>
+      graft.operators.ClassifierEval
+        .scoreHistogram(d48HeldOutScored(s, dir), "score_bits", "y")
+        .orderBy("threshold")),
 
     // D47: the exact-substring CUT applied (the action d38 reports): every
     // duplicate span removed, kept segments re-assembled per document —
@@ -3484,6 +3486,40 @@ object SparkEntry {
         .orderBy("shard_id", "name")
     }),
 
+    // M18b (m34): F16/BF16 safetensors decode (VERDICT r10 missing #4 —
+    // the MAJORITY dtypes of published tensor shards, promoted from loud
+    // reject to bit-exact widening). Payloads are analytically planted:
+    // every element is an exactly-representable half/bfloat16 value that
+    // is ALSO an exact double sum term (quarter-steps, small ints,
+    // 2^-24 subnormal multiples), so the oracle recomputes sum/min/max
+    // in closed form and the whole widening walk — normals, subnormals,
+    // both byte orders of the 16-bit words — sits under the hash.
+    "m34_safetensors_f16" -> ((s, dir) => {
+      import s.implicits._
+      val shards = t(s, dir, "documents")
+        .select(col("doc_id")).as[Long]
+        .groupByKey(_ % 13)
+        .mapGroups { (sid, it) =>
+          import graft.operators.SafetensorsShard._
+          val ids = it.toSeq.sorted
+          val tensors = ids.flatMap { id =>
+            val kh = (1 + id % 5).toInt
+            val half = Array.tabulate(kh)(j =>
+              doubleToHalf(((id * 3 + j) % 255) * 0.25 - 16.0))
+            val kb = (1 + id % 3).toInt
+            val bf = Array.tabulate(kb)(j =>
+              doubleToBf16(((id + j) % 127) - 63.0))
+            Seq(Tensor(s"b$id", "BF16", Seq(kb.toLong), encodeU16(bf)),
+              Tensor(s"h$id", "F16", Seq(kh.toLong), encodeU16(half)))
+          } :+ Tensor("sub", "F16", Seq(8L), encodeU16(
+            Array.tabulate(8)(j =>
+              doubleToHalf(((sid * 8 + j) % 11) * 5.9604644775390625e-8))))
+          (sid, encodeShard(tensors))
+        }.toDF("shard_id", "payload")
+      graft.operators.SafetensorsShard.explodeTensors(s, shards)
+        .orderBy("shard_id", "name")
+    }),
+
     // F1-F3: the electricity-CSV parser family end to end, oracle-gated.
     // Each doc becomes a multi-section CSV (preamble block + automated
     // 3-column section + manual 2-column section; docs with id % 7 == 0
@@ -3819,6 +3855,44 @@ object SparkEntry {
         SELECT doc_id FROM clean1
         WHERE doc_id NOT IN (SELECT doc_b FROM neardrop)
         ORDER BY doc_id"""
+
+  /** d48/d48b shared scoring CTEs: d40's quantized-NB scoring restated
+    * over the held-out slice, ending at `sb(doc_id, s, y)`. Kept
+    * byte-identical between the calibration sweep and its histogram
+    * diagnostic so the two gates disagree only where their POST-scoring
+    * arithmetic differs. (The constructs here — list comprehension,
+    * `bin()` bit-length — are proven portable by d40's green driver row;
+    * the r9/r10 d48 red was the uncast HUGEINT `threshold` column, which
+    * DuckDB's pandas bridge widens to float64.) */
+  private val d48ScoringCtes: String =
+    """toks AS (
+           SELECT doc_id, (doc_id % 3 <> 0) AS train, (lang = 'en') AS pos,
+                  [x for x in string_split(text, ' ')
+                   if length(x) > 0] AS w
+           FROM documents),
+         tok AS (SELECT doc_id, train, pos, unnest(w) AS w FROM toks),
+         tr AS (SELECT * FROM tok WHERE train),
+         cnt AS (SELECT w, SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS cp,
+                        SUM(CASE WHEN pos THEN 0 ELSE 1 END) AS cn
+                 FROM tr GROUP BY 1),
+         tot AS (SELECT SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS tp,
+                        SUM(CASE WHEN pos THEN 0 ELSE 1 END) AS tn FROM tr),
+         nd AS (SELECT SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS np,
+                       SUM(CASE WHEN pos THEN 0 ELSE 1 END) AS nn
+                FROM toks WHERE train),
+         sc AS (SELECT t.doc_id,
+                  (length(bin(COALESCE(c.cp, 0) + 1)) - 1)
+                  - (length(bin(COALESCE(c.cn, 0) + 1)) - 1)
+                  + (length(bin(tt.tn)) - 1) - (length(bin(tt.tp)) - 1) AS b
+                FROM tok t LEFT JOIN cnt c USING (w) CROSS JOIN tot tt),
+         agg AS (SELECT doc_id, SUM(b) AS tb FROM sc GROUP BY 1),
+         sb AS (SELECT d.doc_id,
+                  (length(bin(n.np)) - 1) - (length(bin(n.nn)) - 1)
+                    + COALESCE(a.tb, 0) AS s,
+                  (d.lang = 'en') AS y
+                FROM documents d LEFT JOIN agg a USING (doc_id)
+                CROSS JOIN nd n
+                WHERE d.doc_id % 3 = 0)"""
 
   /** d52/d53: BPE training unrolled — the merge loop restated as `k`
     * chained MATERIALIZED CTE layers (materialization is load-bearing:
@@ -5116,53 +5190,38 @@ object SparkEntry {
            CAST(bits AS BIGINT) AS best_bits
          FROM best WHERE rk = 1 ORDER BY doc_id""",
 
+    // d48b: the pre-sweep histogram alone (threshold, p, n) — every
+    // column CAST to BIGINT so no HUGEINT (the dtype DuckDB's pandas
+    // bridge widens to float64) can reach the compare. Localizes any
+    // remaining d48 divergence to scoring vs sweep (VERDICT r10 #1).
+    "d48b_calibration_hist" ->
+      s"""WITH $d48ScoringCtes
+         SELECT CAST(s AS BIGINT) AS threshold,
+           CAST(SUM(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS p,
+           CAST(SUM(CASE WHEN y THEN 0 ELSE 1 END) AS BIGINT) AS n
+         FROM sb GROUP BY 1 ORDER BY threshold""",
+
     "d48_classifier_calibration" ->
-      """WITH toks AS (
-           SELECT doc_id, (doc_id % 3 <> 0) AS train, (lang = 'en') AS pos,
-                  [x for x in string_split(text, ' ')
-                   if length(x) > 0] AS w
-           FROM documents),
-         tok AS (SELECT doc_id, train, pos, unnest(w) AS w FROM toks),
-         tr AS (SELECT * FROM tok WHERE train),
-         cnt AS (SELECT w, SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS cp,
-                        SUM(CASE WHEN pos THEN 0 ELSE 1 END) AS cn
-                 FROM tr GROUP BY 1),
-         tot AS (SELECT SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS tp,
-                        SUM(CASE WHEN pos THEN 0 ELSE 1 END) AS tn FROM tr),
-         nd AS (SELECT SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS np,
-                       SUM(CASE WHEN pos THEN 0 ELSE 1 END) AS nn
-                FROM toks WHERE train),
-         sc AS (SELECT t.doc_id,
-                  (length(bin(COALESCE(c.cp, 0) + 1)) - 1)
-                  - (length(bin(COALESCE(c.cn, 0) + 1)) - 1)
-                  + (length(bin(tt.tn)) - 1) - (length(bin(tt.tp)) - 1) AS b
-                FROM tok t LEFT JOIN cnt c USING (w) CROSS JOIN tot tt),
-         agg AS (SELECT doc_id, SUM(b) AS tb FROM sc GROUP BY 1),
-         sb AS (SELECT d.doc_id,
-                  (length(bin(n.np)) - 1) - (length(bin(n.nn)) - 1)
-                    + COALESCE(a.tb, 0) AS s,
-                  (d.lang = 'en') AS y
-                FROM documents d LEFT JOIN agg a USING (doc_id)
-                CROSS JOIN nd n
-                WHERE d.doc_id % 3 = 0),
-         h AS (SELECT s AS threshold,
-                 SUM(CASE WHEN y THEN 1 ELSE 0 END) AS p,
-                 SUM(CASE WHEN y THEN 0 ELSE 1 END) AS n
+      s"""WITH $d48ScoringCtes,
+         h AS (SELECT CAST(s AS BIGINT) AS threshold,
+                 CAST(SUM(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS p,
+                 CAST(SUM(CASE WHEN y THEN 0 ELSE 1 END) AS BIGINT) AS n
                FROM sb GROUP BY 1),
-         tt2 AS (SELECT SUM(p) AS tot_p, SUM(n) AS tot_n FROM h),
+         tt2 AS (SELECT CAST(SUM(p) AS BIGINT) AS tot_p,
+                        CAST(SUM(n) AS BIGINT) AS tot_n FROM h),
          cw AS (SELECT threshold, p, n,
-                  SUM(p) OVER (ORDER BY threshold DESC
-                               ROWS UNBOUNDED PRECEDING) AS ctp,
-                  SUM(n) OVER (ORDER BY threshold DESC
-                               ROWS UNBOUNDED PRECEDING) AS cfp
+                  CAST(SUM(p) OVER (ORDER BY threshold DESC
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS ctp,
+                  CAST(SUM(n) OVER (ORDER BY threshold DESC
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cfp
                 FROM h)
-         SELECT threshold, CAST(ctp + cfp AS BIGINT) AS n_ge,
-           CAST(ctp AS BIGINT) AS tp, CAST(cfp AS BIGINT) AS fp,
-           CAST(t.tot_p - ctp AS BIGINT) AS fn,
-           CAST(t.tot_n - cfp AS BIGINT) AS tn,
-           CAST(ctp * 1000000 // (ctp + cfp) AS BIGINT) AS precision_e6,
-           CAST(CASE WHEN t.tot_p = 0 THEN 0
-                ELSE ctp * 1000000 // t.tot_p END AS BIGINT) AS recall_e6
+         SELECT threshold, ctp + cfp AS n_ge,
+           ctp AS tp, cfp AS fp,
+           t.tot_p - ctp AS fn,
+           t.tot_n - cfp AS tn,
+           ctp * 1000000 // (ctp + cfp) AS precision_e6,
+           CASE WHEN t.tot_p = 0 THEN 0
+                ELSE ctp * 1000000 // t.tot_p END AS recall_e6
          FROM cw CROSS JOIN tt2 t ORDER BY threshold""",
 
     "d47_exact_substr_cut" ->
@@ -5933,6 +5992,47 @@ object SparkEntry {
              CAST(MAX(vec_id) AS DOUBLE) AS max_value
            FROM embeddings GROUP BY 1)
          SELECT * FROM (SELECT * FROM v UNION ALL SELECT * FROM i)
+         ORDER BY shard_id, name""",
+
+    // m34: the F16/BF16 widening under the hash — every planted element
+    // is an exactly-representable half/bf16 value whose decoded double
+    // the oracle restates in closed form (quarter-steps for F16 normals,
+    // small ints for BF16, 2^-24 multiples for F16 subnormals); per-tensor
+    // sums stay exact in double so decode order cannot matter
+    "m34_safetensors_f16" ->
+      """WITH d AS (SELECT doc_id, doc_id % 13 AS sid FROM documents),
+         hg AS (SELECT sid, doc_id, unnest(range(0, 1 + doc_id % 5)) AS j
+                FROM d),
+         h AS (SELECT sid AS shard_id, 'h' || doc_id AS name,
+                 'F16' AS dtype, CAST(1 AS BIGINT) AS n_dims,
+                 CAST(COUNT(*) AS BIGINT) AS n_elems,
+                 SUM(((doc_id * 3 + j) % 255) * 0.25 - 16.0) AS sum_value,
+                 MIN(((doc_id * 3 + j) % 255) * 0.25 - 16.0) AS min_value,
+                 MAX(((doc_id * 3 + j) % 255) * 0.25 - 16.0) AS max_value
+               FROM hg GROUP BY 1, 2),
+         bg AS (SELECT sid, doc_id, unnest(range(0, 1 + doc_id % 3)) AS j
+                FROM d),
+         b AS (SELECT sid AS shard_id, 'b' || doc_id AS name,
+                 'BF16' AS dtype, CAST(1 AS BIGINT) AS n_dims,
+                 CAST(COUNT(*) AS BIGINT) AS n_elems,
+                 SUM(CAST((doc_id + j) % 127 - 63 AS DOUBLE)) AS sum_value,
+                 MIN(CAST((doc_id + j) % 127 - 63 AS DOUBLE)) AS min_value,
+                 MAX(CAST((doc_id + j) % 127 - 63 AS DOUBLE)) AS max_value
+               FROM bg GROUP BY 1, 2),
+         sg AS (SELECT sid, unnest(range(0, 8)) AS j
+                FROM (SELECT DISTINCT sid FROM d)),
+         sb16 AS (SELECT sid AS shard_id, 'sub' AS name,
+                 'F16' AS dtype, CAST(1 AS BIGINT) AS n_dims,
+                 CAST(COUNT(*) AS BIGINT) AS n_elems,
+                 SUM(((sid * 8 + j) % 11) * 5.9604644775390625e-8)
+                   AS sum_value,
+                 MIN(((sid * 8 + j) % 11) * 5.9604644775390625e-8)
+                   AS min_value,
+                 MAX(((sid * 8 + j) % 11) * 5.9604644775390625e-8)
+                   AS max_value
+               FROM sg GROUP BY 1)
+         SELECT * FROM (SELECT * FROM h UNION ALL SELECT * FROM b
+                        UNION ALL SELECT * FROM sb16)
          ORDER BY shard_id, name""",
 
     // m30: every record is analytically stated; ids %5-aligned rows

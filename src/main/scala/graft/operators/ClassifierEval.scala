@@ -36,13 +36,25 @@ object ClassifierEval {
     * type adapter, and fractional scores would merge into their floor
     * bucket, so callers with real-valued scores must quantize first.
     * An empty eval set yields no rows. */
-  def thresholdSweep(scored: DataFrame, scoreCol: String,
+  /** The PRE-SWEEP histogram alone: one row per distinct score with its
+    * positive/negative label counts — the `h` stage of [[thresholdSweep]]
+    * exposed as its own result (D48b). Published as a diagnostic gate so a
+    * cross-engine mismatch in the full sweep can be localized to either
+    * the scoring half (this table diverges too) or the cumulative-window
+    * half (this table agrees, the sweep doesn't). Same null-label drop and
+    * integer-score contract as the sweep. */
+  def scoreHistogram(scored: DataFrame, scoreCol: String,
                      labelCol: String): DataFrame = {
     val y = col(labelCol).cast("boolean")
-    val hist = scored.where(col(labelCol).isNotNull)
+    scored.where(col(labelCol).isNotNull)
       .groupBy(col(scoreCol).cast("long").as("threshold"))
       .agg(sum(when(y, 1L).otherwise(0L)).as("p"),
         sum(when(y, 0L).otherwise(1L)).as("n"))
+  }
+
+  def thresholdSweep(scored: DataFrame, scoreCol: String,
+                     labelCol: String): DataFrame = {
+    val hist = scoreHistogram(scored, scoreCol, labelCol)
     // totals fold the HISTOGRAM, not the corpus: the subtree under both
     // aggregations is identical, so Spark's exchange reuse runs the
     // corpus-sized scan once per query instead of twice

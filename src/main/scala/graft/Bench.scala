@@ -108,7 +108,10 @@ object Bench {
     "d64_wet_extract", "t18_stream_wet_extract",
     "m32_safetensors_shards", "m33_npz_shards", "d65_unicode_nfc",
     "t19_stream_npz_ingest", "x08_paragraph_dedup_hot",
-    "e18_filtered_topk", "d66_gopher_rules")
+    "e18_filtered_topk", "d66_gopher_rules",
+    // r13: the calibration histogram diagnostic, the F16/BF16 tensor
+    // widening gate, and the line-shaped Gopher rules
+    "d48b_calibration_hist", "m34_safetensors_f16", "d67_gopher_line_rules")
 
   /** SURVEY §6 per-query budgets (sec, sf0.1 median). A breach triggers an
     * automatic isolated forked-JVM re-run so the artifact adjudicates
@@ -276,7 +279,60 @@ object Bench {
     "e18_filtered_topk" -> 1.2,
     // d66: one in-row built-in pass; the rlike filters dominate
     // (1.42 measured)
-    "d66_gopher_rules" -> 2.2)
+    "d66_gopher_rules" -> 2.2,
+    // r13 rows, 1.5x rule on fresh sf0.1 medians: d48b is d48's scoring
+    // without the sweep window (1.24); m34 is a 13-shard encode+decode
+    // round trip (0.36); d67 one in-row line pass (0.63)
+    "d48b_calibration_hist" -> 1.9, "m34_safetensors_f16" -> 0.6,
+    "d67_gopher_line_rules" -> 1.0)
+
+  /** sf1/sf0.1 ratio ceilings (VERDICT r10 #6): the sf1 pass was
+    * adjudicated by prose until r11 — these encode it. Ceiling = 1.5x the
+    * ratio measured on the round's committed sf1 artifact vs a
+    * same-session sf0.1 run; a future round whose 10x scaling turns
+    * superlinear breaches HERE, as a `ratio_breach` row in the artifact,
+    * instead of hiding in a narrative. Checked only when the builder
+    * passes the round's sf0.1 artifact via SPARK_GRAFT_SF01_JSON (the
+    * driver's own sf0.1 runs never engage this). Rows absent here emit
+    * their ratio ungated (new operators gate next round, once a measured
+    * ratio exists). Seeded from the r10 scaling table (SURVEY §6);
+    * refreshed whenever a new sf1 pass re-measures. */
+  val sf1MaxRatio: Map[String, Double] = Map(
+    "q01_agg_pushdown" -> 1.1, "q12_join_multi" -> 1.7,
+    "q20_interval_join" -> 1.8, "q24_window_lag" -> 2.4,
+    "ev01_sessionize" -> 2.4, "d01_exact_dedup" -> 2.9,
+    "d02_minhash_lsh" -> 7.1, "x01_lsh_skew_capped" -> 6.3,
+    "x02_lsh_skew_atcap" -> 6.9, "x03_semdedup_scaledk" -> 18.2,
+    "x04_hyperplane_lsh_scaled" -> 9.2, "d03_simhash" -> 4.8,
+    "d07_ngram_jaccard" -> 6.2, "d08_winnow_fingerprints" -> 2.3,
+    "d10_winnow_containment" -> 2.0, "e01_knn_bruteforce" -> 1.8,
+    "e02_ann_ivf" -> 1.8, "e05_kmeans_ivf_cells" -> 6.9,
+    "e06_kmeans_ivf_topk" -> 7.4, "e07_hyperplane_lsh_near_dup" -> 23.4,
+    "sql02_catalog_join" -> 2.6, "d11_corpus_clean" -> 2.6,
+    "d12_repetition" -> 11.7, "d13_vocab" -> 9.6,
+    "d14_decontaminate" -> 2.4, "d15_dup_clusters" -> 9.6,
+    "d31_dup_clusters_star" -> 8.3, "d17_semdedup" -> 44.6,
+    "d18_keyterms" -> 6.3, "e08_pq_adc_topk" -> 4.5,
+    "ev05_asof_join" -> 2.3, "d27_segment_dedup" -> 7.2,
+    "d28_overlap_decontaminate" -> 8.3, "d32_dsir_weight" -> 7.7,
+    "d33_bm25_topk" -> 5.9, "d34_bm25_capped" -> 6.0,
+    "x05_bpe_train_encode" -> 20.7, "d37_lm_perplexity" -> 7.7,
+    "d38_exact_substr" -> 36.0, "d39_suffix_ranks" -> 13.1,
+    "d40_nb_quality" -> 5.6, "d41_token_budget" -> 8.3,
+    "d42_host_pagerank" -> 1.4, "d43_host_budget" -> 6.3,
+    "d44_lsh_estimate" -> 8.3, "x06_host_budget_skew" -> 7.1,
+    "x07_token_budget_degenerate" -> 5.6, "e13_sq8_topk" -> 3.0,
+    "e14_ivf_sq8_topk" -> 3.0, "m15_tar_shards" -> 11.6,
+    "m16_zip_shards" -> 10.8, "m17_warc_records" -> 10.7,
+    "m20_arrow_shards" -> 8.6, "t11_stream_warc_ingest" -> 2.1,
+    "t08_stream_quality_gate" -> 3.3, "t09_stream_classifier_gate" -> 2.4,
+    "t10_stream_host_budget" -> 1.5, "d45_curation_pipeline" -> 17.4,
+    "d46_sequence_pack" -> 5.0, "d47_exact_substr_cut" -> 32.7,
+    "t12_stream_sequence_pack" -> 1.5, "d48_classifier_calibration" -> 4.5,
+    "d49_nb_multiclass" -> 7.8, "m23_webdataset_samples" -> 10.2,
+    "d50_doc_chunking" -> 12.6, "d51_curation_lake" -> 19.7,
+    "d52_bpe_train_encode" -> 16.2, "m24_arrow_shard_write" -> 3.3,
+    "t13_stream_arrow_ingest" -> 2.3, "k07_shard_rebalance" -> 7.7)
 
   /** Cluster-cost observability (r11): per-query SHUFFLE WRITE and SPILL
     * volume next to every wall time, so the artifact itself shows which
@@ -402,6 +458,45 @@ object Bench {
         case (n, (t, _, _, _)) if t >= 0 && budgets.get(n).exists(t > _) => n
       }
     val isolated = breaches.flatMap(n => isolatedRun(n, sfDir, cpus).map(n -> _))
+    // Self-classify the adjudications (VERDICT r10 #8): an isolated re-run
+    // inside budget is the overhead-floor class — when it ALSO erodes the
+    // 1.5x headroom rule, the mechanical re-budget (1.5x the isolated
+    // median) is emitted so next round's budget update is an auditable
+    // copy, not prose; an isolated re-run that still breaches is a REAL
+    // regression and is named as such.
+    val proposedBudgets = isolated.collect {
+      case (n, ti) if budgets.get(n).exists(b => ti <= b && b < 1.5 * ti) =>
+        n -> math.ceil(ti * 15.0) / 10.0
+    }
+    val confirmedBreaches = isolated.collect {
+      case (n, ti) if budgets.get(n).exists(ti > _) => n -> ti
+    }
+    // sf1 ratio gates (VERDICT r10 #6): when the builder benches a 10x
+    // dataset, SPARK_GRAFT_SF01_JSON points at the same-session sf0.1
+    // artifact; each row's sf1/sf0.1 wall ratio lands in the artifact and
+    // is checked against the committed ceiling.
+    val sf01Times: Map[String, Double] =
+      sys.env.get("SPARK_GRAFT_SF01_JSON").map { p =>
+        try {
+          val txt = new String(
+            java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p)), "UTF-8")
+          val j = org.json4s.jackson.JsonMethods.parse(txt)
+          (j \ "queries") match {
+            case org.json4s.JObject(fs) => fs.collect {
+              case (k, org.json4s.JDouble(v)) => k -> v
+              case (k, org.json4s.JInt(v)) => k -> v.toDouble
+            }.toMap
+            case _ => Map.empty[String, Double]
+          }
+        } catch { case _: Throwable => Map.empty[String, Double] }
+      }.getOrElse(Map.empty)
+    val ratios = results.collect {
+      case (n, (t, _, _, _)) if t > 0 && sf01Times.get(n).exists(_ > 0) =>
+        n -> math.rint(t / sf01Times(n) * 100) / 100
+    }
+    val ratioBreaches = ratios.filter { case (n, r) =>
+      sf1MaxRatio.get(n).exists(r > _)
+    }
     val qs = results.map { case (k, (t, _, _, _)) => "\"" + k + "\":" + t }
       .mkString("{", ",", "}")
     val gcs = results.map { case (k, (_, g, _, _)) => "\"" + k + "\":" + g }
@@ -413,8 +508,18 @@ object Bench {
       .mkString("{", ",", "}")
     val iso = isolated.map { case (k, t) => "\"" + k + "\":" + t }
       .mkString("{", ",", "}")
+    def numMap(m: Seq[(String, Double)]): String =
+      m.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val extra =
+      (if (proposedBudgets.nonEmpty)
+        s""","proposed_budgets":${numMap(proposedBudgets)}""" else "") +
+      (if (confirmedBreaches.nonEmpty)
+        s""","confirmed_breach":${numMap(confirmedBreaches)}""" else "") +
+      (if (sf01Times.nonEmpty)
+        s""","ratios":${numMap(ratios)},"ratio_breach":${numMap(ratioBreaches)}"""
+       else "")
     val total = results.map(_._2._1).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"gc_ms":$gcs,"shuffle_mb":$shs,"spill_mb":$sps,"isolated":$iso,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"gc_ms":$gcs,"shuffle_mb":$shs,"spill_mb":$sps,"isolated":$iso$extra,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

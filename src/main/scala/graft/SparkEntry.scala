@@ -2309,6 +2309,33 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // D67: the LINE-shaped Gopher rules d66's word-shaped composite
+    // leaves out — duplicate-line fraction, ellipsis-line fraction,
+    // bullet-start fraction — over per-class planted violations: a
+    // distinct-lines doc (passes), a repeated-line flood (dup rule), an
+    // ellipsis flood ("..." and U+2026 both), a fully-bulleted doc ("•",
+    // "-", "*" all three). Floor-scaled integer ratios, one in-row pass.
+    "d67_gopher_line_rules" -> ((s, dir) => {
+      val l1 = substring(col("text"), 1, 20)
+      val l2 = substring(col("text"), 21, 20)
+      val l3 = substring(col("text"), 41, 20)
+      val raw = when(col("doc_id") % 4 === 0,
+          concat_ws("\n", l1, l2, l3, lit("closing line")))
+        .when(col("doc_id") % 4 === 1,
+          concat_ws("\n", l1, l1, l1, l1, l2))
+        .when(col("doc_id") % 4 === 2,
+          concat_ws("\n", concat(l1, lit("...")), concat(l2, lit("…")),
+            l3))
+        .otherwise(
+          concat_ws("\n", concat(lit("• "), l1), concat(lit("- "), l2),
+            concat(lit("* "), l3)))
+      t(s, dir, "documents").select(col("doc_id"),
+          TF.gopherLineRules(raw).as("q"))
+        .select(col("doc_id"), col("q.n_lines"), col("q.dup_line_e4"),
+          col("q.ellipsis_e4"), col("q.bullet_e4"), col("q.passed"))
+        .orderBy("doc_id")
+    }),
+
     // D65: Unicode NFC normalization — the canonicalization every
     // dedup/hash key needs before hashing ("é" composed vs decomposed
     // are different bytes to md5/minhash). The planted tail per id class
@@ -6775,6 +6802,52 @@ object SparkEntry {
 
     // d66: the same floor-scaled integer rules over the same synthesized
     // violations, restated with list comprehensions
+    // d67: the line-rule half restated — same '\n' split, trim,
+    // empty-drop, and floor-scaled ratios (ellipsis/bullet code points
+    // transported as chr() so the literals survive SQL transport)
+    "d67_gopher_line_rules" ->
+      """WITH r AS (SELECT doc_id, CASE doc_id % 4
+             WHEN 0 THEN concat_ws(chr(10), substr(text, 1, 20),
+               substr(text, 21, 20), substr(text, 41, 20), 'closing line')
+             WHEN 1 THEN concat_ws(chr(10), substr(text, 1, 20),
+               substr(text, 1, 20), substr(text, 1, 20),
+               substr(text, 1, 20), substr(text, 21, 20))
+             WHEN 2 THEN concat_ws(chr(10), substr(text, 1, 20) || '...',
+               substr(text, 21, 20) || chr(8230), substr(text, 41, 20))
+             ELSE concat_ws(chr(10), chr(8226) || ' ' || substr(text, 1, 20),
+               '- ' || substr(text, 21, 20), '* ' || substr(text, 41, 20))
+             END AS raw
+           FROM documents),
+         l AS (SELECT doc_id,
+             [trim(x) for x in string_split(raw, chr(10))
+              if trim(x) <> ''] AS ls
+           FROM r),
+         m AS (SELECT doc_id,
+             CAST(len(ls) AS BIGINT) AS n_lines,
+             CAST(len(list_distinct(ls)) AS BIGINT) AS n_distinct,
+             CAST(len([x for x in ls if ends_with(x, '...')
+               OR ends_with(x, chr(8230))]) AS BIGINT) AS n_ell,
+             CAST(len([x for x in ls
+               if left(x, 1) IN ('-', '*', chr(8226))]) AS BIGINT) AS n_bul
+           FROM l),
+         f AS (SELECT doc_id, n_lines,
+             CASE WHEN n_lines > 0
+                  THEN (n_lines - n_distinct) * 10000 // n_lines
+                  ELSE 0 END AS dup_line_e4,
+             CASE WHEN n_lines > 0 THEN n_ell * 10000 // n_lines
+                  ELSE 0 END AS ellipsis_e4,
+             CASE WHEN n_lines > 0 THEN n_bul * 10000 // n_lines
+                  ELSE 0 END AS bullet_e4
+           FROM m)
+         SELECT doc_id, n_lines,
+           CAST(dup_line_e4 AS BIGINT) AS dup_line_e4,
+           CAST(ellipsis_e4 AS BIGINT) AS ellipsis_e4,
+           CAST(bullet_e4 AS BIGINT) AS bullet_e4,
+           CAST(CASE WHEN dup_line_e4 <= 3000 AND ellipsis_e4 <= 3000
+                  AND bullet_e4 <= 9000 THEN 1 ELSE 0 END AS BIGINT)
+             AS passed
+         FROM f ORDER BY doc_id""",
+
     "d66_gopher_rules" ->
       """WITH r AS (SELECT doc_id, CASE doc_id % 4
              WHEN 0 THEN text || ' the of the and'

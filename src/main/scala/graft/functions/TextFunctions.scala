@@ -199,6 +199,37 @@ object TextFunctions {
       when(passed, 1L).otherwise(0L).as("passed"))
   }
 
+  /** The LINE-shaped half of Gopher's §A1.1 rule set (Rae et al. 2021)
+    * — the three rules [[gopherQuality]]'s word-shaped composite leaves
+    * out (VERDICT r10 #4):
+    *
+    *   - duplicate-line fraction <= 30%   (dup_line_e4 <= 3000)
+    *   - lines ending in an ellipsis ("..." or U+2026) <= 30%
+    *   - lines starting with a bullet ("•", "-", "*") <= 90%
+    *
+    * Lines are '\n'-split, space-trimmed, empties dropped. Same
+    * integer-exact stance: floor-scaled x10000 ratios, one in-row pass
+    * of codegen'd built-ins (split/transform/filter/array_distinct),
+    * no UDF, no shuffle; `passed` is the conjunction (empty docs pass —
+    * the word-count rule in [[gopherQuality]] owns rejecting those). */
+  def gopherLineRules(c: Column): Column = {
+    val lines = filter(transform(split(c, "\n"), x => trim(x)), x => x =!= "")
+    val nL = size(lines).cast("long")
+    val nDistinct = size(array_distinct(lines)).cast("long")
+    def idiv(a: Column, b: Column): Column = floor(a / b).cast("long")
+    val dupE4 = when(nL > 0, idiv((nL - nDistinct) * 10000L, nL)).otherwise(0L)
+    val nEll = size(filter(lines, x =>
+      x.endsWith(lit("...")) || x.endsWith(lit("…")))).cast("long")
+    val ellE4 = when(nL > 0, idiv(nEll * 10000L, nL)).otherwise(0L)
+    val nBul = size(filter(lines, x =>
+      substring(x, 1, 1).isin("•", "-", "*"))).cast("long")
+    val bulE4 = when(nL > 0, idiv(nBul * 10000L, nL)).otherwise(0L)
+    val passed = (dupE4 <= 3000L && ellE4 <= 3000L && bulE4 <= 9000L)
+    struct(nL.as("n_lines"), dupE4.as("dup_line_e4"),
+      ellE4.as("ellipsis_e4"), bulE4.as("bullet_e4"),
+      when(passed, 1L).otherwise(0L).as("passed"))
+  }
+
   def piiCount(c: Column, pattern: String): Column =
     regexp_count(c, lit(pattern)).cast("long")
 

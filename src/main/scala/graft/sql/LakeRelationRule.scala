@@ -1,8 +1,8 @@
 package graft.sql
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.AttributeReference
-import org.apache.spark.sql.catalyst.plans.logical.{DeleteFromTable, InsertIntoStatement, LogicalPlan, MergeIntoTable, SubqueryAlias, UpdateTable, V2WriteCommand}
+import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, Coalesce}
+import org.apache.spark.sql.catalyst.plans.logical.{DeleteFromTable, InsertIntoStatement, LogicalPlan, MergeIntoTable, Project, SubqueryAlias, UpdateTable, V2WriteCommand}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.LogicalRelation
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
@@ -56,13 +56,34 @@ final class LakeRelationRule(spark: SparkSession) extends Rule[LogicalPlan] {
         // relation layout is dataSchema ++ partitionSchema; reuse the v2
         // relation's output attributes by NAME (parents already resolved
         // against their exprIds), minting fresh ones only for derived
-        // partition columns the v2 schema does not expose
+        // partition columns and RENAME alias columns the v2 schema does
+        // not expose
         val byName = r.output.map(a => a.name -> a).toMap
         val attrs = rel.schema.fields.toIndexedSeq.map { f =>
           byName.getOrElse(f.name,
             AttributeReference(f.name, f.dataType, nullable = true)())
         }
-        LogicalRelation(rel, attrs, None, isStreaming = false, None)
+        val lr = LogicalRelation(rel, attrs, None, isStreaming = false, None)
+        val aliases = t.meta.columnAliases
+        if (aliases.isEmpty) lr
+        else {
+          // RENAMEd columns resolve per file via coalesce(new, old...) —
+          // same projection as LakeTable.readWithPartitions. The Project
+          // preserves the v2 output attributes (names AND exprIds), so
+          // parents resolve unchanged.
+          val attrByName = attrs.map(a => a.name -> a).toMap
+          val projList = r.output.map { a =>
+            aliases.get(a.name).orElse(
+                aliases.find(_._1.equalsIgnoreCase(a.name)).map(_._2)) match {
+              case Some(olds) if olds.nonEmpty =>
+                val branches = (a.name +: olds).flatMap(attrByName.get)
+                Alias(Coalesce(branches), a.name)(
+                  exprId = a.exprId, qualifier = a.qualifier)
+              case _ => attrByName.getOrElse(a.name, a)
+            }
+          }
+          Project(projList, lr)
+        }
     }
   }
 }

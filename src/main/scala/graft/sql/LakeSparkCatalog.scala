@@ -168,14 +168,21 @@ class LakeSparkCatalog extends TableCatalog with SupportsNamespaces
           s"Nested DROP COLUMN not supported: ${d.fieldNames.mkString(".")}")
         d.fieldNames.head
     }
-    val handled = setProps.size + addCols.size + dropCols.size
+    val renames = changes.collect {
+      case r: TableChange.RenameColumn =>
+        if (r.fieldNames.length != 1) throw new UnsupportedOperationException(
+          s"Nested RENAME COLUMN not supported: ${r.fieldNames.mkString(".")}")
+        r.fieldNames.head -> r.newName
+    }
+    val handled = setProps.size + addCols.size + dropCols.size + renames.size
     if (handled != changes.size)
       throw new UnsupportedOperationException(
         "Supported ALTER TABLE changes: SET TBLPROPERTIES, ADD COLUMNS, " +
-          "DROP COLUMN (RENAME needs field-id column mapping, which plain " +
-          "parquet files cannot express)")
+          "DROP COLUMN, RENAME COLUMN (via scan-time name-mapping; " +
+          "type changes are not supported)")
     if (addCols.nonEmpty) t.addColumns(addCols)
     if (dropCols.nonEmpty) t.dropColumns(dropCols)
+    renames.foreach { case (o, n) => t.renameColumn(o, n) }
     if (setProps.nonEmpty) t.writeProperties(setProps.toMap)
     loadTable(ident)
   }

@@ -40,10 +40,22 @@ final class LakeFileIndex(
         nullable = true)))
 
   /** Columns physically present in the data files: the table schema minus
-    * partition fields (those live in directory names only). */
+    * partition fields (those live in directory names only), PLUS the
+    * retired physical names from the RENAME name-mapping — files written
+    * before a rename carry the old name, so the scan requests both and
+    * parquet null-fills whichever a given file lacks; the read projection
+    * COALESCEs them back into the current column. */
   val dataSchema: StructType = {
     val partNames = meta.partitionSpec.map(_.fieldName).toSet
-    StructType(meta.schema.fields.filterNot(f => partNames.contains(f.name)))
+    val base = meta.schema.fields.filterNot(f => partNames.contains(f.name))
+    val present = base.map(_.name.toLowerCase).toSet
+    val aliasFields = meta.columnAliases.toSeq.sortBy(_._1).flatMap {
+      case (cur, olds) =>
+        base.find(_.name.equalsIgnoreCase(cur)).toSeq.flatMap(f =>
+          olds.filterNot(o => present.contains(o.toLowerCase))
+            .map(o => StructField(o, f.dataType, nullable = true)))
+    }
+    StructType(base ++ aliasFields)
   }
 
   override def rootPaths: Seq[HadoopPath] = Seq(new HadoopPath(location))

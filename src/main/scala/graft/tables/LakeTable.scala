@@ -215,8 +215,18 @@ final class LakeTable private (spark: SparkSession, val location: String) {
     // partition values come from metadata (no directory discovery), data
     // filters skip files on manifest bounds, and the plan stays
     // constant-size no matter how many commits accumulated.
-    spark.baseRelationToDataFrame(baseRelation(meta, files))
-      .select(fullSchema.fieldNames.map(col).toIndexedSeq: _*)
+    // RENAMEd columns resolve per file: coalesce(new physical name, old) —
+    // parquet null-fills whichever side a file predates.
+    val aliases = meta.columnAliases
+    val cols = fullSchema.fieldNames.toIndexedSeq.map { n =>
+      aliases.get(n).orElse(
+          aliases.find(_._1.equalsIgnoreCase(n)).map(_._2)) match {
+        case Some(olds) if olds.nonEmpty =>
+          coalesce((n +: olds).map(col): _*).as(n)
+        case _ => col(n)
+      }
+    }
+    spark.baseRelationToDataFrame(baseRelation(meta, files)).select(cols: _*)
   }
 
   /** `HadoopFsRelation` over the manifest-backed [[LakeFileIndex]] — the
@@ -242,13 +252,56 @@ final class LakeTable private (spark: SparkSession, val location: String) {
     * nullable (existing files don't have them; readers null-fill missing
     * parquet columns — the standard add-only evolution contract). */
   def addColumns(fields: Seq[StructField]): Unit = commitRetry { meta =>
+    val retired = TableMetadata.parseNameMapping(meta.properties)
+      .values.flatten.map(_.toLowerCase).toSet
     fields.foreach { f =>
       require(f.nullable, s"ADD COLUMN '${f.name}' must be nullable " +
         "(existing files cannot supply values)")
       require(!meta.schema.fieldNames.exists(_.equalsIgnoreCase(f.name)),
         s"Column '${f.name}' already exists")
+      require(!retired.contains(f.name.toLowerCase),
+        s"Column name '${f.name}' is retired by a RENAME (old files still " +
+          "carry it physically); pick another name")
     }
     meta.copy(schema = StructType(meta.schema.fields ++ fields))
+  }
+
+  /** DDL RENAME COLUMN: metadata-only, via Iceberg's name-mapping answer
+    * to formats without field ids (`schema.name-mapping.default`). The
+    * schema gets the new name; the old name is recorded as a scan-time
+    * alias, and every read COALESCEs the new physical column (files
+    * written after the rename) with the old one (files written before) —
+    * parquet null-fills whichever a given file lacks, so the per-file
+    * resolution is exact. Old files stay readable forever; compaction
+    * rewrites them under the new name. Renaming a partition-source, sort,
+    * or identifier column is rejected (their names are baked into
+    * directory layouts and manifests). */
+  def renameColumn(oldName: String, newName: String): Unit = commitRetry { meta =>
+    require(meta.schema.fieldNames.exists(_.equalsIgnoreCase(oldName)),
+      s"No such column: '$oldName'")
+    require(!meta.schema.fieldNames.exists(_.equalsIgnoreCase(newName)),
+      s"Column '$newName' already exists")
+    require(!meta.partitionSpec.exists(_.column.equalsIgnoreCase(oldName)),
+      s"Cannot rename partition column '$oldName'")
+    require(!meta.sortOrder.exists(_.column.equalsIgnoreCase(oldName)),
+      s"Cannot rename sort column '$oldName'")
+    require(!meta.identifierFields.exists(_.equalsIgnoreCase(oldName)),
+      s"Cannot rename identifier column '$oldName'")
+    val mapping = TableMetadata.parseNameMapping(meta.properties)
+    require(!mapping.values.flatten.exists(_.equalsIgnoreCase(newName)),
+      s"Column name '$newName' is retired by an earlier RENAME (old files " +
+        "still carry it physically); pick another name")
+    val canonical = meta.schema.fieldNames.find(_.equalsIgnoreCase(oldName)).get
+    val newSchema = StructType(meta.schema.fields.map(f =>
+      if (f.name.equalsIgnoreCase(oldName)) f.copy(name = newName) else f))
+    // chain-collapse: if `oldName` was itself the target of an earlier
+    // rename, its aliases follow it to the new name
+    val inherited = mapping.getOrElse(canonical,
+      mapping.find(_._1.equalsIgnoreCase(canonical)).map(_._2).getOrElse(Nil))
+    val updated = mapping.filterNot(_._1.equalsIgnoreCase(canonical)) +
+      (newName -> (inherited :+ canonical))
+    meta.copy(schema = newSchema, properties = meta.properties +
+      (TableMetadata.NameMappingProp -> TableMetadata.renderNameMapping(updated)))
   }
 
   /** DDL DROP COLUMN: metadata-only — files keep the physical column,

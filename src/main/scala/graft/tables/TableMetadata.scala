@@ -76,6 +76,19 @@ final case class TableMetadata(
 
   def currentSnapshot: Option[Snapshot] = snapshots.find(_.id == currentSnapshotId)
 
+  /** RENAME COLUMN name-mapping (current name -> the physical names older
+    * data files carry), parsed from the `schema.name-mapping.default`
+    * property — Iceberg's answer to renames over formats without field
+    * ids, stored the way Iceberg stores it (a table property applied at
+    * scan time). Only mappings whose current name exists in this
+    * metadata's schema apply (a time-travel read at a pre-rename snapshot
+    * sees the old name as a REAL column and must not alias it). */
+  def columnAliases: Map[String, Seq[String]] = {
+    val all = TableMetadata.parseNameMapping(properties)
+    val present = schema.fieldNames.map(_.toLowerCase).toSet
+    all.filter { case (cur, _) => present.contains(cur.toLowerCase) }
+  }
+
   def toJson: String = {
     def fileJson(f: DataFile): JValue =
       JObject(List(
@@ -124,6 +137,30 @@ final case class TableMetadata(
 }
 
 object TableMetadata {
+  /** The Iceberg-published property key for scan-time column name
+    * mapping. Value: a JSON object `{"current": ["old1", "old2"], ...}`
+    * (ours is name-keyed — plain parquet has no field ids to key by). */
+  val NameMappingProp = "schema.name-mapping.default"
+
+  def parseNameMapping(properties: Map[String, String]): Map[String, Seq[String]] =
+    properties.get(NameMappingProp) match {
+      case None => Map.empty
+      case Some(json) =>
+        JsonMethods.parse(json) match {
+          case JObject(fields) => fields.map {
+            case (cur, JArray(olds)) =>
+              cur -> olds.collect { case JString(s) => s }
+            case (cur, _) => cur -> Nil
+          }.toMap
+          case _ => Map.empty
+        }
+    }
+
+  def renderNameMapping(m: Map[String, Seq[String]]): String =
+    JsonMethods.compact(JsonMethods.render(JObject(
+      m.toList.sortBy(_._1).map { case (cur, olds) =>
+        cur -> JArray(olds.toList.map(JString(_))) })))
+
   def empty(schema: StructType,
             partitionSpec: Seq[PartitionField] = Nil,
             sortOrder: Seq[SortField] = Nil,

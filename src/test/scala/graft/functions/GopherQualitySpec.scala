@@ -46,4 +46,38 @@ class GopherQualitySpec extends AnyFunSuite with SparkSpec {
     assert(q("") == ((0L, 0L, 0L, 0L, 0L, 0L)))
     assert(q("   ") == ((0L, 0L, 0L, 0L, 0L, 0L)))
   }
+
+  private def lr(text: String): (Long, Long, Long, Long, Long) = {
+    val r = Seq(text).toDF("t")
+      .select(TextFunctions.gopherLineRules(col("t")).as("q"))
+      .select("q.n_lines", "q.dup_line_e4", "q.ellipsis_e4", "q.bullet_e4",
+        "q.passed")
+      .head()
+    (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+  }
+
+  test("line rules: a clean multi-line doc passes with hand-checked stats") {
+    // 3 distinct lines, none ellipsis-terminated, none bulleted
+    assert(lr("alpha beta\ngamma delta\nepsilon") == ((3L, 0L, 0L, 0L, 1L)))
+  }
+
+  test("line rules: each rule fails independently") {
+    // dup: 4 lines, 2 distinct -> 5000 > 3000 (lines trim-compare)
+    val d = lr("same line\n same line \nsame line\nother")
+    assert(d == ((4L, 5000L, 0L, 0L, 0L)))
+    // ellipsis: 2 of 4 lines end in "..." or U+2026 -> 5000 > 3000
+    val e = lr("read more...\nplain\nelided…\nlast")
+    assert(e == ((4L, 0L, 5000L, 0L, 0L)))
+    // bullets: ALL lines bulleted (each marker form) -> 10000 > 9000
+    val b = lr("• one\n- two\n* three")
+    assert(b == ((3L, 0L, 0L, 10000L, 0L)))
+    // bullets under the 90% line pass: 2 of 3 -> 6666
+    assert(lr("• one\n- two\nprose three")._5 == 1L)
+  }
+
+  test("line rules: empty text and blank lines never throw") {
+    assert(lr("") == ((0L, 0L, 0L, 0L, 1L)))
+    assert(lr("\n\n  \n") == ((0L, 0L, 0L, 0L, 1L)))
+    assert(lr("one\n\n\ntwo")._1 == 2L)
+  }
 }

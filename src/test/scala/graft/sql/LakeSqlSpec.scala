@@ -206,10 +206,56 @@ class LakeSqlSpec extends AnyFunSuite with SparkSpec {
     // DROP projects the physical column away on every read
     spark.sql("ALTER TABLE lake.nsd.ddl DROP COLUMN name")
     assert(spark.sql("SELECT * FROM lake.nsd.ddl").columns.toSeq == Seq("id", "score"))
-    // RENAME has no sound encoding over plain parquet files -> clear error
-    val e = intercept[Exception](
-      spark.sql("ALTER TABLE lake.nsd.ddl RENAME COLUMN id TO key"))
-    assert(e.getMessage.contains("field-id"), e.getMessage)
+  }
+
+  test("ALTER TABLE RENAME COLUMN: name-mapping keeps old files readable") {
+    root
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lake.nsrn")
+    spark.sql("CREATE TABLE lake.nsrn.rn (id BIGINT, val STRING)")
+    spark.sql("INSERT INTO lake.nsrn.rn VALUES (1, 'a'), (2, 'b')")
+    val filesBefore = LakeTable.load(spark, s"$root/nsrn/rn")
+      .metadata.currentSnapshot.get.files.map(_.path).toSet
+    spark.sql("ALTER TABLE lake.nsrn.rn RENAME COLUMN val TO label")
+    // metadata-only: the pre-rename files are untouched on disk
+    val metaAfter = LakeTable.load(spark, s"$root/nsrn/rn").metadata
+    assert(metaAfter.currentSnapshot.get.files.map(_.path).toSet == filesBefore)
+    assert(metaAfter.properties.contains(
+      graft.tables.TableMetadata.NameMappingProp))
+    // old files' values surface under the NEW name (scan-time mapping)
+    assert(spark.sql("SELECT id, label FROM lake.nsrn.rn ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((1L, "a"), (2L, "b")))
+    // new writes land under the new physical name and mix with old files
+    spark.sql("INSERT INTO lake.nsrn.rn VALUES (3, 'c')")
+    assert(spark.sql(
+        "SELECT label FROM lake.nsrn.rn WHERE id IN (1, 3) ORDER BY id")
+      .collect().map(_.getString(0)).toSeq == Seq("a", "c"))
+    // filters on the renamed column see both file generations
+    assert(spark.sql(
+      "SELECT count(*) FROM lake.nsrn.rn WHERE label IN ('a','c')")
+      .head.getLong(0) == 2L)
+    // the programmatic read path applies the same mapping
+    val t = LakeTable.load(spark, s"$root/nsrn/rn")
+    assert(t.read().columns.toSeq == Seq("id", "label"))
+    assert(t.read().where("label = 'b'").count() == 1L)
+    // chained rename: aliases follow the column
+    spark.sql("ALTER TABLE lake.nsrn.rn RENAME COLUMN label TO tag")
+    assert(spark.sql("SELECT tag FROM lake.nsrn.rn ORDER BY id")
+      .collect().map(_.getString(0)).toSeq == Seq("a", "b", "c"))
+    // time travel to a pre-rename snapshot reads the OLD schema with the
+    // old name as a real physical column (no aliasing applies there)
+    val firstSnap = metaAfter.snapshots.head.id
+    val at = LakeTable.load(spark, s"$root/nsrn/rn").readAt(firstSnap)
+    assert(at.columns.toSeq == Seq("id", "val"))
+    assert(at.where("val = 'a'").count() == 1L)
+    // retired physical names cannot be re-introduced (old files still
+    // carry them; a new column of that name would bleed their values)
+    val e1 = intercept[Exception](
+      spark.sql("ALTER TABLE lake.nsrn.rn ADD COLUMNS (val STRING)"))
+    assert(e1.getMessage.contains("retired"), e1.getMessage)
+    val e2 = intercept[Exception](
+      spark.sql("ALTER TABLE lake.nsrn.rn RENAME COLUMN id TO label"))
+    assert(e2.getMessage.contains("retired"), e2.getMessage)
   }
 
   test("general MERGE INTO: conditional update/delete, explicit insert, by-source") {

@@ -111,7 +111,8 @@ object Bench {
     "e18_filtered_topk", "d66_gopher_rules",
     // r13: the calibration histogram diagnostic, the F16/BF16 tensor
     // widening gate, and the line-shaped Gopher rules
-    "d48b_calibration_hist", "m34_safetensors_f16", "d67_gopher_line_rules")
+    "d48b_calibration_hist", "m34_safetensors_f16", "d67_gopher_line_rules",
+    "e19_mmr_rerank")
 
   /** SURVEY §6 per-query budgets (sec, sf0.1 median). A breach triggers an
     * automatic isolated forked-JVM re-run so the artifact adjudicates
@@ -284,7 +285,10 @@ object Bench {
     // without the sweep window (1.24); m34 is a 13-shard encode+decode
     // round trip (0.36); d67 one in-row line pass (0.63)
     "d48b_calibration_hist" -> 1.9, "m34_safetensors_f16" -> 0.6,
-    "d67_gopher_line_rules" -> 1.0)
+    "d67_gopher_line_rules" -> 1.0,
+    // e19: E1's broadcast-NLJ pool + bounded top-20 + per-query greedy
+    // over pool-bounded state (1.01 measured)
+    "e19_mmr_rerank" -> 1.6)
 
   /** sf1/sf0.1 ratio ceilings (VERDICT r10 #6): the sf1 pass was
     * adjudicated by prose until r11 — these encode it. Ceiling = 1.5x the

@@ -2070,6 +2070,22 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // E19: MMR diversity re-rank (Carbonell & Goldstein 1998) — the
+    // standard post-retrieval step of RAG stacks: greedy selection of
+    // lambda*rel - (1-lambda)*max-sim-to-selected over a top-20 exact
+    // pool, k=5, lambda=0.7. Integer-exact: every cosine quantizes to
+    // floor(cos*1e6) BEFORE comparison and the selection value is the
+    // integer 7*rel_e6 - 3*maxsim_e6, so the greedy cannot be flipped by
+    // a last-ulp double disagreement; the oracle unrolls the 5 greedy
+    // steps as chained CTE layers.
+    "e19_mmr_rerank" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.mmrRerank(
+          emb.where(col("vec_id") % 50 =!= 0),
+          emb.where(col("vec_id") % 50 === 0), k = 5, pool = 20)
+        .orderBy("query_id", "rank")
+    }),
+
     // D57: corpus-wide paragraph dedup (C4's dedupe_lines) — keep ONE
     // occurrence of every unique paragraph across the corpus (first in
     // (doc, position) order), reassemble docs, drop emptied docs. The
@@ -4176,6 +4192,59 @@ object SparkEntry {
     s"list_reduce([CAST(x[1] AS DOUBLE)*CAST(x[2] AS DOUBLE) for x in list_zip($a,$b)], (p,q) -> p+q)"
   private def duckCos(a: String, b: String): String =
     s"ROUND(${duckDot(a, b)} / (sqrt(${duckDot(a, a)}) * sqrt(${duckDot(b, b)})), 6)"
+
+  /** Quantized cosine `floor(cos * 1e6)` as BIGINT — the integer contract
+    * of the MMR gate (same double fold order as graft_cosine; floor of a
+    * bit-identical double is engine-stable, unlike ROUND-to-decimal
+    * comparisons inside a greedy selection). */
+  private def duckCosE6(a: String, b: String): String =
+    s"CAST(floor((${duckDot(a, b)} / (sqrt(${duckDot(a, a)}) * " +
+      s"sqrt(${duckDot(b, b)}))) * 1000000) AS BIGINT)"
+
+  /** e19: greedy MMR unrolled — k chained layers; layer i picks the
+    * argmax of 7*rel - 3*max-sim-to-selected over the not-yet-selected
+    * pool (ties: value DESC, rel DESC, nid ASC — matching the operator's
+    * rel-desc/id-asc pre-sort with strict-greater updates). */
+  private def mmrOracle(k: Int): String = {
+    val sb = new StringBuilder
+    sb.append(s"""WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb
+               FROM embeddings WHERE vec_id % 50 = 0),
+        c0 AS (SELECT q.query_id, e.vec_id AS nid, e.embedding AS emb,
+                 ${duckCosE6("q.q_emb", "e.embedding")} AS rel
+               FROM q JOIN embeddings e
+                 ON e.vec_id % 50 <> 0 AND e.vec_id <> q.query_id),
+        cand AS MATERIALIZED (SELECT query_id, nid, emb, rel FROM (
+               SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                 ORDER BY rel DESC, nid ASC) AS rk FROM c0) WHERE rk <= 20),
+        s1 AS MATERIALIZED (SELECT query_id, nid, emb, rel,
+                 CAST(7 * rel AS BIGINT) AS val FROM (
+               SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                 ORDER BY rel DESC, nid ASC) AS rk FROM cand) WHERE rk = 1),
+        u1 AS (SELECT query_id, nid, emb FROM s1)""")
+    for (i <- 2 to k) {
+      sb.append(s""",
+        m$i AS (SELECT c.query_id, c.nid, any_value(c.emb) AS emb, c.rel,
+                  MAX(${duckCosE6("c.emb", "s.emb")}) AS ms
+                FROM cand c JOIN u${i - 1} s ON s.query_id = c.query_id
+                WHERE NOT EXISTS (SELECT 1 FROM u${i - 1} x
+                  WHERE x.query_id = c.query_id AND x.nid = c.nid)
+                GROUP BY c.query_id, c.nid, c.rel),
+        s$i AS MATERIALIZED (SELECT query_id, nid, emb, rel,
+                  CAST(7 * rel - 3 * ms AS BIGINT) AS val FROM (
+                SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                  ORDER BY (7 * rel - 3 * ms) DESC, rel DESC, nid ASC) AS rk
+                FROM m$i) WHERE rk = 1),
+        u$i AS (SELECT query_id, nid, emb FROM u${i - 1}
+                UNION ALL SELECT query_id, nid, emb FROM s$i)""")
+    }
+    sb.append("\n        ")
+    sb.append((1 to k).map(i =>
+        s"SELECT query_id, CAST($i AS BIGINT) AS rank, nid AS neighbor_id, " +
+          s"CAST(rel AS BIGINT) AS rel_e6, val AS mmr_value FROM s$i")
+      .mkString("SELECT * FROM (", " UNION ALL ", ")"))
+    sb.append("\n        ORDER BY query_id, rank")
+    sb.toString
+  }
 
   private def knnOracle(cellFilter: String): String =
     s"""WITH q AS (SELECT vec_id AS query_id, label AS q_label, embedding AS q_emb
@@ -6500,6 +6569,10 @@ object SparkEntry {
          ORDER BY rf, ls""",
 
     "e01_knn_bruteforce" -> knnOracle(""),
+
+    // e19: the 5 greedy MMR steps unrolled as chained CTE layers over the
+    // exact top-20 pool; all comparisons integer (floor(cos*1e6))
+    "e19_mmr_rerank" -> mmrOracle(5),
     "e02_ann_ivf" -> knnOracle("AND e.label = q.q_label"),
 
     "e13_sq8_topk" ->

@@ -180,6 +180,89 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("match_id"), col("score"))
   }
 
+  /** MMR (maximal marginal relevance) diversity re-rank — the standard
+    * post-retrieval step of RAG/retrieval stacks (Carbonell & Goldstein
+    * 1998): greedily pick the candidate maximizing
+    * `lambda * rel(q, c) - (1 - lambda) * max_{s in selected} sim(c, s)`,
+    * so near-duplicate hits don't crowd the result list.
+    *
+    * Integer-exact by construction (the cross-engine contract every gate
+    * here honors): relevance and pairwise similarity quantize to
+    * `floor(cosine * 1e6)` BEFORE any comparison — the cosine itself is
+    * the bit-reproducible left-to-right double fold shared with the
+    * oracle — and with lambda = lambda10/10 the selection value is the
+    * INTEGER `lambda10 * rel_e6 - (10 - lambda10) * maxsim_e6`; ties
+    * break on smallest candidate id. The greedy comparisons never touch
+    * an unquantized double, so a last-ulp disagreement cannot flip a
+    * selection.
+    *
+    * Scale shape: queries broadcast, the corpus streams ONCE through the
+    * codegen cosine kernel (the E1 nested loop), the candidate pool cut
+    * is the salted bounded top-`pool`, and the greedy runs per query
+    * over `pool` candidates in one `mapGroups` — O(k * pool^2) work on
+    * pool-bounded state (never corpus-sized), no driver collect. */
+  def mmrRerank(corpus: DataFrame, queries: DataFrame, k: Int, pool: Int,
+                lambda10: Int = 7): DataFrame = {
+    require(lambda10 >= 0 && lambda10 <= 10, s"lambda10 in [0,10]: $lambda10")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val q = broadcast(queries.select(col("vec_id").as("query_id"),
+      col("embedding").as("q_emb")))
+    val scored = corpus
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("c_emb"))
+      .crossJoin(q) // deliberate: broadcast nested loop, corpus streamed once
+      .where(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"), col("c_emb"),
+        floor(cosine(col("q_emb"), col("c_emb")) * 1e6).cast("long").as("rel_e6"))
+    val cand = BoundedRank.topKPerKey(scored, Seq("query_id"),
+        Seq(negate(col("rel_e6")), col("neighbor_id")), pool, rankCol = "rk")
+      .select(col("query_id"), col("neighbor_id"), col("rel_e6"), col("c_emb"))
+    cand.as[(Long, Long, Long, Array[Float])]
+      .groupByKey(_._1)
+      .flatMapGroups { (qid, it) =>
+        val cs = it.toArray.sortBy(c => (-c._3, c._2)) // (rel desc, id asc)
+        val n = cs.length
+        // pairwise candidate similarity, quantized once (same fold order
+        // as the graft_cosine kernel and the oracle's list_reduce)
+        def cosE6(a: Array[Float], b: Array[Float]): Long = {
+          var ab = 0.0; var aa = 0.0; var bb = 0.0; var i = 0
+          while (i < a.length) {
+            val x = a(i).toDouble; val y = b(i).toDouble
+            ab += x * y; aa += x * x; bb += y * y; i += 1
+          }
+          math.floor(ab / (math.sqrt(aa) * math.sqrt(bb)) * 1e6).toLong
+        }
+        val selected = new scala.collection.mutable.ArrayBuffer[Int](k)
+        val out = Seq.newBuilder[(Long, Long, Long, Long, Long)]
+        var rank = 1
+        while (rank <= math.min(k, n)) {
+          var bestIdx = -1
+          var bestVal = Long.MinValue
+          var i = 0
+          while (i < n) {
+            if (!selected.contains(i)) {
+              var ms = 0L // max-sim over the selected set; 0 when empty
+              var first = true
+              selected.foreach { s =>
+                val v = cosE6(cs(i)._4, cs(s)._4)
+                if (first || v > ms) { ms = v; first = false }
+              }
+              val v = lambda10 * cs(i)._3 - (10 - lambda10) * ms
+              // strict > plus rel-desc/id-asc pre-sort = ties break on
+              // (value desc, rel desc, id asc), matching the oracle
+              if (v > bestVal) { bestVal = v; bestIdx = i }
+            }
+            i += 1
+          }
+          out += ((qid, rank.toLong, cs(bestIdx)._2, cs(bestIdx)._3, bestVal))
+          selected += bestIdx
+          rank += 1
+        }
+        out.result()
+      }
+      .toDF("query_id", "rank", "neighbor_id", "rel_e6", "mmr_value")
+  }
+
   /** Per-cell centroids of the embedding column, computed with fixed-scale
     * decimal accumulation so the result is independent of partial-agg order
     * (and reproducible by an external oracle). */

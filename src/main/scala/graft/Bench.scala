@@ -112,7 +112,7 @@ object Bench {
     // r13: the calibration histogram diagnostic, the F16/BF16 tensor
     // widening gate, and the line-shaped Gopher rules
     "d48b_calibration_hist", "m34_safetensors_f16", "d67_gopher_line_rules",
-    "e19_mmr_rerank")
+    "e19_mmr_rerank", "k13_length_quantiles", "t20_stream_gopher_gate")
 
   /** SURVEY §6 per-query budgets (sec, sf0.1 median). A breach triggers an
     * automatic isolated forked-JVM re-run so the artifact adjudicates
@@ -288,7 +288,11 @@ object Bench {
     "d67_gopher_line_rules" -> 1.0,
     // e19: E1's broadcast-NLJ pool + bounded top-20 + per-query greedy
     // over pool-bounded state (1.01 measured)
-    "e19_mmr_rerank" -> 1.6)
+    "e19_mmr_rerank" -> 1.6,
+    // k13: one histogram shuffle + a distinct-length-bounded window
+    // (0.53 measured); t20: AvailableNow drain + lake merge, the
+    // stateless t-family cost shape (2.61 measured)
+    "k13_length_quantiles" -> 0.9, "t20_stream_gopher_gate" -> 4.0)
 
   /** sf1/sf0.1 ratio ceilings (VERDICT r10 #6): the sf1 pass was
     * adjudicated by prose until r11 — these encode it. Ceiling = 1.5x the

@@ -725,6 +725,22 @@ object SparkEntry {
         .orderBy("shard_id", "batch_idx")
     }),
 
+    // K13: the corpus-card length report — EXACT per-language p50/p90/p99
+    // token-count percentiles (padding budgets, chunk-size calibration,
+    // the "sequence length distribution" table of every dataset card).
+    // Exact, not percentile_approx: one (lang, n_tokens) histogram with
+    // map-side partial counts, then the cumulative window runs over
+    // HISTOGRAM rows (per-language work bounded by distinct-length
+    // cardinality, never row count); the boundary test is pure integer
+    // (100*cum >= p*n).
+    "k13_length_quantiles" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("lang"),
+        size(TF.cleanTokens(col("text"))).cast("long").as("n_tokens"))
+      graft.operators.CorpusSelect
+        .groupedExactQuantiles(docs, "lang", "n_tokens", Seq(50, 90, 99))
+        .orderBy("lang")
+    }),
+
     // K10: stratified mixture sampling — how a training recipe actually
     // HITS a token mixture: a global budget (1/10 of corpus tokens)
     // apportions across languages by LARGEST-REMAINDER (exact integer
@@ -6227,6 +6243,24 @@ object SparkEntry {
            CAST(MAX(n_tokens) * COUNT(*) - SUM(n_tokens) AS BIGINT)
              AS padding
          FROM a GROUP BY 1, 2 ORDER BY shard_id, batch_idx""",
+
+    // k13: the cumulative histogram restated; same integer boundary test
+    "k13_length_quantiles" ->
+      """WITH d AS (SELECT lang,
+             CAST(len([x for x in string_split(text, ' ')
+                       if length(x) > 0]) AS BIGINT) AS v
+           FROM documents),
+         h AS (SELECT lang, v, COUNT(*) AS c FROM d GROUP BY 1, 2),
+         cw AS (SELECT lang, v,
+                  CAST(SUM(c) OVER (PARTITION BY lang ORDER BY v
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+                  CAST(SUM(c) OVER (PARTITION BY lang) AS BIGINT) AS n
+                FROM h)
+         SELECT lang, MAX(n) AS n_rows,
+           MIN(CASE WHEN cum * 100 >= n * 50 THEN v END) AS p50,
+           MIN(CASE WHEN cum * 100 >= n * 90 THEN v END) AS p90,
+           MIN(CASE WHEN cum * 100 >= n * 99 THEN v END) AS p99
+         FROM cw GROUP BY 1 ORDER BY lang""",
 
     // k10: the naive statement — Hamilton apportionment over per-lang
     // token masses, then the per-lang best-first prefix rule

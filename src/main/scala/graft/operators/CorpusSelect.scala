@@ -260,4 +260,38 @@ object CorpusSelect {
       (col("__fl") + when(col("__rk") <= lit(budget) - col("__sfl"), 1L)
         .otherwise(0L)).as("budget"))
   }
+
+  /** EXACT per-key quantiles of an integer-valued column (K13 — the
+    * length-percentile report every corpus card publishes: p50/p90/p99
+    * token counts per language, padding-budget boundaries, chunk-size
+    * calibration). Type-1 (lower) quantile: the smallest value v whose
+    * cumulative count reaches ceil(p/100 * n) — stated as the pure
+    * integer test `100 * cum >= p * n`, so the boundary is bit-identical
+    * cross-engine (no float percent math anywhere).
+    *
+    * Scale shape (the D41/D48 histogram discipline): ONE groupBy(key,
+    * value) histogram with map-side partial counts, then the cumulative
+    * window runs over HISTOGRAM rows — per-key ordered work bounded by
+    * the key's DISTINCT VALUE cardinality, never its row count; a key
+    * with a billion docs but 10k distinct lengths windows over 10k rows.
+    * Exact, unlike percentile_approx — and at 100 TB the histogram is
+    * the same cost an approx sketch pays in its update pass. */
+  def groupedExactQuantiles(df: DataFrame, keyCol: String, valCol: String,
+                            percentiles: Seq[Int]): DataFrame = {
+    require(percentiles.nonEmpty &&
+      percentiles.forall(p => p >= 1 && p <= 100),
+      s"percentiles must be in [1,100]: $percentiles")
+    val hist = df.groupBy(col(keyCol), col(valCol).cast("long").as("__v"))
+      .agg(count(lit(1)).as("__c"))
+    val w = Window.partitionBy(keyCol).orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = hist.withColumn("__cum", sum("__c").over(w))
+      .withColumn("__n", sum("__c").over(Window.partitionBy(keyCol)
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+    cum.groupBy(col(keyCol))
+      .agg(max(col("__n")).as("n_rows"),
+        percentiles.map(p =>
+          min(when(col("__cum") * 100 >= col("__n") * p, col("__v")))
+            .as(s"p$p")): _*)
+  }
 }

@@ -8,6 +8,8 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType, TimestampType}
 
+import graft.functions.{TextFunctions => TF}
+
 /** Oracle gates for the Structured-Streaming paths (T1/T2): the streaming
   * machinery — file-source offsets, state store, watermark advance,
   * event-time timeouts, append/complete sinks — driven end to end over the
@@ -642,6 +644,56 @@ object StreamingGates {
     // T3: streaming exact dedup within the watermark — key state evicted
     // as the watermark advances; over one batch the surviving key set is
     // exactly DISTINCT.
+    // T20: the streaming GOPHER admission gate — the published rule set
+    // (d66's word-shaped composite AND d67's line-shaped rules) applied
+    // to each arriving micro-batch; docs failing EITHER half merge into
+    // a rejects lake table. Stateless per row (no resident model — the
+    // cheapest admission gate, which is why production crawls run it
+    // FIRST), planted line classes identical to d67's so the oracle is
+    // analytic. One AvailableNow batch over the %10==0 arrivals.
+    "t20_stream_gopher_gate" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val newDocs = docs.where(col("doc_id") % 10 === 0)
+        .select("doc_id", "text")
+      val in = freshDir("graft_t20_in")
+      writeWave(newDocs, in, "batch.parquet", mtimeSec = 1000)
+      val rLoc = freshDir("graft_t20_tbl").resolve("rejects").toString
+      def gate(batch: DataFrame): DataFrame = {
+        val l1 = substring(col("text"), 1, 20)
+        val l2 = substring(col("text"), 21, 20)
+        val l3 = substring(col("text"), 41, 20)
+        val raw = when(col("doc_id") % 4 === 0,
+            concat_ws("\n", l1, l2, l3, lit("closing line")))
+          .when(col("doc_id") % 4 === 1,
+            concat_ws("\n", l1, l1, l1, l1, l2))
+          .when(col("doc_id") % 4 === 2,
+            concat_ws("\n", concat(l1, lit("...")), concat(l2, lit("…")), l3))
+          .otherwise(
+            concat_ws("\n", concat(lit("• "), l1), concat(lit("- "), l2),
+              concat(lit("* "), l3)))
+        batch.select(col("doc_id"), TF.gopherQuality(raw).as("q"),
+            TF.gopherLineRules(raw).as("lr"))
+          .where(col("q.passed") === 0L || col("lr.passed") === 0L)
+          .select(col("doc_id"), col("q.n_words"), col("q.mean_wlen_e2"),
+            col("q.symbol_e4"), col("q.alpha_e4"), col("q.stop_count"),
+            col("lr.n_lines"), col("lr.dup_line_e4"), col("lr.ellipsis_e4"),
+            col("lr.bullet_e4"),
+            col("q.passed").as("word_passed"),
+            col("lr.passed").as("line_passed"))
+      }
+      StreamingIngest.drainToTable(s, in.toString, newDocs.schema, rLoc,
+        freshDir("graft_t20_ck").toString, writeMode = "merge",
+        mergeOn = Seq("doc_id"), batchTransform = gate)
+      if (graft.tables.LakeTable.exists(rLoc))
+        graft.tables.LakeTable.load(s, rLoc).read().orderBy("doc_id")
+      else
+        s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          StructType.fromDDL("doc_id LONG, n_words LONG, mean_wlen_e2 LONG, " +
+            "symbol_e4 LONG, alpha_e4 LONG, stop_count LONG, n_lines LONG, " +
+            "dup_line_e4 LONG, ellipsis_e4 LONG, bullet_e4 LONG, " +
+            "word_passed LONG, line_passed LONG"))
+    }),
+
     "t06_stream_dedup" -> ((s, dir) => {
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val path = s"$dir/events.parquet"
@@ -716,6 +768,80 @@ object StreamingGates {
 
     "t06_stream_dedup" ->
       """SELECT DISTINCT user_id FROM events ORDER BY user_id""",
+
+    // t20: both Gopher halves restated over the %10==0 arrivals with the
+    // d67 line planting; rejects fail EITHER composite
+    "t20_stream_gopher_gate" ->
+      """WITH r AS (SELECT doc_id, CASE doc_id % 4
+             WHEN 0 THEN concat_ws(chr(10), substr(text, 1, 20),
+               substr(text, 21, 20), substr(text, 41, 20), 'closing line')
+             WHEN 1 THEN concat_ws(chr(10), substr(text, 1, 20),
+               substr(text, 1, 20), substr(text, 1, 20),
+               substr(text, 1, 20), substr(text, 21, 20))
+             WHEN 2 THEN concat_ws(chr(10), substr(text, 1, 20) || '...',
+               substr(text, 21, 20) || chr(8230), substr(text, 41, 20))
+             ELSE concat_ws(chr(10), chr(8226) || ' ' || substr(text, 1, 20),
+               '- ' || substr(text, 21, 20), '* ' || substr(text, 41, 20))
+             END AS raw
+           FROM documents WHERE doc_id % 10 = 0),
+         w AS (SELECT doc_id,
+             [x for x in string_split(raw, ' ') if length(x) > 0] AS ws
+           FROM r),
+         wm AS (SELECT doc_id,
+             CAST(len(ws) AS BIGINT) AS n_words,
+             CAST(list_reduce(list_prepend(0, [length(x) for x in ws]),
+               (a, b) -> a + b) AS BIGINT) AS total_chars,
+             CAST(len([x for x in ws if regexp_matches(x, '[a-z]')])
+               AS BIGINT) AS alpha_words,
+             CAST(len([x for x in ws if NOT regexp_matches(x, '[a-z0-9]')])
+               AS BIGINT) AS symbol_words,
+             CAST(len([x for x in ws if x IN ('the','be','to','of','and',
+               'that','have','with')]) AS BIGINT) AS stop_count
+           FROM w),
+         wf AS (SELECT doc_id, n_words,
+             CAST(CASE WHEN n_words > 0 THEN total_chars * 100 // n_words
+                  ELSE 0 END AS BIGINT) AS mean_wlen_e2,
+             CAST(CASE WHEN n_words > 0 THEN symbol_words * 10000 // n_words
+                  ELSE 0 END AS BIGINT) AS symbol_e4,
+             CAST(CASE WHEN n_words > 0 THEN alpha_words * 10000 // n_words
+                  ELSE 0 END AS BIGINT) AS alpha_e4,
+             stop_count
+           FROM wm),
+         l AS (SELECT doc_id,
+             [trim(x) for x in string_split(raw, chr(10))
+              if trim(x) <> ''] AS ls
+           FROM r),
+         lm AS (SELECT doc_id,
+             CAST(len(ls) AS BIGINT) AS n_lines,
+             CAST(len(list_distinct(ls)) AS BIGINT) AS n_distinct,
+             CAST(len([x for x in ls if ends_with(x, '...')
+               OR ends_with(x, chr(8230))]) AS BIGINT) AS n_ell,
+             CAST(len([x for x in ls
+               if left(x, 1) IN ('-', '*', chr(8226))]) AS BIGINT) AS n_bul
+           FROM l),
+         lf AS (SELECT doc_id, n_lines,
+             CAST(CASE WHEN n_lines > 0
+                  THEN (n_lines - n_distinct) * 10000 // n_lines
+                  ELSE 0 END AS BIGINT) AS dup_line_e4,
+             CAST(CASE WHEN n_lines > 0 THEN n_ell * 10000 // n_lines
+                  ELSE 0 END AS BIGINT) AS ellipsis_e4,
+             CAST(CASE WHEN n_lines > 0 THEN n_bul * 10000 // n_lines
+                  ELSE 0 END AS BIGINT) AS bullet_e4
+           FROM lm),
+         j AS (SELECT wf.doc_id, wf.n_words, wf.mean_wlen_e2, wf.symbol_e4,
+             wf.alpha_e4, wf.stop_count, lf.n_lines, lf.dup_line_e4,
+             lf.ellipsis_e4, lf.bullet_e4,
+             CAST(CASE WHEN wf.n_words BETWEEN 5 AND 100000
+                    AND wf.mean_wlen_e2 BETWEEN 300 AND 1000
+                    AND wf.symbol_e4 < 1000 AND wf.alpha_e4 >= 8000
+                    AND wf.stop_count >= 2 THEN 1 ELSE 0 END AS BIGINT)
+               AS word_passed,
+             CAST(CASE WHEN lf.dup_line_e4 <= 3000 AND lf.ellipsis_e4 <= 3000
+                    AND lf.bullet_e4 <= 9000 THEN 1 ELSE 0 END AS BIGINT)
+               AS line_passed
+           FROM wf JOIN lf USING (doc_id))
+         SELECT * FROM j WHERE word_passed = 0 OR line_passed = 0
+         ORDER BY doc_id""",
 
     // t08: the d37 quantized scoring with train = doc_id%10!=0, scored =
     // the %10==0 arrivals, rejects = bits_per_kilotoken > 4860

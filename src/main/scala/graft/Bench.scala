@@ -112,7 +112,8 @@ object Bench {
     // r13: the calibration histogram diagnostic, the F16/BF16 tensor
     // widening gate, and the line-shaped Gopher rules
     "d48b_calibration_hist", "m34_safetensors_f16", "d67_gopher_line_rules",
-    "e19_mmr_rerank", "k13_length_quantiles", "t20_stream_gopher_gate")
+    "e19_mmr_rerank", "k13_length_quantiles", "t20_stream_gopher_gate",
+    "d68_gopher_repetition")
 
   /** SURVEY §6 per-query budgets (sec, sf0.1 median). A breach triggers an
     * automatic isolated forked-JVM re-run so the artifact adjudicates
@@ -292,7 +293,10 @@ object Bench {
     // k13: one histogram shuffle + a distinct-length-bounded window
     // (0.53 measured); t20: AvailableNow drain + lake merge, the
     // stateless t-family cost shape (2.61 measured)
-    "k13_length_quantiles" -> 0.9, "t20_stream_gopher_gate" -> 4.0)
+    "k13_length_quantiles" -> 0.9, "t20_stream_gopher_gate" -> 4.0,
+    // d68: four in-row kernel passes over the planted corpus
+    // (1.04 measured)
+    "d68_gopher_repetition" -> 1.6)
 
   /** sf1/sf0.1 ratio ceilings (VERDICT r10 #6): the sf1 pass was
     * adjudicated by prose until r11 — these encode it. Ceiling = 1.5x the

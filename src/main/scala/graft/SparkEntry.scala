@@ -2368,6 +2368,36 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // D68: the REPETITION half of Gopher §A1.1 completed (d12 carries
+    // dup-word + top-2-gram): top-3/top-4-gram char mass (max of count x
+    // gram chars — well-defined under count ties, unlike
+    // argmax-then-measure) and duplicate-5/10-gram char coverage (word
+    // chars inside ANY n-gram occurring twice). Codegen kernels (one
+    // in-row pass each, no UDF, no shuffle); planted per-class
+    // violations: a clean doc, a 5-word phrase x3, a 10-word sentence
+    // x2, a single-word flood.
+    "d68_gopher_repetition" -> ((s, dir) => {
+      val raw = when(col("doc_id") % 4 === 0, col("text"))
+        .when(col("doc_id") % 4 === 1, concat(col("text"),
+          lit(" alpha beta gamma delta epsilon" * 3)))
+        .when(col("doc_id") % 4 === 2, concat(col("text"),
+          lit(" one two three four five six seven eight nine ten" * 2)))
+        .otherwise(concat(col("text"), lit(" spam" * 6)))
+      t(s, dir, "documents").select(col("doc_id"), raw.as("raw"))
+        .select(col("doc_id"),
+          expr("graft_word_chars(raw)").as("total_chars"),
+          expr("graft_top_ngram_chars(raw, 3)").as("top3_chars"),
+          expr("graft_top_ngram_chars(raw, 4)").as("top4_chars"),
+          expr("graft_dup_ngram_chars(raw, 5)").as("dup5_chars"),
+          expr("graft_dup_ngram_chars(raw, 10)").as("dup10_chars"))
+        .select(col("doc_id"), col("total_chars"), col("top3_chars"),
+          col("top4_chars"), col("dup5_chars"), col("dup10_chars"),
+          expr("CASE WHEN total_chars > 0 THEN (top3_chars * 10000) div total_chars ELSE 0 END").as("top3_e4"),
+          expr("CASE WHEN total_chars > 0 THEN (dup5_chars * 10000) div total_chars ELSE 0 END").as("dup5_e4"),
+          expr("CASE WHEN total_chars > 0 THEN (dup10_chars * 10000) div total_chars ELSE 0 END").as("dup10_e4"))
+        .orderBy("doc_id")
+    }),
+
     // D65: Unicode NFC normalization — the canonicalization every
     // dedup/hash key needs before hashing ("é" composed vs decomposed
     // are different bytes to md5/minhash). The planted tail per id class
@@ -6909,6 +6939,81 @@ object SparkEntry {
 
     // d66: the same floor-scaled integer rules over the same synthesized
     // violations, restated with list comprehensions
+    // d68: the repetition kernels restated by full n-gram explosion —
+    // grams are single-space word joins (so gram length counts the n-1
+    // separators, matching the kernel), top = MAX(count * chars),
+    // dup coverage = distinct word positions inside any >=2-count gram
+    "d68_gopher_repetition" ->
+      """WITH r AS (SELECT doc_id, CASE doc_id % 4
+             WHEN 0 THEN text
+             WHEN 1 THEN text || repeat(' alpha beta gamma delta epsilon', 3)
+             WHEN 2 THEN text ||
+               repeat(' one two three four five six seven eight nine ten', 2)
+             ELSE text || repeat(' spam', 6) END AS raw
+           FROM documents),
+         t AS (SELECT doc_id,
+             [x for x in string_split(raw, ' ') if length(x) > 0] AS w
+           FROM r),
+         base AS (SELECT doc_id,
+             CAST(COALESCE(list_sum([length(x) for x in w]), 0) AS BIGINT)
+               AS total_chars
+           FROM t),
+         g3 AS (SELECT doc_id, p,
+             array_to_string(list_slice(w, p, p + 2), ' ') AS g
+           FROM (SELECT doc_id, w, unnest(range(1, len(w) - 1)) AS p
+                 FROM t WHERE len(w) >= 3)),
+         t3 AS (SELECT doc_id, CAST(MAX(c * length(g)) AS BIGINT) AS v
+                FROM (SELECT doc_id, g, COUNT(*) AS c FROM g3 GROUP BY 1, 2)
+                GROUP BY 1),
+         g4 AS (SELECT doc_id, p,
+             array_to_string(list_slice(w, p, p + 3), ' ') AS g
+           FROM (SELECT doc_id, w, unnest(range(1, len(w) - 2)) AS p
+                 FROM t WHERE len(w) >= 4)),
+         t4 AS (SELECT doc_id, CAST(MAX(c * length(g)) AS BIGINT) AS v
+                FROM (SELECT doc_id, g, COUNT(*) AS c FROM g4 GROUP BY 1, 2)
+                GROUP BY 1),
+         g5 AS (SELECT doc_id, p,
+             array_to_string(list_slice(w, p, p + 4), ' ') AS g
+           FROM (SELECT doc_id, w, unnest(range(1, len(w) - 3)) AS p
+                 FROM t WHERE len(w) >= 5)),
+         c5 AS (SELECT doc_id, g FROM g5 GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+         cov5 AS (SELECT DISTINCT o.doc_id, o.p + j AS q
+                  FROM g5 o JOIN c5 USING (doc_id, g),
+                       unnest(range(0, 5)) u(j)),
+         d5 AS (SELECT cov5.doc_id,
+                  CAST(SUM(length(t.w[CAST(q AS INT)])) AS BIGINT) AS v
+                FROM cov5 JOIN t USING (doc_id) GROUP BY 1),
+         g10 AS (SELECT doc_id, p,
+             array_to_string(list_slice(w, p, p + 9), ' ') AS g
+           FROM (SELECT doc_id, w, unnest(range(1, len(w) - 8)) AS p
+                 FROM t WHERE len(w) >= 10)),
+         c10 AS (SELECT doc_id, g FROM g10 GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+         cov10 AS (SELECT DISTINCT o.doc_id, o.p + j AS q
+                   FROM g10 o JOIN c10 USING (doc_id, g),
+                        unnest(range(0, 10)) u(j)),
+         d10 AS (SELECT cov10.doc_id,
+                  CAST(SUM(length(t.w[CAST(q AS INT)])) AS BIGINT) AS v
+                FROM cov10 JOIN t USING (doc_id) GROUP BY 1),
+         f AS (SELECT b.doc_id, b.total_chars,
+             COALESCE(t3.v, 0) AS top3_chars, COALESCE(t4.v, 0) AS top4_chars,
+             COALESCE(d5.v, 0) AS dup5_chars, COALESCE(d10.v, 0) AS dup10_chars
+           FROM base b LEFT JOIN t3 ON t3.doc_id = b.doc_id
+             LEFT JOIN t4 ON t4.doc_id = b.doc_id
+             LEFT JOIN d5 ON d5.doc_id = b.doc_id
+             LEFT JOIN d10 ON d10.doc_id = b.doc_id)
+         SELECT doc_id, total_chars, top3_chars, top4_chars, dup5_chars,
+           dup10_chars,
+           CAST(CASE WHEN total_chars > 0
+                THEN top3_chars * 10000 // total_chars ELSE 0 END AS BIGINT)
+             AS top3_e4,
+           CAST(CASE WHEN total_chars > 0
+                THEN dup5_chars * 10000 // total_chars ELSE 0 END AS BIGINT)
+             AS dup5_e4,
+           CAST(CASE WHEN total_chars > 0
+                THEN dup10_chars * 10000 // total_chars ELSE 0 END AS BIGINT)
+             AS dup10_e4
+         FROM f ORDER BY doc_id""",
+
     // d67: the line-rule half restated — same '\n' split, trim,
     // empty-drop, and floor-scaled ratios (ellipsis/bullet code points
     // transported as chr() so the literals survive SQL transport)

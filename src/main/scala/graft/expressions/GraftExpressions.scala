@@ -161,6 +161,51 @@ case class TopBigramCountExpression(child: Expression)
   override def prettyName: String = "graft_top_bigram_count"
 }
 
+/** Gopher repetition, top-n-gram form: char mass of the most frequent
+  * word n-gram (max of count x gram chars; kernel doc on
+  * [[TextHashKernels.topNgramChars]]). */
+case class TopNgramCharsExpression(child: Expression, n: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(input: Any): Any =
+    TextHashKernels.topNgramChars(input.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.expressions.TextHashKernels.topNgramChars($c, $n)")
+  override protected def withNewChildInternal(newChild: Expression): TopNgramCharsExpression =
+    copy(child = newChild)
+  override def prettyName: String = "graft_top_ngram_chars"
+}
+
+/** Gopher repetition, duplicate-n-gram form: word chars covered by any
+  * n-gram occurring >= 2 times ([[TextHashKernels.dupNgramChars]]). */
+case class DupNgramCharsExpression(child: Expression, n: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(input: Any): Any =
+    TextHashKernels.dupNgramChars(input.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.expressions.TextHashKernels.dupNgramChars($c, $n)")
+  override protected def withNewChildInternal(newChild: Expression): DupNgramCharsExpression =
+    copy(child = newChild)
+  override def prettyName: String = "graft_dup_ngram_chars"
+}
+
+/** Total word characters (the shared denominator of the char-fraction
+  * repetition rules). */
+case class WordCharsExpression(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(input: Any): Any =
+    TextHashKernels.wordChars(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.expressions.TextHashKernels.wordChars($c)")
+  override protected def withNewChildInternal(newChild: Expression): WordCharsExpression =
+    copy(child = newChild)
+  override def prettyName: String = "graft_word_chars"
+}
+
 case class SimhashExpression(child: Expression, bits: Int = 20)
     extends UnaryExpression {
   override def dataType: DataType = LongType
@@ -445,6 +490,34 @@ class GraftSparkSessionExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[TopBigramCountExpression].getName,
         "graft_top_bigram_count"),
       (children: Seq[Expression]) => TopBigramCountExpression(children.head)))
+    ext.injectFunction((
+      FunctionIdentifier("graft_top_ngram_chars"),
+      new ExpressionInfo(classOf[TopNgramCharsExpression].getName,
+        "graft_top_ngram_chars"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2,
+          s"graft_top_ngram_chars(text, n) takes 2 arguments, got ${children.length}")
+        require(children(1).foldable, "graft_top_ngram_chars: n must be a literal")
+        val n = children(1).eval(null).toString.toInt
+        require(n > 0, s"graft_top_ngram_chars: n must be positive, got $n")
+        TopNgramCharsExpression(children(0), n)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_dup_ngram_chars"),
+      new ExpressionInfo(classOf[DupNgramCharsExpression].getName,
+        "graft_dup_ngram_chars"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2,
+          s"graft_dup_ngram_chars(text, n) takes 2 arguments, got ${children.length}")
+        require(children(1).foldable, "graft_dup_ngram_chars: n must be a literal")
+        val n = children(1).eval(null).toString.toInt
+        require(n > 0, s"graft_dup_ngram_chars: n must be positive, got $n")
+        DupNgramCharsExpression(children(0), n)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_word_chars"),
+      new ExpressionInfo(classOf[WordCharsExpression].getName, "graft_word_chars"),
+      (children: Seq[Expression]) => WordCharsExpression(children.head)))
     ext.injectFunction((
       FunctionIdentifier("graft_token_buckets"),
       new ExpressionInfo(classOf[TokenBucketsExpression].getName, "graft_token_buckets"),

@@ -232,6 +232,106 @@ object TextHashKernels {
     best.toLong
   }
 
+  /** Word spans of `s` (split on ' ', empties skipped): packed
+    * (start, end) pairs — starts in even slots, ends in odd. */
+  private def wordSpans(s: String): Array[Int] = {
+    val out = new scala.collection.mutable.ArrayBuffer[Int](64)
+    val len = s.length
+    var i = 0
+    while (i < len) {
+      while (i < len && s.charAt(i) == ' ') i += 1
+      val start = i
+      while (i < len && s.charAt(i) != ' ') i += 1
+      if (i > start) { out += start; out += i }
+    }
+    out.toArray
+  }
+
+  /** Gopher repetition (top-n-gram form): the character mass of the most
+    * frequent word n-gram — max over grams of `count * gram_chars`, where
+    * the gram is its words joined by ONE space (so gram_chars counts the
+    * n-1 separators once; the max-of-products form is well-defined under
+    * count ties, unlike argmax-then-measure). 0 when fewer than n words. */
+  def topNgramChars(text: UTF8String, n: Int): Long = {
+    val s = text.toString
+    val sp = wordSpans(s)
+    val m = sp.length / 2
+    if (m < n) return 0L
+    val counts = new java.util.HashMap[String, Long]()
+    var best = 0L
+    var i = 0
+    while (i + n <= m) {
+      val sb = new java.lang.StringBuilder
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(s, sp(2 * (i + j)), sp(2 * (i + j) + 1))
+        j += 1
+      }
+      val g = sb.toString
+      val c = counts.merge(g, java.lang.Long.valueOf(1L),
+        (a, b) => java.lang.Long.valueOf(a.longValue + b.longValue))
+      // each increment only grows this gram's mass, so the running max
+      // over updates equals the max over final counts
+      val mass = c.longValue * g.length
+      if (mass > best) best = mass
+      i += 1
+    }
+    best
+  }
+
+  /** Gopher repetition (duplicate-n-gram form): total word characters
+    * (separators excluded) covered by positions inside ANY n-gram that
+    * occurs at least twice in the document. 0 when fewer than n words. */
+  def dupNgramChars(text: UTF8String, n: Int): Long = {
+    val s = text.toString
+    val sp = wordSpans(s)
+    val m = sp.length / 2
+    if (m < n) return 0L
+    val counts = new java.util.HashMap[String, Int]()
+    val grams = new Array[String](m - n + 1)
+    var i = 0
+    while (i + n <= m) {
+      val sb = new java.lang.StringBuilder
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(s, sp(2 * (i + j)), sp(2 * (i + j) + 1))
+        j += 1
+      }
+      grams(i) = sb.toString
+      counts.merge(grams(i), 1, Integer.sum)
+      i += 1
+    }
+    val covered = new Array[Boolean](m)
+    i = 0
+    while (i + n <= m) {
+      if (counts.get(grams(i)) >= 2) {
+        var j = 0
+        while (j < n) { covered(i + j) = true; j += 1 }
+      }
+      i += 1
+    }
+    var total = 0L
+    i = 0
+    while (i < m) {
+      if (covered(i)) total += sp(2 * i + 1) - sp(2 * i)
+      i += 1
+    }
+    total
+  }
+
+  /** Total word characters (separators excluded) — the denominator the
+    * n-gram char-fraction rules share. */
+  def wordChars(text: UTF8String): Long = {
+    val s = text.toString
+    val sp = wordSpans(s)
+    var total = 0L
+    var i = 0
+    while (i < sp.length) { total += sp(i + 1) - sp(i); i += 2 }
+    total
+  }
+
   /** SimHash over whitespace tokens (term frequency preserved, empty tokens
     * skipped), `bits` wide; bit j set iff sum of +-1 votes of hash bit j > 0. */
   def simhash(text: UTF8String, bits: Int): Long = {

@@ -97,6 +97,28 @@ class TextHashKernelsSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("n-gram repetition kernels: hand-checked masses and coverage") {
+    import graft.expressions.TextHashKernels._
+    def u(s: String) = org.apache.spark.unsafe.types.UTF8String.fromString(s)
+    // "a b a b a b": 3-grams = "a b a"(x2), "b a b"(x2) -> mass 2*5 = 10
+    assert(topNgramChars(u("a b a b a b"), 3) == 10L)
+    // dup-3 coverage: every position sits in a duplicated 3-gram -> 6 chars
+    assert(dupNgramChars(u("a b a b a b"), 3) == 6L)
+    // fewer than n words -> 0 (totality)
+    assert(topNgramChars(u("x y"), 3) == 0L && dupNgramChars(u("x y"), 3) == 0L)
+    assert(topNgramChars(u(""), 3) == 0L && wordChars(u("")) == 0L)
+    // "spam spam spam spam spam spam": top-3 "spam spam spam" x4 -> 4*14=56
+    assert(topNgramChars(u("spam spam spam spam spam spam"), 3) == 56L)
+    // dup-5: the 5-gram occurs twice -> all 6 words covered -> 24 chars
+    assert(dupNgramChars(u("spam spam spam spam spam spam"), 5) == 24L)
+    // no repetition -> dup coverage 0, top mass = single occurrence chars
+    assert(dupNgramChars(u("one two three four five six"), 5) == 0L)
+    assert(topNgramChars(u("one two three"), 3) == 13L) // "one two three"
+    // multi-space runs collapse like the single-space join convention
+    assert(topNgramChars(u("a  b   a  b  a b"), 3) == 10L)
+    assert(wordChars(u("  a  bb   ccc ")) == 6L)
+  }
+
   test("simhash kernel == HOF formulation") {
     val df = samples.filter(_.nonEmpty).toDF("t")
     val both = df.select(

@@ -113,7 +113,7 @@ object Bench {
     // widening gate, and the line-shaped Gopher rules
     "d48b_calibration_hist", "m34_safetensors_f16", "d67_gopher_line_rules",
     "e19_mmr_rerank", "k13_length_quantiles", "t20_stream_gopher_gate",
-    "d68_gopher_repetition")
+    "d68_gopher_repetition", "m35_checksum_manifest")
 
   /** SURVEY §6 per-query budgets (sec, sf0.1 median). A breach triggers an
     * automatic isolated forked-JVM re-run so the artifact adjudicates
@@ -296,7 +296,9 @@ object Bench {
     "k13_length_quantiles" -> 0.9, "t20_stream_gopher_gate" -> 4.0,
     // d68: four in-row kernel passes over the planted corpus
     // (1.04 measured)
-    "d68_gopher_repetition" -> 1.6)
+    "d68_gopher_repetition" -> 1.6,
+    // m35: one shard-key exchange + bounded digest aggs (0.59 measured)
+    "m35_checksum_manifest" -> 1.0)
 
   /** sf1/sf0.1 ratio ceilings (VERDICT r10 #6): the sf1 pass was
     * adjudicated by prose until r11 — these encode it. Ceiling = 1.5x the

@@ -3609,6 +3609,37 @@ object SparkEntry {
         .orderBy("shard_id", "name")
     }),
 
+    // M35: the release checksum manifest — every published corpus ships
+    // per-shard SHA-256 digests plus a corpus-level manifest digest
+    // (HF/WebDataset convention; consumers verify downloads against it).
+    // Two-level: per shard (docs assembled in doc order — array_sort of
+    // (doc_id, text) structs makes the assembly order explicit, never
+    // partition-dependent), then the corpus digest = sha256 of the
+    // per-shard digests concatenated in shard order. Per-shard state is
+    // bounded by the PUBLISHING contract (shards are sized for release);
+    // the corpus row folds 7 digest strings. All built-ins (sha2,
+    // collect_list, array_sort) — no UDF.
+    "m35_checksum_manifest" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(
+        (col("doc_id") % 7).as("shard_id"), col("doc_id"), col("text"))
+      val bodies = docs.groupBy("shard_id").agg(
+        count(lit(1)).as("n_docs"),
+        concat_ws("\n", transform(
+          array_sort(collect_list(struct(col("doc_id"), col("text")))),
+          x => x.getField("text"))).as("body"))
+      val sh = bodies.select(lit("shard").as("level"), col("shard_id"),
+        col("n_docs"), octet_length(col("body")).cast("long").as("n_bytes"),
+        sha2(col("body"), 256).as("sha"))
+      val corpus = sh.agg(sum("n_docs").as("n_docs"),
+          sum("n_bytes").as("n_bytes"),
+          sha2(concat_ws("", transform(
+            array_sort(collect_list(struct(col("shard_id"), col("sha")))),
+            x => x.getField("sha"))), 256).as("sha"))
+        .select(lit("corpus").as("level"), lit(-1L).as("shard_id"),
+          col("n_docs"), col("n_bytes"), col("sha"))
+      sh.unionByName(corpus).orderBy("shard_id")
+    }),
+
     // F1-F3: the electricity-CSV parser family end to end, oracle-gated.
     // Each doc becomes a multi-section CSV (preamble block + automated
     // 3-column section + manual 2-column section; docs with id % 7 == 0
@@ -6176,6 +6207,26 @@ object SparkEntry {
          SELECT * FROM (SELECT * FROM h UNION ALL SELECT * FROM b
                         UNION ALL SELECT * FROM sb16)
          ORDER BY shard_id, name""",
+
+    // m35: both digest levels recomputed — string_agg with an explicit
+    // ORDER BY is the oracle's form of the array_sort assembly
+    "m35_checksum_manifest" ->
+      """WITH d AS (SELECT doc_id % 7 AS shard_id, doc_id, text
+                    FROM documents),
+         b AS (SELECT shard_id, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                 string_agg(text, chr(10) ORDER BY doc_id) AS body
+               FROM d GROUP BY 1),
+         sh AS (SELECT 'shard' AS level, shard_id, n_docs,
+                  CAST(strlen(body) AS BIGINT) AS n_bytes,
+                  sha256(body) AS sha
+                FROM b),
+         c AS (SELECT 'corpus' AS level, CAST(-1 AS BIGINT) AS shard_id,
+                 CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+                 CAST(SUM(n_bytes) AS BIGINT) AS n_bytes,
+                 sha256(string_agg(sha, '' ORDER BY shard_id)) AS sha
+               FROM sh)
+         SELECT * FROM (SELECT * FROM sh UNION ALL SELECT * FROM c)
+         ORDER BY shard_id""",
 
     // m30: every record is analytically stated; ids %5-aligned rows
     // carry a null label through the nullable union

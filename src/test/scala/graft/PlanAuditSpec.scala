@@ -538,6 +538,43 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("e19: MMR broadcasts the queries, streams the corpus once, and the " +
+       "greedy runs on the pool cut — no cartesian, no corpus-global sort") {
+    val p = plan("e19_mmr_rerank")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastExchange"), p.take(800))
+    // the pool cut is the salted two-level rank: every Sort is inside a
+    // partitioned window, never a global Exchange+Sort of scored rows
+    assert(!p.contains("rangepartitioning(rel_e6"), p.take(1200))
+  }
+
+  test("k13: the quantile window runs over HISTOGRAM rows — partial " +
+       "aggregation before the exchange, no corpus-sized window state") {
+    val p = plan("k13_length_quantiles")
+    // map-side partial agg of the (lang, n_tokens) histogram
+    assert(p.contains("partial_count") || p.contains("HashAggregate"),
+      p.take(800))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("d68: the repetition kernels are one shuffle-free codegen projection") {
+    val p = plan("d68_gopher_repetition")
+    assert(p.contains("graft_top_ngram_chars") &&
+      p.contains("graft_dup_ngram_chars"), p.take(800))
+    // in-row rules: nothing to exchange before the (display-only) sort
+    // (AQE prints the pre-execution plan, so codegen spans aren't shown;
+    // the single-Exchange shape is the load-bearing property)
+    assert("Exchange".r.findAllIn(p).size <= 1, p.take(1200))
+  }
+
+  test("m35: the manifest is one shard-key exchange plus a bounded " +
+       "digest fold — never a per-doc shuffle join back") {
+    val p = plan("m35_checksum_manifest")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("SortMergeJoin"), p.take(1200))
+  }
+
   test("d62: the crawl front door's only joins are the blocklist BROADCAST " +
        "and the dedup winner-set join; robots+charset+extract fuse into " +
        "one projection (no per-stage doc_id re-joins, no cartesian)") {

@@ -113,7 +113,8 @@ object Bench {
     // widening gate, and the line-shaped Gopher rules
     "d48b_calibration_hist", "m34_safetensors_f16", "d67_gopher_line_rules",
     "e19_mmr_rerank", "k13_length_quantiles", "t20_stream_gopher_gate",
-    "d68_gopher_repetition", "m35_checksum_manifest")
+    "d68_gopher_repetition", "m35_checksum_manifest",
+    "e20_ivf_pq_topk", "e21_ivf_pq_recall")
 
   /** SURVEY §6 per-query budgets (sec, sf0.1 median). A breach triggers an
     * automatic isolated forked-JVM re-run so the artifact adjudicates
@@ -298,7 +299,10 @@ object Bench {
     // (1.04 measured)
     "d68_gopher_repetition" -> 1.6,
     // m35: one shard-key exchange + bounded digest aggs (0.59 measured)
-    "m35_checksum_manifest" -> 1.0)
+    "m35_checksum_manifest" -> 1.0,
+    // e20/e21: PQ train (two Lloyd passes per subspace) + cell-restricted
+    // ADC; the recall row adds the exact-truth pass (2.18/1.95 measured)
+    "e20_ivf_pq_topk" -> 3.3, "e21_ivf_pq_recall" -> 3.0)
 
   /** sf1/sf0.1 ratio ceilings (VERDICT r10 #6): the sf1 pass was
     * adjudicated by prose until r11 — these encode it. Ceiling = 1.5x the
@@ -380,7 +384,10 @@ object Bench {
     "t16_stream_semantic_decontaminate" -> 2.2,
     "t17_stream_avro_ingest" -> 2.1, "t18_stream_wet_extract" -> 2.6,
     "t19_stream_npz_ingest" -> 2.3, "t20_stream_gopher_gate" -> 2.0,
-    "x08_paragraph_dedup_hot" -> 5.2)
+    "x08_paragraph_dedup_hot" -> 5.2,
+    // e20/e21 measured this round: 1.58x/1.80x at 10x data (the IVF cell
+    // restriction holds the ADC scan sublinear)
+    "e20_ivf_pq_topk" -> 2.4, "e21_ivf_pq_recall" -> 2.8)
 
   /** Cluster-cost observability (r11): per-query SHUFFLE WRITE and SPILL
     * volume next to every wall time, so the artifact itself shows which

@@ -1825,10 +1825,35 @@ object SparkEntry {
       Similarity.recallAtKExactL2(emb, q, approx, 5).orderBy("query_id")
     }),
 
+    // E21: recall@k for the IVF-PQ tier (every ANN tier ships with its
+    // recall measurement — e11/e15/e16's discipline). The truth side
+    // ranks the FULL corpus, so the number is honest about both the PQ
+    // quantization loss AND the cells that exclude true neighbors.
+    "e21_ivf_pq_recall" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.where(col("vec_id") < 10)
+      val approx = Similarity.pqTopKIvf(emb, q, "label",
+          m = 4, dim = 64, k = 8, iters = 1, topK = 5)
+        .select("query_id", "neighbor_id")
+      Similarity.recallAtKExactL2(emb, q, approx, 5).orderBy("query_id")
+    }),
+
     // E12: the same search THROUGH the persisted index — train + encode
     // once into lake tables (codebooks + ~64x-smaller codes), then serve
     // top-k reading ONLY the codes table. Same oracle as e08: the
     // build/serve split must be invisible in the results.
+    // E20: IVF-PQ — faiss IndexIVFPQ, the production-standard ANN
+    // composition (e02's coarse-cell probe restriction x e08's PQ-ADC
+    // quantized scoring, both compression axes at once). One cell-id
+    // equi-join (1/nCells of the corpus read per probe wave), the ~64x
+    // smaller code table is what's scanned, salted bounded ranking.
+    "e20_ivf_pq_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.pqTopKIvf(emb, emb.where(col("vec_id") < 10), "label",
+          m = 4, dim = 64, k = 8, iters = 1, topK = 5)
+        .orderBy("query_id", "rank")
+    }),
+
     "e12_pq_index_search" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       val loc = java.nio.file.Files.createTempDirectory("graft_e12_idx").toString
@@ -4472,7 +4497,8 @@ object SparkEntry {
     * source CTEs), ADC = left-to-right sum of per-subspace squared
     * distances from the full-precision query slice to the coded
     * sub-centroid. */
-  private def pqCtes(m: Int, subDim: Int, k: Int, iters: Int): String = {
+  private def pqCtes(m: Int, subDim: Int, k: Int, iters: Int,
+                     cellFilter: String = ""): String = {
     val srcs = (0 until m).map { s =>
       s"src$s AS (SELECT vec_id, embedding[${s * subDim + 1}:${(s + 1) * subDim}] " +
         s"AS embedding FROM embeddings)"
@@ -4487,11 +4513,12 @@ object SparkEntry {
     }.mkString("\n           ")
     s"""${srcs.mkString(",\n")},
         ${kms.mkString(",\n")},
-        q AS (SELECT vec_id AS query_id, embedding AS q_emb
+        q AS (SELECT vec_id AS query_id, label AS q_label,
+                embedding AS q_emb
               FROM embeddings WHERE vec_id < 10),
         scored AS (
           SELECT q.query_id, v.vec_id AS neighbor_id, ROUND($adc, 6) AS dist
-          FROM q JOIN embeddings v ON v.vec_id <> q.query_id
+          FROM q JOIN embeddings v ON v.vec_id <> q.query_id $cellFilter
            $codeJoins),
         ranked AS (SELECT query_id, neighbor_id, dist,
                           ROW_NUMBER() OVER (PARTITION BY query_id
@@ -4504,10 +4531,13 @@ object SparkEntry {
         SELECT query_id, rank, neighbor_id, dist
         FROM ranked WHERE rank <= $topK ORDER BY query_id, rank"""
 
-  /** e16: PQ-ADC recall@k vs exact-L2 truth. */
+  /** e16/e21: PQ-ADC recall@k vs exact-L2 truth (cellFilter restricts the
+    * approximate side to the query's coarse cell for the IVF-PQ form —
+    * the truth side always ranks the FULL corpus, which is what makes the
+    * measurement honest about cells that exclude true neighbors). */
   private def pqRecallOracle(m: Int, subDim: Int, k: Int, iters: Int,
-                             topK: Int): String =
-    s"""WITH ${pqCtes(m, subDim, k, iters)},
+                             topK: Int, cellFilter: String = ""): String =
+    s"""WITH ${pqCtes(m, subDim, k, iters, cellFilter)},
         tq AS (SELECT vec_id AS query_id, embedding AS q_emb
                FROM embeddings WHERE vec_id < 10),
         tr AS (SELECT tq.query_id, e.vec_id AS neighbor_id,
@@ -4662,9 +4692,18 @@ object SparkEntry {
     "e11_ivf_recall" -> ivfRecallOracle(8, 2, 5),
     "e15_sq8_recall" -> sq8RecallOracle,
     "e16_pq_recall" -> pqRecallOracle(4, 16, 8, 1, 5),
+    "e21_ivf_pq_recall" ->
+      pqRecallOracle(4, 16, 8, 1, 5, "AND v.label = q.q_label"),
     "e07_hyperplane_lsh_near_dup" -> hyperplaneLshOracle(64, 8, 0.35),
     "d17_semdedup" -> semDedupOracle(8, 2, 0.35),
     "e08_pq_adc_topk" -> pqOracle(4, 16, 8, 1, 5),
+
+    // e20: the same unrolled PQ training, with the candidate join
+    // restricted to the query's coarse cell (label)
+    "e20_ivf_pq_topk" ->
+      s"""WITH ${pqCtes(4, 16, 8, 1, "AND v.label = q.q_label")}
+        SELECT query_id, rank, neighbor_id, dist
+        FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""",
     // build/serve split is invisible: the persisted-index path shares e08's
     // oracle verbatim
     "e12_pq_index_search" -> pqOracle(4, 16, 8, 1, 5),

@@ -421,6 +421,41 @@ object Similarity {
       .select("query_id", "rank", "neighbor_id", "dist")
   }
 
+  /** IVF-PQ — faiss `IndexIVFPQ`, THE production ANN composition: the
+    * coarse-cell restriction of [[knnIvf]] (probe only the query's cell)
+    * with [[pqAdcSearch]]'s quantized ADC scoring INSIDE the cell. The
+    * two compression axes compose multiplicatively at scale: 1/nCells of
+    * the corpus is read per probe wave, and what is read is the ~64x
+    * smaller code table, not raw vectors. One shuffled equi-join on the
+    * cell id (never a cross-cell pair), codes from the fused
+    * graft_nearest_cell kernel, ranking via the salted bounded top-k. */
+  def pqTopKIvf(corpus: DataFrame, queries: DataFrame, cellCol: String,
+                m: Int, dim: Int, k: Int, iters: Int, topK: Int): DataFrame = {
+    val codebooks = trainPqCodebooks(corpus, m, dim, k, iters)
+    val subDim = dim / m
+    val coded = corpus.select(col("vec_id").as("neighbor_id"),
+      col(cellCol).as("c_cell"),
+      array((0 until m).map { s =>
+        call_function("graft_nearest_cell",
+          slice(col("embedding"), s * subDim + 1, subDim),
+          lit(codebooks(s).indices.map(_.toLong).toArray),
+          lit(codebooks(s).flatten))
+      }: _*).as("codes"))
+    val q = broadcast(queries.select(col("vec_id").as("query_id"),
+      col(cellCol).as("q_cell"), col("embedding").as("q_emb")))
+    val adc = (0 until m).map { s =>
+      sqDist(slice(col("q_emb"), s * subDim + 1, subDim),
+        element_at(typedLit(codebooks(s).map(_.toSeq).toSeq),
+          col("codes").getItem(s).cast("int") + 1))
+    }.reduce(_ + _)
+    val scored = coded.join(q, col("c_cell") === col("q_cell"))
+      .where(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"), round(adc, 6).as("dist"))
+    BoundedRank.topKPerKey(scored, Seq("query_id"),
+        Seq(col("dist"), col("neighbor_id")), topK, rankCol = "rank")
+      .select("query_id", "rank", "neighbor_id", "dist")
+  }
+
   /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
     * arXiv:2303.09540): cluster the embeddings with the trained k-means
     * quantizer, form cosine pairs ONLY within a cluster, and drop every

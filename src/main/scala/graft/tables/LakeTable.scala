@@ -765,12 +765,19 @@ final class LakeTable private (spark: SparkSession, val location: String) {
       else lit(null).cast(f.dataType).as(f.name)
     }.toIndexedSeq: _*)
 
+  /** Next snapshot id: one past the LARGEST id in the log (not
+    * currentSnapshotId + 1 — a staged WAP snapshot can hold an id above
+    * the current pointer, and ids must stay unique). Identical to the
+    * old rule on linear histories, where current == max. */
+  private def nextSnapshotId(meta: TableMetadata): Long =
+    (meta.currentSnapshotId +: meta.snapshots.map(_.id)).max + 1
+
   private def commitData(df: DataFrame, op: String, keepExisting: Boolean,
                          properties: Map[String, String],
                          preEvolved: Option[(Int, TableMetadata)] = None,
                          carryFiles: Seq[DataFile] = Nil): Unit = {
     val (base, meta) = preEvolved.getOrElse(evolveIfNeeded(df.schema))
-    val snapId = meta.currentSnapshotId + 1
+    val snapId = nextSnapshotId(meta)
     val snapRel = writeSnapshotDir(df, op, meta, snapId)
     commitDataFiles(op, keepExisting, properties, carryFiles,
       base, meta, snapRel)
@@ -866,7 +873,7 @@ final class LakeTable private (spark: SparkSession, val location: String) {
         if (keepExisting) meta.currentSnapshot.map(_.files).getOrElse(Nil) else Nil
       // carryFiles: untouched files a copy-on-write merge carries forward
       // verbatim (manifest entries, bounds and all)
-      val snap = Snapshot(meta.currentSnapshotId + 1, System.currentTimeMillis(),
+      val snap = Snapshot(nextSnapshotId(meta), System.currentTimeMillis(),
         op, carryFiles ++ oldFiles ++ newFiles, Some(meta0.schema.json))
       try {
         commitCas(base, meta.copy(
@@ -1073,11 +1080,92 @@ final class LakeTable private (spark: SparkSession, val location: String) {
       require(missing.isEmpty,
         s"Cannot roll back to snapshot $snapshotId: ${missing.size} of its " +
           s"data file(s) were garbage-collected (first: ${missing.headOption.map(_.path).getOrElse("")})")
+      val id = nextSnapshotId(meta)
       meta.copy(
-        snapshots = meta.snapshots :+ Snapshot(meta.currentSnapshotId + 1,
+        snapshots = meta.snapshots :+ Snapshot(id,
           nowMs, "rollback", snap.files, Some(meta.schema.json)),
-        currentSnapshotId = meta.currentSnapshotId + 1)
+        currentSnapshotId = id)
     }
+
+  // ---- write-audit-publish (Iceberg's WAP workflow) -------------------
+
+  /** Stage an append as a retained snapshot WITHOUT advancing the current
+    * pointer — Iceberg's write-audit-publish: the write lands durably,
+    * readers keep seeing the pre-stage table, an auditor inspects the
+    * staged state via [[readAt]] (or `VERSION AS OF`), and [[publishStaged]]
+    * makes it current as one atomic metadata swap (or [[discardStaged]]
+    * drops it). The staged snapshot is a complete file list (base files +
+    * the new delta), so publish moves only the pointer; its operation
+    * string records the base snapshot it was computed against, and
+    * publish REFUSES if the table has moved since (the audited state is
+    * no longer what would become current — re-stage on the new base).
+    * Returns the staged snapshot id. */
+  def stageAppend(df: DataFrame,
+                  properties: Map[String, String] = Map.empty): Long = {
+    val (base, meta) = evolveIfNeeded(df.schema)
+    val snapId = nextSnapshotId(meta)
+    val snapRel = writeSnapshotDir(df, "wap-append", meta, snapId)
+    val newFiles = newFileEntries(snapRel, meta)
+    var b = base
+    var m = meta
+    var attempt = 0
+    while (true) {
+      val cur = m.currentSnapshot.map(_.files).getOrElse(Nil)
+      val snap = Snapshot(nextSnapshotId(m), System.currentTimeMillis(),
+        s"wap-append-base-${m.currentSnapshotId}", cur ++ newFiles,
+        Some(meta.schema.json))
+      try {
+        commitCas(b, m.copy(snapshots = m.snapshots :+ snap,
+          properties = m.properties ++ properties))
+        return snap.id
+      } catch {
+        case e: ConcurrentCommitException =>
+          attempt += 1
+          val (b2, m2) = metadataAt
+          if (attempt > LakeTable.MaxCommitRetries || m2.schema != meta.schema) {
+            deleteRecursively(Paths.get(location, snapRel))
+            throw new ConcurrentCommitException(
+              s"wap-append on '$location' lost a commit race and cannot " +
+                s"rebase: ${e.getMessage}")
+          }
+          b = b2; m = m2
+      }
+    }
+    -1L // unreachable
+  }
+
+  /** Make a staged WAP snapshot the current table state — one atomic
+    * pointer swap. Refuses when the table advanced past the stage's base
+    * (the audited bytes would silently drop the interleaved commits);
+    * the auditor re-stages on the new base instead. */
+  def publishStaged(stagedId: Long): Unit = commitRetry { meta =>
+    val snap = meta.snapshots.find(_.id == stagedId).getOrElse(
+      throw new IllegalArgumentException(
+        s"Staged snapshot $stagedId not found (retained: " +
+          s"${meta.snapshots.map(_.id).mkString(", ")})"))
+    require(snap.operation.startsWith("wap-append-base-"),
+      s"Snapshot $stagedId is not a staged WAP snapshot " +
+        s"(operation '${snap.operation}')")
+    val baseId = snap.operation.stripPrefix("wap-append-base-").toLong
+    if (meta.currentSnapshotId != baseId)
+      throw new ConcurrentCommitException(
+        s"Cannot publish staged snapshot $stagedId: its base $baseId is no " +
+          s"longer current (${meta.currentSnapshotId}) — the audited state " +
+          "would drop interleaved commits; re-stage on the new base")
+    meta.copy(currentSnapshotId = stagedId)
+  }
+
+  /** Drop an unpublished staged snapshot from the log (its data files
+    * become unreferenced and fall to the normal orphan-file GC). */
+  def discardStaged(stagedId: Long): Unit = commitRetry { meta =>
+    val snap = meta.snapshots.find(_.id == stagedId).getOrElse(
+      throw new IllegalArgumentException(s"Staged snapshot $stagedId not found"))
+    require(snap.operation.startsWith("wap-append-base-"),
+      s"Snapshot $stagedId is not a staged WAP snapshot")
+    require(meta.currentSnapshotId != stagedId,
+      s"Snapshot $stagedId is published (current) — use rollbackTo instead")
+    meta.copy(snapshots = meta.snapshots.filterNot(_.id == stagedId))
+  }
 
   /** Drop snapshot entries older than the retention window (current snapshot
     * always kept). */

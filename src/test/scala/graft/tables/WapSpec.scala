@@ -1,0 +1,82 @@
+package graft.tables
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Write-audit-publish (Iceberg's WAP workflow) over the lake commit
+  * protocol: staged snapshots land durably without moving the current
+  * pointer, audit reads them by id, publish is one atomic pointer swap
+  * that refuses when the base moved, discard drops the stage. */
+class WapSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  private def freshTable(rows: Seq[(Long, String)]): LakeTable = {
+    val loc = tmpDir("graft_wap") + "/t"
+    val df = rows.toDF("id", "v")
+    val t = LakeTable.ensure(spark, loc, df.schema)
+    t.write(df, "append")
+    t
+  }
+
+  test("stage is invisible to readers; audit sees base + delta; publish swaps") {
+    val t = freshTable(Seq(1L -> "a", 2L -> "b"))
+    val staged = t.stageAppend(Seq(3L -> "c", 4L -> "d").toDF("id", "v"))
+    // readers still see the pre-stage table
+    assert(t.read().count() == 2)
+    // the auditor reads the staged state by id
+    val audit = t.readAt(staged).orderBy("id").collect().map(_.getLong(0)).toSeq
+    assert(audit == Seq(1L, 2L, 3L, 4L))
+    // publish = one pointer swap; no data rewrite
+    t.publishStaged(staged)
+    assert(t.read().count() == 4)
+    assert(t.metadata.currentSnapshotId == staged)
+  }
+
+  test("publish refuses when the table advanced past the stage's base") {
+    val t = freshTable(Seq(1L -> "a"))
+    val staged = t.stageAppend(Seq(2L -> "b").toDF("id", "v"))
+    // an interleaved commit moves the base
+    t.write(Seq(9L -> "z").toDF("id", "v"), "append")
+    val e = intercept[Exception](t.publishStaged(staged))
+    assert(e.getMessage.contains("re-stage"), e.getMessage)
+    // the audited-but-unpublishable stage can be discarded; table intact
+    t.discardStaged(staged)
+    assert(t.read().orderBy("id").collect().map(_.getLong(0)).toSeq ==
+      Seq(1L, 9L))
+    assert(!t.metadata.snapshots.exists(_.id == staged))
+  }
+
+  test("snapshot ids stay unique with a stage in flight") {
+    val t = freshTable(Seq(1L -> "a"))
+    val staged = t.stageAppend(Seq(2L -> "b").toDF("id", "v"))
+    t.write(Seq(3L -> "c").toDF("id", "v"), "append")
+    val ids = t.metadata.snapshots.map(_.id)
+    assert(ids.distinct.size == ids.size, s"duplicate snapshot ids: $ids")
+    // the regular append skipped OVER the staged id
+    assert(t.metadata.currentSnapshotId > staged)
+  }
+
+  test("discard rejects published and non-WAP snapshots") {
+    val t = freshTable(Seq(1L -> "a"))
+    val staged = t.stageAppend(Seq(2L -> "b").toDF("id", "v"))
+    t.publishStaged(staged)
+    val e1 = intercept[IllegalArgumentException](t.discardStaged(staged))
+    assert(e1.getMessage.contains("published"), e1.getMessage)
+    val first = t.metadata.snapshots.head.id
+    val e2 = intercept[IllegalArgumentException](t.discardStaged(first))
+    assert(e2.getMessage.contains("not a staged"), e2.getMessage)
+  }
+
+  test("two stages on the same base: publishing one invalidates the other") {
+    val t = freshTable(Seq(1L -> "a"))
+    val s1 = t.stageAppend(Seq(2L -> "b").toDF("id", "v"))
+    val s2 = t.stageAppend(Seq(3L -> "c").toDF("id", "v"))
+    t.publishStaged(s1)
+    // s2's base is no longer current — publishing it would drop s1's rows
+    intercept[Exception](t.publishStaged(s2))
+    t.discardStaged(s2)
+    assert(t.read().orderBy("id").collect().map(_.getLong(0)).toSeq ==
+      Seq(1L, 2L))
+  }
+}

@@ -34,7 +34,8 @@ object LakeProcedures {
 
   def names: Seq[String] = Seq("compact", "compact_small_files",
     "expire_snapshots", "remove_orphan_files", "zorder", "history",
-    "rollback_to_snapshot", "files", "expire_metadata")
+    "rollback_to_snapshot", "files", "expire_metadata",
+    "publish_staged", "discard_staged")
 
   def load(root: String, name: String): Option[UnboundProcedure] = {
     def p(ps: Seq[ProcedureParameter])(run: (LakeTable, InternalRow) => String) =
@@ -88,6 +89,18 @@ object LakeProcedures {
           .comment("retained snapshot id (see lake.system.history)").build())) { (t, in) =>
         t.rollbackTo(in.getLong(1))
         s"rolled back to snapshot ${in.getLong(1)}"
+      }
+      case "publish_staged" => p(Seq(table,
+        ProcedureParameter.in("snapshot_id", LongType)
+          .comment("staged WAP snapshot id (from LakeTable.stageAppend)").build())) { (t, in) =>
+        t.publishStaged(in.getLong(1))
+        s"published staged snapshot ${in.getLong(1)}"
+      }
+      case "discard_staged" => p(Seq(table,
+        ProcedureParameter.in("snapshot_id", LongType)
+          .comment("unpublished staged WAP snapshot id").build())) { (t, in) =>
+        t.discardStaged(in.getLong(1))
+        s"discarded staged snapshot ${in.getLong(1)}"
       }
       case "history" => Some(new LakeHistoryProcedure(root))
       case "files" => Some(new LakeFilesProcedure(root))

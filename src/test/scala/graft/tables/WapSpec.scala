@@ -68,6 +68,26 @@ class WapSpec extends AnyFunSuite with SparkSpec {
     assert(e2.getMessage.contains("not a staged"), e2.getMessage)
   }
 
+  test("WAP drives through SQL: CALL lake.system.publish_staged") {
+    val root = tmpDir("graft_wap_sql")
+    if (!spark.conf.getOption("spark.sql.catalog.wapcat").isDefined) {
+      spark.conf.set("spark.sql.catalog.wapcat", "graft.sql.LakeSparkCatalog")
+      spark.conf.set("spark.sql.catalog.wapcat.root", root)
+    }
+    val catRoot = spark.conf.get("spark.sql.catalog.wapcat.root")
+    val df = Seq(1L -> "a").toDF("id", "v")
+    val t = LakeTable.ensure(spark, s"$catRoot/nsw/w", df.schema)
+    t.write(df, "append")
+    val staged = t.stageAppend(Seq(2L -> "b").toDF("id", "v"))
+    assert(spark.sql("SELECT count(*) FROM wapcat.nsw.w").head.getLong(0) == 1)
+    spark.sql(s"CALL wapcat.system.publish_staged('nsw.w', ${staged}L)")
+    assert(spark.sql("SELECT count(*) FROM wapcat.nsw.w").head.getLong(0) == 2)
+    val s2 = t.stageAppend(Seq(3L -> "c").toDF("id", "v"))
+    spark.sql(s"CALL wapcat.system.discard_staged('nsw.w', ${s2}L)")
+    assert(!LakeTable.load(spark, s"$catRoot/nsw/w")
+      .metadata.snapshots.exists(_.id == s2))
+  }
+
   test("two stages on the same base: publishing one invalidates the other") {
     val t = freshTable(Seq(1L -> "a"))
     val s1 = t.stageAppend(Seq(2L -> "b").toDF("id", "v"))

@@ -114,7 +114,8 @@ object Bench {
     "d48b_calibration_hist", "m34_safetensors_f16", "d67_gopher_line_rules",
     "e19_mmr_rerank", "k13_length_quantiles", "t20_stream_gopher_gate",
     "d68_gopher_repetition", "m35_checksum_manifest",
-    "e20_ivf_pq_topk", "e21_ivf_pq_recall")
+    "e20_ivf_pq_topk", "e21_ivf_pq_recall",
+    "d69_corpus_diff", "x09_quantile_edges")
 
   /** SURVEY §6 per-query budgets (sec, sf0.1 median). A breach triggers an
     * automatic isolated forked-JVM re-run so the artifact adjudicates
@@ -302,7 +303,10 @@ object Bench {
     "m35_checksum_manifest" -> 1.0,
     // e20/e21: PQ train (two Lloyd passes per subspace) + cell-restricted
     // ADC; the recall row adds the exact-truth pass (2.18/1.95 measured)
-    "e20_ivf_pq_topk" -> 3.3, "e21_ivf_pq_recall" -> 3.0)
+    "e20_ivf_pq_topk" -> 3.3, "e21_ivf_pq_recall" -> 3.0,
+    // d69: one id-keyed join of (id, md5) projections (0.53 measured);
+    // x09: k13's histogram shape on the planted edge corpus (0.50)
+    "d69_corpus_diff" -> 0.9, "x09_quantile_edges" -> 0.8)
 
   /** sf1/sf0.1 ratio ceilings (VERDICT r10 #6): the sf1 pass was
     * adjudicated by prose until r11 — these encode it. Ceiling = 1.5x the
@@ -387,7 +391,10 @@ object Bench {
     "x08_paragraph_dedup_hot" -> 5.2,
     // e20/e21 measured this round: 1.58x/1.80x at 10x data (the IVF cell
     // restriction holds the ADC scan sublinear)
-    "e20_ivf_pq_topk" -> 2.4, "e21_ivf_pq_recall" -> 2.8)
+    "e20_ivf_pq_topk" -> 2.4, "e21_ivf_pq_recall" -> 2.8,
+    // d69/x09 measured this round: 1.35x/0.96x at 10x data (digest
+    // projections and histogram windows stay metadata-light)
+    "d69_corpus_diff" -> 2.1, "x09_quantile_edges" -> 1.5)
 
   /** Cluster-cost observability (r11): per-query SHUFFLE WRITE and SPILL
     * volume next to every wall time, so the artifact itself shows which

@@ -741,6 +741,23 @@ object SparkEntry {
         .orderBy("lang")
     }),
 
+    // X9: k13's adversarial edges — a fully DEGENERATE group (every row
+    // the same value: the histogram is ONE row, p1..p100 all equal) next
+    // to a group whose percentile boundaries land EXACTLY on cumulative
+    // edges (equal-count distinct values, so 100*cum == p*n at the
+    // boundary — the >= vs > off-by-one every quantile implementation
+    // gets wrong somewhere), with p1 and p100 at both extremes.
+    "x09_quantile_edges" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(
+        when(col("doc_id") % 2 === 0, lit("hot")).otherwise(lit("tail"))
+          .as("grp"),
+        when(col("doc_id") % 2 === 0, lit(7L))
+          .otherwise(col("doc_id") % 100).as("v"))
+      graft.operators.CorpusSelect
+        .groupedExactQuantiles(docs, "grp", "v", Seq(1, 50, 99, 100))
+        .orderBy("grp")
+    }),
+
     // K10: stratified mixture sampling — how a training recipe actually
     // HITS a token mixture: a global budget (1/10 of corpus tokens)
     // apportions across languages by LARGEST-REMAINDER (exact integer
@@ -2421,6 +2438,23 @@ object SparkEntry {
           expr("CASE WHEN total_chars > 0 THEN (dup5_chars * 10000) div total_chars ELSE 0 END").as("dup5_e4"),
           expr("CASE WHEN total_chars > 0 THEN (dup10_chars * 10000) div total_chars ELSE 0 END").as("dup10_e4"))
         .orderBy("doc_id")
+    }),
+
+    // D69: the corpus changelog between two releases — v1 = docs with
+    // id%5!=0, v2 = docs with id%11!=3 and id%7==0 texts revised; so
+    // %5==0 rows are ADDED, %11==3 rows REMOVED, %7==0 rows MODIFIED,
+    // the rest unchanged — every class analytically plantable. One
+    // id-keyed full-outer join of (id, md5) projections; text never
+    // shuffles.
+    "d69_corpus_diff" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val v1 = docs.where(col("doc_id") % 5 =!= 0)
+        .select(col("doc_id"), col("text"))
+      val v2 = docs.where(col("doc_id") % 11 =!= 3)
+        .select(col("doc_id"),
+          when(col("doc_id") % 7 === 0, concat(col("text"), lit(" [rev2]")))
+            .otherwise(col("text")).as("text"))
+      Dedup.corpusDiff(v1, v2, "doc_id", "text").orderBy("doc_id")
     }),
 
     // D65: Unicode NFC normalization — the canonicalization every
@@ -6364,6 +6398,26 @@ object SparkEntry {
              AS padding
          FROM a GROUP BY 1, 2 ORDER BY shard_id, batch_idx""",
 
+    // x09: the same restatement over the planted degenerate/edge corpus
+    "x09_quantile_edges" ->
+      """WITH d AS (SELECT CASE WHEN doc_id % 2 = 0 THEN 'hot'
+                        ELSE 'tail' END AS grp,
+                      CASE WHEN doc_id % 2 = 0 THEN 7
+                        ELSE doc_id % 100 END AS v
+                    FROM documents),
+         h AS (SELECT grp, v, COUNT(*) AS c FROM d GROUP BY 1, 2),
+         cw AS (SELECT grp, v,
+                  CAST(SUM(c) OVER (PARTITION BY grp ORDER BY v
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+                  CAST(SUM(c) OVER (PARTITION BY grp) AS BIGINT) AS n
+                FROM h)
+         SELECT grp, MAX(n) AS n_rows,
+           MIN(CASE WHEN cum * 100 >= n * 1 THEN v END) AS p1,
+           MIN(CASE WHEN cum * 100 >= n * 50 THEN v END) AS p50,
+           MIN(CASE WHEN cum * 100 >= n * 99 THEN v END) AS p99,
+           MIN(CASE WHEN cum * 100 >= n * 100 THEN v END) AS p100
+         FROM cw GROUP BY 1 ORDER BY grp""",
+
     // k13: the cumulative histogram restated; same integer boundary test
     "k13_length_quantiles" ->
       """WITH d AS (SELECT lang,
@@ -7029,6 +7083,22 @@ object SparkEntry {
 
     // d66: the same floor-scaled integer rules over the same synthesized
     // violations, restated with list comprehensions
+    // d69: the diff restated — same md5s, same planted classes
+    "d69_corpus_diff" ->
+      """WITH v1 AS (SELECT doc_id, md5(text) AS old_md5 FROM documents
+                     WHERE doc_id % 5 <> 0),
+         v2 AS (SELECT doc_id,
+                  md5(CASE WHEN doc_id % 7 = 0 THEN text || ' [rev2]'
+                       ELSE text END) AS new_md5
+                FROM documents WHERE doc_id % 11 <> 3)
+         SELECT doc_id, old_md5, new_md5,
+           CASE WHEN old_md5 IS NULL THEN 'added'
+                WHEN new_md5 IS NULL THEN 'removed'
+                WHEN old_md5 <> new_md5 THEN 'modified'
+                ELSE 'unchanged' END AS status
+         FROM v1 FULL OUTER JOIN v2 USING (doc_id)
+         ORDER BY doc_id""",
+
     // d68: the repetition kernels restated by full n-gram explosion —
     // grams are single-space word joins (so gram length counts the n-1
     // separators, matching the kernel), top = MAX(count * chars),

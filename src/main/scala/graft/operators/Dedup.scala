@@ -662,4 +662,25 @@ object Dedup {
           x => x("para")), sep).as("cleaned_text"),
         count(lit(1)).as("n_kept"))
   }
+
+  /** Corpus CHANGELOG between two releases (D69 — what every dataset-card
+    * "changes since v1" section is built from, and what incremental
+    * consumers diff before reprocessing): per doc id, added / removed /
+    * modified / unchanged, decided by content digest. ONE id-keyed
+    * full-outer join — both sides reduce to (id, md5) projections first,
+    * so the shuffle moves 48-byte rows, never document text; at 100 TB
+    * the diff costs two scans plus an id exchange. */
+  def corpusDiff(oldDocs: DataFrame, newDocs: DataFrame,
+                 idCol: String, textCol: String): DataFrame = {
+    val o = oldDocs.select(col(idCol),
+      md5(col(textCol).cast("binary")).as("old_md5"))
+    val n = newDocs.select(col(idCol),
+      md5(col(textCol).cast("binary")).as("new_md5"))
+    o.join(n, Seq(idCol), "full_outer")
+      .select(col(idCol), col("old_md5"), col("new_md5"),
+        when(col("old_md5").isNull, "added")
+          .when(col("new_md5").isNull, "removed")
+          .when(col("old_md5") =!= col("new_md5"), "modified")
+          .otherwise("unchanged").as("status"))
+  }
 }

@@ -672,15 +672,23 @@ object Dedup {
     * the diff costs two scans plus an id exchange. */
   def corpusDiff(oldDocs: DataFrame, newDocs: DataFrame,
                  idCol: String, textCol: String): DataFrame = {
-    val o = oldDocs.select(col(idCol),
-      md5(col(textCol).cast("binary")).as("old_md5"))
-    val n = newDocs.select(col(idCol),
-      md5(col(textCol).cast("binary")).as("new_md5"))
+    // Presence is keyed on a constant marker from each side, NOT on digest
+    // nullability: md5(NULL) is NULL, so a present doc with NULL text would
+    // otherwise misreport as added/removed. NULL text digests to the
+    // sentinel "null" — 4 chars, so it can never collide with a real
+    // 32-hex-char md5, and NULL-vs-non-NULL text compares as modified
+    // (null-safe <=> below covers the seatbelt case of both-null digests).
+    def digest(c: org.apache.spark.sql.Column) =
+      when(c.isNull, lit("null")).otherwise(md5(c.cast("binary")))
+    val o = oldDocs.select(col(idCol), lit(true).as("__old_p"),
+      digest(col(textCol)).as("old_md5"))
+    val n = newDocs.select(col(idCol), lit(true).as("__new_p"),
+      digest(col(textCol)).as("new_md5"))
     o.join(n, Seq(idCol), "full_outer")
       .select(col(idCol), col("old_md5"), col("new_md5"),
-        when(col("old_md5").isNull, "added")
-          .when(col("new_md5").isNull, "removed")
-          .when(col("old_md5") =!= col("new_md5"), "modified")
+        when(col("__old_p").isNull, "added")
+          .when(col("__new_p").isNull, "removed")
+          .when(!(col("old_md5") <=> col("new_md5")), "modified")
           .otherwise("unchanged").as("status"))
   }
 }

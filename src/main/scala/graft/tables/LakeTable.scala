@@ -252,16 +252,21 @@ final class LakeTable private (spark: SparkSession, val location: String) {
     * nullable (existing files don't have them; readers null-fill missing
     * parquet columns — the standard add-only evolution contract). */
   def addColumns(fields: Seq[StructField]): Unit = commitRetry { meta =>
+    // retired = every name old data files may still physically carry:
+    // RENAME olds (mapping values) AND dropped columns (RetiredNamesProp,
+    // which also covers mapping KEYS purged by a drop) — reusing any of
+    // them would resurrect old file bytes into the new column.
     val retired = TableMetadata.parseNameMapping(meta.properties)
-      .values.flatten.map(_.toLowerCase).toSet
+      .values.flatten.map(_.toLowerCase).toSet ++
+      TableMetadata.parseRetiredNames(meta.properties)
     fields.foreach { f =>
       require(f.nullable, s"ADD COLUMN '${f.name}' must be nullable " +
         "(existing files cannot supply values)")
       require(!meta.schema.fieldNames.exists(_.equalsIgnoreCase(f.name)),
         s"Column '${f.name}' already exists")
       require(!retired.contains(f.name.toLowerCase),
-        s"Column name '${f.name}' is retired by a RENAME (old files still " +
-          "carry it physically); pick another name")
+        s"Column name '${f.name}' is retired by a RENAME or DROP (old files " +
+          "still carry it physically); pick another name")
     }
     meta.copy(schema = StructType(meta.schema.fields ++ fields))
   }
@@ -288,9 +293,10 @@ final class LakeTable private (spark: SparkSession, val location: String) {
     require(!meta.identifierFields.exists(_.equalsIgnoreCase(oldName)),
       s"Cannot rename identifier column '$oldName'")
     val mapping = TableMetadata.parseNameMapping(meta.properties)
-    require(!mapping.values.flatten.exists(_.equalsIgnoreCase(newName)),
-      s"Column name '$newName' is retired by an earlier RENAME (old files " +
-        "still carry it physically); pick another name")
+    require(!mapping.values.flatten.exists(_.equalsIgnoreCase(newName)) &&
+      !TableMetadata.parseRetiredNames(meta.properties).contains(newName.toLowerCase),
+      s"Column name '$newName' is retired by an earlier RENAME or DROP (old " +
+        "files still carry it physically); pick another name")
     val canonical = meta.schema.fieldNames.find(_.equalsIgnoreCase(oldName)).get
     val newSchema = StructType(meta.schema.fields.map(f =>
       if (f.name.equalsIgnoreCase(oldName)) f.copy(name = newName) else f))
@@ -306,7 +312,13 @@ final class LakeTable private (spark: SparkSession, val location: String) {
 
   /** DDL DROP COLUMN: metadata-only — files keep the physical column,
     * every read projects it away. Partition-source, sort and identifier
-    * columns are load-bearing and cannot be dropped. */
+    * columns are load-bearing and cannot be dropped. The dropped name and
+    * every physical alias it carried (from earlier RENAMEs) are retired
+    * permanently: its rename-mapping entry is purged so a later column of
+    * the same name can never reactivate it, and the names land in
+    * [[TableMetadata.RetiredNamesProp]] so ADD COLUMNS / RENAME cannot
+    * reuse them (old files still carry the bytes — reuse would resurrect
+    * dropped data into an unrelated column). */
   def dropColumns(names: Seq[String]): Unit = commitRetry { meta =>
     names.foreach { n =>
       require(meta.schema.fieldNames.exists(_.equalsIgnoreCase(n)),
@@ -321,7 +333,17 @@ final class LakeTable private (spark: SparkSession, val location: String) {
     val lower = names.map(_.toLowerCase).toSet
     val kept = meta.schema.fields.filterNot(f => lower.contains(f.name.toLowerCase))
     require(kept.nonEmpty, "Cannot drop every column")
-    meta.copy(schema = StructType(kept))
+    val mapping = TableMetadata.parseNameMapping(meta.properties)
+    val (droppedEntries, keptMapping) =
+      mapping.partition { case (k, _) => lower.contains(k.toLowerCase) }
+    val retired = TableMetadata.parseRetiredNames(meta.properties) ++ lower ++
+      droppedEntries.values.flatten.map(_.toLowerCase)
+    val props = meta.properties +
+      (TableMetadata.RetiredNamesProp -> TableMetadata.renderRetiredNames(retired)) ++
+      (if (droppedEntries.isEmpty) Map.empty[String, String]
+       else Map(TableMetadata.NameMappingProp ->
+         TableMetadata.renderNameMapping(keptMapping)))
+    meta.copy(schema = StructType(kept), properties = props)
   }
 
   // ---- write path ---------------------------------------------------
@@ -778,17 +800,17 @@ final class LakeTable private (spark: SparkSession, val location: String) {
                          carryFiles: Seq[DataFile] = Nil): Unit = {
     val (base, meta) = preEvolved.getOrElse(evolveIfNeeded(df.schema))
     val snapId = nextSnapshotId(meta)
-    val snapRel = writeSnapshotDir(df, op, meta, snapId)
+    val snapRel = writeSnapshotDir(df, op, meta, s"snap-$snapId")
     commitDataFiles(op, keepExisting, properties, carryFiles,
       base, meta, snapRel)
   }
 
-  /** Write the delta under a `data/snap-N` directory (uniquified only
+  /** Write the delta under a `data/<dirName>` directory (uniquified only
     * when a concurrent writer already claimed the deterministic name) and
     * return the relative path. Our own failed partial writes are cleaned
     * up; a pre-existing directory belongs to someone else and is not. */
   private def writeSnapshotDir(df: DataFrame, op: String,
-                               meta: TableMetadata, snapId: Long): String = {
+                               meta: TableMetadata, dirName: String): String = {
     val aligned = alignTo(df, meta.schema)
 
     // Derived partition columns + write-layout sort (sort is write-layout
@@ -824,7 +846,7 @@ final class LakeTable private (spark: SparkSession, val location: String) {
       try { Files.createDirectory(Paths.get(location, rel)); true }
       catch { case _: java.nio.file.FileAlreadyExistsException => false }
     }
-    val rel0 = s"data/snap-$snapId"
+    val rel0 = s"data/$dirName"
     val rel =
       if (claim(rel0)) rel0
       else {
@@ -1103,8 +1125,12 @@ final class LakeTable private (spark: SparkSession, val location: String) {
   def stageAppend(df: DataFrame,
                   properties: Map[String, String] = Map.empty): Long = {
     val (base, meta) = evolveIfNeeded(df.schema)
-    val snapId = nextSnapshotId(meta)
-    val snapRel = writeSnapshotDir(df, "wap-append", meta, snapId)
+    // Staged directories are UUID-named, never snap-<id>: the CAS-rebase
+    // loop below can commit under a LATER id than first computed, and a
+    // directory name that implies a stale id would mislead orphan GC
+    // debugging (files are path-referenced, so nothing else cares).
+    val snapRel = writeSnapshotDir(df, "wap-append", meta,
+      s"wap-${java.util.UUID.randomUUID().toString.take(16)}")
     val newFiles = newFileEntries(snapRel, meta)
     var b = base
     var m = meta
@@ -1152,28 +1178,47 @@ final class LakeTable private (spark: SparkSession, val location: String) {
         s"Cannot publish staged snapshot $stagedId: its base $baseId is no " +
           s"longer current (${meta.currentSnapshotId}) — the audited state " +
           "would drop interleaved commits; re-stage on the new base")
-    meta.copy(currentSnapshotId = stagedId)
+    // Clear the staged marker in the same commit: a published snapshot is
+    // committed history — it must stay undiscardable even after later
+    // commits supersede it, and it re-enters the normal retention window
+    // (the unpublished-stage exemption in expireSnapshots must not apply).
+    meta.copy(
+      snapshots = meta.snapshots.map(s =>
+        if (s.id == stagedId)
+          s.copy(operation = s"wap-published-base-$baseId")
+        else s),
+      currentSnapshotId = stagedId)
   }
 
   /** Drop an unpublished staged snapshot from the log (its data files
-    * become unreferenced and fall to the normal orphan-file GC). */
+    * become unreferenced and fall to the normal orphan-file GC). A
+    * PUBLISHED stage is committed history — publish rewrites its marker
+    * to `wap-published-base-*`, so it stays rejected here forever, even
+    * after later commits supersede it (discarding it would delete a
+    * history entry that rollbackTo/readAt may target). */
   def discardStaged(stagedId: Long): Unit = commitRetry { meta =>
     val snap = meta.snapshots.find(_.id == stagedId).getOrElse(
       throw new IllegalArgumentException(s"Staged snapshot $stagedId not found"))
+    require(!snap.operation.startsWith("wap-published-base-") &&
+      meta.currentSnapshotId != stagedId,
+      s"Snapshot $stagedId is published (committed history) — use rollbackTo instead")
     require(snap.operation.startsWith("wap-append-base-"),
       s"Snapshot $stagedId is not a staged WAP snapshot")
-    require(meta.currentSnapshotId != stagedId,
-      s"Snapshot $stagedId is published (current) — use rollbackTo instead")
     meta.copy(snapshots = meta.snapshots.filterNot(_.id == stagedId))
   }
 
-  /** Drop snapshot entries older than the retention window (current snapshot
-    * always kept). */
+  /** Drop snapshot entries older than the retention window. Always kept:
+    * the current snapshot, and UNPUBLISHED staged WAP snapshots — a stage
+    * awaiting audit has no other reference, so age-based expiry would
+    * silently delete an in-flight write (discardStaged is the one way to
+    * remove a stage; published stages lose the marker and expire
+    * normally). */
   def expireSnapshots(olderThanMs: Long, nowMs: Long = System.currentTimeMillis()): Unit =
     commitRetry { meta =>
       val cutoff = nowMs - olderThanMs
       meta.copy(snapshots = meta.snapshots.filter(s =>
-        s.id == meta.currentSnapshotId || s.timestampMs >= cutoff))
+        s.id == meta.currentSnapshotId || s.timestampMs >= cutoff ||
+          s.operation.startsWith("wap-append-base-")))
     }
 
   /** Delete data files not referenced by any retained snapshot and older

@@ -82,11 +82,25 @@ final case class TableMetadata(
     * ids, stored the way Iceberg stores it (a table property applied at
     * scan time). Only mappings whose current name exists in this
     * metadata's schema apply (a time-travel read at a pre-rename snapshot
-    * sees the old name as a REAL column and must not alias it). */
+    * sees the old name as a REAL column and must not alias it).
+    *
+    * Time travel to a MID-CHAIN snapshot (RENAME a->b, INSERT, RENAME
+    * b->c, then read the middle snapshot whose schema has 'b') resolves
+    * through the chain: the stored olds list is ordered oldest-first
+    * (renameColumn appends), so a snapshot-schema name found INSIDE a
+    * chain aliases to exactly the olds that precede it — files written
+    * under the names that came AFTER it don't exist in that snapshot. */
   def columnAliases: Map[String, Seq[String]] = {
     val all = TableMetadata.parseNameMapping(properties)
     val present = schema.fieldNames.map(_.toLowerCase).toSet
-    all.filter { case (cur, _) => present.contains(cur.toLowerCase) }
+    val direct = all.filter { case (cur, _) => present.contains(cur.toLowerCase) }
+    val chained = for {
+      (cur, olds) <- all.toSeq
+      if !present.contains(cur.toLowerCase)
+      i <- olds.indices
+      if i > 0 && present.contains(olds(i).toLowerCase)
+    } yield olds(i) -> olds.take(i)
+    direct ++ chained.toMap
   }
 
   def toJson: String = {
@@ -141,6 +155,27 @@ object TableMetadata {
     * mapping. Value: a JSON object `{"current": ["old1", "old2"], ...}`
     * (ours is name-keyed — plain parquet has no field ids to key by). */
   val NameMappingProp = "schema.name-mapping.default"
+
+  /** Names permanently unavailable for reuse: a DROPPED column (and any
+    * physical aliases it carried) lives on inside old data files — a later
+    * ADD COLUMNS or RENAME ... TO that name would silently resurrect the
+    * dropped bytes into an unrelated column. Stored as a JSON array of
+    * lowercase names. */
+  val RetiredNamesProp = "schema.retired-names"
+
+  def parseRetiredNames(properties: Map[String, String]): Set[String] =
+    properties.get(RetiredNamesProp) match {
+      case None => Set.empty
+      case Some(json) =>
+        JsonMethods.parse(json) match {
+          case JArray(items) => items.collect { case JString(s) => s.toLowerCase }.toSet
+          case _ => Set.empty
+        }
+    }
+
+  def renderRetiredNames(names: Set[String]): String =
+    JsonMethods.compact(JsonMethods.render(
+      JArray(names.map(_.toLowerCase).toList.sorted.map(JString(_)))))
 
   def parseNameMapping(properties: Map[String, String]): Map[String, Seq[String]] =
     properties.get(NameMappingProp) match {

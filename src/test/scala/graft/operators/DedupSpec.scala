@@ -260,6 +260,27 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
       (4L, "delta\nepsilon", 2L)))
   }
 
+  test("corpusDiff: NULL text classifies by PRESENCE, not digest nullability") {
+    val old = Tables.docsLike(Seq(
+      1L -> null,       // present both sides, NULL -> non-NULL: modified
+      2L -> "same",     // unchanged
+      3L -> null,       // present both sides, NULL -> NULL: unchanged
+      4L -> "gone",     // removed (non-NULL text)
+      5L -> null))      // removed (NULL text — must NOT report unchanged)
+    val nw = Tables.docsLike(Seq(
+      1L -> "now set",
+      2L -> "same",
+      3L -> null,
+      6L -> "fresh",    // added (non-NULL text)
+      7L -> null))      // added (NULL text — must NOT report removed)
+    val out = Dedup.corpusDiff(old, nw, "doc_id", "text")
+      .orderBy("doc_id").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("status"))
+    assert(out.toSeq == Seq(
+      1L -> "modified", 2L -> "unchanged", 3L -> "unchanged",
+      4L -> "removed", 5L -> "removed", 6L -> "added", 7L -> "added"))
+  }
+
   private object Tables {
     def docsLike(rows: Seq[(Long, String)]) = {
       import spark.implicits._

@@ -258,6 +258,65 @@ class LakeSqlSpec extends AnyFunSuite with SparkSpec {
     assert(e2.getMessage.contains("retired"), e2.getMessage)
   }
 
+  test("DROP COLUMN retires the name (and its rename aliases) forever") {
+    root
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lake.nsdr")
+    spark.sql("CREATE TABLE lake.nsdr.dr (id BIGINT, val STRING, note STRING)")
+    spark.sql("INSERT INTO lake.nsdr.dr VALUES (1, 'a', 'n1'), (2, 'b', 'n2')")
+    spark.sql("ALTER TABLE lake.nsdr.dr RENAME COLUMN val TO label")
+    spark.sql("ALTER TABLE lake.nsdr.dr DROP COLUMN label")
+    // the drop purged the rename-mapping entry keyed by the dropped column
+    val meta = LakeTable.load(spark, s"$root/nsdr/dr").metadata
+    assert(!graft.tables.TableMetadata.parseNameMapping(meta.properties)
+      .keys.exists(_.equalsIgnoreCase("label")))
+    // re-adding the dropped name (the old mapping KEY) is rejected — old
+    // files physically carry 'label'/'val'; a new 'label' column would
+    // resurrect their bytes
+    val e1 = intercept[Exception](
+      spark.sql("ALTER TABLE lake.nsdr.dr ADD COLUMNS (label STRING)"))
+    assert(e1.getMessage.contains("retired"), e1.getMessage)
+    // ... and so is renaming an existing column ONTO the dropped name
+    val e2 = intercept[Exception](
+      spark.sql("ALTER TABLE lake.nsdr.dr RENAME COLUMN note TO label"))
+    assert(e2.getMessage.contains("retired"), e2.getMessage)
+    // the chain's physical olds stay retired too
+    val e3 = intercept[Exception](
+      spark.sql("ALTER TABLE lake.nsdr.dr ADD COLUMNS (val STRING)"))
+    assert(e3.getMessage.contains("retired"), e3.getMessage)
+    // a plain (never-renamed) dropped column is equally unreusable
+    spark.sql("ALTER TABLE lake.nsdr.dr DROP COLUMN note")
+    val e4 = intercept[Exception](
+      spark.sql("ALTER TABLE lake.nsdr.dr ADD COLUMNS (note STRING)"))
+    assert(e4.getMessage.contains("retired"), e4.getMessage)
+    // the table remains fully readable after the drops
+    assert(spark.sql("SELECT id FROM lake.nsdr.dr ORDER BY id")
+      .collect().map(_.getLong(0)).toSeq == Seq(1L, 2L))
+  }
+
+  test("time travel to a mid-chain snapshot aliases through the rename chain") {
+    root
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lake.nsmc")
+    spark.sql("CREATE TABLE lake.nsmc.mc (id BIGINT, val STRING)")
+    spark.sql("INSERT INTO lake.nsmc.mc VALUES (1, 'a')") // file carries 'val'
+    spark.sql("ALTER TABLE lake.nsmc.mc RENAME COLUMN val TO label")
+    spark.sql("INSERT INTO lake.nsmc.mc VALUES (2, 'b')") // file carries 'label'
+    val midSnap = LakeTable.load(spark, s"$root/nsmc/mc")
+      .metadata.currentSnapshotId
+    spark.sql("ALTER TABLE lake.nsmc.mc RENAME COLUMN label TO tag")
+    spark.sql("INSERT INTO lake.nsmc.mc VALUES (3, 'c')") // file carries 'tag'
+    // the middle snapshot's schema names the column 'label'; its files
+    // physically carry 'val' (pre-first-rename) and 'label' — the current
+    // mapping (tag -> [val, label]) must resolve 'label' to the olds that
+    // PRECEDE it in the chain, not return NULL for the 'val'-era file
+    val at = LakeTable.load(spark, s"$root/nsmc/mc").readAt(midSnap)
+    assert(at.columns.toSeq == Seq("id", "label"))
+    assert(at.orderBy("id").collect().map(r => (r.getLong(0), r.getString(1)))
+      .toSeq == Seq(1L -> "a", 2L -> "b"))
+    // current read still sees all three generations under 'tag'
+    assert(spark.sql("SELECT tag FROM lake.nsmc.mc ORDER BY id")
+      .collect().map(_.getString(0)).toSeq == Seq("a", "b", "c"))
+  }
+
   test("general MERGE INTO: conditional update/delete, explicit insert, by-source") {
     root
     spark.sql("CREATE NAMESPACE IF NOT EXISTS lake.nsm")

@@ -88,6 +88,42 @@ class WapSpec extends AnyFunSuite with SparkSpec {
       .metadata.snapshots.exists(_.id == s2))
   }
 
+  test("a published stage stays undiscardable after later commits supersede it") {
+    val t = freshTable(Seq(1L -> "a"))
+    val staged = t.stageAppend(Seq(2L -> "b").toDF("id", "v"))
+    t.publishStaged(staged)
+    // a later commit moves the pointer past the published stage
+    t.write(Seq(3L -> "c").toDF("id", "v"), "append")
+    assert(t.metadata.currentSnapshotId != staged)
+    // publish cleared the staged marker, so the superseded snapshot is
+    // committed history — discarding it would delete a rollback target
+    val e = intercept[IllegalArgumentException](t.discardStaged(staged))
+    assert(e.getMessage.contains("published"), e.getMessage)
+    // ... and rollbackTo it still works
+    t.rollbackTo(staged)
+    assert(t.read().orderBy("id").collect().map(_.getLong(0)).toSeq ==
+      Seq(1L, 2L))
+  }
+
+  test("expireSnapshots never expires an unpublished in-flight stage") {
+    val t = freshTable(Seq(1L -> "a"))
+    val staged = t.stageAppend(Seq(2L -> "b").toDF("id", "v"))
+    // an aggressive expiry (everything older than "now") must keep the
+    // stage: it has no other reference and is awaiting audit
+    t.expireSnapshots(olderThanMs = 0L,
+      nowMs = System.currentTimeMillis() + 3600000L)
+    assert(t.metadata.snapshots.exists(_.id == staged),
+      "in-flight stage was expired")
+    // the stage is still auditable and publishable afterwards
+    assert(t.readAt(staged).count() == 2)
+    t.publishStaged(staged)
+    assert(t.read().count() == 2)
+    // once published the marker is gone and normal retention applies on
+    // the NEXT expiry cycle (current snapshot is always kept)
+    val op = t.metadata.snapshots.find(_.id == staged).get.operation
+    assert(op.startsWith("wap-published-base-"), op)
+  }
+
   test("two stages on the same base: publishing one invalidates the other") {
     val t = freshTable(Seq(1L -> "a"))
     val s1 = t.stageAppend(Seq(2L -> "b").toDF("id", "v"))

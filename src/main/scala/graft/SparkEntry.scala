@@ -415,6 +415,47 @@ object SparkEntry {
         .orderBy("o_orderkey")
     }),
 
+    // L10: the write-audit-publish workflow end to end, with every
+    // protocol property encoded as an id-class row the oracle can state:
+    // the staged delta is invisible to readers (pre-publish count == base),
+    // the auditor sees base+delta via readAt, publish is a pointer swap
+    // (final rows = base + published delta + interleaved commit), a stage
+    // whose base moved REFUSES to publish, and its discard removes it
+    // from the snapshot log.
+    "l10_wap_publish" -> ((s, dir) => {
+      val loc = java.nio.file.Files.createTempDirectory("graft_l10").toString + "/t"
+      val o = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"))
+      val table = LakeTable.ensure(s, loc, o.schema)
+      table.write(o.where(col("o_orderkey") % 4 === 0), "append")
+      val stage1 = table.stageAppend(o.where(col("o_orderkey") % 4 === 1))
+      val preCount = table.read().count()        // must still be the base
+      val auditCount = table.readAt(stage1).count() // base + staged delta
+      table.publishStaged(stage1)
+      // a second stage invalidated by an interleaved commit on its base
+      val stage2 = table.stageAppend(o.where(col("o_orderkey") % 4 === 2))
+      table.write(o.where(col("o_orderkey") % 4 === 3), "append")
+      val refused =
+        try { table.publishStaged(stage2); 0L }
+        catch { case _: Exception => 1L }
+      table.discardStaged(stage2)
+      val discarded =
+        if (table.metadata.snapshots.exists(_.id == stage2)) 0L else 1L
+      import s.implicits._
+      val checks = Seq(
+        ("check:audit_rows", auditCount),
+        ("check:publish_refused", refused),
+        ("check:stage2_discarded", discarded),
+        ("check:staged_invisible_rows", preCount))
+        .toDF("rk", "val").withColumn("status", lit("check"))
+      table.read()
+        .select(concat(lit("k:"), col("o_orderkey").cast("string")).as("rk"),
+          col("o_orderkey").as("val"), col("o_orderstatus").as("status"))
+        .unionByName(checks)
+        .select(col("rk"), col("status"), col("val"))
+        .orderBy("rk")
+    }),
+
     // L5 + §1.4: partition spec (year transform) with a pruned read-back.
     "l05_partition_prune" -> ((s, dir) => {
       val loc = java.nio.file.Files.createTempDirectory("graft_l05").toString + "/t"
@@ -5020,6 +5061,31 @@ object SparkEntry {
       """SELECT CAST(month(l_shipdate) AS INTEGER) AS ship_month, COUNT(*) AS cnt
          FROM lineitem WHERE year(l_shipdate) = 2000
          GROUP BY 1 ORDER BY ship_month""",
+
+    // l10: WAP protocol — final table = base (%4=0) + published stage
+    // (%4=1) + interleaved commit (%4=3); the discarded stage's %4=2 rows
+    // never land. Check rows restate the protocol: pre-publish readers see
+    // only the base, the audit read sees base+delta, the moved-base
+    // publish refuses (1), the discard removes the stage (1).
+    "l10_wap_publish" ->
+      """WITH fin AS (
+           SELECT 'k:' || CAST(o_orderkey AS VARCHAR) AS rk,
+                  o_orderstatus AS status,
+                  CAST(o_orderkey AS BIGINT) AS val
+           FROM orders WHERE o_orderkey % 4 IN (0, 1, 3)),
+         checks AS (
+           SELECT 'check:staged_invisible_rows' AS rk, 'check' AS status,
+                  (SELECT COUNT(*) FROM orders WHERE o_orderkey % 4 = 0) AS val
+           UNION ALL
+           SELECT 'check:audit_rows', 'check',
+                  (SELECT COUNT(*) FROM orders WHERE o_orderkey % 4 IN (0, 1))
+           UNION ALL
+           SELECT 'check:publish_refused', 'check', CAST(1 AS BIGINT)
+           UNION ALL
+           SELECT 'check:stage2_discarded', 'check', CAST(1 AS BIGINT))
+         SELECT rk, status, val FROM fin
+         UNION ALL SELECT rk, status, val FROM checks
+         ORDER BY rk""",
 
     "r03_incremental_ingest" ->
       """SELECT o_orderkey, CAST(o_orderdate AS DATE) AS order_date

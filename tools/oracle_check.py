@@ -7,10 +7,12 @@ import sys, json, glob
 import duckdb, pandas as pd
 import hashlib
 
-sf_dir, out_dir = sys.argv[1], sys.argv[2]
-names = sys.argv[3].split(",") if len(sys.argv) > 3 else None
+args = [a for a in sys.argv[1:] if a != "--selftest"]
+selftest = "--selftest" in sys.argv
+sf_dir, out_dir = args[0], args[1]
+names = args[2].split(",") if len(args) > 2 else None
 
-oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+oracle = json.load(open(f"{out_dir}/oracle_sql.json")) if not selftest else {}
 con = duckdb.connect()
 for t in ["region","nation","customer","supplier","part","orders","lineitem",
           "events","documents","embeddings"]:
@@ -18,6 +20,36 @@ for t in ["region","nation","customer","supplier","part","orders","lineitem",
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     except Exception:
         pass
+
+# Lossy-type guard (the d48 bug class, cost rounds 9-10): DuckDB types an
+# uncast integer SUM as HUGEINT, which its pandas bridge silently widens to
+# float64 — the driver compare then hash-mismatches a value-identical result.
+# Every oracle's output schema is DESCRIBEd and any type the bridge cannot
+# carry losslessly into the compare is a hard failure for that query, BEFORE
+# any rows are compared, so the bug class trips at authoring time.
+LOSSY_TYPES = {"HUGEINT", "UHUGEINT"}
+
+def lossy_cols(sql):
+    try:
+        desc = con.execute(f"DESCRIBE {sql}").fetchall()
+    except Exception as e:
+        # A non-describable oracle still runs below; the compare surfaces
+        # its real error — don't double-report here.
+        print(f"  (describe unavailable: {e})")
+        return []
+    return [(row[0], row[1]) for row in desc
+            if row[1].upper().split("(")[0] in LOSSY_TYPES]
+
+if selftest:
+    # A deliberately-uncast integer SUM must trip the guard; its CAST
+    # sibling must pass. Exit nonzero if either expectation fails.
+    tripped = lossy_cols("SELECT SUM(o_orderkey) AS s FROM orders")
+    clean = lossy_cols("SELECT CAST(SUM(o_orderkey) AS BIGINT) AS s FROM orders")
+    if tripped and not clean:
+        print(f"SELFTEST OK: uncast SUM typed {tripped[0][1]} and tripped; cast passed")
+        sys.exit(0)
+    print(f"SELFTEST FAILED: tripped={tripped} clean={clean}")
+    sys.exit(1)
 
 def norm(df):
     df = df.reindex(sorted(df.columns), axis=1)
@@ -45,6 +77,13 @@ for name, sql in sorted(oracle.items()):
     files = glob.glob(f"{out_dir}/{name}/*.parquet")
     if not files:
         print(f"{name}: NO SPARK OUTPUT"); bad += 1; continue
+    lossy = lossy_cols(sql)
+    if lossy:
+        print(f"{name}: LOSSY ORACLE TYPE {lossy} — cast the aggregate to "
+              "BIGINT in the oracle SQL (DuckDB's pandas bridge widens "
+              "HUGEINT to float64 and the hash compare false-fails)")
+        bad += 1
+        continue
     try:
         # sorted(files) + ignore_index: a query whose output spans >1 part
         # file must not hash in arbitrary glob order or carry per-file

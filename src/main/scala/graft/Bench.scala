@@ -500,6 +500,12 @@ object Bench {
     * 1.5-1.8x; anything past the dead band is a genuinely slower box. */
   val CalibrationDeadBand: Double = 1.15
 
+  /** Scale-probe walls below this are fixed job overhead (scheduling,
+    * codegen, parquet footer reads) — at 100x data a genuinely
+    * data-scaling row costs far more. Flagged rows under the floor get
+    * verdict "floor", not "confirmed". */
+  val ScaleProbeFloorSec: Double = 10.0
+
   /** Total GC time (ms) accumulated by all collectors since JVM start. */
   private def gcMillis(): Long = {
     import scala.jdk.CollectionConverters._
@@ -518,7 +524,8 @@ object Bench {
   /** Re-run one query in a freshly forked single-query JVM (cold
     * SparkSession, nothing else on the heap) and return its median time.
     * Used to adjudicate in-suite budget breaches automatically. */
-  private def isolatedRun(name: String, sfDir: String, cpus: String): Option[Double] = {
+  private def isolatedRun(name: String, sfDir: String, cpus: String,
+                          nRuns: Int = 3, timeoutSec: Long = 600): Option[Double] = {
     import scala.jdk.CollectionConverters._
     val javaBin = sys.props("java.home") + "/bin/java"
     val jvmArgs = java.lang.management.ManagementFactory.getRuntimeMXBean
@@ -531,12 +538,13 @@ object Bench {
     pb.environment().put("SPARK_GRAFT_BENCH_ISOLATED", "1")
     pb.environment().put("SPARK_GRAFT_SF_DIR", sfDir)
     pb.environment().put("SPARK_GRAFT_CPUS", cpus)
+    pb.environment().put("SPARK_GRAFT_BENCH_RUNS", nRuns.toString)
     pb.redirectErrorStream(false)
     try {
       val p = pb.start()
       val out = new String(p.getInputStream.readAllBytes(), "UTF-8")
       p.getErrorStream.readAllBytes()
-      val done = p.waitFor(600, java.util.concurrent.TimeUnit.SECONDS)
+      val done = p.waitFor(timeoutSec, java.util.concurrent.TimeUnit.SECONDS)
       if (!done) { p.destroyForcibly(); return None }
       // The child prints the standard one-line JSON; pull this query's time.
       val re = ("\"" + java.util.regex.Pattern.quote(name) + "\":([-0-9.eE]+)").r
@@ -611,8 +619,8 @@ object Bench {
     // dataset, SPARK_GRAFT_SF01_JSON points at the same-session sf0.1
     // artifact; each row's sf1/sf0.1 wall ratio lands in the artifact and
     // is checked against the committed ceiling.
-    val sf01Times: Map[String, Double] =
-      sys.env.get("SPARK_GRAFT_SF01_JSON").map { p =>
+    def loadTimesJson(envVar: String): Map[String, Double] =
+      sys.env.get(envVar).map { p =>
         try {
           val txt = new String(
             java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p)), "UTF-8")
@@ -626,13 +634,39 @@ object Bench {
           }
         } catch { case _: Throwable => Map.empty[String, Double] }
       }.getOrElse(Map.empty)
+    val sf01Times = loadTimesJson("SPARK_GRAFT_SF01_JSON")
+    // 3-point scale probe (VERDICT r11 #6): when SPARK_GRAFT_SF1_JSON also
+    // points at the round's sf1 artifact, this run IS the 100x-data step
+    // (sf10). The gate changes shape: instead of fixed ceilings, each row's
+    // sf1->sf10 step ratio is compared against its OWN sf0.1->sf1 step —
+    // a row whose second step exceeds 1.5x its first step is curving
+    // superlinear in a way a single 10x pass cannot see.
+    val sf1Times = loadTimesJson("SPARK_GRAFT_SF1_JSON")
+    val scale3Mode = sf1Times.nonEmpty && sf01Times.nonEmpty
+    // In scale3 mode ratios are this-run / sf1 (the second 10x step);
+    // otherwise this-run / sf0.1 (the classic sf1 pass).
+    val ratioBase = if (scale3Mode) sf1Times else sf01Times
     val ratios = results.collect {
-      case (n, (t, _, _, _)) if t > 0 && sf01Times.get(n).exists(_ > 0) =>
-        n -> math.rint(t / sf01Times(n) * 100) / 100
+      case (n, (t, _, _, _)) if t > 0 && ratioBase.get(n).exists(_ > 0) =>
+        n -> math.rint(t / ratioBase(n) * 100) / 100
     }
-    val ratioBreaches = ratios.filter { case (n, r) =>
-      sf1MaxRatio.get(n).exists(r > _)
-    }
+    // First-step ratios recomputed from the two committed artifacts so the
+    // sf10 artifact is self-contained: all three points and both steps are
+    // readable from this one JSON line.
+    val step1Ratios = if (!scale3Mode) Seq.empty[(String, Double)] else
+      results.collect {
+        case (n, _) if sf1Times.get(n).exists(_ > 0) &&
+          sf01Times.get(n).exists(_ > 0) =>
+          n -> math.rint(sf1Times(n) / sf01Times(n) * 100) / 100
+      }
+    val step1Map = step1Ratios.toMap
+    val superlinear = if (!scale3Mode) Seq.empty[(String, Double)] else
+      ratios.filter { case (n, r2) =>
+        step1Map.get(n).exists(r1 => r1 > 0 && r2 > 1.5 * r1)
+      }
+    val ratioBreaches =
+      if (scale3Mode) Seq.empty[(String, Double)]
+      else ratios.filter { case (n, r) => sf1MaxRatio.get(n).exists(r > _) }
     // A pass paired with an sf0.1 artifact IS the sf1 scaling pass: the
     // per-query sf0.1 budgets don't apply at 10x data, so budget
     // adjudication is disabled and the RATIO gate adjudicates instead.
@@ -650,15 +684,35 @@ object Bench {
     // the clean number, so the committed artifact carries its own verdict
     // instead of a SURVEY prose narrative.
     val ratioBreachNames =
-      if (isChild || !sf1Mode) Seq.empty else ratioBreaches.map(_._1)
+      if (isChild || !sf1Mode) Seq.empty
+      else if (scale3Mode) superlinear.map(_._1)
+      else ratioBreaches.map(_._1)
+    // At 100x data a single materialization can run minutes: isolation
+    // children get one timed run (the step ratio they feed is far coarser
+    // than single-run variance) and a longer kill timeout.
+    val isoRuns = if (scale3Mode) 1 else 3
+    val isoTimeoutSec = if (scale3Mode) 2400L else 600L
     val isolated = (breaches ++ ratioBreachNames)
-      .flatMap(n => isolatedRun(n, sfDir, cpus).map(n -> _))
+      .flatMap(n => isolatedRun(n, sfDir, cpus, isoRuns, isoTimeoutSec).map(n -> _))
     val ratioAdjudicated = isolated.collect {
-      case (n, ti) if sf1Mode && sf01Times.get(n).exists(_ > 0) =>
-        n -> math.rint(ti / sf01Times(n) * 100) / 100
+      case (n, ti) if sf1Mode && ratioBase.get(n).exists(_ > 0) =>
+        n -> math.rint(ti / ratioBase(n) * 100) / 100
     }
+    val isolatedMap = isolated.toMap
     val ratioVerdicts = ratioAdjudicated.map { case (n, r) =>
-      n -> (if (sf1MaxRatio.get(n).forall(r <= _)) "cleared" else "confirmed")
+      val cleared =
+        if (scale3Mode) step1Map.get(n).exists(r1 => r <= 1.5 * r1)
+        else sf1MaxRatio.get(n).forall(r <= _)
+      // Overhead-floor class (scale probe only): a row whose isolated wall
+      // at 100x data is still a few seconds is measuring fixed job
+      // overhead, not data scaling — its step ratios are noise quotients
+      // of two sub-floor walls and cannot evidence superlinearity.
+      val verdict =
+        if (cleared) "cleared"
+        else if (scale3Mode && isolatedMap.get(n).exists(_ < ScaleProbeFloorSec))
+          "floor"
+        else "confirmed"
+      n -> verdict
     }
     // Self-classify the adjudications (VERDICT r10 #8): an isolated re-run
     // inside budget is the overhead-floor class — when it ALSO erodes the
@@ -698,7 +752,9 @@ object Bench {
         s""","proposed_budgets":${numMap(proposedBudgets)}""" else "") +
       (if (confirmedBreaches.nonEmpty)
         s""","confirmed_breach":${numMap(confirmedBreaches)}""" else "") +
-      (if (sf01Times.nonEmpty)
+      (if (scale3Mode)
+        s""","step1_ratios":${numMap(step1Ratios)},"step2_ratios":${numMap(ratios)},"superlinear":${numMap(superlinear)}"""
+       else if (sf01Times.nonEmpty)
         s""","ratios":${numMap(ratios)},"ratio_breach":${numMap(ratioBreaches)}"""
        else "") +
       (if (ratioAdjudicated.nonEmpty)

@@ -3920,7 +3920,14 @@ object SparkEntry {
 
   /** The MinHash-LSH candidate+verify pipeline as a reusable CTE body over
     * any (doc_id, text) relation `src` — shared by the d02 gate and the
-    * d11 corpus-clean composition. */
+    * d11 corpus-clean composition. Two verification views: `verf` verifies
+    * only candidates passing the deterministic mod-251 signature-agreement
+    * prefilter (matching sketch bytes / NumPerms >= 4/5 - 1/4 — the exact
+    * mirror of [[graft.operators.Dedup.minhashNearDupPairs]]'s in-band-join
+    * scale guard), for every gate whose engine side goes through
+    * minhashNearDupPairs; `ver` verifies ALL candidates, for the paths
+    * that don't prefilter (d44's estimator-quality gate, d23's
+    * batch-vs-corpus probe, d30's index-probe). */
   private def minhashCtes(src: String, candSql: String = ""): String = {
     val rows = TF.LshRows
     // default candidate set: symmetric self-join over the capped band keys
@@ -3952,13 +3959,26 @@ object SparkEntry {
                        len(list_intersect(ha.hset, hb.hset)) AS i,
                        len(ha.hset) + len(hb.hset) - len(list_intersect(ha.hset, hb.hset)) AS u
                 FROM cand JOIN hset ha ON ha.doc_id = doc_a
-                          JOIN hset hb ON hb.doc_id = doc_b)"""
+                          JOIN hset hb ON hb.doc_id = doc_b),
+        estm AS (SELECT c.doc_a, c.doc_b,
+                        SUM(CASE WHEN ma.v % 251 = mb.v % 251
+                                 THEN 1 ELSE 0 END) AS m
+                 FROM cand c JOIN mh ma ON ma.doc_id = c.doc_a
+                             JOIN mh mb ON mb.doc_id = c.doc_b AND mb.j = ma.j
+                 GROUP BY 1, 2),
+        candf AS (SELECT doc_a, doc_b FROM estm
+                  WHERE m * ${4 * 5} >= ${TF.NumPerms} * ${4 * 4 - 5}),
+        verf AS (SELECT doc_a, doc_b,
+                       len(list_intersect(ha.hset, hb.hset)) AS i,
+                       len(ha.hset) + len(hb.hset) - len(list_intersect(ha.hset, hb.hset)) AS u
+                FROM candf JOIN hset ha ON ha.doc_id = doc_a
+                           JOIN hset hb ON hb.doc_id = doc_b)"""
   }
 
   private def minhashOracle: String =
     s"""WITH ${minhashCtes("documents")}
         SELECT doc_a, doc_b, CAST((i * 1000000) // u AS BIGINT) AS jaccard_e6
-        FROM ver WHERE i * 5 >= u * 4 ORDER BY doc_a, doc_b"""
+        FROM verf WHERE i * 5 >= u * 4 ORDER BY doc_a, doc_b"""
 
   /** e15: SQ8 recall@5 vs exact-L2 truth — e13's quantized CTEs plus a
     * brute-force double-L2 truth ranking (duckSqDist mirrors the kernel's
@@ -4038,7 +4058,7 @@ object SparkEntry {
           FROM documents),
         ${minhashCtes("docs_hot")}
         SELECT doc_a, doc_b, CAST((i * 1000000) // u AS BIGINT) AS jaccard_e6
-        FROM ver WHERE i * 5 >= u * 4 ORDER BY doc_a, doc_b"""
+        FROM verf WHERE i * 5 >= u * 4 ORDER BY doc_a, doc_b"""
 
   /** d15/d31 shared oracle: connected components of the verified near-dup
     * pair graph via a recursive reachability CTE; canonical label = min
@@ -4046,7 +4066,7 @@ object SparkEntry {
     * implementations must reproduce it exactly. */
   private def dupClustersOracle: String =
     s"""WITH RECURSIVE ${minhashCtes("documents")},
-         pairs AS (SELECT doc_a, doc_b FROM ver WHERE i * 5 >= u * 4),
+         pairs AS (SELECT doc_a, doc_b FROM verf WHERE i * 5 >= u * 4),
          e AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
                UNION ALL SELECT doc_b, doc_a FROM pairs),
          reach(doc_id, r) AS (
@@ -4078,7 +4098,7 @@ object SparkEntry {
         ex AS (SELECT MIN(doc_id) AS doc_id FROM q GROUP BY md5(text)),
         clean1 AS (SELECT q.doc_id, q.text FROM q JOIN ex USING (doc_id)),
         ${minhashCtes("clean1")},
-        neardrop AS (SELECT DISTINCT doc_b FROM ver WHERE i * 5 >= u * 4)"""
+        neardrop AS (SELECT DISTINCT doc_b FROM verf WHERE i * 5 >= u * 4)"""
 
   private def corpusCleanOracle: String =
     s"""WITH $corpusCleanCtes
@@ -4271,7 +4291,7 @@ object SparkEntry {
         docs3 AS (SELECT d.doc_id, d.text
                   FROM documents d JOIN s2 USING (doc_id)),
         ${minhashCtes("docs3")},
-        neardrop AS (SELECT DISTINCT doc_b FROM ver WHERE i * 5 >= u * 4),
+        neardrop AS (SELECT DISTINCT doc_b FROM verf WHERE i * 5 >= u * 4),
         s3 AS MATERIALIZED (
           SELECT * FROM s2
           WHERE doc_id NOT IN (SELECT doc_b FROM neardrop)),
@@ -6008,7 +6028,7 @@ object SparkEntry {
 
     "d26_source_overlap" ->
       s"""WITH ${minhashCtes("documents")},
-         vp AS (SELECT doc_a, doc_b FROM ver WHERE i * 5 >= u * 4),
+         vp AS (SELECT doc_a, doc_b FROM verf WHERE i * 5 >= u * 4),
          lab AS (SELECT vp.doc_a, vp.doc_b, da.source AS src_a, db.source AS src_b
                  FROM vp JOIN documents da ON da.doc_id = vp.doc_a
                          JOIN documents db ON db.doc_id = vp.doc_b)

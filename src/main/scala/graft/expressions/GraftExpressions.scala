@@ -53,6 +53,38 @@ case class SortedIUExpression(left: Expression, right: Expression)
   override def prettyName: String = "graft_sorted_iu"
 }
 
+/** Byte sketch of a minhash signature — `(v % 251)` per permutation, the
+  * 1-byte-per-perm transport form of the signature used by the LSH
+  * candidate prefilter (each band row carries one; the estimate evaluates
+  * inside the band join so no per-pair payload ever shuffles). */
+case class SigSketchExpression(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = BinaryType
+  override def nullSafeEval(input: Any): Any =
+    TextHashKernels.sigSketch(input.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expressions.TextHashKernels.sigSketch($c)")
+  override protected def withNewChildInternal(newChild: Expression): SigSketchExpression =
+    copy(child = newChild)
+  override def prettyName: String = "graft_sig_sketch"
+}
+
+/** Count of positions where two byte sketches agree — the prefilter's
+  * inner loop (a sound over-estimate of the signature agreement). */
+case class CountEqBytesExpression(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    TextHashKernels.countEqBytes(
+      a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.expressions.TextHashKernels.countEqBytes($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): CountEqBytesExpression =
+    copy(left = l, right = r)
+  override def prettyName: String = "graft_count_eq_bytes"
+}
+
 /** Count of positions where two equal-length long arrays agree — the
   * MinHash signature-agreement estimator's inner loop (d44). */
 case class CountEqExpression(left: Expression, right: Expression)
@@ -477,6 +509,14 @@ class GraftSparkSessionExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_count_eq"),
       new ExpressionInfo(classOf[CountEqExpression].getName, "graft_count_eq"),
       (children: Seq[Expression]) => CountEqExpression(children(0), children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_sig_sketch"),
+      new ExpressionInfo(classOf[SigSketchExpression].getName, "graft_sig_sketch"),
+      (children: Seq[Expression]) => SigSketchExpression(children.head)))
+    ext.injectFunction((
+      FunctionIdentifier("graft_count_eq_bytes"),
+      new ExpressionInfo(classOf[CountEqBytesExpression].getName, "graft_count_eq_bytes"),
+      (children: Seq[Expression]) => CountEqBytesExpression(children(0), children(1))))
     ext.injectFunction((
       FunctionIdentifier("graft_code_sqdist"),
       new ExpressionInfo(classOf[CodeSqDistExpression].getName, "graft_code_sqdist"),

@@ -121,6 +121,37 @@ object TextHashKernels {
     m
   }
 
+  /** Byte SKETCH of a minhash signature: one byte per permutation,
+    * `(v % 251)`. The sketch supports a sound, deterministic estimate
+    * PREFILTER at ~1/8 the signature's transport width: byte equality is
+    * implied by value equality, so the byte-estimate only ever READS HIGH
+    * (collision rate 1/251 per disagreeing position) — a pair dropped on
+    * the byte estimate is dropped on the exact estimate too. 251 (prime,
+    * < 256) keeps the mod portable to the SQL oracle's integer arithmetic. */
+  def sigSketch(sig: ArrayData): Array[Byte] = {
+    val n = sig.numElements()
+    val out = new Array[Byte](n)
+    var i = 0
+    while (i < n) {
+      out(i) = (sig.getLong(i) % 251L).toByte
+      i += 1
+    }
+    out
+  }
+
+  /** Count of agreeing positions of two equal-length byte sketches. Extra
+    * tail positions of a longer sketch count as disagreement. */
+  def countEqBytes(a: Array[Byte], b: Array[Byte]): Long = {
+    val n = math.min(a.length, b.length)
+    var i = 0
+    var m = 0L
+    while (i < n) {
+      if (a(i) == b(i)) m += 1
+      i += 1
+    }
+    m
+  }
+
   /** Integer squared L2 distance between two equal-length long-code arrays —
     * the SQ8 symmetric-ADC inner loop (e13/e14). Ragged lengths yield SQL
     * null, mirroring the `zip_with` reference formulation (which null-pads

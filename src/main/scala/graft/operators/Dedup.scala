@@ -48,13 +48,39 @@ object Dedup {
   def minhashNearDupPairs(docs: DataFrame, idCol: String, textCol: String,
                           thresholdNum: Int = 4, thresholdDen: Int = 5,
                           maxBandBucket: Int = DefaultMaxBandBucket): DataFrame = {
-    val bands = cappedBandKeys(docs, idCol, textCol, maxBandBucket)
+    val bands = cappedBandKeys(docs, idCol, textCol, maxBandBucket,
+      withSketch = true)
     val base = repartitionedDocs(docs, idCol, textCol)
 
+    // Signature-agreement prefilter INSIDE the band join (the r12 sf10
+    // probe's superlinear finding): candidate volume grows faster than the
+    // corpus whenever moderately-similar doc families (J ~ 0.3-0.5 —
+    // templated/boilerplate text) collide on a band, and each such
+    // candidate would otherwise ship two multi-KB shingle sets through the
+    // verification join (430 GB of observed spill at the 100x probe).
+    // Each band row carries a 1-byte-per-perm SKETCH of the signature
+    // (v % 251 — [[graft.expressions.SigSketchExpression]]), so the
+    // estimate evaluates as part of the join condition and NO per-pair
+    // payload ever shuffles: the only widening is NumPerms bytes on each
+    // band row (a fixed 25x-replicated ~200 B per doc). Pairs whose
+    // byte-estimate is below threshold - 1/4 are dropped in-join. The
+    // bound is DETERMINISTIC (the SQL oracle computes the same mod-251
+    // counts), sound against byte collisions (equal values imply equal
+    // bytes, so the byte estimate only reads HIGH — a dropped pair is
+    // dropped on the exact estimate too), and sound in the Chernoff sense:
+    // for a true pair at J = threshold, P(estimate < J - 1/4) <=
+    // exp(-2*NumPerms/16) ~ 1e-11 with 200 permutations.
+    val minMatching = {
+      import graft.functions.TextFunctions.NumPerms
+      // est >= num/den - 1/4  <=>  m * 4*den >= NumPerms * (4*num - den)
+      (NumPerms.toLong * (4L * thresholdNum - thresholdDen), 4L * thresholdDen)
+    }
     val cand = bands.as("a").join(bands.as("b"),
         col("a.band_id") === col("b.band_id") &&
           col("a.band_key") === col("b.band_key") &&
-          col("a.doc_id") < col("b.doc_id"))
+          col("a.doc_id") < col("b.doc_id") &&
+          expr("graft_count_eq_bytes(a.sketch, b.sketch)") * lit(minMatching._2) >=
+            lit(minMatching._1))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
 
@@ -220,7 +246,8 @@ object Dedup {
     * window form's sort of every band partition. */
   private def bandKeyRows(docs: DataFrame, idCol: String,
                           textCol: String,
-                          extraCols: Seq[String] = Nil): DataFrame = {
+                          extraCols: Seq[String] = Nil,
+                          withSketch: Boolean = false): DataFrame = {
     import graft.functions.TextFunctions.{LshBands, LshRows}
     val sig = repartitionedDocs(docs, idCol, textCol, extraCols)
       .select(col("doc_id") +: expr("graft_minhash_sig(text)").as("sig") +:
@@ -228,14 +255,17 @@ object Dedup {
     val bandKeys = transform(sequence(lit(0), lit(LshBands - 1)), i =>
       concat_ws(",", transform(
         slice(col("sig"), i * LshRows + 1, lit(LshRows)), x => x.cast("string"))))
+    val sketchCols =
+      if (withSketch) Seq(expr("graft_sig_sketch(sig)").as("sketch")) else Nil
     sig.select(col("doc_id") +: posexplode(bandKeys).as(Seq("band_id", "band_key")) +:
-      extraCols.map(col): _*)
+      (sketchCols ++ extraCols.map(col)): _*)
   }
 
   private def cappedBandKeys(docs: DataFrame, idCol: String, textCol: String,
                              maxBandBucket: Int,
-                             extraCols: Seq[String] = Nil): DataFrame = {
-    val rows = bandKeyRows(docs, idCol, textCol, extraCols)
+                             extraCols: Seq[String] = Nil,
+                             withSketch: Boolean = false): DataFrame = {
+    val rows = bandKeyRows(docs, idCol, textCol, extraCols, withSketch)
     if (maxBandBucket == Int.MaxValue) return rows // uncapped: no cap pass
     dfCapPostings(rows, Seq("band_id", "band_key"), maxBandBucket)
   }

@@ -158,4 +158,28 @@ class TextHashKernelsSpec extends AnyFunSuite with SparkSpec {
     assert(r.getSeq[Long](0).isEmpty)
     assert(r.getSeq[Long](1).forall(_ == 0L))
   }
+
+  test("sig sketch is (v % 251) bytes; byte count-eq only reads HIGH") {
+    val df = samples.filter(_.length >= 3).toDF("t")
+    val rows = df.select(
+      expr("graft_minhash_sig(t)").as("sig"),
+      expr("graft_sig_sketch(graft_minhash_sig(t))").as("sk")).collect()
+    rows.foreach { r =>
+      val sig = r.getSeq[Long](0)
+      val sk = r.getAs[Array[Byte]](1)
+      assert(sk.length == sig.length)
+      sig.zip(sk).foreach { case (v, b) => assert((v % 251L).toByte == b) }
+    }
+    // pairwise: byte agreement >= exact agreement (soundness direction),
+    // and equals it whenever no mod-251 collision occurs
+    val pairs = df.as("a").crossJoin(df.as("b")).select(
+      expr("graft_count_eq(graft_minhash_sig(a.t), graft_minhash_sig(b.t))")
+        .as("exact"),
+      expr("graft_count_eq_bytes(graft_sig_sketch(graft_minhash_sig(a.t)), " +
+        "graft_sig_sketch(graft_minhash_sig(b.t)))").as("bytes")).collect()
+    pairs.foreach { r =>
+      assert(r.getLong(1) >= r.getLong(0),
+        s"byte estimate must not read below exact: $r")
+    }
+  }
 }

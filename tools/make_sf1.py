@@ -9,13 +9,27 @@ stay globally unique:
 
   - dimensions (region, nation) copy 1x;
   - fact/key tables shift each key column by shard * span;
-  - documents: shard 0 keeps the original text verbatim (term-based gates
-    keep real content); shards 1-9 remap every token with a shard prefix —
-    a bijection on the vocabulary, so WITHIN-shard similarity structure is
-    exactly preserved while CROSS-shard similarity is ~0 (near-dup pair
-    count grows linearly, not quadratically);
+  - documents: shard 0 keeps the original text verbatim; shards >= 1 apply
+    a per-shard PSEUDO-RANDOM CHARACTER PERMUTATION of [a-zA-Z0-9]
+    (seeded by the shard id), with the oracle's quality-rule stopwords
+    (the/a/of/and/to/in) preserved verbatim. A char bijection preserves
+    WITHIN-shard character-n-gram similarity structure EXACTLY (the unit
+    the MinHash/winnow/suffix operators measure), so each shard
+    contributes the base corpus's near-dup pair mass — pair count grows
+    LINEARLY with shards — while CROSS-shard char-gram overlap is ~only
+    spaces/punct/stopwords (J ~ 0.1, far below every gate threshold).
+    The r12 original of this script prefixed every TOKEN with 'k<shard>_',
+    which preserved token-level structure but INFLATED char-3-gram Jaccard
+    of the templated synthetic text: a large near-threshold pair mass
+    crossed J=0.8 within every remapped shard (sf0.1: 256 verified pairs;
+    old sf1: 5.5M), so the LSH-family scale probes measured the fixture's
+    quadratic artifact, not the engine — the same defect class VERDICT r11
+    ask #4 fixed for e19/d56. Stopword preservation also keeps the
+    n_stop>=1 quality rule alive in every shard, so pipeline gates
+    (d11/d45/d51) process the FULL corpus at sf1/sf10 instead of
+    collapsing to shard 0 after stage 1;
   - embeddings: first vector component perturbed by shard * 1e-4 to break
-    exact distance ties that 10 identical copies would create.
+    exact distance ties that identical copies would create.
 
 Every oracle gate recomputes its expected answer in DuckDB over THESE
 files, so the correctness compare is as meaningful at sf1 as at sf0.01.
@@ -76,17 +90,35 @@ gen("supplier", f"""
 gen("events", f"""
   event_id + k.k * {E} AS event_id, ts, user_id + k.k * {U} AS user_id,
   event_type, value, props""")
-gen("documents", f"""
-  doc_id + k.k * {D} AS doc_id,
-  CASE WHEN k.k = 0 THEN text
-       ELSE array_to_string(
-         list_transform(string_split(text, ' '), x -> 'k' || k.k || '_' || x), ' ')
-  END AS text,
-  lang, source,
-  CAST(CASE WHEN k.k = 0 THEN n_chars
-       ELSE length(array_to_string(
-         list_transform(string_split(text, ' '), x -> 'k' || k.k || '_' || x), ' '))
-  END AS BIGINT) AS n_chars""")
+import random
+import string
+ALPHABET = string.ascii_lowercase + string.ascii_uppercase + string.digits
+def shard_dst(k):
+    if k == 0:
+        return ALPHABET
+    chars = list(ALPHABET)
+    random.Random(k).shuffle(chars)
+    return "".join(chars)
+shift_rows = ", ".join(f"({k}, '{shard_dst(k)}')" for k in range(SHARDS))
+STOP = "('the','a','of','and','to','in')"
+# char bijection preserves length and split/join on ' ' preserves spacing,
+# so n_chars carries over verbatim for every shard.
+con.execute(f"""
+  COPY (
+    SELECT doc_id + k.k * {D} AS doc_id,
+      CASE WHEN k.k = 0 THEN text
+           ELSE array_to_string(list_transform(string_split(text, ' '),
+             x -> CASE WHEN x IN {STOP} THEN x
+                  ELSE translate(x, '{ALPHABET}', sh.dst) END), ' ')
+      END AS text,
+      lang, source, n_chars
+    FROM read_parquet('{SRC}/documents.parquet')
+    CROSS JOIN range({SHARDS}) k(k)
+    JOIN (VALUES {shift_rows}) sh(k, dst) ON sh.k = k.k
+    ORDER BY k.k
+  ) TO '{DST}/documents.parquet' (FORMAT PARQUET)""")
+print("documents:", con.sql(
+    f"SELECT count(*) FROM read_parquet('{DST}/documents.parquet')").fetchone()[0], "rows")
 gen("embeddings", f"""
   vec_id + k.k * {V} AS vec_id,
   list_prepend(CAST(embedding[1] + k.k * 0.0001 AS FLOAT), embedding[2:]) AS embedding,

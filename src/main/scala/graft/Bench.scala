@@ -136,7 +136,11 @@ object Bench {
     "d02_minhash_lsh" -> 3.7, "x01_lsh_skew_capped" -> 3.7,
     "x02_lsh_skew_atcap" -> 3.4, "x03_semdedup_scaledk" -> 2.7,
     "x04_hyperplane_lsh_scaled" -> 1.0, "d03_simhash" -> 0.4,
-    "d07_ngram_jaccard" -> 2.5, "d08_winnow_fingerprints" -> 0.7,
+    "d07_ngram_jaccard" -> 2.5,
+    // d08 re-budgeted r12 (kernel untouched; the 0.7 seed over r8's 0.50
+    // eroded below the 1.5x headroom rule — fresh calibrated solo medians
+    // 0.67/0.77/0.85).
+    "d08_winnow_fingerprints" -> 1.2,
     // d10 re-adjudicated r10 with staged counters (the d38 treatment, on
     // the r9 breach): the corpus collapses to 32 distinct winnow
     // fingerprints at EVERY scale, and at sf0.1 the minimum df is 215 —
@@ -338,96 +342,74 @@ object Bench {
     * ratio exists). Seeded from the r10 scaling table (SURVEY §6);
     * refreshed whenever a new sf1 pass re-measures. */
   val sf1MaxRatio: Map[String, Double] = Map(
-    "q01_agg_pushdown" -> 1.1, "q12_join_multi" -> 1.7,
-    "q20_interval_join" -> 1.8, "q24_window_lag" -> 2.4,
-    "ev01_sessionize" -> 2.4, "d01_exact_dedup" -> 2.9,
-    "d02_minhash_lsh" -> 7.1, "x01_lsh_skew_capped" -> 6.3,
-    "x02_lsh_skew_atcap" -> 6.9, "x03_semdedup_scaledk" -> 18.2,
-    "x04_hyperplane_lsh_scaled" -> 9.2, "d03_simhash" -> 4.8,
-    "d07_ngram_jaccard" -> 6.2, "d08_winnow_fingerprints" -> 2.3,
-    "d10_winnow_containment" -> 2.0, "e01_knn_bruteforce" -> 1.8,
-    "e02_ann_ivf" -> 1.8, "e05_kmeans_ivf_cells" -> 6.9,
-    "e06_kmeans_ivf_topk" -> 7.4, "e07_hyperplane_lsh_near_dup" -> 23.4,
-    "sql02_catalog_join" -> 2.6, "d11_corpus_clean" -> 2.6,
-    "d12_repetition" -> 11.7, "d13_vocab" -> 9.6,
-    "d14_decontaminate" -> 2.4, "d15_dup_clusters" -> 9.6,
-    "d31_dup_clusters_star" -> 8.3, "d17_semdedup" -> 44.6,
-    "d18_keyterms" -> 6.3, "e08_pq_adc_topk" -> 4.5,
-    "ev05_asof_join" -> 2.3, "d27_segment_dedup" -> 7.2,
-    "d28_overlap_decontaminate" -> 8.3, "d32_dsir_weight" -> 7.7,
-    "d33_bm25_topk" -> 5.9, "d34_bm25_capped" -> 6.0,
-    "x05_bpe_train_encode" -> 20.7, "d37_lm_perplexity" -> 7.7,
-    "d38_exact_substr" -> 36.0, "d39_suffix_ranks" -> 13.1,
-    "d40_nb_quality" -> 5.6, "d41_token_budget" -> 8.3,
-    // d42 re-ceilinged r12: pagerank runs at the fixed job-overhead floor
-    // (~3 graph rounds), so its ratio is scheduling noise around 1.0 —
-    // the r12 artifact measured 1.32 vs the 1.4 ceiling (94% utilization,
-    // one wobble from a phantom breach); 1.5x rule on the fresh ratio.
-    "d42_host_pagerank" -> 2.0, "d43_host_budget" -> 6.3,
-    "d44_lsh_estimate" -> 8.3, "x06_host_budget_skew" -> 7.1,
-    "x07_token_budget_degenerate" -> 5.6, "e13_sq8_topk" -> 3.0,
-    "e14_ivf_sq8_topk" -> 3.0, "m15_tar_shards" -> 11.6,
-    "m16_zip_shards" -> 10.8, "m17_warc_records" -> 10.7,
-    "m20_arrow_shards" -> 8.6,
-    "t08_stream_quality_gate" -> 3.3, "t09_stream_classifier_gate" -> 2.4,
-    "t10_stream_host_budget" -> 1.5, "d45_curation_pipeline" -> 17.4,
-    "d46_sequence_pack" -> 5.0, "d47_exact_substr_cut" -> 32.7,
-    "t12_stream_sequence_pack" -> 1.5, "d48_classifier_calibration" -> 4.5,
-    "d49_nb_multiclass" -> 7.8, "m23_webdataset_samples" -> 10.2,
-    "d50_doc_chunking" -> 12.6, "d51_curation_lake" -> 19.7,
-    "d52_bpe_train_encode" -> 16.2, "m24_arrow_shard_write" -> 3.3,
-    "t13_stream_arrow_ingest" -> 2.3, "k07_shard_rebalance" -> 7.7,
-    // t11 re-measured r11: the sf1 wall settled at ~3.0s across in-suite
-    // AND isolated runs (ratio ~2.2 at 10x data — healthy sublinear; the
-    // r10-derived 2.1 ceiling was set from a single lucky sample); 1.5x
-    // rule on the fresh ratio.
-    "t11_stream_warc_ingest" -> 3.3,
-    // r11 rows: 1.5x the ratios measured by the committed
-    // BENCH_r11_sf1.json pass (the first with the ratio gate armed).
-    // e19/d56's large ratios are BY CONSTRUCTION of the gate fixtures:
-    // the %50 query-slice convention grows the query set WITH the corpus,
-    // so the broadcast-NLJ pool work is quadratic at 10x — a production
-    // deployment holds the query set fixed.
-    // e19/d56 re-seeded r12 after the scale-fixed query-set re-fixture:
-    // the committed r12 sf1 artifact measures 2.40/2.33 at 10x data (the
-    // old 72.0/71.3 ceilings priced the retired quadratic fixture, not
-    // the engine); 1.5x rule on the fresh ratios.
-    "d48b_calibration_hist" -> 5.2, "d54_pii_redaction" -> 11.2,
-    "d55_semantic_decontaminate" -> 22.8, "d56_hard_negatives" -> 3.5,
-    "d57_paragraph_dedup" -> 4.9, "d58_blocklist_filter" -> 3.5,
-    "d59_charset_sniff" -> 5.1, "d60_robots_rules" -> 3.7,
-    "d61_html_extract" -> 7.5, "d62_frontdoor_pipeline" -> 5.2,
-    "d63_link_extract" -> 3.7, "d64_wet_extract" -> 12.1,
-    "d65_unicode_nfc" -> 7.0, "d66_gopher_rules" -> 10.7,
-    "d67_gopher_line_rules" -> 7.1, "d68_gopher_repetition" -> 12.6,
-    "e17_sq8_refine_topk" -> 3.1, "e18_filtered_topk" -> 11.3,
-    "e19_mmr_rerank" -> 3.6, "k08_length_batching" -> 4.4,
-    "k09_epoch_shuffle" -> 5.5, "k10_stratified_sample" -> 5.0,
-    "k11_sft_pack_masks" -> 2.4, "k13_length_quantiles" -> 3.1,
-    "m25_jsonl_shards" -> 12.1, "m26_tfrecord_shards" -> 8.6,
-    "m27_tfrecord_shard_write" -> 4.7, "m28_webdataset_shard_write" -> 3.5,
-    "m29_jsonl_shard_write" -> 3.4, "m30_avro_shards" -> 10.2,
-    "m31_avro_shard_write" -> 4.4, "m32_safetensors_shards" -> 3.1,
-    "m33_npz_shards" -> 3.4, "m34_safetensors_f16" -> 5.6,
-    // m35 re-ceilinged r12 from the committed artifact's fresh 2.37 (the
-    // 2.7 seed left only 12% headroom); 1.5x rule.
-    "m35_checksum_manifest" -> 3.6, "t14_stream_jsonl_ingest" -> 2.0,
-    "t15_stream_tfrecord_ingest" -> 2.0,
-    "t16_stream_semantic_decontaminate" -> 2.2,
-    "t17_stream_avro_ingest" -> 2.1, "t18_stream_wet_extract" -> 2.6,
-    "t19_stream_npz_ingest" -> 2.3, "t20_stream_gopher_gate" -> 2.0,
-    "x08_paragraph_dedup_hot" -> 5.2,
-    // e20/e21 re-seeded r12: the r11 1.58x/1.80x seeds came from a subset
-    // run that never landed in BENCH_r11_sf1.json (113 rows, predating
-    // both). The FIRST committed full-artifact measurement (r12 sf1 pass,
-    // self-adjudicated) puts them at 2.63 (isolated re-run; in-suite 2.72,
-    // verdict 'confirmed' against the stale seed) and 2.54 — still firmly
-    // sublinear at 10x data (PQ training scans the corpus linearly; the
-    // probe stays cell-restricted); 1.5x rule on the adjudicated ratios.
-    "e20_ivf_pq_topk" -> 3.9, "e21_ivf_pq_recall" -> 3.9,
-    // d69/x09 measured this round: 1.35x/0.96x at 10x data (digest
-    // projections and histogram windows stay metadata-light)
-    "d69_corpus_diff" -> 2.1, "x09_quantile_edges" -> 1.5)
+    // Re-seeded wholesale r12 from the fresh full sf1 pass at HEAD:
+    // the fixture change (per-shard char permutation + preserved
+    // stopwords, see tools/make_sf1.py) altered nearly every row's
+    // scaling shape — LSH-family ratios FELL to ~3x (the old token
+    // remap had inflated within-shard pair mass quadratically) while
+    // quality/BM25-family ratios ROSE (stopwords now span the corpus,
+    // so quality gates keep full-corpus survivors and stopword posting
+    // lists are corpus-sized — the honest shape). Ceiling = 1.5x the
+    // measured (isolated where adjudicated) ratio, floor 1.5.
+    "d01_exact_dedup" -> 2.2, "d02_minhash_lsh" -> 5.1,
+    "d03_simhash" -> 4.5, "d07_ngram_jaccard" -> 5.6,
+    "d08_winnow_fingerprints" -> 1.8, "d10_winnow_containment" -> 2.4,
+    "d11_corpus_clean" -> 4.3, "d12_repetition" -> 10.4,
+    "d13_vocab" -> 7.7, "d14_decontaminate" -> 1.8,
+    "d15_dup_clusters" -> 4.8, "d17_semdedup" -> 46.1,
+    "d18_keyterms" -> 5.3, "d27_segment_dedup" -> 5.8,
+    "d28_overlap_decontaminate" -> 8.7, "d31_dup_clusters_star" -> 3.8,
+    "d32_dsir_weight" -> 5.9, "d33_bm25_topk" -> 12.2,
+    "d34_bm25_capped" -> 13.0, "d37_lm_perplexity" -> 7.2,
+    "d38_exact_substr" -> 11.0, "d39_suffix_ranks" -> 6.9,
+    "d40_nb_quality" -> 3.7, "d41_token_budget" -> 6.2,
+    "d42_host_pagerank" -> 1.5, "d43_host_budget" -> 4.7,
+    "d44_lsh_estimate" -> 5.4, "d45_curation_pipeline" -> 21.8,
+    "d46_sequence_pack" -> 3.8, "d47_exact_substr_cut" -> 10.7,
+    "d48_classifier_calibration" -> 3.5, "d48b_calibration_hist" -> 4.4,
+    "d49_nb_multiclass" -> 7.9, "d50_doc_chunking" -> 7.8,
+    "d51_curation_lake" -> 14.2, "d52_bpe_train_encode" -> 6.1,
+    "d54_pii_redaction" -> 7.1, "d55_semantic_decontaminate" -> 26.2,
+    "d56_hard_negatives" -> 3.1, "d57_paragraph_dedup" -> 3.7,
+    "d58_blocklist_filter" -> 3.3, "d59_charset_sniff" -> 3.9,
+    "d60_robots_rules" -> 4.4, "d61_html_extract" -> 9.6,
+    "d62_frontdoor_pipeline" -> 3.9, "d63_link_extract" -> 3.2,
+    "d64_wet_extract" -> 11.3, "d65_unicode_nfc" -> 5.4,
+    "d66_gopher_rules" -> 8.6, "d67_gopher_line_rules" -> 6.2,
+    "d68_gopher_repetition" -> 11.5, "d69_corpus_diff" -> 2.4,
+    "e01_knn_bruteforce" -> 1.7, "e02_ann_ivf" -> 1.7,
+    "e05_kmeans_ivf_cells" -> 5.3, "e06_kmeans_ivf_topk" -> 5.0,
+    "e07_hyperplane_lsh_near_dup" -> 18.9, "e08_pq_adc_topk" -> 3.7,
+    "e13_sq8_topk" -> 2.3, "e14_ivf_sq8_topk" -> 2.4,
+    "e17_sq8_refine_topk" -> 3.3, "e18_filtered_topk" -> 6.1,
+    "e19_mmr_rerank" -> 3.5, "e20_ivf_pq_topk" -> 3.9,
+    "e21_ivf_pq_recall" -> 3.6, "ev01_sessionize" -> 2.3,
+    "ev05_asof_join" -> 2.3, "k07_shard_rebalance" -> 6.2,
+    "k08_length_batching" -> 4.6, "k09_epoch_shuffle" -> 5.5,
+    "k10_stratified_sample" -> 5.0, "k11_sft_pack_masks" -> 2.0,
+    "k13_length_quantiles" -> 3.4, "m15_tar_shards" -> 11.6,
+    "m16_zip_shards" -> 9.9, "m17_warc_records" -> 11.0,
+    "m20_arrow_shards" -> 12.8, "m23_webdataset_samples" -> 10.4,
+    "m24_arrow_shard_write" -> 3.7, "m25_jsonl_shards" -> 9.9,
+    "m26_tfrecord_shards" -> 9.4, "m27_tfrecord_shard_write" -> 3.9,
+    "m28_webdataset_shard_write" -> 3.4, "m29_jsonl_shard_write" -> 3.1,
+    "m30_avro_shards" -> 7.6, "m31_avro_shard_write" -> 4.0,
+    "m32_safetensors_shards" -> 2.6, "m33_npz_shards" -> 2.2,
+    "m34_safetensors_f16" -> 5.8, "m35_checksum_manifest" -> 2.1,
+    "q01_agg_pushdown" -> 1.5, "q12_join_multi" -> 2.2,
+    "q20_interval_join" -> 2.2, "q24_window_lag" -> 2.8,
+    "sql02_catalog_join" -> 2.7, "t08_stream_quality_gate" -> 3.5,
+    "t09_stream_classifier_gate" -> 1.9, "t10_stream_host_budget" -> 1.6,
+    "t11_stream_warc_ingest" -> 2.2, "t12_stream_sequence_pack" -> 1.7,
+    "t13_stream_arrow_ingest" -> 2.0, "t14_stream_jsonl_ingest" -> 2.2,
+    "t15_stream_tfrecord_ingest" -> 2.1, "t16_stream_semantic_decontaminate" -> 2.3,
+    "t17_stream_avro_ingest" -> 2.1, "t18_stream_wet_extract" -> 2.7,
+    "t19_stream_npz_ingest" -> 1.5, "t20_stream_gopher_gate" -> 2.0,
+    "x01_lsh_skew_capped" -> 5.8, "x02_lsh_skew_atcap" -> 5.0,
+    "x03_semdedup_scaledk" -> 16.7, "x04_hyperplane_lsh_scaled" -> 6.5,
+    "x05_bpe_train_encode" -> 9.5, "x06_host_budget_skew" -> 3.9,
+    "x07_token_budget_degenerate" -> 3.6, "x08_paragraph_dedup_hot" -> 3.8,
+    "x09_quantile_edges" -> 1.5)
 
   /** Cluster-cost observability (r11): per-query SHUFFLE WRITE and SPILL
     * volume next to every wall time, so the artifact itself shows which

@@ -252,13 +252,21 @@ object Dedup {
     val sig = repartitionedDocs(docs, idCol, textCol, extraCols)
       .select(col("doc_id") +: expr("graft_minhash_sig(text)").as("sig") +:
         extraCols.map(col): _*)
+    // The sketch MUST be computed below the explode (withColumn on the
+    // per-doc frame, not in the posexplode select): computed above, the
+    // full NumPerms-long `sig` array would be carried through the Generate
+    // (25x-replicated 1.6 KB per band row, a 12x row-width blowup the sf10
+    // probe measured as the band join's dominant sort cost) and the sketch
+    // kernel would run once per band row instead of once per doc.
+    val pre =
+      if (withSketch) sig.withColumn("sketch", expr("graft_sig_sketch(sig)"))
+      else sig
     val bandKeys = transform(sequence(lit(0), lit(LshBands - 1)), i =>
       concat_ws(",", transform(
         slice(col("sig"), i * LshRows + 1, lit(LshRows)), x => x.cast("string"))))
-    val sketchCols =
-      if (withSketch) Seq(expr("graft_sig_sketch(sig)").as("sketch")) else Nil
-    sig.select(col("doc_id") +: posexplode(bandKeys).as(Seq("band_id", "band_key")) +:
-      (sketchCols ++ extraCols.map(col)): _*)
+    val sketchCols = if (withSketch) Seq("sketch") else Nil
+    pre.select(col("doc_id") +: posexplode(bandKeys).as(Seq("band_id", "band_key")) +:
+      (sketchCols ++ extraCols).map(col): _*)
   }
 
   private def cappedBandKeys(docs: DataFrame, idCol: String, textCol: String,

@@ -2202,9 +2202,16 @@ object SparkEntry {
     // paragraph structure deterministically (a break before every
     // "merge " token) with the oracle applying the identical rewrite —
     // the operator itself only ever sees a text column with separators.
+    // NULL-text class (VERDICT r12 #5 audit): %13==0 docs carry NULL text
+    // — split(NULL) explodes to zero paragraphs, so they drop from the
+    // output exactly like fully-deduplicated docs; the oracle excludes
+    // them, so an operator that emitted ANY row for a NULL doc (or
+    // crashed on one) would break the compare.
     "d57_paragraph_dedup" -> ((s, dir) => {
       val docs = t(s, dir, "documents").select(col("doc_id"),
-        regexp_replace(col("text"), " merge ", "\nmerge ").as("text"))
+        when(col("doc_id") % 13 === 0, lit(null))
+          .otherwise(regexp_replace(col("text"), " merge ", "\nmerge "))
+          .as("text"))
       Dedup.paragraphDedup(docs, "doc_id", "text")
         .orderBy("doc_id")
     }),
@@ -2394,9 +2401,13 @@ object SparkEntry {
     // all-anchor ad block and a footer (dropped), plus an entity in the
     // kept text. The oracle restates the kept blocks analytically (same
     // whitespace collapse + trim).
+    // NULL-html class (VERDICT r12 #5 audit): %13==0 docs carry a NULL
+    // html cell (an unfetched body); the extractor contract drops them —
+    // the oracle excludes the class, so an emitted row or a NPE would
+    // break the compare.
     "d61_html_extract" -> ((s, dir) => {
       val docs = t(s, dir, "documents").select(col("doc_id"),
-        concat(
+        when(col("doc_id") % 13 === 0, lit(null)).otherwise(concat(
           lit("<html><head><script>var trap = \"<p>no</p>\";</script>" +
             "<style>p{color:red}</style></head><body>" +
             "<nav><a href=\"/\">Home page</a> <a href=\"/about\">About this site</a></nav>" +
@@ -2407,7 +2418,7 @@ object SparkEntry {
           substring(col("text"), 31, 16),
           lit(" &amp; more words here</p>" +
             "<footer><a href=\"/c\">contact</a> <a href=\"/i\">imprint</a></footer>" +
-            "</body></html>")).as("html"))
+            "</body></html>"))).as("html"))
       graft.operators.HtmlExtract
         .extractDocs(s, docs, "doc_id", "html").toDF()
         .orderBy("doc_id")
@@ -2496,14 +2507,22 @@ object SparkEntry {
     // %5==0 rows are ADDED, %11==3 rows REMOVED, %7==0 rows MODIFIED,
     // the rest unchanged — every class analytically plantable. One
     // id-keyed full-outer join of (id, md5) projections; text never
-    // shuffles.
+    // shuffles. NULL-text id classes (VERDICT r12 #5 — the class whose
+    // absence hid the r12 presence-marker bug from this gate): %13==0
+    // rows carry NULL OLD text, %17==0 rows NULL NEW text, so the oracle
+    // pins present-with-NULL-text vs absent (NULL->non-NULL and
+    // non-NULL->NULL = modified; NULL->NULL, e.g. id 221, = unchanged;
+    // both distinct from added/removed).
     "d69_corpus_diff" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val v1 = docs.where(col("doc_id") % 5 =!= 0)
-        .select(col("doc_id"), col("text"))
+        .select(col("doc_id"),
+          when(col("doc_id") % 13 === 0, lit(null))
+            .otherwise(col("text")).as("text"))
       val v2 = docs.where(col("doc_id") % 11 =!= 3)
         .select(col("doc_id"),
-          when(col("doc_id") % 7 === 0, concat(col("text"), lit(" [rev2]")))
+          when(col("doc_id") % 17 === 0, lit(null))
+            .when(col("doc_id") % 7 === 0, concat(col("text"), lit(" [rev2]")))
             .otherwise(col("text")).as("text"))
       Dedup.corpusDiff(v1, v2, "doc_id", "text").orderBy("doc_id")
     }),
@@ -7035,6 +7054,9 @@ object SparkEntry {
 
     // d57: the same synthesized paragraph rewrite, restated relationally:
     // first-occurrence-wins via a ROW_NUMBER over (doc, position)
+    // the %13 NULL-text class contributes no paragraphs and must be
+    // absent from the output (dropped-empty semantics, same as a doc
+    // that loses every paragraph)
     "d57_paragraph_dedup" ->
       """WITH p AS (
            SELECT doc_id, generate_subscripts(paras, 1) AS para_idx,
@@ -7042,7 +7064,7 @@ object SparkEntry {
            FROM (SELECT doc_id,
                    string_split(replace(text, ' merge ', chr(10) || 'merge '),
                      chr(10)) AS paras
-                 FROM documents) t
+                 FROM documents WHERE doc_id % 13 <> 0) t
          ),
          k AS (
            SELECT doc_id, para_idx, para,
@@ -7165,14 +7187,15 @@ object SparkEntry {
          FROM k WHERE rn = 1 GROUP BY doc_id ORDER BY doc_id""",
 
     // d61: the two kept prose blocks restated analytically with the same
-    // whitespace collapse + trim; block counts are structural constants
+    // whitespace collapse + trim; block counts are structural constants;
+    // the %13 NULL-html class (no fetched body) must be absent entirely
     "d61_html_extract" ->
       """WITH b AS (SELECT doc_id,
            trim(regexp_replace('Paragraph one: ' || substr(text, 1, 30),
              ' +', ' ', 'g')) AS p1,
            trim(regexp_replace('Paragraph two says ' || substr(text, 31, 16)
              || ' & more words here', ' +', ' ', 'g')) AS p2
-         FROM documents)
+         FROM documents WHERE doc_id % 13 <> 0)
          SELECT doc_id, p1 || chr(10) || p2 AS main_text,
            CAST(6 AS BIGINT) AS n_blocks, CAST(2 AS BIGINT) AS n_content
          FROM b ORDER BY doc_id""",
@@ -7180,16 +7203,23 @@ object SparkEntry {
     // d66: the same floor-scaled integer rules over the same synthesized
     // violations, restated with list comprehensions
     // d69: the diff restated — same md5s, same planted classes
+    // NULL text digests to the 4-char sentinel 'null' (the engine's
+    // non-colliding stand-in for md5 of absent content); presence is
+    // decided by side markers, never digest NULL-ness, so the NULL-text
+    // id classes (%13 old, %17 new) compare under the hash like any other
     "d69_corpus_diff" ->
-      """WITH v1 AS (SELECT doc_id, md5(text) AS old_md5 FROM documents
-                     WHERE doc_id % 5 <> 0),
-         v2 AS (SELECT doc_id,
-                  md5(CASE WHEN doc_id % 7 = 0 THEN text || ' [rev2]'
-                       ELSE text END) AS new_md5
+      """WITH v1 AS (SELECT doc_id, TRUE AS p1,
+                  COALESCE(md5(CASE WHEN doc_id % 13 = 0 THEN NULL
+                                    ELSE text END), 'null') AS old_md5
+                FROM documents WHERE doc_id % 5 <> 0),
+         v2 AS (SELECT doc_id, TRUE AS p2,
+                  COALESCE(md5(CASE WHEN doc_id % 17 = 0 THEN NULL
+                                    WHEN doc_id % 7 = 0 THEN text || ' [rev2]'
+                                    ELSE text END), 'null') AS new_md5
                 FROM documents WHERE doc_id % 11 <> 3)
          SELECT doc_id, old_md5, new_md5,
-           CASE WHEN old_md5 IS NULL THEN 'added'
-                WHEN new_md5 IS NULL THEN 'removed'
+           CASE WHEN p1 IS NULL THEN 'added'
+                WHEN p2 IS NULL THEN 'removed'
                 WHEN old_md5 <> new_md5 THEN 'modified'
                 ELSE 'unchanged' END AS status
          FROM v1 FULL OUTER JOIN v2 USING (doc_id)

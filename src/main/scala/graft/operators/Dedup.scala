@@ -30,6 +30,17 @@ object Dedup {
     docs.groupBy(md5(col(textCol).cast("binary")).as("content_md5"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_count"))
 
+  /** Default band-bucket size cap: >500 documents agreeing on a whole
+    * minhash band is boilerplate/degenerate text, not near-duplication
+    * worth O(m^2) candidate pairs. */
+  val DefaultMaxBandBucket = 500
+
+  /** Default signature-agreement prefilter margin, in quarters: band
+    * candidates whose estimated Jaccard (matching sketch bytes / NumPerms)
+    * falls below threshold - marginQuarters/4 are dropped in-join, before
+    * exact verification. See [[minhashNearDupPairs]] for the miss bound. */
+  val DefaultSketchMarginQuarters = 1
+
   /** MinHash-LSH near-duplicate pairs over character 3-gram shingles.
     *
     * Candidate generation: each doc emits (perm_index, minhash) keys; a
@@ -39,17 +50,27 @@ object Dedup {
     * reported score is floor(i*1e6/u) — bitwise reproducible by a SQL
     * oracle. With the 12 permutations the miss probability for a true pair
     * at J=0.8 is 0.2^12 ~ 4e-9.
-    */
-  /** Default band-bucket size cap: >500 documents agreeing on a whole
-    * minhash band is boilerplate/degenerate text, not near-duplication
-    * worth O(m^2) candidate pairs. */
-  val DefaultMaxBandBucket = 500
-
+    *
+    * OUTPUT CONTRACT (prefilter): candidates are additionally prefiltered
+    * INSIDE the band join by the signature-agreement estimate at
+    * `threshold - marginQuarters/4` (default margin 1/4), so a pair whose
+    * TRUE Jaccard meets the threshold can in principle be dropped when its
+    * estimate lands below the margin. The estimate is deterministic (a SQL
+    * oracle reproduces it bit-for-bit from the same mod-251 sketch chain)
+    * and the miss probability for a true pair is Chernoff-bounded by
+    * exp(-2 * NumPerms * margin^2) — ~1.4e-11 per pair at 200 permutations
+    * with the default margin. Set `marginQuarters = 0` to disable the
+    * prefilter (estimate >= threshold - 0 still prunes; pass a negative
+    * value for pure candidates-verified-by-exact-Jaccard semantics at the
+    * cost of shuffling every sub-threshold boilerplate collision through
+    * verification — at 100x corpus scale that was a 430 GB spill). */
   def minhashNearDupPairs(docs: DataFrame, idCol: String, textCol: String,
                           thresholdNum: Int = 4, thresholdDen: Int = 5,
-                          maxBandBucket: Int = DefaultMaxBandBucket): DataFrame = {
+                          maxBandBucket: Int = DefaultMaxBandBucket,
+                          marginQuarters: Int = DefaultSketchMarginQuarters
+                         ): DataFrame = {
     val bands = cappedBandKeys(docs, idCol, textCol, maxBandBucket,
-      withSketch = true)
+      withSketch = marginQuarters >= 0)
     val base = repartitionedDocs(docs, idCol, textCol)
 
     // Signature-agreement prefilter INSIDE the band join (the r12 sf10
@@ -72,15 +93,20 @@ object Dedup {
     // exp(-2*NumPerms/16) ~ 1e-11 with 200 permutations.
     val minMatching = {
       import graft.functions.TextFunctions.NumPerms
-      // est >= num/den - 1/4  <=>  m * 4*den >= NumPerms * (4*num - den)
-      (NumPerms.toLong * (4L * thresholdNum - thresholdDen), 4L * thresholdDen)
+      // est >= num/den - q/4  <=>  m * 4*den >= NumPerms * (4*num - q*den)
+      (NumPerms.toLong * (4L * thresholdNum - marginQuarters.toLong * thresholdDen),
+        4L * thresholdDen)
     }
-    val cand = bands.as("a").join(bands.as("b"),
-        col("a.band_id") === col("b.band_id") &&
-          col("a.band_key") === col("b.band_key") &&
-          col("a.doc_id") < col("b.doc_id") &&
-          expr("graft_count_eq_bytes(a.sketch, b.sketch)") * lit(minMatching._2) >=
-            lit(minMatching._1))
+    val joinCond = {
+      val keys = col("a.band_id") === col("b.band_id") &&
+        col("a.band_key") === col("b.band_key") &&
+        col("a.doc_id") < col("b.doc_id")
+      if (marginQuarters < 0) keys // prefilter disabled: pure LSH candidates
+      else keys &&
+        expr("graft_count_eq_bytes(a.sketch, b.sketch)") * lit(minMatching._2) >=
+          lit(minMatching._1)
+    }
+    val cand = bands.as("a").join(bands.as("b"), joinCond)
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
 

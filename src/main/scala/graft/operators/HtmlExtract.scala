@@ -312,21 +312,29 @@ object HtmlExtract {
     df.select(col(idCol).cast("long"), col(htmlCol))
       .as[(Long, String)]
       .mapPartitions(_.flatMap { case (id, html) =>
-        links(html).map(l => PageLink(id, l.link_idx.toLong, l.href,
-          l.anchor_text))
+        // NULL html = no fetched body (a crawl-table reality): no links.
+        if (html == null) Iterator.empty
+        else links(html).iterator.map(l => PageLink(id, l.link_idx.toLong,
+          l.href, l.anchor_text))
       })
   }
 
-  /** Partition-parallel extraction over (id, html) rows. */
+  /** Partition-parallel extraction over (id, html) rows. A NULL html cell
+    * (no fetched body — a crawl-table reality) contributes no output row:
+    * unlike an empty-after-classification page (which reports text="" and
+    * its block counts), an absent body has nothing to classify. */
   def extractDocs(spark: SparkSession, df: DataFrame, idCol: String,
                   htmlCol: String, minChars: Int = 25,
                   maxLinkDensityPct: Int = 33): Dataset[Extracted] = {
     import spark.implicits._
     df.select(col(idCol).cast("long"), col(htmlCol))
       .as[(Long, String)]
-      .mapPartitions(_.map { case (id, html) =>
-        val (text, nb, nc) = extractMain(html, minChars, maxLinkDensityPct)
-        Extracted(id, text, nb, nc)
+      .mapPartitions(_.flatMap { case (id, html) =>
+        if (html == null) Iterator.empty
+        else {
+          val (text, nb, nc) = extractMain(html, minChars, maxLinkDensityPct)
+          Iterator.single(Extracted(id, text, nb, nc))
+        }
       })
   }
 }

@@ -14,6 +14,12 @@ names = args[2].split(",") if len(args) > 2 else None
 
 oracle = json.load(open(f"{out_dir}/oracle_sql.json")) if not selftest else {}
 con = duckdb.connect()
+# Scale passes (sf1 LSH oracles): the exact-Jaccard restatements
+# materialize large intermediate lists — cap memory so DuckDB spills to
+# disk instead of thrashing the box, and give it a spill directory.
+import os as _os
+con.execute(f"SET memory_limit='{_os.environ.get('ORACLE_MEM', '48GB')}'")
+con.execute("SET temp_directory='/tmp/duckdb_spill'")
 for t in ["region","nation","customer","supplier","part","orders","lineitem",
           "events","documents","embeddings"]:
     try:

@@ -528,7 +528,7 @@ object Bench {
   val BudgetOverheadFloorSec: Double = 0.5
 
   /** Effective breach ceiling for a seeded budget (pre-calibration). */
-  private def budgetCeil(b: Double): Double =
+  private[graft] def budgetCeil(b: Double): Double =
     math.max(b, b / 1.5 + BudgetOverheadFloorSec)
 
   /** Total GC time (ms) accumulated by all collectors since JVM start. */

@@ -1,0 +1,63 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Locks the bench gate arithmetic — the adjudication rules the committed
+  * artifacts are read against. These are pure functions/constants, but a
+  * silent change to any of them re-labels breaches across every future
+  * artifact, so the semantics deserve a spec as much as an operator does. */
+class BenchGateSpec extends AnyFunSuite {
+
+  test("budgetCeil applies the overhead floor only where 1.5x is tighter than +0.5s") {
+    // b >= 1.5: the pure budget dominates (b/1.5 + 0.5 <= b exactly at 1.5)
+    assert(Bench.budgetCeil(1.5) === 1.5)
+    assert(Bench.budgetCeil(3.0) === 3.0)
+    // sub-1.5 budgets get the absolute pad over the implied median b/1.5:
+    // b = 0.6 seeds a 0.4 median -> ceiling 0.9, not 0.6
+    assert(math.abs(Bench.budgetCeil(0.6) - 0.9) < 1e-9)
+    // the floor never LOWERS a ceiling
+    val bs = Seq(0.1, 0.4, 0.8, 1.2, 1.5, 2.0, 10.0)
+    bs.foreach(b => assert(Bench.budgetCeil(b) >= b))
+    // monotone in the seeded budget
+    bs.sliding(2).foreach { case Seq(a, b) =>
+      assert(Bench.budgetCeil(a) <= Bench.budgetCeil(b))
+    }
+  }
+
+  test("gate constants keep their documented relations") {
+    // The linear-step bound is the 10x data growth times the same 15%
+    // single-run band the calibration dead band uses — a step ratio under
+    // it is at most linear, above it genuinely superlinear.
+    assert(Bench.LinearStepTolerance === 10.0 * Bench.CalibrationDeadBand)
+    // The sf1 floor must sit BELOW the sf10 floor: a wall that is overhead
+    // at 10x data is certainly overhead at 100x.
+    assert(Bench.Sf1RatioFloorSec < Bench.ScaleProbeFloorSec)
+    // The overhead pad must stay small against the smallest real budget
+    // class it guards (sub-second rows), or it would mask real regressions.
+    assert(Bench.BudgetOverheadFloorSec <= 0.5)
+  }
+
+  test("sf1MaxRatio ceilings are well-formed and cover only benched rows") {
+    val benched = Bench.headline.toSet
+    Bench.sf1MaxRatio.foreach { case (name, ceil) =>
+      assert(benched.contains(name), s"$name gated but not benched")
+      assert(ceil >= 1.5, s"$name ceiling $ceil below the 1.5 floor")
+    }
+    // every benched row carries a ceiling (the r13 re-seed covers the full
+    // 117-row artifact; a new bench row without a ceiling gates next round
+    // by design, so this guards against DROPPING one accidentally)
+    assert(Bench.sf1MaxRatio.size === Bench.headline.size)
+  }
+
+  test("every headline row resolves to a runnable query") {
+    val all = SparkEntry.queries.keySet ++ Bench.benchOnlyQueries.keySet
+    val missing = Bench.headline.filterNot(all.contains)
+    assert(missing.isEmpty, s"headline rows without a query: $missing")
+  }
+
+  test("every budgeted row is benched") {
+    val benched = Bench.headline.toSet
+    val orphaned = Bench.budgets.keySet.filterNot(benched.contains)
+    assert(orphaned.isEmpty, s"budgeted but never benched: $orphaned")
+  }
+}

@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Stream forked run/runMain output STRAIGHT to stdout instead of through
+// sbt's logger: the logger prefixes every line with "[info] ", which is
+// what kept the driver from parsing Bench's final compact-JSON line
+// (three rounds of `parsed: null` — the line must land in the driver's
+// stdout tail capture as bare JSON).
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -378,7 +378,9 @@ object Bench {
     "d60_robots_rules" -> 4.2, "d61_html_extract" -> 5.7,
     "d62_frontdoor_pipeline" -> 4.1, "d63_link_extract" -> 3.1,
     "d64_wet_extract" -> 12.0, "d65_unicode_nfc" -> 5.8,
-    "d66_gopher_rules" -> 10.6, "d67_gopher_line_rules" -> 6.4,
+    // d67 6.4 -> 6.3 (r14): reseed_ratios.py moved to exact decimal
+    // arithmetic (ADVICE r13); binary-float ceil had rounded a tenth high.
+    "d66_gopher_rules" -> 10.6, "d67_gopher_line_rules" -> 6.3,
     "d68_gopher_repetition" -> 9.8, "d69_corpus_diff" -> 1.8,
     "e01_knn_bruteforce" -> 1.9, "e02_ann_ivf" -> 1.9,
     "e05_kmeans_ivf_cells" -> 5.7, "e06_kmeans_ivf_topk" -> 4.8,
@@ -505,6 +507,52 @@ object Bench {
     * verdict "linear": not superlinear, the flag measured amortization
     * exhaustion. Rows ABOVE it stay "confirmed". */
   val LinearStepTolerance: Double = 11.5
+
+  /** Guard on the "linear" auto-resolution (ADVICE r13): a ceiling-flagged
+    * scale3 row whose adjudicated step ratio is under
+    * [[LinearStepTolerance]] but still above this factor times its OWN
+    * committed per-10x ceiling is labeled "regressed", not "linear" — a
+    * row committed at ~2x/step that suddenly steps 9-11x (a lost pushdown,
+    * n log n creep) must not auto-clear just because 11x is "at most
+    * linear" in the abstract. Factor 3 (not 1) because committed ceilings
+    * are seeded as 1.5x the sf0.1->sf1 step, where fixed overhead still
+    * amortizes; the honest linear asymptote on a later step sits well
+    * above such a ceiling — r13's adjudicated-linear population (all
+    * independently census-verified) reached 2.73x its ceilings (d15:
+    * ceiling 3.5, step2 9.53), so 3x clears every verified-honest row
+    * while ADVICE's regression scenario (ceiling ~3, step 9.5+) flags. */
+  val ScaleRegressionFactor: Double = 3.0
+
+  /** Pure verdict rule for an adjudicated ratio breach (spec-locked by
+    * BenchGateSpec — a silent change here re-labels every future scale
+    * artifact). Precedence: cleared > floor > linear/regressed > confirmed.
+    *   - "cleared":   the adjudicated (isolated) ratio satisfies the gate
+    *                  that flagged the row;
+    *   - "floor":     the isolated wall is under the mode's overhead floor
+    *                  — the ratio is a noise quotient, not a measurement;
+    *   - "linear":    (scale3 only) the step is at-most-linear
+    *                  (<= LinearStepTolerance) AND consistent with the
+    *                  row's own committed ceiling x ScaleRegressionFactor;
+    *   - "regressed": (scale3 only) at-most-linear in the abstract but
+    *                  >3x the row's committed per-10x ceiling — the row
+    *                  regressed relative to its committed scaling
+    *                  (ADVICE r13);
+    *   - "confirmed": genuinely superlinear. */
+  def ratioVerdict(scale3Mode: Boolean, cleared: Boolean,
+                   isolatedWall: Option[Double], r: Double,
+                   ceiling: Option[Double]): String = {
+    // Overhead-floor class: a row whose isolated wall at 10x/100x data is
+    // still a few seconds is measuring fixed job overhead, not data
+    // scaling — its step ratios are noise quotients of two sub-floor
+    // walls and cannot evidence superlinearity.
+    val floorSec = if (scale3Mode) ScaleProbeFloorSec else Sf1RatioFloorSec
+    if (cleared) "cleared"
+    else if (isolatedWall.exists(_ < floorSec)) "floor"
+    else if (scale3Mode && r <= LinearStepTolerance &&
+      ceiling.forall(r <= ScaleRegressionFactor * _)) "linear"
+    else if (scale3Mode && r <= LinearStepTolerance) "regressed"
+    else "confirmed"
+  }
 
   /** The sf1 analog of [[ScaleProbeFloorSec]]: at 10x data a row whose
     * isolated wall is still under ~3s is dominated by fixed job overhead,
@@ -744,17 +792,8 @@ object Bench {
         if (scale3Mode) step1Map.get(n).exists(r1 => r <= 1.5 * r1) &&
           sf1MaxRatio.get(n).forall(r <= _)
         else sf1MaxRatio.get(n).forall(r <= _)
-      // Overhead-floor class: a row whose isolated wall at 10x/100x data
-      // is still a few seconds is measuring fixed job overhead, not data
-      // scaling — its step ratios are noise quotients of two sub-floor
-      // walls and cannot evidence superlinearity.
-      val floorSec = if (scale3Mode) ScaleProbeFloorSec else Sf1RatioFloorSec
-      val verdict =
-        if (cleared) "cleared"
-        else if (isolatedMap.get(n).exists(_ < floorSec)) "floor"
-        else if (scale3Mode && r <= LinearStepTolerance) "linear"
-        else "confirmed"
-      n -> verdict
+      n -> ratioVerdict(scale3Mode, cleared, isolatedMap.get(n), r,
+        sf1MaxRatio.get(n))
     }
     // Self-classify the adjudications (VERDICT r10 #8): an isolated re-run
     // inside budget is the overhead-floor class — when it ALSO erodes the
@@ -833,13 +872,6 @@ object Bench {
       def r2(x: Double): Double = math.rint(x * 100) / 100
       val byTime = results.map { case (k, (t, _, _, _)) => k -> t }
         .sortBy { case (_, t) => -t }
-      val budgetChars = 1200
-      val kept = scala.collection.mutable.ListBuffer.empty[(String, Double)]
-      var used = 0
-      byTime.foreach { case (k, t) =>
-        val entry = k.length + 12 // quotes + colon + comma + 2-decimal value
-        if (used + entry <= budgetChars) { kept += (k -> r2(t)); used += entry }
-      }
       val compactGates =
         (if (probeSec > 0)
           s""","calibration":{"probe_sec":${r3(probeSec)},"scale_applied":${r3(scale)}}"""
@@ -849,6 +881,23 @@ object Bench {
           s""","proposed_budgets":${numMap(proposedBudgets)}""" else "") +
         (if (confirmedBreaches.nonEmpty)
           s""","confirmed_breach":${numMap(confirmedBreaches)}""" else "")
+      // The whole compact line must fit the driver's ~2000-char stdout
+      // tail capture. The gate maps are load-bearing (a high-breach round
+      // is exactly when the artifact matters most) so they print whole;
+      // the per-query map absorbs the variability — its budget is what
+      // remains of the line budget after the gates and the fixed fields
+      // (ADVICE r13: a fixed 1200-char query budget plus unbounded gates
+      // could push a high-breach line past the capture window).
+      val lineBudget = 1900
+      val fixedOverhead = 120 + outPath.length + sfDir.length
+      val budgetChars =
+        math.max(0, lineBudget - fixedOverhead - compactGates.length)
+      val kept = scala.collection.mutable.ListBuffer.empty[(String, Double)]
+      var used = 0
+      byTime.foreach { case (k, t) =>
+        val entry = k.length + 12 // quotes + colon + comma + 2-decimal value
+        if (used + entry <= budgetChars) { kept += (k -> r2(t)); used += entry }
+      }
       println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":${numMap(kept.toSeq)},"queries_omitted":${byTime.size - kept.size},"artifact":"$outPath"$compactGates,"sf":"$sfDir"}""")
     } else {
       println(fullLine)

@@ -59,11 +59,13 @@ object Dedup {
     * oracle reproduces it bit-for-bit from the same mod-251 sketch chain)
     * and the miss probability for a true pair is Chernoff-bounded by
     * exp(-2 * NumPerms * margin^2) — ~1.4e-11 per pair at 200 permutations
-    * with the default margin. Set `marginQuarters = 0` to disable the
-    * prefilter (estimate >= threshold - 0 still prunes; pass a negative
-    * value for pure candidates-verified-by-exact-Jaccard semantics at the
-    * cost of shuffling every sub-threshold boilerplate collision through
-    * verification — at 100x corpus scale that was a 430 GB spill). */
+    * with the default margin. `marginQuarters = 0` prunes at the RAW
+    * threshold (the most aggressive setting — estimate >= threshold drops
+    * ~half of the exactly-at-threshold true pairs); pass a NEGATIVE value
+    * to disable the prefilter entirely (pure candidates-verified-by-
+    * exact-Jaccard semantics, at the cost of shuffling every
+    * sub-threshold boilerplate collision through verification — at 100x
+    * corpus scale that was a 430 GB spill). */
   def minhashNearDupPairs(docs: DataFrame, idCol: String, textCol: String,
                           thresholdNum: Int = 4, thresholdDen: Int = 5,
                           maxBandBucket: Int = DefaultMaxBandBucket,

@@ -570,8 +570,12 @@ object StreamingGates {
     // modalities: surface near-dup (t06), perplexity (t08), classifier
     // (t09), host budget (t10), embedding space (t16).
     "t16_stream_semantic_decontaminate" -> ((s, dir) => {
+      // Bench side pinned like d55's (vec_id < 500 — 10 vectors at every
+      // sf, VERDICT r13 #1): the gate's cost is |arrivals| x |bench|, so
+      // a %-slice bench side would scale the ratio quadratically by
+      // fixture exactly as in the batch form.
       val emb = s.read.parquet(s"$dir/embeddings.parquet")
-      val bench = emb.where(col("vec_id") % 50 === 0)
+      val bench = emb.where(col("vec_id") % 50 === 0 && col("vec_id") < 500)
       val arrivals = emb
         .where(col("vec_id") % 10 === 0 && col("vec_id") % 50 =!= 0)
         .select(col("vec_id"), col("embedding"))
@@ -1054,7 +1058,7 @@ object StreamingGates {
       def cos(a: String, b: String) =
         s"ROUND(${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)})), 6)"
       s"""WITH b AS (SELECT vec_id AS bench_id, embedding AS b_emb
-                     FROM embeddings WHERE vec_id % 50 = 0),
+                     FROM embeddings WHERE vec_id % 50 = 0 AND vec_id < 500),
          c AS (SELECT vec_id, embedding FROM embeddings
                WHERE vec_id % 10 = 0 AND vec_id % 50 <> 0),
          h AS (SELECT c.vec_id, COUNT(*) AS n_hits

@@ -37,6 +37,35 @@ class BenchGateSpec extends AnyFunSuite {
     assert(Bench.BudgetOverheadFloorSec <= 0.5)
   }
 
+  test("ratioVerdict: precedence, the regressed guard, and the r13 " +
+       "committed population replay") {
+    def v(scale3: Boolean, cleared: Boolean, wall: Option[Double],
+          r: Double, ceil: Option[Double]) =
+      Bench.ratioVerdict(scale3, cleared, wall, r, ceil)
+    // precedence: cleared beats everything, floor beats linear
+    assert(v(true, true, Some(1.0), 99.0, Some(1.5)) === "cleared")
+    assert(v(true, false, Some(5.0), 3.5, Some(100.0)) === "floor")
+    // sf1 (non-scale3) mode: no linear/regressed resolution exists —
+    // an uncleared above-floor breach is confirmed
+    assert(v(false, false, Some(50.0), 9.0, Some(3.0)) === "confirmed")
+    // the r13 adjudicated-linear population (census-verified honest
+    // amortization exhaustion) must replay as "linear" under the
+    // regressed guard: d02 (ceiling 6.1, step2 9.19), d15 (3.5, 9.53 —
+    // the widest spread at 2.73x its ceiling), d31 (3.5, 8.62),
+    // e20 (3.3, 4.69)
+    for ((c, r) <- Seq(6.1 -> 9.19, 3.5 -> 9.53, 3.5 -> 8.62, 3.3 -> 4.69))
+      assert(v(true, false, Some(60.0), r, Some(c)) === "linear",
+        s"r13 honest row (ceiling $c, step $r) must stay linear")
+    // ADVICE r13's regression scenario: a row committed at ~2x/step
+    // (ceiling 3.0) that steps 9.5-11x must NOT auto-clear as linear
+    assert(v(true, false, Some(60.0), 9.5, Some(3.0)) === "regressed")
+    assert(v(true, false, Some(60.0), 11.0, Some(3.0)) === "regressed")
+    // above the linear tolerance: genuinely superlinear
+    assert(v(true, false, Some(60.0), 12.0, Some(3.0)) === "confirmed")
+    // no committed ceiling (new row): tolerance alone decides linear
+    assert(v(true, false, Some(60.0), 9.0, None) === "linear")
+  }
+
   test("sf1MaxRatio ceilings are well-formed and cover only benched rows") {
     val benched = Bench.headline.toSet
     Bench.sf1MaxRatio.foreach { case (name, ceil) =>

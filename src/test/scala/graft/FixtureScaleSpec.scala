@@ -1,0 +1,54 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Fixture scale-contract gate (VERDICT r13 #2): three separate rounds
+  * each found one more %-slice "small by contract" broadcast side that in
+  * fact GROWS with the corpus (e19/d56 in r11, d55/e18 in r13). For a
+  * broadcast-nested-loop operator whose cost is |corpus| x |small side|,
+  * a growing small side makes the measured sf1/sf0.1 ratio quadratic BY
+  * FIXTURE — the ceiling then codifies fixture growth and can no longer
+  * catch a real corpus-side regression. This spec makes the class
+  * mechanically unrepeatable: every side declared contract-small in
+  * [[SparkEntry.contractSmallSides]] (extracted by the SAME helper the
+  * query uses, so spec and query cannot drift) must have IDENTICAL
+  * cardinality at sf0.01 and sf0.1 — the driver-shipped step where the
+  * embeddings corpus grows 4x and documents grow 10x. Reverting any pin
+  * (e.g. d55's benchmark side back to a bare `vec_id % 50` slice) fails
+  * this spec: the slice counts 10 at sf0.01 but 40 at sf0.1. */
+class FixtureScaleSpec extends AnyFunSuite with SparkSpec {
+
+  private val sfSmall = "/root/testdata/sf0.01"
+  private val sfBig = "/root/testdata/sf0.1"
+
+  test("every declared contract-small fixture side has identical " +
+       "cardinality across sf dirs (scale-fixed, not %-sliced)") {
+    // Precondition: the two dirs genuinely differ in corpus size, or the
+    // equality below would be vacuous.
+    val embSmall = spark.read.parquet(s"$sfSmall/embeddings.parquet").count()
+    val embBig = spark.read.parquet(s"$sfBig/embeddings.parquet").count()
+    assert(embBig > embSmall,
+      s"sf dirs do not scale ($embSmall vs $embBig) — the contract check " +
+        "below would be vacuous")
+    for ((name, side) <- SparkEntry.contractSmallSides) {
+      val nSmall = side(spark, sfSmall).count()
+      val nBig = side(spark, sfBig).count()
+      assert(nSmall === nBig,
+        s"$name: contract-small side grows with the corpus " +
+          s"($nSmall at sf0.01 -> $nBig at sf0.1) — the fixture-quadratic " +
+          "class of VERDICT r11 #4 / r13 #1; pin the slice (vec_id < 500)")
+      assert(nBig > 0, s"$name: contract-small side is empty — the " +
+        "fixture no longer exercises the operator")
+    }
+  }
+
+  test("the broadcast-nested-loop Similarity fixtures are all declared") {
+    // The operators whose cost is |corpus| x |small side| — any of these
+    // missing from the declaration map would escape the contract check.
+    val bnl = Seq("d55_semantic_decontaminate", "d56_hard_negatives",
+      "e18_filtered_topk", "e19_mmr_rerank")
+    bnl.foreach(n => assert(SparkEntry.contractSmallSides.contains(n),
+      s"$n is a |corpus| x |small-side| fixture but not declared in " +
+        "contractSmallSides"))
+  }
+}

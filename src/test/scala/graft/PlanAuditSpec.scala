@@ -518,6 +518,31 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
     assert(windows.forall(_.contains("query_id")), windows.mkString("\n"))
   }
 
+  test("d55 pinned fixture: the benchmark side carries the vec_id < 500 " +
+       "scale pin INTO the broadcast, and the only hash exchange before " +
+       "the hit cut is the per-vector aggregate, never a corpus sort") {
+    val p = plan("d55_semantic_decontaminate")
+    // the pin must be visible in the executed plan — reverting the d55
+    // fixture to a bare %-slice (VERDICT r13 #1) fails here as well as in
+    // FixtureScaleSpec
+    assert(p.contains("< 500"), p.take(1200))
+    assert(p.contains("BroadcastNestedLoopJoin"), p.take(800))
+    // no range exchange (global sort) of corpus rows before the final
+    // presentation orderBy. The corpus-to-hit-counts LEFT join may be a
+    // keyed SMJ (linear, one hash exchange per side) — what must never
+    // appear is an SMJ against the BENCHMARK side (it broadcasts).
+    assert("Exchange rangepartitioning".r.findAllIn(p).size <= 1, p.take(1200))
+  }
+
+  test("e18 pinned fixture: the query side carries the vec_id < 500 " +
+       "scale pin into the broadcast side of the label hash join") {
+    val p = plan("e18_filtered_topk")
+    assert(p.contains("< 500"), p.take(1200))
+    assert(p.contains("BroadcastExchange"), p.take(800))
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      p.take(800))
+  }
+
   test("k11: masked pair packing never sorts the corpus in one task — " +
        "the prefix sum stays two-level, mask arithmetic is in-row") {
     val p = plan("k11_sft_pack_masks")

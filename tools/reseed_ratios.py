@@ -9,6 +9,7 @@ committed gate is a mechanical copy of the committed artifact, never prose.
 Usage: reseed_ratios.py BENCH_rN_sf1.json
 """
 import json, math, sys
+from fractions import Fraction
 
 art = json.load(open(sys.argv[1]))
 ratios = dict(art.get("ratios", {}))
@@ -16,9 +17,13 @@ ratios.update(art.get("ratio_adjudicated", {}))  # isolated beats in-suite
 
 rows = []
 for name in sorted(ratios):
-    r = ratios[name]
-    ceil = max(1.5, math.ceil(r * 1.5 * 10) / 10)
-    rows.append((name, ceil))
+    # Exact decimal arithmetic (ADVICE r13): binary-float ceil(r*15) can
+    # round a tenth high (4.2 -> 6.4 instead of 6.3), drifting the
+    # 'mechanical copy' rule from its stated decimal form.
+    r = Fraction(str(ratios[name]))
+    tenths = math.ceil(r * 15)  # ceil(r * 1.5 * 10), exact on Fraction
+    ceil = max(Fraction(3, 2), Fraction(tenths, 10))
+    rows.append((name, float(ceil)))
 
 out, line = [], "    "
 for name, ceil in rows:

@@ -68,5 +68,6 @@ status = ("OK" if score_mismatch == 0 and below_threshold == 0
           and err_mismatch == 0 else "FAIL")
 print(f"{name}: {status} pairs={n_pairs} score_mismatch={score_mismatch} "
       f"below_threshold={below_threshold}"
-      + (f" err_mismatch={err_mismatch}" if has_est else ""))
+      + (f" err_mismatch={err_mismatch}" if has_est else "")
+      + f" sf={sf_dir}")
 sys.exit(0 if status == "OK" else 1)

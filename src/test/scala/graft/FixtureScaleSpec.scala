@@ -42,6 +42,23 @@ class FixtureScaleSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("the oracle SQL carries the same scale pin as the Spark fixture") {
+    // The drift hole this closes: at sf0.01 the pin is a NO-OP (every
+    // vec_id % 50 == 0 vector is < 500 there), so the routine hash gate
+    // cannot see a pin lost on ONE side — the query and its oracle would
+    // diverge silently until the next sf1 correctness pass. The committed
+    // sf1 compare (SCALECHECK_r14: 5 OK / 0 BAD where the pin binds)
+    // anchors today's state; this assert keeps both surfaces pinned.
+    val pinned = Seq("d55_semantic_decontaminate", "d56_hard_negatives",
+      "e18_filtered_topk", "e19_mmr_rerank",
+      "t16_stream_semantic_decontaminate")
+    pinned.foreach { n =>
+      val sql = SparkEntry.oracleSql(n)
+      assert(sql.contains("vec_id < 500"),
+        s"$n: oracle SQL lost the vec_id < 500 scale pin")
+    }
+  }
+
   test("the broadcast-nested-loop Similarity fixtures are all declared") {
     // The operators whose cost is |corpus| x |small side| — any of these
     // missing from the declaration map would escape the contract check.

@@ -9,6 +9,8 @@ down). Feed it the collected stdout lines of:
   - graft.tools.SemDedupScaleDiag ("RESULT sf=... n=N k=K ... pair_mass=M ...")
   - graft.tools.LshScaleDiag      ("RESULT sf=... multi_buckets=... pairs_capped=...")
   - an isolated bench one-liner   ("ISOLATED <query> sf=<dir> median_sec=<t> budget=<b>")
+  - a scale oracle-compare line   ("ORACLE sf=<dir> names=<csv> ok=<n> bad=<n>",
+    the summary of tools/oracle_check.py run at a scale dir)
 
 Every recognized line becomes one typed JSON entry carrying its raw line,
 so the artifact is a mechanical transform of tool output, never prose.
@@ -84,6 +86,17 @@ for line in sys.stdin:
                         "sf": sf_tag(m.group(2)), "median_sec": t, "budget": b,
                         "verdict": "within_budget" if t <= b else "breach",
                         "raw": line})
+        continue
+    m = re.match(r"ORACLE sf=(\S+) names=(\S+) ok=(\d+) bad=(\d+)", line)
+    if m:
+        names = m.group(2).split(",")
+        entries.append({"check": "oracle_compare_at_scale",
+                        "name": ",".join(names), "sf": sf_tag(m.group(1)),
+                        "n_queries": len(names), "ok": int(m.group(3)),
+                        "bad": int(m.group(4)),
+                        "verdict": "OK" if int(m.group(4)) == 0
+                                   and int(m.group(3)) == len(names) else "FAIL",
+                        "tool": "tools/oracle_check.py", "raw": line})
         continue
     errors.append(line)
 

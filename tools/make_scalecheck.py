@@ -87,6 +87,16 @@ for line in sys.stdin:
                         "verdict": "within_budget" if t <= b else "breach",
                         "raw": line})
         continue
+    m = re.match(r"SPILLWALL (\S+) sf=(\S+) walls_sec=(\S+) shuffle_mb=(\S+) "
+                 r"spill_mb=(\S+)", line)
+    if m:
+        walls = [float(x) for x in m.group(3).split(",")]
+        entries.append({"check": "spill_wall_reruns", "name": m.group(1),
+                        "sf": sf_tag(m.group(2)), "walls_sec": walls,
+                        "shuffle_mb": [float(x) for x in m.group(4).split(",")],
+                        "spill_mb": [float(x) for x in m.group(5).split(",")],
+                        "raw": line})
+        continue
     m = re.match(r"ORACLE sf=(\S+) names=(\S+) ok=(\d+) bad=(\d+)", line)
     if m:
         names = m.group(2).split(",")

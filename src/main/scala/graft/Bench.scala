@@ -527,6 +527,18 @@ object Bench {
     * while ADVICE's regression scenario (ceiling ~3, step 9.5+) flags. */
   val ScaleRegressionFactor: Double = 3.0
 
+  /** The regressed guard only applies when the committed ceiling itself
+    * reflects a DATA-DOMINATED sf1 step (measured ratio >= 2, i.e.
+    * ceiling >= 3 under the 1.5x seed rule). A ceiling near the 1.5
+    * floor means the sf1 step was overhead-dominated and says NOTHING
+    * about the row's linear asymptote — the honest sf1->sf10 step of
+    * such a row can reach 8-10x as the overhead amortizes (this repo's
+    * own r13 population), so 3x a near-floor ceiling would flag exactly
+    * the behavior the "linear" verdict exists to absorb (several r14
+    * re-seeded ceilings sit at 1.5-2.0: e18 1.6, d55 2.0, t16 1.5).
+    * Below this floor, [[LinearStepTolerance]] alone adjudicates. */
+  val ScaleRegressionCeilingFloor: Double = 3.0
+
   /** Pure verdict rule for an adjudicated ratio breach (spec-locked by
     * BenchGateSpec — a silent change here re-labels every future scale
     * artifact). Precedence: cleared > floor > linear/regressed > confirmed.
@@ -536,11 +548,13 @@ object Bench {
     *                  — the ratio is a noise quotient, not a measurement;
     *   - "linear":    (scale3 only) the step is at-most-linear
     *                  (<= LinearStepTolerance) AND consistent with the
-    *                  row's own committed ceiling x ScaleRegressionFactor;
+    *                  row's own committed ceiling x ScaleRegressionFactor
+    *                  (when that ceiling is data-dominated — see
+    *                  [[ScaleRegressionCeilingFloor]]);
     *   - "regressed": (scale3 only) at-most-linear in the abstract but
-    *                  >3x the row's committed per-10x ceiling — the row
-    *                  regressed relative to its committed scaling
-    *                  (ADVICE r13);
+    *                  >3x the row's committed data-dominated per-10x
+    *                  ceiling — the row regressed relative to its
+    *                  committed scaling (ADVICE r13);
     *   - "confirmed": genuinely superlinear. */
   def ratioVerdict(scale3Mode: Boolean, cleared: Boolean,
                    isolatedWall: Option[Double], r: Double,
@@ -553,7 +567,8 @@ object Bench {
     if (cleared) "cleared"
     else if (isolatedWall.exists(_ < floorSec)) "floor"
     else if (scale3Mode && r <= LinearStepTolerance &&
-      ceiling.forall(r <= ScaleRegressionFactor * _)) "linear"
+      ceiling.forall(c => c < ScaleRegressionCeilingFloor ||
+        r <= ScaleRegressionFactor * c)) "linear"
     else if (scale3Mode && r <= LinearStepTolerance) "regressed"
     else "confirmed"
   }
@@ -876,15 +891,28 @@ object Bench {
       def r2(x: Double): Double = math.rint(x * 100) / 100
       val byTime = results.map { case (k, (t, _, _, _)) => k -> t }
         .sortBy { case (_, t) => -t }
+      // Gate maps in the compact line print 2-decimal values and cap at
+      // 12 entries each (largest first, omission counted), so even a
+      // pathological all-rows-breaching round keeps the line inside the
+      // capture window — full-precision, uncapped maps live in the file
+      // artifact. 3 maps x 12 entries x ~40 chars + fixed fields < 1700.
+      def cappedGateMap(name: String, m: Seq[(String, Double)],
+                        cap: Int = 12): String =
+        if (m.isEmpty) ""
+        else {
+          val top = m.sortBy { case (_, v) => -v }.take(cap)
+            .map { case (k, v) => k -> r2(v) }
+          s""","$name":${numMap(top)}""" +
+            (if (m.size > cap) s""","${name}_omitted":${m.size - cap}"""
+             else "")
+        }
       val compactGates =
         (if (probeSec > 0)
           s""","calibration":{"probe_sec":${r3(probeSec)},"scale_applied":${r3(scale)}}"""
          else "") +
-        (if (iso != "{}") s""","isolated":$iso""" else "") +
-        (if (proposedBudgets.nonEmpty)
-          s""","proposed_budgets":${numMap(proposedBudgets)}""" else "") +
-        (if (confirmedBreaches.nonEmpty)
-          s""","confirmed_breach":${numMap(confirmedBreaches)}""" else "")
+        cappedGateMap("isolated", isolated) +
+        cappedGateMap("proposed_budgets", proposedBudgets) +
+        cappedGateMap("confirmed_breach", confirmedBreaches)
       // The whole compact line must fit the driver's ~2000-char stdout
       // tail capture. The gate maps are load-bearing (a high-breach round
       // is exactly when the artifact matters most) so they print whole;

@@ -57,7 +57,7 @@ object SparkEntry {
     * [[FixtureScaleSpec]] asserts the cardinality contract mechanically
     * across sf dirs; reverting the pin fails that spec AND the d55/e18
     * pinned-fixture plan audits. */
-  private def evalSlice(emb: DataFrame): DataFrame =
+  private[graft] def evalSlice(emb: DataFrame): DataFrame =
     emb.where(col("vec_id") % 50 === 0 && col("vec_id") < 500)
 
   /** The corpus side of the Similarity fixtures: everything outside the
@@ -95,6 +95,8 @@ object SparkEntry {
         ((s, dir) => evalSlice(t(s, dir, "embeddings"))),
       "e19_mmr_rerank" ->
         ((s, dir) => evalSlice(t(s, dir, "embeddings"))),
+      "t16_stream_semantic_decontaminate" ->
+        ((s, dir) => evalSlice(s.read.parquet(s"$dir/embeddings.parquet"))),
       "d58_blocklist_filter" -> ((s, _) => d58Blocklist(s)),
     )
 
@@ -954,14 +956,15 @@ object SparkEntry {
       import graft.operators.Similarity
       val emb = t(s, dir, "embeddings")
       val n = emb.count()
-      val k = math.max(8L, n / 1000).toInt
-      // production shape: train the quantizer on a bounded deterministic
-      // sample (k-means quality needs coverage, not every vector — full-
-      // corpus training would be n*k with k ~ n, i.e. quadratic), then
-      // assign ALL vectors and dedup within cells exactly as d17 does.
-      val stride = math.max(1L, n / 20000)
+      // production shape (the shared Similarity.scaledSemDedupParams —
+      // also used by the SemDedupScaleDiag pair-space census, so the
+      // committed census always adjudicates THIS parameterization): train
+      // the quantizer on a bounded deterministic sample, then assign ALL
+      // vectors and dedup within cells exactly as d17 does.
+      val (k, stride) = Similarity.scaledSemDedupParams(n)
       val sample = emb.where(pmod(col("vec_id"), lit(stride)) === 0)
-      val cents = Similarity.trainCentroids(sample, k, 2)
+      val cents = Similarity.trainCentroids(sample, k,
+        Similarity.ScaledSemDedupIters)
       val withCell = Similarity.withAssignedCells(emb, cents)
       val drop = Similarity.cosineNearDupPairs(withCell, "cell", 0.35)
         .select(col("vec_b").as("vec_id")).distinct()

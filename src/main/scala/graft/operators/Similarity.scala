@@ -17,6 +17,22 @@ import graft.functions.VectorFunctions._
   */
 object Similarity {
 
+  /** The scaled-k semdedup operating point (x03 / production semdedup):
+    * k ~ n/1000 keeps expected cell size — and therefore per-cell pair
+    * cost — CONSTANT as the corpus grows (floor 8 so tiny corpora still
+    * cluster), and the quantizer trains on a bounded ~20k-vector strided
+    * sample (k-means quality needs coverage, not every vector —
+    * full-corpus training would be n*k with k ~ n, i.e. quadratic).
+    * SHARED by the x03 gate (SparkEntry) and the pair-space census
+    * (graft.tools.SemDedupScaleDiag) so the census can never silently
+    * drift from the fixture it adjudicates. Returns (k, sampleStride);
+    * Lloyd iterations are [[ScaledSemDedupIters]]. */
+  def scaledSemDedupParams(n: Long): (Int, Long) =
+    (math.max(8L, n / 1000).toInt, math.max(1L, n / 20000))
+
+  /** Lloyd iteration count of the scaled-k semdedup operating point. */
+  val ScaledSemDedupIters: Int = 2
+
   /** Exact cosine top-k: every query against the whole corpus (baseline).
     * `queries` must be small (it is broadcast). */
   def knnBruteForce(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {

@@ -570,12 +570,15 @@ object StreamingGates {
     // modalities: surface near-dup (t06), perplexity (t08), classifier
     // (t09), host budget (t10), embedding space (t16).
     "t16_stream_semantic_decontaminate" -> ((s, dir) => {
-      // Bench side pinned like d55's (vec_id < 500 — 10 vectors at every
-      // sf, VERDICT r13 #1): the gate's cost is |arrivals| x |bench|, so
-      // a %-slice bench side would scale the ratio quadratically by
-      // fixture exactly as in the batch form.
+      // Bench side pinned like d55's (the shared evalSlice helper — 10
+      // vectors at every sf, VERDICT r13 #1): the gate's cost is
+      // |arrivals| x |bench|, so a %-slice bench side would scale the
+      // ratio quadratically by fixture exactly as in the batch form.
+      // Using the SAME helper as d55/d56/e18/e19 puts this side under
+      // FixtureScaleSpec's cardinality contract (t16 is declared in
+      // SparkEntry.contractSmallSides).
       val emb = s.read.parquet(s"$dir/embeddings.parquet")
-      val bench = emb.where(col("vec_id") % 50 === 0 && col("vec_id") < 500)
+      val bench = graft.SparkEntry.evalSlice(emb)
       val arrivals = emb
         .where(col("vec_id") % 10 === 0 && col("vec_id") % 50 =!= 0)
         .select(col("vec_id"), col("embedding"))

@@ -34,12 +34,14 @@ object SemDedupScaleDiag {
     spark.sparkContext.setLogLevel("WARN")
     import graft.operators.Similarity
     val emb = graft.Tables.t(spark, sfDir, "embeddings")
-    // EXACTLY x03's parameterization (SparkEntry "x03_semdedup_scaledk")
+    // EXACTLY x03's parameterization — the SHARED helper, not a copy, so
+    // a change to the fixture's k/stride/iters cannot leave this census
+    // silently adjudicating a different quantizer.
     val n = emb.count()
-    val k = math.max(8L, n / 1000).toInt
-    val stride = math.max(1L, n / 20000)
+    val (k, stride) = Similarity.scaledSemDedupParams(n)
     val sample = emb.where(pmod(col("vec_id"), lit(stride)) === 0)
-    val cents = Similarity.trainCentroids(sample, k, 2)
+    val cents = Similarity.trainCentroids(sample, k,
+      Similarity.ScaledSemDedupIters)
     val cells = Similarity.withAssignedCells(emb, cents)
       .groupBy("cell").agg(count(lit(1)).as("m"))
     val agg = cells.agg(

@@ -64,6 +64,17 @@ class BenchGateSpec extends AnyFunSuite {
     assert(v(true, false, Some(60.0), 12.0, Some(3.0)) === "confirmed")
     // no committed ceiling (new row): tolerance alone decides linear
     assert(v(true, false, Some(60.0), 9.0, None) === "linear")
+    // NEAR-FLOOR ceilings are overhead-dominated and say nothing about
+    // the asymptote: a row re-seeded at 1.6 (e18's r14 post-pin ceiling,
+    // measured sf1 ratio 1.06 — pure overhead) whose sf1->sf10 step
+    // honestly reaches 8-10x as overhead amortizes must stay "linear",
+    // not be flagged 3x over a meaningless ceiling
+    assert(v(true, false, Some(60.0), 8.0, Some(1.6)) === "linear")
+    assert(v(true, false, Some(60.0), 10.0, Some(2.0)) === "linear")
+    // the guard arms exactly at the data-dominated boundary (ceiling 3.0
+    // = measured step 2.0 under the 1.5x seed rule)
+    assert(v(true, false, Some(60.0), 10.0, Some(2.9)) === "linear")
+    assert(v(true, false, Some(60.0), 10.0, Some(3.0)) === "regressed")
   }
 
   test("sf1MaxRatio ceilings are well-formed and cover only benched rows") {

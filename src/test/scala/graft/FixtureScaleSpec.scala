@@ -54,8 +54,13 @@ class FixtureScaleSpec extends AnyFunSuite with SparkSpec {
       "t16_stream_semantic_decontaminate")
     pinned.foreach { n =>
       val sql = SparkEntry.oracleSql(n)
-      assert(sql.contains("vec_id < 500"),
-        s"$n: oracle SQL lost the vec_id < 500 scale pin")
+      // The pin must sit IN THE SAME PREDICATE as the eval-slice cut —
+      // a bare substring check would accept the pin moved to the corpus
+      // CTE while the bench/query CTE silently loses it.
+      assert("vec_id\\s*%\\s*50\\s*=\\s*0\\s+AND\\s+vec_id\\s*<\\s*500".r
+          .findFirstIn(sql).isDefined,
+        s"$n: oracle SQL lost the `vec_id % 50 = 0 AND vec_id < 500` " +
+          "pinned eval-slice predicate")
     }
   }
 
@@ -63,7 +68,8 @@ class FixtureScaleSpec extends AnyFunSuite with SparkSpec {
     // The operators whose cost is |corpus| x |small side| — any of these
     // missing from the declaration map would escape the contract check.
     val bnl = Seq("d55_semantic_decontaminate", "d56_hard_negatives",
-      "e18_filtered_topk", "e19_mmr_rerank")
+      "e18_filtered_topk", "e19_mmr_rerank",
+      "t16_stream_semantic_decontaminate")
     bnl.foreach(n => assert(SparkEntry.contractSmallSides.contains(n),
       s"$n is a |corpus| x |small-side| fixture but not declared in " +
         "contractSmallSides"))

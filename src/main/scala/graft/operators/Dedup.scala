@@ -264,9 +264,19 @@ object Dedup {
         col("doc_id"))
 
   /** Banded LSH keys with the bucket-size guard: the 200-perm signature is
-    * sliced into 25 bands of 8 rows; a band key is the comma-joined row
-    * values (string keys hash-join identically in any engine). Docs meet
-    * iff they agree on a whole band. [[cappedBandKeys]] drops buckets
+    * sliced into 25 bands of 8 rows; a band key is the 64-bit xxhash of
+    * (band index, the band's 8 signature values) — the textbook band-hash
+    * bucket key. Docs meet iff they agree on a whole band. An 8-byte long
+    * key instead of the comma-joined value string (~80 chars at the 1e9+7
+    * hash modulus) thins every exploded band row the self-join sorts and
+    * shuffles at corpus scale, and turns the sort comparisons into long
+    * compares; a hash COLLISION can only ADD a candidate pair (two docs
+    * differing on every band landing in one bucket), which exact Jaccard
+    * verification then removes — at 2^-64 per cross-key row pair the
+    * expected spurious-candidate count is ~1e-6 even at the 100x probe's
+    * 150M band rows, and the DuckDB oracles join the raw band values, so
+    * a collision would surface as a gate mismatch rather than hide.
+    * [[cappedBandKeys]] drops buckets
     * above `maxBandBucket` via the broadcast anti-join df-cap (heavy
     * buckets are bounded by rows/cap, so the heavy-key set broadcasts):
     * the standard guard against degenerate/boilerplate bands exploding
@@ -276,7 +286,6 @@ object Dedup {
                           textCol: String,
                           extraCols: Seq[String] = Nil,
                           withSketch: Boolean = false): DataFrame = {
-    import graft.functions.TextFunctions.{LshBands, LshRows}
     val sig = repartitionedDocs(docs, idCol, textCol, extraCols)
       .select(col("doc_id") +: expr("graft_minhash_sig(text)").as("sig") +:
         extraCols.map(col): _*)
@@ -289,12 +298,23 @@ object Dedup {
     val pre =
       if (withSketch) sig.withColumn("sketch", expr("graft_sig_sketch(sig)"))
       else sig
-    val bandKeys = transform(sequence(lit(0), lit(LshBands - 1)), i =>
-      concat_ws(",", transform(
-        slice(col("sig"), i * LshRows + 1, lit(LshRows)), x => x.cast("string"))))
+    val bandKeys = bandHashKeys(col("sig"))
     val sketchCols = if (withSketch) Seq("sketch") else Nil
     pre.select(col("doc_id") +: posexplode(bandKeys).as(Seq("band_id", "band_key")) +:
       (sketchCols ++ extraCols).map(col): _*)
+  }
+
+  /** The per-band bucket keys of a minhash signature column: one xxhash64
+    * long per band over (band index, the band's signature slice). Shared
+    * with the scale diagnostics ([[graft.tools.LshScaleDiag]]) so the
+    * censused bucket structure cannot drift from the one the operators
+    * join on. The band index inside the hash keeps cross-band value
+    * coincidences from colliding even before the explicit band_id join
+    * key does. */
+  private[graft] def bandHashKeys(sig: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import graft.functions.TextFunctions.{LshBands, LshRows}
+    transform(sequence(lit(0), lit(LshBands - 1)), i =>
+      xxhash64(i, slice(sig, i * LshRows + 1, lit(LshRows))))
   }
 
   private def cappedBandKeys(docs: DataFrame, idCol: String, textCol: String,
@@ -309,7 +329,10 @@ object Dedup {
   /** Monitoring view of what the cap drops: oversized (band_id, band_key)
     * buckets and their sizes — run alongside a dedup job to quantify
     * boilerplate (the "logged count" companion to the silent in-plan cap).
-    * One groupBy over the exploded bands; no window pass. */
+    * One groupBy over the exploded bands; no window pass. The band_key is
+    * the 64-bit bucket hash ([[bandHashKeys]]) — it identifies the bucket;
+    * join it back to [[winnowFingerprintRows]]-style doc listings to see
+    * the member documents. */
   def oversizedBandBuckets(docs: DataFrame, idCol: String, textCol: String,
                            maxBandBucket: Int = DefaultMaxBandBucket): DataFrame =
     bandKeyRows(docs, idCol, textCol)

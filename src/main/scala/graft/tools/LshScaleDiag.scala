@@ -24,12 +24,11 @@ object LshScaleDiag {
     val docs = graft.Tables.t(spark, sfDir, "documents")
       .select(col("doc_id"), col("text"))
       .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
-    import graft.functions.TextFunctions.{LshBands, LshRows}
     val sig = docs.select(col("doc_id"),
       expr("graft_minhash_sig(text)").as("sig"))
-    val bandKeys = transform(sequence(lit(0), lit(LshBands - 1)), i =>
-      concat_ws(",", transform(
-        slice(col("sig"), i * LshRows + 1, lit(LshRows)), x => x.cast("string"))))
+    // The SAME band-bucket keys the operators join on (shared builder —
+    // the census must count the buckets the engine actually uses).
+    val bandKeys = graft.operators.Dedup.bandHashKeys(col("sig"))
     val rows = sig.select(col("doc_id"),
       posexplode(bandKeys).as(Seq("band_id", "band_key")))
     val buckets = rows.groupBy("band_id", "band_key")

@@ -97,6 +97,17 @@ for line in sys.stdin:
                         "spill_mb": [float(x) for x in m.group(5).split(",")],
                         "raw": line})
         continue
+    m = re.fullmatch(r"XALG (\S+) sf=(\S+) rows_a=(\d+) rows_b=(\d+) "
+                 r"only_a=(\d+) only_b=(\d+) (IDENTICAL|MISMATCH)", line)
+    if m:
+        entries.append({"check": "cross_algorithm_compare",
+                        "name": m.group(1), "sf": sf_tag(m.group(2)),
+                        "rows_a": int(m.group(3)), "rows_b": int(m.group(4)),
+                        "only_a": int(m.group(5)), "only_b": int(m.group(6)),
+                        "verdict": m.group(7),
+                        "tool": "duckdb EXCEPT over the two Verify dumps",
+                        "raw": line})
+        continue
     m = re.fullmatch(r"ORACLE sf=(\S+) names=(\S+) ok=(\d+) bad=(\d+)", line)
     if m:
         names = m.group(2).split(",")

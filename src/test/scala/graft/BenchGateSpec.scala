@@ -77,6 +77,59 @@ class BenchGateSpec extends AnyFunSuite {
     assert(v(true, false, Some(60.0), 10.0, Some(3.0)) === "regressed")
   }
 
+  test("io_noise: the spill-wall rule downgrades only census-matched " +
+       "spill-heavy rows, and the r14 d15 adjudication replays") {
+    def v(r: Double, ceil: Option[Double], spill: Double, shuffle: Double,
+          census: Option[(Double, Double)]) =
+      Bench.ratioVerdict(true, false, Some(120.0), r, ceil, spill, shuffle, census)
+    // The r14 record: d15's sf10 step2 adjudicated 16.02 (> the 11.5
+    // tolerance -> would-be confirmed) while shuffle was byte-identical
+    // to the committed census (8568.69 vs 8568.69) and spill inside its
+    // band (174763 <= 174763 * 1.5) — the three same-code isolated
+    // re-runs walking 123.8 -> 304.9s proved the wall was the disk, not
+    // the engine. Mechanized verdict: io_noise.
+    assert(v(16.02, Some(6.7), 174763.16, 8568.69,
+      Some((8568.69, 174763.16))) === "io_noise")
+    // A LOST PUSHDOWN (shuffle balloons past the +20% band) is never
+    // excused, no matter how much it spills.
+    assert(v(16.02, Some(6.7), 174763.16, 17000.0,
+      Some((8568.69, 174763.16))) === "confirmed")
+    // A sort-pressure explosion (spill past +50% of census) is a real
+    // regression signal, not I/O noise.
+    assert(v(16.02, Some(6.7), 300000.0, 8568.69,
+      Some((8568.69, 174763.16))) === "confirmed")
+    // LESS work than census strengthens the excuse (the late-r14 band-hash
+    // change reduces these rows' bytes — one-sided bands absorb it).
+    assert(v(16.02, Some(6.7), 90000.0, 4000.0,
+      Some((8568.69, 174763.16))) === "io_noise")
+    // A spill-light row's wall is a compute measurement: verdict stands.
+    assert(v(16.02, Some(6.7), 0.0, 10269.35,
+      Some((10269.35, 0.0))) === "confirmed")
+    // No committed census (new row): never downgrades.
+    assert(v(16.02, Some(6.7), 174763.16, 8568.69, None) === "confirmed")
+    // A would-be "regressed" spill-heavy census-matched row downgrades too
+    // (the wall is unbelievable in either direction)...
+    assert(v(10.0, Some(3.0), 174763.16, 8568.69,
+      Some((8568.69, 174763.16))) === "io_noise")
+    // ...but linear/floor/cleared rows never reach the io_noise branch.
+    assert(v(9.0, Some(6.7), 174763.16, 8568.69,
+      Some((8568.69, 174763.16))) === "linear")
+    assert(Bench.ratioVerdict(true, false, Some(5.0), 16.02, Some(6.7),
+      174763.16, 8568.69, Some((8568.69, 174763.16))) === "floor")
+    assert(Bench.ratioVerdict(true, true, Some(120.0), 16.02, Some(6.7),
+      174763.16, 8568.69, Some((8568.69, 174763.16))) === "cleared")
+    // Non-scale3 (sf1) mode: the rule is sf10-tier only — sf1 rows are
+    // spill-light by construction and their gate has its own floor.
+    assert(Bench.ratioVerdict(false, false, Some(120.0), 16.02, Some(6.7),
+      174763.16, 8568.69, Some((8568.69, 174763.16))) === "confirmed")
+    // Census entries exist only for rows that are actually benched, and
+    // the spill threshold sits above every committed spill-LIGHT row's
+    // volume (the heaviest non-census row spilled 0 at sf10).
+    Bench.sf10WorkCensusMb.keys.foreach(n =>
+      assert(Bench.headline.contains(n), s"$n censused but not benched"))
+    assert(Bench.SpillWallMb >= 50000.0)
+  }
+
   test("sf1MaxRatio ceilings are well-formed and cover only benched rows") {
     val benched = Bench.headline.toSet
     Bench.sf1MaxRatio.foreach { case (name, ceil) =>

@@ -3992,8 +3992,8 @@ object SparkEntry {
   /** The MinHash-LSH candidate+verify pipeline as a reusable CTE body over
     * any (doc_id, text) relation `src` — shared by the d02 gate and the
     * d11 corpus-clean composition. Two verification views: `verf` verifies
-    * only candidates passing the deterministic mod-251 signature-agreement
-    * prefilter (matching sketch bytes / NumPerms >= 4/5 - 1/4 — the exact
+    * only candidates passing the deterministic mod-16 signature-agreement
+    * prefilter (matching sketch nibbles / NumPerms >= 4/5 - 1/4 — the exact
     * mirror of [[graft.operators.Dedup.minhashNearDupPairs]]'s in-band-join
     * scale guard), for every gate whose engine side goes through
     * minhashNearDupPairs; `ver` verifies ALL candidates, for the paths
@@ -4032,7 +4032,7 @@ object SparkEntry {
                 FROM cand JOIN hset ha ON ha.doc_id = doc_a
                           JOIN hset hb ON hb.doc_id = doc_b),
         estm AS (SELECT c.doc_a, c.doc_b,
-                        SUM(CASE WHEN ma.v % 251 = mb.v % 251
+                        SUM(CASE WHEN ma.v % 16 = mb.v % 16
                                  THEN 1 ELSE 0 END) AS m
                  FROM cand c JOIN mh ma ON ma.doc_id = c.doc_a
                              JOIN mh mb ON mb.doc_id = c.doc_b AND mb.j = ma.j

@@ -53,10 +53,11 @@ case class SortedIUExpression(left: Expression, right: Expression)
   override def prettyName: String = "graft_sorted_iu"
 }
 
-/** Byte sketch of a minhash signature — `(v % 251)` per permutation, the
-  * 1-byte-per-perm transport form of the signature used by the LSH
-  * candidate prefilter (each band row carries one; the estimate evaluates
-  * inside the band join so no per-pair payload ever shuffles). */
+/** Nibble sketch of a minhash signature — `(v % 16)` per permutation,
+  * packed two per byte: the half-byte-per-perm transport form of the
+  * signature used by the LSH candidate prefilter (each band row carries
+  * one; the estimate evaluates inside the band join so no per-pair
+  * payload ever shuffles). */
 case class SigSketchExpression(child: Expression)
     extends UnaryExpression {
   override def dataType: DataType = BinaryType
@@ -69,20 +70,22 @@ case class SigSketchExpression(child: Expression)
   override def prettyName: String = "graft_sig_sketch"
 }
 
-/** Count of positions where two byte sketches agree — the prefilter's
-  * inner loop (a sound over-estimate of the signature agreement). */
-case class CountEqBytesExpression(left: Expression, right: Expression)
+/** Count of NIBBLE positions where two packed nibble sketches agree —
+  * the prefilter's inner loop over [[SigSketchExpression]] output (a
+  * sound over-estimate of the signature agreement: nibble collisions
+  * only read high). */
+case class CountEqNibblesExpression(left: Expression, right: Expression)
     extends BinaryExpression {
   override def dataType: DataType = LongType
   override def nullSafeEval(a: Any, b: Any): Any =
-    TextHashKernels.countEqBytes(
+    TextHashKernels.countEqNibbles(
       a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev,
-      (a, b) => s"graft.expressions.TextHashKernels.countEqBytes($a, $b)")
-  override protected def withNewChildrenInternal(l: Expression, r: Expression): CountEqBytesExpression =
+      (a, b) => s"graft.expressions.TextHashKernels.countEqNibbles($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): CountEqNibblesExpression =
     copy(left = l, right = r)
-  override def prettyName: String = "graft_count_eq_bytes"
+  override def prettyName: String = "graft_count_eq_nibbles"
 }
 
 /** Count of positions where two equal-length long arrays agree — the
@@ -514,9 +517,9 @@ class GraftSparkSessionExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[SigSketchExpression].getName, "graft_sig_sketch"),
       (children: Seq[Expression]) => SigSketchExpression(children.head)))
     ext.injectFunction((
-      FunctionIdentifier("graft_count_eq_bytes"),
-      new ExpressionInfo(classOf[CountEqBytesExpression].getName, "graft_count_eq_bytes"),
-      (children: Seq[Expression]) => CountEqBytesExpression(children(0), children(1))))
+      FunctionIdentifier("graft_count_eq_nibbles"),
+      new ExpressionInfo(classOf[CountEqNibblesExpression].getName, "graft_count_eq_nibbles"),
+      (children: Seq[Expression]) => CountEqNibblesExpression(children(0), children(1))))
     ext.injectFunction((
       FunctionIdentifier("graft_code_sqdist"),
       new ExpressionInfo(classOf[CodeSqDistExpression].getName, "graft_code_sqdist"),

@@ -121,32 +121,46 @@ object TextHashKernels {
     m
   }
 
-  /** Byte SKETCH of a minhash signature: one byte per permutation,
-    * `(v % 251)`. The sketch supports a sound, deterministic estimate
-    * PREFILTER at ~1/8 the signature's transport width: byte equality is
-    * implied by value equality, so the byte-estimate only ever READS HIGH
-    * (collision rate 1/251 per disagreeing position) — a pair dropped on
-    * the byte estimate is dropped on the exact estimate too. 251 (prime,
-    * < 256) keeps the mod portable to the SQL oracle's integer arithmetic. */
+  /** Nibble SKETCH of a minhash signature: one 4-bit nibble per
+    * permutation, `(v % 16)`, packed two per byte (even permutation in the
+    * high nibble) — HALF a byte of transport per permutation, ~1/16 the
+    * signature's width. The sketch supports a sound, deterministic
+    * estimate PREFILTER: nibble equality is implied by value equality, so
+    * the nibble-estimate only ever READS HIGH (collision rate 1/16 per
+    * disagreeing position) — a pair dropped on the nibble estimate is
+    * dropped on the exact estimate too, and the Chernoff miss bound for a
+    * TRUE pair only tightens (collisions inflate the estimate, never
+    * deflate it). Pruning power at the d02 operating point survives the
+    * coarser mod: a J=0.5 boilerplate pair reads ~0.5 + 0.5/16 = 53%
+    * expected agreement, still under the 55% drop threshold. Power of two
+    * keeps the mod portable to the SQL oracle's integer arithmetic
+    * (`v % 16`). An ODD permutation count would leave a padding nibble
+    * that compares equal on both sides (one estimate count of inflation —
+    * still sound, reads high); the signature is 200 permutations. */
   def sigSketch(sig: ArrayData): Array[Byte] = {
     val n = sig.numElements()
-    val out = new Array[Byte](n)
+    val out = new Array[Byte]((n + 1) >> 1)
     var i = 0
     while (i < n) {
-      out(i) = (sig.getLong(i) % 251L).toByte
+      val nib = (sig.getLong(i) % 16L).toInt
+      if ((i & 1) == 0) out(i >> 1) = (nib << 4).toByte
+      else out(i >> 1) = (out(i >> 1) | nib).toByte
       i += 1
     }
     out
   }
 
-  /** Count of agreeing positions of two equal-length byte sketches. Extra
-    * tail positions of a longer sketch count as disagreement. */
-  def countEqBytes(a: Array[Byte], b: Array[Byte]): Long = {
+  /** Count of agreeing NIBBLE positions of two packed nibble sketches
+    * ([[sigSketch]]). Positions beyond the shorter sketch count as
+    * disagreement. */
+  def countEqNibbles(a: Array[Byte], b: Array[Byte]): Long = {
     val n = math.min(a.length, b.length)
     var i = 0
     var m = 0L
     while (i < n) {
-      if (a(i) == b(i)) m += 1
+      val x = a(i) ^ b(i)
+      if ((x & 0xf0) == 0) m += 1
+      if ((x & 0x0f) == 0) m += 1
       i += 1
     }
     m

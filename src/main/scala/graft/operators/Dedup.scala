@@ -56,7 +56,7 @@ object Dedup {
     * `threshold - marginQuarters/4` (default margin 1/4), so a pair whose
     * TRUE Jaccard meets the threshold can in principle be dropped when its
     * estimate lands below the margin. The estimate is deterministic (a SQL
-    * oracle reproduces it bit-for-bit from the same mod-251 sketch chain)
+    * oracle reproduces it bit-for-bit from the same mod-16 sketch chain)
     * and the miss probability for a true pair is Chernoff-bounded by
     * exp(-2 * NumPerms * margin^2) — ~1.4e-11 per pair at 200 permutations
     * with the default margin. `marginQuarters = 0` prunes at the RAW
@@ -81,18 +81,24 @@ object Dedup {
     // templated/boilerplate text) collide on a band, and each such
     // candidate would otherwise ship two multi-KB shingle sets through the
     // verification join (430 GB of observed spill at the 100x probe).
-    // Each band row carries a 1-byte-per-perm SKETCH of the signature
-    // (v % 251 — [[graft.expressions.SigSketchExpression]]), so the
-    // estimate evaluates as part of the join condition and NO per-pair
-    // payload ever shuffles: the only widening is NumPerms bytes on each
-    // band row (a fixed 25x-replicated ~200 B per doc). Pairs whose
-    // byte-estimate is below threshold - 1/4 are dropped in-join. The
-    // bound is DETERMINISTIC (the SQL oracle computes the same mod-251
-    // counts), sound against byte collisions (equal values imply equal
-    // bytes, so the byte estimate only reads HIGH — a dropped pair is
-    // dropped on the exact estimate too), and sound in the Chernoff sense:
-    // for a true pair at J = threshold, P(estimate < J - 1/4) <=
-    // exp(-2*NumPerms/16) ~ 1e-11 with 200 permutations.
+    // Each band row carries a half-byte-per-perm nibble SKETCH of the
+    // signature (v % 16, packed two per byte —
+    // [[graft.expressions.SigSketchExpression]]), so the estimate
+    // evaluates as part of the join condition and NO per-pair payload
+    // ever shuffles: the only widening is NumPerms/2 bytes on each band
+    // row (a fixed 25x-replicated ~100 B per doc — halved from the mod-251
+    // byte sketch it replaced, directly thinning the rows the band join
+    // sorts at the 100x probe). Pairs whose nibble-estimate is below
+    // threshold - 1/4 are dropped in-join. The bound is DETERMINISTIC
+    // (the SQL oracle computes the same mod-16 counts), sound against
+    // nibble collisions (equal values imply equal nibbles, so the
+    // estimate only reads HIGH — a dropped pair is dropped on the exact
+    // estimate too; the 1/16 false-match rate merely passes a few more
+    // near-threshold candidates to exact verification: a J=0.5 pair reads
+    // ~53% expected agreement vs the 55% drop bar), and sound in the
+    // Chernoff sense: for a true pair at J = threshold,
+    // P(estimate < J - 1/4) <= exp(-2*NumPerms/16) ~ 1e-11 with 200
+    // permutations — collisions only tighten it.
     val minMatching = {
       import graft.functions.TextFunctions.NumPerms
       // est >= num/den - q/4  <=>  m * 4*den >= NumPerms * (4*num - q*den)
@@ -105,7 +111,7 @@ object Dedup {
         col("a.doc_id") < col("b.doc_id")
       if (marginQuarters < 0) keys // prefilter disabled: pure LSH candidates
       else keys &&
-        expr("graft_count_eq_bytes(a.sketch, b.sketch)") * lit(minMatching._2) >=
+        expr("graft_count_eq_nibbles(a.sketch, b.sketch)") * lit(minMatching._2) >=
           lit(minMatching._1)
     }
     val cand = bands.as("a").join(bands.as("b"), joinCond)
@@ -274,7 +280,7 @@ object Dedup {
     * differing on every band landing in one bucket), which exact Jaccard
     * verification then removes — at 2^-64 per cross-key row pair the
     * expected spurious-candidate count is ~1e-6 even at the 100x probe's
-    * 150M band rows, and the DuckDB oracles join the raw band values, so
+    * 12.5M band rows, and the DuckDB oracles join the raw band values, so
     * a collision would surface as a gate mismatch rather than hide.
     * [[cappedBandKeys]] drops buckets
     * above `maxBandBucket` via the broadcast anti-join df-cap (heavy

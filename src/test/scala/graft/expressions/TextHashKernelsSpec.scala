@@ -159,7 +159,8 @@ class TextHashKernelsSpec extends AnyFunSuite with SparkSpec {
     assert(r.getSeq[Long](1).forall(_ == 0L))
   }
 
-  test("sig sketch is (v % 251) bytes; byte count-eq only reads HIGH") {
+  test("sig sketch is (v % 16) nibbles packed two per byte; nibble " +
+       "count-eq only reads HIGH") {
     val df = samples.filter(_.length >= 3).toDF("t")
     val rows = df.select(
       expr("graft_minhash_sig(t)").as("sig"),
@@ -167,19 +168,29 @@ class TextHashKernelsSpec extends AnyFunSuite with SparkSpec {
     rows.foreach { r =>
       val sig = r.getSeq[Long](0)
       val sk = r.getAs[Array[Byte]](1)
-      assert(sk.length == sig.length)
-      sig.zip(sk).foreach { case (v, b) => assert((v % 251L).toByte == b) }
+      assert(sk.length == (sig.length + 1) / 2)
+      sig.zipWithIndex.foreach { case (v, i) =>
+        val nib = if ((i & 1) == 0) (sk(i / 2) >> 4) & 0xf
+                  else sk(i / 2) & 0xf
+        assert((v % 16L).toInt == nib, s"perm $i: $v -> nibble $nib")
+      }
     }
-    // pairwise: byte agreement >= exact agreement (soundness direction),
-    // and equals it whenever no mod-251 collision occurs
+    // pairwise: nibble agreement >= exact agreement (soundness direction —
+    // a mod-16 collision can only inflate the estimate, never deflate it)
     val pairs = df.as("a").crossJoin(df.as("b")).select(
       expr("graft_count_eq(graft_minhash_sig(a.t), graft_minhash_sig(b.t))")
         .as("exact"),
-      expr("graft_count_eq_bytes(graft_sig_sketch(graft_minhash_sig(a.t)), " +
-        "graft_sig_sketch(graft_minhash_sig(b.t)))").as("bytes")).collect()
+      expr("graft_count_eq_nibbles(graft_sig_sketch(graft_minhash_sig(a.t)), " +
+        "graft_sig_sketch(graft_minhash_sig(b.t)))").as("nibbles")).collect()
     pairs.foreach { r =>
       assert(r.getLong(1) >= r.getLong(0),
-        s"byte estimate must not read below exact: $r")
+        s"nibble estimate must not read below exact: $r")
     }
+    // identical inputs agree on every permutation
+    val self = df.select(
+      expr("graft_count_eq_nibbles(graft_sig_sketch(graft_minhash_sig(t)), " +
+        "graft_sig_sketch(graft_minhash_sig(t)))").as("m"),
+      expr("size(graft_minhash_sig(t))").as("n")).collect()
+    self.foreach(r => assert(r.getLong(0) == r.getInt(1).toLong))
   }
 }

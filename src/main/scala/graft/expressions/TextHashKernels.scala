@@ -28,24 +28,79 @@ object TextHashKernels {
     acc
   }
 
+  /** 31^(len-1) mod P — the drop coefficient of the rolling form below. */
+  @inline private def pow31(len: Int): Long = {
+    var r = 1L
+    var i = 1
+    while (i < len) { r = (r * 31L) % P; i += 1 }
+    r
+  }
+
+  /** Rolling update: the hash of s[i+1, i+1+n) from the hash of s[i, i+n).
+    * Identical arithmetic to [[hashRange]] (h = sum s[i+j]*31^(n-1-j) mod P,
+    * all residues in [0, P)), evaluated in O(1) instead of O(n):
+    * h' = (h - s[i]*31^(n-1)) * 31 + s[i+n] mod P. Overflow-safe:
+    * s[i] < 2^16 and pw < P < 2^30 keep every intermediate under 2^47. */
+  @inline private def rollHash(h: Long, dropped: Char, added: Char,
+                               pw: Long): Long =
+    (((h + P - (dropped * pw) % P) % P) * 31L + added) % P
+
   /** MinHash signature (K longs) over n-gram shingle hashes. Duplicate
-    * shingles cannot change a minimum, so no dedup pass is needed. */
+    * shingles cannot change a minimum, so the K-permutation update runs
+    * once per DISTINCT shingle hash: an open-addressing seen-set in front
+    * of the update skips repeats (natural text repeats most of its char
+    * 3-grams, so this cuts the dominant K-multiply loop by the duplicate
+    * fraction), and the per-position hash itself is the O(1) rolling form.
+    * Output is bit-identical to the process-every-position formulation —
+    * mins are order- and multiplicity-free. */
   def minhashSig(text: UTF8String, n: Int): ArrayData = {
     val s = text.toString
     val mins = Array.fill(K)(Long.MaxValue)
     val last = s.length - n
+    if (last < 0) {
+      java.util.Arrays.fill(mins, 0L)
+      return new GenericArrayData(mins)
+    }
+    // Seen-set: capacity 2-4x positions rounded to a power of two, bounded
+    // at 2^22 entries (32 MB) for pathological documents; entries store h+1
+    // so 0 marks empty (h in [0, P)). The skip is only ever an OPTIMIZATION
+    // hint: a hash NOT in the table re-runs the K-loop (sound — redundant
+    // work, identical mins), so once the fill bound is reached the table
+    // simply stops admitting new entries and keeps serving lookups. A false
+    // "seen" would be wrong, so probes compare exact stored values.
+    val cap = math.min(1 << 22,
+      math.max(8, java.lang.Integer.highestOneBit(last + 1) << 2))
+    val seen = new Array[Long](cap)
+    val mask = cap - 1
+    val maxFill = cap >> 1
+    var fill = 0
+    val pw = pow31(n)
+    var h = hashRange(s, 0, n)
     var i = 0
     while (i <= last) {
-      val h = hashRange(s, i, n)
-      var j = 0
-      while (j < K) {
-        val v = (A(j) * h + B(j)) % P
-        if (v < mins(j)) mins(j) = v
-        j += 1
+      var idx = ((h * -7046029254386353131L) >>> 40).toInt & mask
+      var isDup = false
+      var probing = true
+      while (probing) {
+        val e = seen(idx)
+        if (e == 0L) {
+          if (fill < maxFill) { seen(idx) = h + 1; fill += 1 }
+          probing = false
+        }
+        else if (e == h + 1) { isDup = true; probing = false }
+        else idx = (idx + 1) & mask
       }
+      if (!isDup) {
+        var j = 0
+        while (j < K) {
+          val v = (A(j) * h + B(j)) % P
+          if (v < mins(j)) mins(j) = v
+          j += 1
+        }
+      }
+      if (i < last) h = rollHash(h, s.charAt(i), s.charAt(i + n), pw)
       i += 1
     }
-    if (last < 0) java.util.Arrays.fill(mins, 0L)
     new GenericArrayData(mins)
   }
 
@@ -57,13 +112,11 @@ object TextHashKernels {
     val s = text.toString
     val last = s.length - n
     if (last < 0) return new GenericArrayData(Array.emptyLongArray)
-    val hs = new Array[Long](last + 1)
-    var i = 0
-    while (i <= last) { hs(i) = hashRange(s, i, n); i += 1 }
+    val hs = allGramHashes(s, n, last)
     java.util.Arrays.sort(hs)
     // in-place dedup of the sorted array
     var w = 1
-    i = 1
+    var i = 1
     while (i <= last) {
       if (hs(i) != hs(w - 1)) { hs(w) = hs(i); w += 1 }
       i += 1
@@ -81,9 +134,8 @@ object TextHashKernels {
     val s = text.toString
     val last = s.length - n
     if (last < 0) return new GenericArrayData(Array.emptyLongArray)
-    val hs = new Array[Long](last + 1)
+    val hs = allGramHashes(s, n, last)
     var i = 0
-    while (i <= last) { hs(i) = hashRange(s, i, n); i += 1 }
     val nw = math.max(1, hs.length - w + 1)
     val fps = new Array[Long](nw)
     i = 0
@@ -218,10 +270,24 @@ object TextHashKernels {
     val s = text.toString
     val last = s.length - n
     if (last < 0) return new GenericArrayData(Array.emptyLongArray)
+    new GenericArrayData(allGramHashes(s, n, last))
+  }
+
+  /** Hashes of ALL n-gram positions 0..last via the rolling form — O(len)
+    * total instead of O(len*n), bit-identical to per-position [[hashRange]]
+    * (the exact-substring detector at n=30 pays 30x without this). */
+  @inline private def allGramHashes(s: String, n: Int, last: Int): Array[Long] = {
     val hs = new Array[Long](last + 1)
-    var i = 0
-    while (i <= last) { hs(i) = hashRange(s, i, n); i += 1 }
-    new GenericArrayData(hs)
+    val pw = pow31(n)
+    var h = hashRange(s, 0, n)
+    hs(0) = h
+    var i = 1
+    while (i <= last) {
+      h = rollHash(h, s.charAt(i - 1), s.charAt(i - 1 + n), pw)
+      hs(i) = h
+      i += 1
+    }
+    hs
   }
 
   def tokenBuckets(text: UTF8String, m: Long): ArrayData = {

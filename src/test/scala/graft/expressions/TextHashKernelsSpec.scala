@@ -151,6 +151,41 @@ class TextHashKernelsSpec extends AnyFunSuite with SparkSpec {
     assert(fps(0).intersect(fps(1)).nonEmpty)
   }
 
+  test("rolling-hash/seen-set kernels == naive per-position formulations " +
+       "on long, repetitive and non-ASCII inputs") {
+    def naive(s: String, n: Int): Seq[Long] = (0 to s.length - n).map { i =>
+      s.substring(i, i + n)
+        .foldLeft(0L)((a, c) => (a * 31 + c) % TextFunctions.HashMod)
+    }
+    val texts = Seq(
+      ("ab " * 400).trim,                          // repetitive: dedup-skip hot
+      (0 until 500).map(i => ('a' + i % 26).toChar).mkString,
+      "привет мир " * 50,                          // BMP non-ASCII code units
+      "x" * 29, "y" * 30, "z" * 31,                // n=30 boundaries
+      "the fast key order sort table scan merge " * 20)
+    val df = texts.toDF("t")
+    // charGramHashes at the exact-substring n=30 (rolling form)
+    df.select(col("t"), expr("graft_char_gram_hashes(t, 30)").as("k")).collect()
+      .foreach { r =>
+        assert(r.getSeq[Long](1) == naive(r.getString(0), 30),
+          s"char_gram_hashes n=30 on len ${r.getString(0).length}")
+      }
+    // shingle hash set at n=3 (rolling form feeding sort+dedup)
+    df.select(col("t"), expr("graft_shingle_hash_set(t)").as("k")).collect()
+      .foreach { r =>
+        assert(r.getSeq[Long](1) == naive(r.getString(0), 3).distinct.sorted,
+          "shingle_hash_set n=3")
+      }
+    // minhash signature (rolling + duplicate-shingle skip) vs the HOF
+    // reference, which processes EVERY position — first 16 perms
+    val both = df.filter(length(col("t")) >= 3).select(
+      slice(expr("graft_minhash_sig(t)"), 1, 16).as("kernel"),
+      TextFunctions.minhashSignature(
+        TextFunctions.shingleHashes(col("t"), 3), 16).as("hof"))
+    both.collect().foreach(r => assert(r.getSeq[Long](0) == r.getSeq[Long](1),
+      "minhash_sig rolling+dedup-skip"))
+  }
+
   test("short strings yield empty shingle set and zero-filled signature") {
     val df = Seq("ab").toDF("t")
     val r = df.select(expr("graft_shingle_hash_set(t)").as("s"),

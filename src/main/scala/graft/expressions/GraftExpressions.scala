@@ -168,6 +168,21 @@ case class CharGramHashesExpression(child: Expression, n: Int)
   override def prettyName: String = "graft_char_gram_hashes"
 }
 
+/** Suffix-array round-0 keys: packed order-preserving first-m-char keys,
+  * one per position ([[TextHashKernels.saInitKeys]]). */
+case class SaInitKeysExpression(child: Expression, m: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    TextHashKernels.saInitKeys(input.asInstanceOf[UTF8String], m)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.expressions.TextHashKernels.saInitKeys($c, $m)")
+  override protected def withNewChildInternal(newChild: Expression): SaInitKeysExpression =
+    copy(child = newChild)
+  override def prettyName: String = "graft_sa_init_keys"
+}
+
 /** Hashed feature buckets of whitespace tokens: polyhash(token) mod m. */
 case class TokenBucketsExpression(child: Expression, m: Long)
     extends UnaryExpression {
@@ -585,6 +600,19 @@ class GraftSparkSessionExtensions extends (SparkSessionExtensions => Unit) {
         val n = children(1).eval(null).toString.toInt
         require(n > 0, s"graft_char_gram_hashes: n must be positive, got $n")
         CharGramHashesExpression(children(0), n)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_sa_init_keys"),
+      new ExpressionInfo(classOf[SaInitKeysExpression].getName,
+        "graft_sa_init_keys"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2,
+          s"graft_sa_init_keys(text, m) takes 2 arguments, got ${children.length}")
+        require(children(1).foldable, "graft_sa_init_keys: m must be a literal")
+        val m = children(1).eval(null).toString.toInt
+        require(m == 3 || m == 9,
+          s"graft_sa_init_keys: m must be 3 (BMP) or 9 (ASCII), got $m")
+        SaInitKeysExpression(children(0), m)
       }))
     ext.injectFunction((
       FunctionIdentifier("graft_redact_pii"),

@@ -290,6 +290,40 @@ object TextHashKernels {
     hs
   }
 
+  /** Suffix-array round-0 keys: element p (0-based) is the first `m`
+    * Java chars of the suffix starting at p packed into ONE order-
+    * preserving non-negative long, 0-padded past the doc end so a prefix
+    * sorts before its extensions. Base 128 at m = 9 (all-ASCII corpora:
+    * 9 chars x 7 bits fill the 63 sign-safe bits exactly, max key
+    * 128^9 - 1 = Long.MaxValue) or base 65536 at m = 3 (BMP corpora —
+    * Java char code order, the class's documented collation). Computed as
+    * a rolling O(1) update per position — the HOF formulation paid an
+    * O(position) `substring` walk per char, O(len^2) per document. */
+  def saInitKeys(text: UTF8String, m: Int): ArrayData = {
+    val s = text.toString
+    val len = s.length
+    if (len == 0) return new GenericArrayData(Array.emptyLongArray)
+    val base = if (m == 9) 128L else 65536L
+    // top = base^(m-1): the dropped leading char's place value
+    var top = 1L
+    var j = 1
+    while (j < m) { top *= base; j += 1 }
+    @inline def charAt(p: Int): Long = if (p < len) s.charAt(p).toLong else 0L
+    val keys = new Array[Long](len)
+    // key(0): fold the first m chars
+    var key = 0L
+    j = 0
+    while (j < m) { key = key * base + charAt(j); j += 1 }
+    keys(0) = key
+    var p = 1
+    while (p < len) {
+      key = (key - charAt(p - 1) * top) * base + charAt(p - 1 + m)
+      keys(p) = key
+      p += 1
+    }
+    new GenericArrayData(keys)
+  }
+
   def tokenBuckets(text: UTF8String, m: Long): ArrayData = {
     val s = text.toString
     val len = s.length

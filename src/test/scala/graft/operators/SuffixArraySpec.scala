@@ -63,9 +63,37 @@ class SuffixArraySpec extends AnyFunSuite with SparkSpec {
     assert(out == Map((3L, 1L) -> 1L, (1L, 1L) -> 2L, (4L, 1L) -> 2L))
   }
 
+  test("non-ASCII corpus takes the 3-char BMP pack and matches brute force") {
+    // one non-ASCII doc flips the whole corpus off the 9-char ASCII pack;
+    // ranks must still match the Java-char-code suffix sort exactly
+    val docs = Seq(1L -> "банан", 2L -> "банка", 3L -> ("ab" * 40),
+      4L -> "κόσμος κόσμε", 5L -> "plain ascii text here")
+    assert(ranksOf(docs: _*) == bruteForce(docs: _*))
+  }
+
   test("long periodic doc needs the full doubling depth") {
     // 200 chars of "ab" -> suffixes differ only at the very tail
     val out = ranksOf(1L -> ("ab" * 100))
     assert(out == bruteForce(1L -> ("ab" * 100)))
+  }
+
+  test("walk pairing path (forced) == broadcast pairing path == brute force") {
+    // broadcastPairLimit = -1 forces the doc-keyed walk in EVERY round;
+    // the default small-corpus path is all-broadcast — both must match
+    // the brute force bit for bit
+    val rnd = new scala.util.Random(7)
+    val docs = (0L until 8L).map { i =>
+      val len = 10 + rnd.nextInt(80)
+      i -> (0 until len).map(_ => "abz"(rnd.nextInt(3))).mkString
+    } :+ (8L -> ("ab" * 90)) :+ (9L -> "shared suffix tail") :+
+      (10L -> "another shared suffix tail")
+    val walk = SuffixArray
+      .suffixRanks(docs.toDF("doc_id", "text"), "doc_id", "text",
+        broadcastPairLimit = -1L)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("p")) ->
+        r.getAs[Long]("suffix_rank")).toMap
+    assert(walk == bruteForce(docs: _*))
+    assert(walk == ranksOf(docs: _*))
   }
 }

@@ -16,9 +16,13 @@ object ExplainQ {
       .config("spark.ui.enabled", sys.env.getOrElse("GRAFT_UI", "false")).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val df = graft.SparkEntry.queries(q)(spark, sfDir)
-    df.write.format("noop").mode("overwrite").save()
+    // GRAFT_COLLECT=1 executes df's OWN QueryExecution so the printed
+    // plan is the AQE FINAL plan (stage reuse visible); default keeps the
+    // noop write (separate execution, initial plan printed).
+    if (sys.env.get("GRAFT_COLLECT").contains("1")) df.collect()
+    else df.write.format("noop").mode("overwrite").save()
     println("=== EXECUTED PLAN (final) ===")
-    println(df.queryExecution.executedPlan.toString.take(12000))
+    println(df.queryExecution.executedPlan.toString)
     spark.stop()
   }
 }

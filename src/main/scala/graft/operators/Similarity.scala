@@ -381,18 +381,62 @@ object Similarity {
     * encode step uses POSITIONS 0..n-1 (order-isomorphic to cell ids, so
     * the argmin tie-break is preserved) to keep literal lookups dense even
     * if a Lloyd iteration emptied a cell. `codebooks(s)(c)` is subspace
-    * s's centroid c (subDim doubles) — m×k×subDim total, driver-tiny. */
+    * s's centroid c (subDim doubles) — m×k×subDim total, driver-tiny.
+    *
+    * All m sub-quantizers train FUSED: the m Lloyd problems are
+    * independent but read the same corpus, so one scan computes every
+    * subspace's nearest-cell assignment in the projection and one
+    * (subspace, cell, dim) aggregation replaces m (cell, dim)
+    * aggregations over the same exploded row count. m×iters corpus
+    * passes (plus m init collects) become iters passes (plus one) —
+    * identical arithmetic per subspace (same assignment kernel, same
+    * exact-decimal means), so the trained codebooks are bit-identical
+    * to training each subspace alone. */
   def trainPqCodebooks(corpus: DataFrame, m: Int, dim: Int,
                        k: Int, iters: Int): Seq[Array[Array[Double]]] = {
     require(dim % m == 0, s"dim $dim must divide into $m subspaces")
     val subDim = dim / m
-    (0 until m).map { s =>
-      val sliced = corpus.select(col("vec_id"),
-        slice(col("embedding"), s * subDim + 1, subDim).as("embedding"))
-      trainCentroids(sliced, k, iters).select("cell", "c_emb")
-        .collect().sortBy(_.getLong(0))
-        .map(_.getSeq[Double](1).toArray)
+    // One init collect: the k lowest vec_ids carry every subspace's init
+    // slice (trainCentroids' init per subspace is the same k rows).
+    val initRows = corpus
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("e"))
+      .orderBy("vec_id").limit(k).collect()
+      .sortBy(_.getLong(0))
+    // Per-subspace state: cell ids ascending + centroids in that order
+    // (cells can vanish when a Lloyd iteration empties them — exactly as
+    // in the per-subspace trainCentroids loop).
+    val cells: Array[Array[Long]] =
+      Array.fill(m)(initRows.indices.map(_.toLong).toArray)
+    val cents: Array[Array[Array[Double]]] = Array.tabulate(m) { s =>
+      initRows.map(_.getSeq[Double](1).slice(s * subDim, (s + 1) * subDim).toArray)
     }
+    for (_ <- 1 to iters) {
+      val asg = array((0 until m).map { s =>
+        call_function("graft_nearest_cell",
+          slice(col("embedding"), s * subDim + 1, subDim),
+          lit(cells(s)), lit(cents(s).flatten))
+      }: _*)
+      val sub = expr(s"d div $subDim").cast("int")
+      val next = corpus
+        .select(asg.as("asg"), posexplode(col("embedding")).as(Seq("d", "v")))
+        .select(sub.as("s"),
+          element_at(col("asg"), sub + 1).as("cell"),
+          expr(s"d % $subDim").as("dim"), col("v"))
+        .groupBy("s", "cell", "dim")
+        .agg((sum(col("v").cast("double").cast("decimal(27,10)")).cast("double") /
+              count(lit(1))).as("m"))
+        .groupBy("s", "cell")
+        .agg(transform(array_sort(collect_list(struct(col("dim"), col("m")))),
+          st => st.getField("m")).as("c_emb"))
+        .collect()
+      (0 until m).foreach { s =>
+        val rows = next.filter(_.getInt(0) == s).sortBy(_.getLong(1))
+        cells(s) = rows.map(_.getLong(1))
+        cents(s) = rows.map(_.getSeq[Double](2).toArray)
+      }
+    }
+    (0 until m).map(s => cents(s))
   }
 
   /** Encode the corpus against trained codebooks: `(neighbor_id, codes)`

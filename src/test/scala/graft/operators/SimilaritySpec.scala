@@ -98,4 +98,56 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
       .select("vec_id").collect().map(_.getLong(0)).sorted
     assert(kept.toSeq == Seq(0L, 1L, 2L))
   }
+
+  /** The m-subspace reference formulation the fused trainPqCodebooks
+    * replaced: one independent trainCentroids per embedding slice. The
+    * fused single-scan training must reproduce it bit for bit. */
+  private def pqCodebooksRef(corpus: org.apache.spark.sql.DataFrame, m: Int,
+                             dim: Int, k: Int, iters: Int): Seq[Array[Array[Double]]] = {
+    val subDim = dim / m
+    (0 until m).map { s =>
+      val sliced = corpus.select(col("vec_id"),
+        slice(col("embedding"), s * subDim + 1, subDim).as("embedding"))
+      Similarity.trainCentroids(sliced, k, iters).select("cell", "c_emb")
+        .collect().sortBy(_.getLong(0))
+        .map(_.getSeq[Double](1).toArray)
+    }
+  }
+
+  test("fused PQ codebook training == per-subspace Lloyd's, bit for bit") {
+    val rnd = new scala.util.Random(42)
+    val corpus = emb((0L until 60L).map(i =>
+      i -> Seq.fill(12)(rnd.nextFloat() * 2 - 1)): _*)
+    for (iters <- Seq(1, 3)) {
+      val fused = Similarity.trainPqCodebooks(corpus, m = 3, dim = 12, k = 4,
+        iters = iters)
+      val ref = pqCodebooksRef(corpus, m = 3, dim = 12, k = 4, iters = iters)
+      assert(fused.size == ref.size)
+      fused.zip(ref).foreach { case (f, r) =>
+        assert(f.map(_.toSeq).toSeq == r.map(_.toSeq).toSeq)
+      }
+    }
+  }
+
+  test("fused PQ training tracks per-subspace emptied cells like the reference") {
+    // Two tight point clouds per subspace with k=3: one init centroid loses
+    // every point after the first iteration in at least one subspace, so the
+    // collected codebook is SHORTER than k there — position mapping and the
+    // next iteration's assignment must keep matching the reference.
+    val corpus = emb(
+      0L -> Seq(0f, 0f, 10f, 10f),
+      1L -> Seq(0.1f, 0f, 10f, 10.1f),
+      2L -> Seq(0.1f, 0.1f, 10.1f, 10f),
+      3L -> Seq(10f, 10f, 0f, 0f),
+      4L -> Seq(10.1f, 10f, 0f, 0.1f),
+      5L -> Seq(10f, 10.1f, 0.1f, 0f))
+    for (iters <- Seq(1, 2, 4)) {
+      val fused = Similarity.trainPqCodebooks(corpus, m = 2, dim = 4, k = 3,
+        iters = iters)
+      val ref = pqCodebooksRef(corpus, m = 2, dim = 4, k = 3, iters = iters)
+      fused.zip(ref).foreach { case (f, r) =>
+        assert(f.map(_.toSeq).toSeq == r.map(_.toSeq).toSeq)
+      }
+    }
+  }
 }

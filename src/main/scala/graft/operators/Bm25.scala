@@ -75,9 +75,13 @@ object Bm25 {
     // key costs nothing and saves the doc-length rejoin later
     val tf = toks.groupBy("doc_id", "dl", "term")
       .agg(count(lit(1)).as("tf"))
-    val stats = docs.agg(
-      count(lit(1)).cast("long").as("n"),
-      coalesce(sum(size(col("tokens")).cast("long")), lit(0L)).as("t"))
+    // n never touches the tokens column (the count scan prunes it away),
+    // and t = sum of term frequencies — the same total token count as
+    // sum(size(tokens)) but computed over tf, whose exchange the score
+    // join already pays for. The old one-pass form tokenized the whole
+    // corpus a SECOND time just to size it.
+    val stats = docs.agg(count(lit(1)).cast("long").as("n"))
+      .crossJoin(tf.agg(coalesce(sum(col("tf")), lit(0L)).as("t")))
 
     // df from tf semi-joined to the DISTINCT query-term set: tf is one row
     // per (doc, term), so a plain count is the document frequency, and only

@@ -67,32 +67,44 @@ object PageRank {
       .distinct()
       .persist()
 
-    // Round 0 is a constant — no checkpoint needed; each later round IS
-    // checkpointed and KEPT (the trajectory output reads every round).
-    var r = nodes.withColumn("r", lit(scale))
-    val history = Array.newBuilder[DataFrame]
-    for (t <- 1 to iters) {
-      val inSum = ed.join(r, ed("src") === r("node"))
-        .select(col("dst").as("node"), expr("r div od").as("c"))
-        .groupBy("node").agg(sum("c").as("m"))
-      val (next, _) = Dedup.checkpointOwned(
-        nodes.join(inSum, Seq("node"), "left")
-          .select(col("node"),
-            expr(s"(3 * ${scale}L + 17 * coalesce(m, 0L)) div 20").as("r")))
-      r = next
-      history += r.select(col("node"), col("r").as(s"rank_$t"))
-    }
-    // Checkpoint the degree-annotated node base too, so the loop-side
-    // persists can release without the returned frame recomputing them.
-    val (base, _) = Dedup.checkpointOwned(
+    // The loop state is ONE frame carrying the whole trajectory so far —
+    // (node, out_deg, rank_1..rank_t) — so the output needs no final
+    // join chain over per-round history frames (each of which cost a
+    // join + broadcast at every scale), and round t-1's checkpoint frees
+    // as soon as round t materializes (the CC-loop lineage discipline;
+    // the old per-round history had to keep every round's checkpoint
+    // live). The trajectory column rides the checkpoint at 8 bytes per
+    // round per node — noise against the per-round rank shuffle.
+    var (state, stateRdd) = Dedup.checkpointOwned(
       nodes.join(deg.select(col("src").as("node"), col("od")),
           Seq("node"), "left")
         .select(col("node"), coalesce(col("od"), lit(0L)).as("out_deg")))
+    for (t <- 1 to iters) {
+      // Round 1 reads the constant r_0 = scale straight off the edge
+      // list (every src is a node and all ranks are `scale` — joining
+      // the state adds nothing); later rounds join the previous rank in.
+      val contrib =
+        if (t == 1)
+          ed.select(col("dst").as("node"), expr(s"${scale}L div od").as("c"))
+        else
+          ed.join(state.select(col("node").as("r_node"),
+              col(s"rank_${t - 1}").as("r")), ed("src") === col("r_node"))
+            .select(col("dst").as("node"), expr("r div od").as("c"))
+      val inSum = contrib.groupBy("node").agg(sum("c").as("m"))
+      val (next, nextRdd) = Dedup.checkpointOwned(
+        state.join(inSum, Seq("node"), "left")
+          .select(state.columns.map(col) :+
+            expr(s"(3 * ${scale}L + 17 * coalesce(m, 0L)) div 20")
+              .as(s"rank_$t"): _*))
+      stateRdd.foreach(_.unpersist(blocking = false)) // prev round: consumed
+      state = next
+      stateRdd = nextRdd
+    }
     ed.unpersist()
     nodes.unpersist()
-    // The rounds' checkpoints back the returned frame; the ContextCleaner
-    // reclaims them once the result is dropped.
-    history.result().foldLeft(base) { (acc, h) => acc.join(h, "node") }
+    // The final round's checkpoint backs the returned frame; the
+    // ContextCleaner reclaims it once the result is dropped.
+    state
   }
 
   /** Run to the exact integer fixpoint (or `maxIters`): the long-lived

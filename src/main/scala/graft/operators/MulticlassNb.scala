@@ -47,19 +47,25 @@ object MulticlassNb {
     val occ = d.select(col("doc_id"), col("cls"), col("is_train"),
       explode(col("tokens")).as("w"))
     val trainOcc = occ.where(col("is_train"))
-    val counts = trainOcc.groupBy("w", "cls").agg(count(lit(1)).as("cnt"))
+    // The hook owns the (vocab x K, bounded) count table: training is ONE
+    // explode+groupBy over the occurrences — the class token totals tc
+    // derive from it as sum(cnt) (the same number as counting trainOcc
+    // per class, which used to tokenize the whole training slice a
+    // second time), and the scoring join reads the same cached table.
+    val counts = cacheHook(
+      trainOcc.groupBy("w", "cls").agg(count(lit(1)).as("cnt")))
     // class roster: K rows (token totals + doc counts per class),
-    // broadcast to both scoring joins
-    val roster = trainOcc.groupBy("cls").agg(count(lit(1)).as("tc"))
-      .join(d.where(col("is_train")).groupBy("cls")
-        .agg(count(lit(1)).as("nc")), "cls")
+    // broadcast to both scoring joins; nc's scan never needs the tokens
+    // column (pruned away)
+    val roster = cacheHook(
+      counts.groupBy("cls").agg(sum("cnt").as("tc"))
+        .join(d.where(col("is_train")).groupBy("cls")
+          .agg(count(lit(1)).as("nc")), "cls"))
     // fail fast on an empty training slice, but cheaply: probe one row
-    // (and route the roster through the caller's cache hook so the probe
-    // warms the same table the two broadcast joins read)
-    val rosterC = cacheHook(roster)
-    require(!rosterC.limit(1).isEmpty,
+    // (the probe warms the hook-owned count table both broadcasts read)
+    require(!roster.limit(1).isEmpty,
       "multi-class NB needs a non-empty training slice (isTrain matched no docs)")
-    val classes = broadcast(rosterC)
+    val classes = broadcast(roster)
     // per-occurrence, per-class quantized bits
     val perOcc = occ.select(col("doc_id"), col("w"))
       .crossJoin(classes.select(col("cls"), col("tc")))

@@ -2505,8 +2505,12 @@ object SparkEntry {
           concat(col("text"), lit(" # # # # # # # # # #")))
         .when(col("doc_id") % 4 === 2, concat(col("text"), lit(nums)))
         .otherwise(substring(col("text"), 1, 9))
-      t(s, dir, "documents").select(col("doc_id"),
-          TF.gopherQuality(raw).as("q"))
+      // tokens bound to a real column first: the six rule fields then
+      // read ONE evaluated array instead of re-tokenizing per field
+      // (the HOF rule expressions evaluate interpreted, no codegen CSE)
+      t(s, dir, "documents")
+        .select(col("doc_id"), TF.cleanTokens(raw).as("w"))
+        .select(col("doc_id"), TF.gopherQualityOfTokens(col("w")).as("q"))
         .select(col("doc_id"), col("q.n_words"), col("q.mean_wlen_e2"),
           col("q.symbol_e4"), col("q.alpha_e4"), col("q.stop_count"),
           col("q.passed"))
@@ -2533,8 +2537,10 @@ object SparkEntry {
         .otherwise(
           concat_ws("\n", concat(lit("• "), l1), concat(lit("- "), l2),
             concat(lit("* "), l3)))
-      t(s, dir, "documents").select(col("doc_id"),
-          TF.gopherLineRules(raw).as("q"))
+      // line array bound first — the d66 one-evaluation discipline
+      t(s, dir, "documents")
+        .select(col("doc_id"), TF.gopherLines(raw).as("ls"))
+        .select(col("doc_id"), TF.gopherLineRulesOfLines(col("ls")).as("q"))
         .select(col("doc_id"), col("q.n_lines"), col("q.dup_line_e4"),
           col("q.ellipsis_e4"), col("q.bullet_e4"), col("q.passed"))
         .orderBy("doc_id")

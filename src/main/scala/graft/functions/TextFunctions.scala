@@ -174,8 +174,19 @@ object TextFunctions {
     * aggregate) — one in-row pass, no UDF, no shuffle; `passed` is the
     * conjunction. */
   def gopherQuality(c: Column, minWords: Int = 5,
-                    maxWords: Int = 100000): Column = {
-    val w = cleanTokens(c)
+                    maxWords: Int = 100000): Column =
+    gopherQualityOfTokens(cleanTokens(c), minWords, maxWords)
+
+  /** [[gopherQuality]] over an already-bound token array column. The
+    * struct references its token array in six rule fields, and the
+    * array-typed higher-order functions evaluate interpreted — so when
+    * the array is an INLINE expression the whole tokenization re-runs
+    * per referencing field. Hot paths bind `cleanTokens(c)` to a real
+    * column in a prior projection and pass that here: CollapseProject
+    * keeps a non-cheap multi-referenced alias materialized, so the
+    * tokenize runs once per row. Semantics identical to inlining. */
+  def gopherQualityOfTokens(w: Column, minWords: Int = 5,
+                            maxWords: Int = 100000): Column = {
     val nW = size(w).cast("long")
     val totalChars = aggregate(w, lit(0L), (a, x) => a + length(x))
     // Column `/` is DOUBLE division: floor+cast restores the integer
@@ -212,8 +223,18 @@ object TextFunctions {
     * of codegen'd built-ins (split/transform/filter/array_distinct),
     * no UDF, no shuffle; `passed` is the conjunction (empty docs pass —
     * the word-count rule in [[gopherQuality]] owns rejecting those). */
-  def gopherLineRules(c: Column): Column = {
-    val lines = filter(transform(split(c, "\n"), x => trim(x)), x => x =!= "")
+  def gopherLineRules(c: Column): Column =
+    gopherLineRulesOfLines(gopherLines(c))
+
+  /** The '\n'-split, space-trimmed, non-empty line array
+    * [[gopherLineRules]] scores — bind it to a real column (see
+    * [[gopherQualityOfTokens]]) so the split runs once per row. */
+  def gopherLines(c: Column): Column =
+    filter(transform(split(c, "\n"), x => trim(x)), x => x =!= "")
+
+  /** [[gopherLineRules]] over an already-bound line array column —
+    * the same one-evaluation discipline as [[gopherQualityOfTokens]]. */
+  def gopherLineRulesOfLines(lines: Column): Column = {
     val nL = size(lines).cast("long")
     val nDistinct = size(array_distinct(lines)).cast("long")
     def idiv(a: Column, b: Column): Column = floor(a / b).cast("long")

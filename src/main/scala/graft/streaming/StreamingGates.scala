@@ -678,8 +678,10 @@ object StreamingGates {
           .otherwise(
             concat_ws("\n", concat(lit("• "), l1), concat(lit("- "), l2),
               concat(lit("* "), l3)))
-        batch.select(col("doc_id"), TF.gopherQuality(raw).as("q"),
-            TF.gopherLineRules(raw).as("lr"))
+        batch.select(col("doc_id"), TF.cleanTokens(raw).as("w"),
+            TF.gopherLines(raw).as("ls"))
+          .select(col("doc_id"), TF.gopherQualityOfTokens(col("w")).as("q"),
+            TF.gopherLineRulesOfLines(col("ls")).as("lr"))
           .where(col("q.passed") === 0L || col("lr.passed") === 0L)
           .select(col("doc_id"), col("q.n_words"), col("q.mean_wlen_e2"),
             col("q.symbol_e4"), col("q.alpha_e4"), col("q.stop_count"),

@@ -1034,9 +1034,11 @@ object SparkEntry {
       // over exact bigram strings (codegen kernel, cross-checked against
       // the explode formulation in TextHashKernelsSpec) — the former
       // corpus-wide (doc_id, gram) shuffle + join-back is gone entirely.
-      d.select(col("doc_id"),
-          TF.tokenCount(col("text")).as("n_tokens"),
-          size(array_distinct(TF.cleanTokens(col("text")))).cast("long").as("n_distinct"),
+      d.select(col("doc_id"), col("text"),
+          TF.cleanTokens(col("text")).as("w"))
+        .select(col("doc_id"),
+          size(col("w")).cast("long").as("n_tokens"),
+          size(array_distinct(col("w"))).cast("long").as("n_distinct"),
           coalesce(expr("graft_top_bigram_count(text)"), lit(0L)).as("top2_cnt"))
         .select(col("doc_id"), col("n_tokens"),
           expr("CASE WHEN n_tokens > 0 THEN ((n_tokens - n_distinct) * 1000000) div n_tokens ELSE 0 END")

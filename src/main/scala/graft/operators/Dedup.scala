@@ -646,7 +646,13 @@ object Dedup {
     }
 
     // large-star: m(u) = min over u's symmetric neighborhood and u itself;
-    // every neighbor v > u re-links to m(u). Self-loops vanish.
+    // every neighbor v > u re-links to m(u). Self-loops vanish. The
+    // output is deliberately NOT deduplicated: it only feeds smallStar,
+    // whose min-aggregation is multiplicity-blind and whose final
+    // distinct restores set-ness — so each ROUND's edge set (digest,
+    // convergence, labels) is identical while the round pays one less
+    // corpus-sized exchange. Duplicates are bounded: each symmetric edge
+    // emits at most one row.
     def largeStar(edges: DataFrame): DataFrame = {
       val sym = edges.select(col("a").as("u"), col("b").as("v"))
         .union(edges.select(col("b").as("u"), col("a").as("v")))
@@ -655,7 +661,7 @@ object Dedup {
       sym.join(mins, "u")
         .where(col("v") > col("u"))
         .select(col("v").as("a"), col("m").as("b"))
-        .where(col("a") =!= col("b")).distinct()
+        .where(col("a") =!= col("b"))
     }
 
     // small-star: orient big->small so G(u) holds only smaller ids; both

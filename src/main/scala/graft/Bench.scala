@@ -180,7 +180,16 @@ object Bench {
     // box; none of their code paths changed this session) — the
     // headroom-erosion class: each old budget sat AT its fresh
     // measurement and breached in-suite by 1-4%; 1.5x rule re-applied.
-    "d31_dup_clusters_star" -> 6.1, "d17_semdedup" -> 2.1,
+    // d17 re-budgeted r14-opt3 (BENCH_r14_opt3.json: in-suite 2.13,
+    // isolated 2.111 vs the eroded 2.1 — a 0.5% confirmed_breach
+    // in-artifact on a window where untouched x03 read +40%). d17's code
+    // path (semDedupKeep -> trainCentroids -> cosineNearDupPairs) is
+    // untouched this session (only trainPqCodebooks changed in
+    // Similarity.scala, which d17 never calls) and the trained-quantizer
+    // plan audit is green, so this is the headroom-erosion class; 1.5x
+    // rule on the committed isolated median (2.111 -> 3.2). A quiet-window
+    // subset re-run read 1.69 — the budget had NO headroom on this box.
+    "d31_dup_clusters_star" -> 6.1, "d17_semdedup" -> 3.2,
     // e08 re-budgeted r14-opt (BENCH_r14_opt.json: isolated 2.50 vs the
     // eroded 2.1 — a confirmed_breach in-artifact). The plan is
     // byte-identical to r13's modulo expression ids (PlanDump diff, this
